@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Query names are SURVEY.md §2's "Query name" column; each pairs with a
+  * DuckDB oracle in [[OracleSql]] (omitted only for ops that are not
+  * SQL-expressible, which get the driver's rows-only check).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.Funnel.flagship(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_flagship"     -> (ops.Funnel.flagship(_, _)),
+    "scan_parquet"        -> (Queries.scanParquet(_, _)),
+    "agg_group_count"     -> (Queries.aggGroupCount(_, _)),
+    "agg_mode"            -> (Queries.aggMode(_, _)),
+    "agg_funnel_flags"    -> (Queries.aggFunnelFlags(_, _)),
+    "dedup_latest"        -> (Queries.dedupLatest(_, _)),
+    "sort_global"         -> (Queries.sortGlobal(_, _)),
+    "topk_limit"          -> (Queries.topkLimit(_, _)),
+    "join_funnel_inner"   -> (Queries.joinFunnelInner(_, _)),
+    "join_left_anti"      -> (Queries.joinLeftAnti(_, _)),
+    "join_left_semi"      -> (Queries.joinLeftSemi(_, _)),
+    "filter_since"        -> (Queries.filterSince(_, _)),
+    "filter_isin"         -> (Queries.filterIsIn(_, _)),
+    "filter_not_isin"     -> (Queries.filterNotIsIn(_, _)),
+    "filter_notnull_cast" -> (Queries.filterNotNullCast(_, _)),
+    "json_extract"        -> (Queries.jsonExtract(_, _)),
+    "project_drop"        -> (Queries.projectDrop(_, _)),
+    "union_by_name"       -> (Queries.unionByNameDrift(_, _)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source-format scans — the reference's five S3 ingestion shapes
+  * re-expressed over Spark's native readers (no custom DataSource needed;
+  * SURVEY.md §2.1).
+  *
+  * Reference citations (/root/reference):
+  *  - S1 parquet:          `utils/s3_utils.py:13-28`
+  *  - S2 multiline JSON:   `utils/s3_utils.py:59-62` + `s3_to_silver.py:101-110`
+  *  - S3 NDJSON:           `utils/s3_utils.py:65-70`
+  *  - S4 double-encoded:   `utils/s3_utils.py:73-78` (each line is a JSON
+  *                         *string literal* whose content is the event JSON)
+  *  - S5 Kafka envelope:   `card_funnel/kafka_s3_to_silver.py:8-11`
+  *  - S6 pruned file scan: `utils/s3_utils.py:81-87` (prefix+regex+mtime)
+  */
+object Sources {
+
+  /** S1 — parquet scan; task retry replaces the reference's retry ladder. */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S2 — one whole JSON document (object or array) per file. */
+  def readJsonMultiline(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+
+  /** S3 — newline-delimited JSON from files. */
+  def readNdjson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** S3 — newline-delimited JSON already held as a Dataset of lines
+    * (e.g. the value column of a Kafka batch). */
+  def readNdjsonLines(lines: Dataset[String]): DataFrame =
+    lines.sparkSession.read.json(lines)
+
+  /** S4 — double-encoded NDJSON: each line is a JSON string literal
+    * containing the real JSON. Decode the outer literal with `from_json`
+    * (wrapping it into `{"v": <line>}` so the string type is reachable),
+    * then parse the inner document. Both passes are Spark-native; no UDF.
+    */
+  def readDoubleEncodedJson(lines: Dataset[String]): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val inner: Dataset[String] = lines
+      .select(from_json(concat(lit("{\"v\":"), col("value"), lit("}")),
+        StructType(Seq(StructField("v", StringType)))).getField("v").as("v"))
+      .as[String]
+    spark.read.json(inner)
+  }
+
+  /** S5 — Kafka-envelope NDJSON (`topic,partition,offset,key,value`):
+    * parse, then project the payload fields alongside the envelope,
+    * exactly like the reference's `pd.concat([df, normalize(value)])`. */
+  def readKafkaEnvelope(lines: Dataset[String]): DataFrame = {
+    val df = readNdjsonLines(lines)
+    df.select((df.columns.filterNot(_ == "value").map(col) :+ col("value.*")): _*)
+  }
+
+  /** S6 — directory scan pruned by filename glob and modification time;
+    * Spark's file index does the pruning before any bytes are read. */
+  def readPrunedNdjson(spark: SparkSession, dir: String, glob: String,
+                       modifiedAfter: Option[String] = None): DataFrame = {
+    val r = spark.read.option("pathGlobFilter", glob)
+    modifiedAfter.fold(r)(m => r.option("modifiedAfter", m)).json(dir)
+  }
+}

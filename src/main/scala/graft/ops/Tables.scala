@@ -1,0 +1,28 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Access to the engine's lake tables: one parquet per table under a
+  * scale-factor directory (see TESTDATA.md). Mirrors the reference's
+  * pattern of reading whole tables from object storage
+  * (`utils/s3_utils.py:13-28`) — but as a lazily-planned Spark scan, so
+  * Catalyst can push filters/projections into the parquet reader.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Spark (4.x included) has no TIMESTAMP(NANOS) parquet type: read such
+    // columns as raw nanos (legacy conf) and truncate to µs — the same
+    // truncation an ANSI engine applies casting TIMESTAMP_NS → TIMESTAMP.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}
