@@ -114,6 +114,100 @@ object OracleSql {
                SELECT o_orderkey, o_orderstatus FROM orders)
          GROUP BY bucket ORDER BY bucket""",
 
+    "scan_json_multiline" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "scan_ndjson" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+
+    "scan_double_json" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+
+    "scan_kafka_envelope" ->
+      """SELECT CAST(o_orderkey % 4 AS BIGINT) AS partition,
+             CAST(count(*) AS BIGINT) AS n_msgs,
+             CAST(max(o_orderkey) AS BIGINT) AS max_offset,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY partition""",
+
+    "scan_pruned_files" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(n_nationkey) AS BIGINT) AS sum_key FROM nation""",
+
+    "sink_overwrite" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_acctbal
+         FROM customer""",
+
+    "ddl_from_schema" ->
+      """SELECT 'customer_silver' AS table_name,
+             'CREATE TABLE IF NOT EXISTS customer_silver ("c_custkey" BIGINT, "c_name" VARCHAR(256), "c_nationkey" INTEGER, "c_acctbal" DOUBLE PRECISION, "c_mktsegment" VARCHAR(256), "c_url" VARCHAR(2048), "c_tags" SUPER)' AS ddl""",
+
+    "flatten_struct" ->
+      """SELECT event_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             'T-' || event_type AS meta_event_type
+         FROM events ORDER BY event_id""",
+
+    "rename_sanitize" ->
+      """SELECT c_custkey AS c_cust_key, c_name AS c_name, c_mktsegment AS mkt_seg
+         FROM customer ORDER BY c_cust_key""",
+
+    "ts_parse_iso" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date_str
+         FROM orders ORDER BY o_orderkey""",
+
+    "ts_from_epoch_s" ->
+      """SELECT event_id,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM events ORDER BY event_id""",
+
+    "ts_from_epoch_ms" ->
+      """SELECT event_id,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%g') AS ts_ms
+         FROM events ORDER BY event_id""",
+
+    "date_format_str" ->
+      """SELECT event_id,
+             strftime(CAST(ts AS TIMESTAMP), '%b %d,%Y %H:%M:%S') AS ts_fmt
+         FROM events ORDER BY event_id""",
+
+    "null_if_empty" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(CASE WHEN len(list_filter(string_split(text, ' '),
+                  x -> x LIKE 'w%')) = 0 THEN NULL ELSE 1 END) AS BIGINT) AS n_with_w
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "regexp_replace_chain" ->
+      """SELECT doc_id,
+             md5(regexp_replace(replace(replace(text, '''', 'CHR(39)'), '%', '%%'),
+                 ' +', '_', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "filter_array_overlap" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents
+         WHERE list_has_any(string_split(text, ' '), ['spark', 'vector'])
+         GROUP BY lang ORDER BY lang""",
+
+    "to_json_col" ->
+      """SELECT event_id, to_json(struct_pack(et := event_type,
+             k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS js
+         FROM events ORDER BY event_id""",
+
+    "stream_file_source" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "stream_watermark" ->
+      """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events)
+         SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS win_start,
+             event_type, CAST(count(*) AS BIGINT) AS cnt
+         FROM events
+         WHERE date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY
+               <= (SELECT mx - INTERVAL 1 HOUR FROM m)
+         GROUP BY 1, 2 ORDER BY win_start, event_type""",
+
     "scan_parquet" ->
       """SELECT l_returnflag, l_linestatus,
              CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,

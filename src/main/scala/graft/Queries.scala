@@ -171,6 +171,190 @@ object Queries {
 
   // ── §2.1 Scans ───────────────────────────────────────────────────────
 
+  /** S2 — one whole JSON document per file (multiLine), derived
+    * deterministically from the region table, array exploded back to rows. */
+  def scanJsonMultiline(spark: SparkSession, dir: String): DataFrame = {
+    val rows = t(spark, dir, "region").orderBy(col("r_regionkey")).toJSON.collect()
+    val path = TempFiles.write(s"multiline_${TempFiles.tag(dir)}/region.json",
+      "{\"regions\": [" + rows.mkString(", ") + "]}")
+    Sources.readJsonMultiline(spark, path)
+      .select(explode(col("regions")).as("r"))
+      .select(col("r.r_regionkey").cast(IntegerType).as("r_regionkey"),
+        col("r.r_name").as("r_name"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  /** S3 — NDJSON scan (line-delimited), nation re-encoded as JSON lines. */
+  def scanNdjson(spark: SparkSession, dir: String): DataFrame = {
+    val lines = t(spark, dir, "nation").toJSON
+    Sources.readNdjsonLines(lines)
+      .select(col("n_nationkey").cast(IntegerType).as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast(IntegerType).as("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** S4 — double-encoded NDJSON: every line is a JSON *string literal*
+    * containing the customer record JSON (`read_mails_s3` shape). */
+  def scanDoubleJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // JSON-string-encode each line (customer values contain no backslashes;
+    // quotes are the only metacharacter present in the inner JSON).
+    val lines = t(spark, dir, "customer").toJSON.toDF("value")
+      .select(concat(lit("\""),
+        regexp_replace(col("value"), "\"", "\\\\\""), lit("\"")).as("value"))
+      .as[String]
+    Sources.readDoubleEncodedJson(lines)
+      .select(col("c_custkey").cast(LongType).as("c_custkey"), col("c_name"),
+        col("c_nationkey").cast(IntegerType).as("c_nationkey"),
+        col("c_acctbal").cast(DoubleType).as("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** S5 — Kafka-envelope NDJSON: payload projected alongside the envelope,
+    * then per-partition consumption stats. */
+  def scanKafkaEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = t(spark, dir, "orders").select(to_json(struct(
+        lit("card.applications").as("topic"),
+        pmod(col("o_orderkey"), lit(4)).cast(LongType).as("partition"),
+        col("o_orderkey").as("offset"),
+        col("o_orderkey").cast(StringType).as("key"),
+        struct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice")).as("value"))).as("value")).as[String]
+    Sources.readKafkaEnvelope(lines)
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("n_msgs"), max(col("offset")).as("max_offset"),
+        decOut(sum(Cleanse.dec2(col("o_totalprice")))).as("sum_price"))
+      .orderBy(col("partition"))
+  }
+
+  /** S6 — file pruning by name glob: decoy files in the same dir must be
+    * skipped by the file index before any bytes are read. */
+  def scanPrunedFiles(spark: SparkSession, dir: String): DataFrame = {
+    val rows = t(spark, dir, "nation").orderBy(col("n_nationkey")).toJSON.collect()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val sub = s"pruned_${TempFiles.tag(dir)}"
+    TempFiles.write(s"$sub/nation-part0.json", a.mkString("\n"))
+    TempFiles.write(s"$sub/nation-part1.json", b.mkString("\n"))
+    TempFiles.write(s"$sub/decoy-rows.json", rows.take(3).mkString("\n"))
+    Sources.readPrunedNdjson(spark, TempFiles.dir(sub), "nation-part*.json")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast(LongType).as("sum_key"))
+  }
+
+  // ── §2.2 Sinks ───────────────────────────────────────────────────────
+
+  /** K1/K7 — overwrite write + re-read roundtrip (parquet stand-in for the
+    * JDBC replace-load). */
+  def sinkOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = TempFiles.dir(s"sink_overwrite_${TempFiles.tag(dir)}")
+    SinkDdl.overwriteParquet(t(spark, dir, "customer"), path)
+    spark.read.parquet(path)
+      .agg(count(lit(1)).as("n_rows"),
+        decOut(sum(Cleanse.dec2(col("c_acctbal")))).as("sum_acctbal"))
+  }
+
+  /** K2 — schema-derived DDL (url widening + nested→SUPER). */
+  def ddlFromSchema(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "customer")
+      .withColumn("c_url",
+        concat(lit("https://example.com/c/"), col("c_custkey")))
+      .withColumn("c_tags", array(col("c_mktsegment")))
+    val ddl = SinkDdl.schemaToDdl("customer_silver", df.schema)
+    spark.range(1).select(lit("customer_silver").as("table_name"),
+      lit(ddl).as("ddl"))
+  }
+
+  // ── §2.3 Normalization / scalar surface ──────────────────────────────
+
+  /** P1 — struct flatten with collision-prefixing: `meta.event_type`
+    * collides with the top-level column → `meta_event_type`; `meta.k`
+    * doesn't → bare `k` (exact `df_utils.py:8-11` semantics). */
+  def flattenStructQ(spark: SparkSession, dir: String): DataFrame = {
+    val withMeta = t(spark, dir, "events").select(col("event_id"),
+      col("event_type"),
+      struct(get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+        concat(lit("T-"), col("event_type")).as("event_type")).as("meta"))
+    Normalize.flattenStruct(withMeta, Seq("meta"))
+      .orderBy(col("event_id"))
+  }
+
+  /** P2 — column-name sanitization (`.`/`-`/space → `_`, lower, strip $). */
+  def renameSanitize(spark: SparkSession, dir: String): DataFrame =
+    Normalize.sanitizeColumnNames(
+      t(spark, dir, "customer").select(
+        col("c_custkey").as("C.Cust-Key"), col("c_name").as("C Name$"),
+        col("c_mktsegment").as("Mkt.Seg")))
+      .orderBy(col("c_cust_key"))
+
+  /** P4 — ISO-string → timestamp roundtrip. */
+  def tsParseIso(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        Cleanse.dateStr(Cleanse.parseIso(
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")))
+          .as("o_date_str"))
+      .orderBy(col("o_orderkey"))
+
+  /** P5 — epoch-seconds → timestamp. */
+  def tsFromEpochS(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        date_format(Cleanse.fromEpochSeconds(unix_timestamp(col("ts"))),
+          "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy(col("event_id"))
+
+  /** P6 — epoch-millis → timestamp (Mongo `$date` shape). */
+  def tsFromEpochMs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        date_format(Cleanse.fromEpochMillis(unix_millis(col("ts"))),
+          "yyyy-MM-dd HH:mm:ss.SSS").as("ts_ms"))
+      .orderBy(col("event_id"))
+
+  /** P15 — the reference's exact `strftime('%b %d,%Y %H:%M:%S')`. */
+  def dateFormatStr(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        Cleanse.referenceDateFormat(col("ts")).as("ts_fmt"))
+      .orderBy(col("event_id"))
+
+  /** P13 — empty container → null, then null-aware counting. */
+  def nullIfEmptyQ(spark: SparkSession, dir: String): DataFrame = {
+    val withW = t(spark, dir, "documents")
+      .withColumn("wwords",
+        filter(split(col("text"), " "), x => x.startsWith("w")))
+    Normalize.nullIfEmptyArray(withW, "wwords")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), count(col("wwords")).as("n_with_w"))
+      .orderBy(col("lang"))
+  }
+
+  /** P16 — the reference's escape chain as a scalar-expression pipeline. */
+  def regexpReplaceChain(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(Cleanse.sqlLiteralEscape(col("text")), " +", "_"))
+          .as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** P10 — "any array element ∈ set" relevance filter. */
+  def filterArrayOverlap(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(Cleanse.arrayOverlaps(split(col("text"), " "),
+        Seq("spark", "vector")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("lang"))
+
+  /** P12 — struct → JSON string at the sink boundary. */
+  def toJsonCol(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), to_json(struct(
+        col("event_type").as("et"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k")))
+        .as("js"))
+      .orderBy(col("event_id"))
+
   /** S1 — parquet scan with filter+projection pushdown (TPC-H Q1 shape). */
   def scanParquet(spark: SparkSession, dir: String): DataFrame =
     Sources.readParquet(spark, s"$dir/lineitem.parquet")

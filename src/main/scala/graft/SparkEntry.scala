@@ -33,6 +33,25 @@ object SparkEntry {
     "json_extract"        -> (Queries.jsonExtract(_, _)),
     "project_drop"        -> (Queries.projectDrop(_, _)),
     "union_by_name"       -> (Queries.unionByNameDrift(_, _)),
+    "scan_json_multiline" -> (Queries.scanJsonMultiline(_, _)),
+    "scan_ndjson"         -> (Queries.scanNdjson(_, _)),
+    "scan_double_json"    -> (Queries.scanDoubleJson(_, _)),
+    "scan_kafka_envelope" -> (Queries.scanKafkaEnvelope(_, _)),
+    "scan_pruned_files"   -> (Queries.scanPrunedFiles(_, _)),
+    "sink_overwrite"      -> (Queries.sinkOverwrite(_, _)),
+    "ddl_from_schema"     -> (Queries.ddlFromSchema(_, _)),
+    "flatten_struct"      -> (Queries.flattenStructQ(_, _)),
+    "rename_sanitize"     -> (Queries.renameSanitize(_, _)),
+    "ts_parse_iso"        -> (Queries.tsParseIso(_, _)),
+    "ts_from_epoch_s"     -> (Queries.tsFromEpochS(_, _)),
+    "ts_from_epoch_ms"    -> (Queries.tsFromEpochMs(_, _)),
+    "date_format_str"     -> (Queries.dateFormatStr(_, _)),
+    "null_if_empty"       -> (Queries.nullIfEmptyQ(_, _)),
+    "regexp_replace_chain"-> (Queries.regexpReplaceChain(_, _)),
+    "filter_array_overlap"-> (Queries.filterArrayOverlap(_, _)),
+    "to_json_col"         -> (Queries.toJsonCol(_, _)),
+    "stream_file_source"  -> (streaming.StreamTwins.fileSourceCounts(_, _)),
+    "stream_watermark"    -> (streaming.StreamTwins.watermarkWindow(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

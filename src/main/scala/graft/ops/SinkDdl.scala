@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Sink-side helpers: schema-derived DDL, overwrite/append writers, and the
+  * SQL script runner.
+  *
+  * Reference citations (/root/reference):
+  *  - K2 schema→DDL with `*url*`→VARCHAR(2048) widening and nested→SUPER:
+  *    `utils/sql_utils.py:20-33`, `s3_to_silver_prov.py:40-45`
+  *  - K1 overwrite / K7 append-or-create: `s3_to_silver.py:112`,
+  *    `utils/sql_utils.py:84-88` — modeled as parquet SaveModes (the JDBC
+  *    target is out of engine scope; `df.write.jdbc` takes the same plan).
+  *  - K8 script runner (split on `;`, `{}`-template substitution):
+  *    `card_funnel/create_card_funnel_schema.py:12-21`
+  */
+object SinkDdl {
+
+  /** K2 — map a field to its landing SQL type. `*url*` string columns widen
+    * to VARCHAR(2048); nested types land as SUPER (Redshift's semi-
+    * structured type in the reference; kept as the DDL-string analog). */
+  def sqlType(f: StructField): String = f.dataType match {
+    case StringType if f.name.toLowerCase.contains("url") => "VARCHAR(2048)"
+    case StringType => "VARCHAR(256)"
+    case LongType => "BIGINT"
+    case IntegerType | ShortType | ByteType => "INTEGER"
+    case DoubleType | FloatType => "DOUBLE PRECISION"
+    case BooleanType => "BOOLEAN"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case DateType => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case _: StructType | _: ArrayType | _: MapType => "SUPER"
+    case other => other.sql
+  }
+
+  def schemaToDdl(table: String, schema: StructType): String =
+    schema.fields.map(f => s""""${f.name}" ${sqlType(f)}""")
+      .mkString(s"CREATE TABLE IF NOT EXISTS $table (", ", ", ")")
+
+  /** K1 — overwrite sink (parquet stand-in for the JDBC replace-load). */
+  def overwriteParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** K7 — append-or-create (SaveMode.Append subsumes the exists-protocol). */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** K8 — run a `;`-separated SQL script with `{key}` substitution. */
+  def runSqlScript(spark: SparkSession, script: String,
+                   subst: Map[String, String] = Map.empty): Seq[DataFrame] = {
+    val filled = subst.foldLeft(script) { case (s, (k, v)) =>
+      s.replace(s"{$k}", v)
+    }
+    filled.split(";").map(_.trim).filter(_.nonEmpty).toSeq
+      .map(spark.sql)
+  }
+}
