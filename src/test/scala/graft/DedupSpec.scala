@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample = Seq(
+    (1L, "a", 10L, 100.0), (1L, "a", 20L, 200.0), // key (1,a): keep ts=20
+    (1L, "b", 20L, 300.0),                        // key (1,b): single row
+    (2L, "a", 20L, 400.0), (2L, "a", 20L, 500.0)  // tie on ts: keep id-max? no: tieBreak col
+  ).toDF("user_id", "event_type", "ts", "value")
+    .withColumn("event_id", monotonically_increasing_id())
+
+  test("dedupLatest keeps max-ts row per key (kafka_s3_to_silver.py:28-30)") {
+    val out = Dedup.dedupLatest(sample, Seq("user_id", "event_type"),
+      col("ts"), col("event_id"))
+    assert(out.count() == 3)
+    val k1a = out.filter($"user_id" === 1 && $"event_type" === "a").collect().head
+    assert(k1a.getAs[Long]("ts") == 20L)
+    assert(k1a.getAs[Double]("value") == 200.0)
+  }
+
+  test("dedupLatest tie-breaks deterministically on event_id") {
+    val out = Dedup.dedupLatest(sample, Seq("user_id", "event_type"),
+      col("ts"), col("event_id"))
+    val k2a = out.filter($"user_id" === 2).collect().head
+    assert(k2a.getAs[Double]("value") == 500.0) // higher event_id wins
+  }
+
+  test("dedupLatest is idempotent") {
+    val once = Dedup.dedupLatest(sample, Seq("user_id", "event_type"),
+      col("ts"), col("event_id"))
+    val twice = Dedup.dedupLatest(once, Seq("user_id", "event_type"),
+      col("ts"), col("event_id"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("latestByAgg agrees with dedupLatest") {
+    val a = Dedup.dedupLatest(sample, Seq("user_id", "event_type"),
+      col("ts"), col("event_id")).select("user_id", "event_type", "ts", "value")
+    val b = Dedup.latestByAgg(sample, Seq("user_id", "event_type"),
+      col("ts"), col("event_id")).select("user_id", "event_type", "ts", "value")
+    assert(a.collect().toSet == b.collect().toSet)
+  }
+}

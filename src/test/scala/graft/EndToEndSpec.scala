@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke over the real sf0.001 testdata: entry + every declared query
+  * returns a sane frame, and the streaming twins equal their batch
+  * counterparts. */
+class EndToEndSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs at sf0.001") {
+    val empty = SparkEntry.queries.flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    // all current queries are designed to be non-empty at every sf
+    assert(empty.isEmpty, s"unexpected empty results: $empty")
+  }
+
+  test("every query name has an oracle or is documented rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"missing oracles: $noOracle")
+  }
+
+  test("streaming group-count equals batch group-count") {
+    val stream = streaming.StreamTwins.fileSourceCounts(spark, sf).collect()
+    val batch = Queries.aggGroupCount(spark, sf).collect()
+    assert(stream.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Sources
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("readDoubleEncodedJson decodes JSON-inside-JSON-string (s3_utils.py:73-78)") {
+    val lines = Seq(
+      """"{\"event\":\"opened\",\"n\":1}"""",
+      """"{\"event\":\"clicked\",\"n\":2}"""").toDS()
+    val df = Sources.readDoubleEncodedJson(lines)
+    assert(df.columns.sorted.toSeq == Seq("event", "n"))
+    assert(df.orderBy("n").select("event").as[String].collect().toSeq ==
+      Seq("opened", "clicked"))
+  }
+
+  test("readKafkaEnvelope projects payload alongside envelope (kafka_s3_to_silver.py:8-11)") {
+    val lines = Seq(
+      """{"topic":"t","partition":0,"offset":10,"key":"k1","value":{"appId":5,"status":"OK"}}""")
+      .toDS()
+    val df = Sources.readKafkaEnvelope(lines)
+    assert(df.columns.toSet == Set("topic", "partition", "offset", "key", "appId", "status"))
+    val r = df.collect().head
+    assert(r.getAs[Long]("appId") == 5L)
+    assert(r.getAs[String]("topic") == "t")
+  }
+
+  test("readNdjsonLines parses schema-drifting lines with null fill (U1)") {
+    val lines = Seq("""{"a":1,"b":"x"}""", """{"a":2,"c":true}""").toDS()
+    val df = Sources.readNdjsonLines(lines)
+    assert(df.columns.sorted.toSeq == Seq("a", "b", "c"))
+    assert(df.count() == 2)
+    assert(df.filter($"b".isNull || $"c".isNull).count() == 2)
+  }
+}
