@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot numeric/text kernels where
+  * composing built-in higher-order functions is semantically right but
+  * interpretively slow (lambda HOFs don't participate in whole-stage
+  * codegen). Each expression is a tight single-pass loop; [[DotProductD]]
+  * additionally generates Java for whole-stage codegen. Registered as SQL
+  * functions (invoked via `call_function`) so the public API stays on
+  * `org.apache.spark.sql.functions`.
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      es => DotProductD(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      es => WordShingles(es.head, 3), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      es => MinHashSig(es.head, 32), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard",
+      es => JaccardSim(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      es => SimHash64(es.head), "built-in")
+  }
+}
+
+/** Sequential-fold dot product over two array<double> columns. The fold is
+  * left-to-right, so results are bit-identical to `aggregate(zip_with(a, b,
+  * (x,y) -> x*y), 0D, (acc,x) -> acc+x)` and to any engine summing the same
+  * way — the property the differential oracle relies on. Codegen'd. */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Distinct word n-gram shingles of a single-space-tokenized text — one
+  * pass, no intermediate token/sequence arrays. Semantics match
+  * `array_distinct(transform(sequence(1, size-2), i -> concat_ws(' ',
+  * tok[i], tok[i+1], tok[i+2])))` for texts with ≥ n tokens. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val last = toks.length - n
+    if (last < 0) out.add(toks.mkString(" "))
+    while (i <= last) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** MinHash signature: for seed k in [0, numHashes), the minimum xxhash64
+  * over the shingle array — one pass over the shingles, no 32 intermediate
+  * arrays. Internal hash values never surface in results (candidates are
+  * re-verified with exact Jaccard), so only determinism matters. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      var k = 0
+      while (k < numHashes) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, k)
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Exact Jaccard similarity of two distinct-element string arrays via a
+  * hash set — one pass instead of two `array_intersect` evaluations. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val set = new java.util.HashSet[UTF8String](x.numElements() * 2)
+    var i = 0
+    while (i < x.numElements()) { set.add(x.getUTF8String(i)); i += 1 }
+    var inter = 0
+    var j = 0
+    while (j < y.numElements()) {
+      if (set.contains(y.getUTF8String(j))) inter += 1
+      j += 1
+    }
+    inter.toDouble / (x.numElements() + y.numElements() - inter).toDouble
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash over single-space tokens: bit b of the result is the sign
+  * of the ±1 votes of each token-hash's bit b (xxhash64, seed 42 — same
+  * default as `functions.xxhash64`). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val t = UTF8String.fromString(toks(i))
+      val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sim |= (1L << b); b += 1 }
+    sim
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -14,6 +14,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // every query path flows through here: make the engine's SQL functions
+    // available in this session (idempotent).
+    graft.functions.GraftFunctions.register(spark)
     // Spark (4.x included) has no TIMESTAMP(NANOS) parquet type: read such
     // columns as raw nanos (legacy conf) and truncate to µs — the same
     // truncation an ANSI engine applies casting TIMESTAMP_NS → TIMESTAMP.

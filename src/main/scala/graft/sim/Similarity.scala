@@ -20,9 +20,11 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Sequential-fold dot product over array<double> columns. */
-  def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product over array<double> columns — a codegen'd
+    * custom expression ([[graft.functions.DotProductD]]) with the exact
+    * fold order of `aggregate(zip_with(a,b,(x,y)->x*y), 0D, (acc,x)->acc+x)`,
+    * so results stay bit-identical to the differential oracle. */
+  def dotd(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def toDoubleArr(c: Column): Column = c.cast(ArrayType(DoubleType))
 

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate detection over a documents table: exact content hashing,
   * word n-gram Jaccard, MinHash+LSH banding, and SimHash.
@@ -14,8 +14,16 @@ import org.apache.spark.sql.types._
   * shuffle on the band key, never a cross join), a pathological-bucket cap
   * (stop-shingle spam buckets are dropped, the standard skew guard), and
   * exact Jaccard computed only on surviving candidate pairs. All hashing is
-  * `xxhash64` — deterministic across runs and engines, so results are
+  * xxhash64 — deterministic across runs and engines, so results are
   * reproducible cluster-wide.
+  *
+  * The text kernels (shingling, signatures, Jaccard, SimHash) are custom
+  * Catalyst expressions ([[graft.functions.GraftFunctions]]) — single-pass
+  * loops instead of interpreted higher-order-function trees. The shingle/
+  * signature table is persisted before the self-join: it is read three
+  * times (banding + both verify sides), and at 100 TB this intermediate is
+  * exactly what you'd materialize (memory-and-disk here; a checkpoint table
+  * on a cluster).
   */
 object NearDup {
 
@@ -23,18 +31,11 @@ object NearDup {
   val Bands = 8
   val RowsPerBand = 4 // P(candidate | j) = 1-(1-j^4)^8 → ~1.0 at j≥0.9
 
-  /** Distinct word n-gram shingles of the text (default trigrams). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
-  }
+  /** Distinct word n-gram shingles of the text (trigrams). */
+  def shingles(text: Column): Column = call_function("graft_shingles", text)
 
   /** MinHash signature: per seed, the min xxhash64 over the shingle set. */
-  def minhashSig(sh: Column): Column =
-    array((0 until NumHashes).map(i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
+  def minhashSig(sh: Column): Column = call_function("graft_minhash_sig", sh)
 
   /** LSH band keys: hash of each `RowsPerBand`-slice of the signature. */
   def bandHashes(sig: Column): Column =
@@ -42,20 +43,23 @@ object NearDup {
       xxhash64((0 until RowsPerBand).map(r =>
         element_at(sig, b * RowsPerBand + r + 1)): _*)): _*)
 
-  /** Exact Jaccard between two shingle-set columns. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast(DoubleType)
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast(DoubleType)
-  }
+  /** Exact Jaccard between two distinct-shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = call_function("graft_jaccard", a, b)
 
-  /** Candidate pairs via band-bucket join. `maxBucket` drops spam buckets
-    * (every-doc-shares-this-shingle skew) before the join explodes. */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                     maxBucket: Int = 1000): DataFrame = {
-    val banded = docs
-      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+  /** id → shingle-set table, persisted (re-read by banding + both verify
+    * join sides). */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Candidate pairs via band-bucket join over a shingle table. `maxBucket`
+    * drops spam buckets (every-doc-shares-this-shingle skew) before the
+    * join explodes. */
+  def candidatePairsFromShingles(sh: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val banded = sh
       .select(col("id"), posexplode(bandHashes(minhashSig(col("sh")))))
       .toDF("id", "band", "bh")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ok = banded.groupBy("band", "bh").count()
       .filter(col("count") <= maxBucket).drop("count")
     val pruned = banded.join(ok, Seq("band", "bh"))
@@ -66,13 +70,17 @@ object NearDup {
       .dropDuplicates("a_id", "b_id")
   }
 
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     maxBucket: Int = 1000): DataFrame =
+    candidatePairsFromShingles(shingleTable(docs, idCol, textCol), maxBucket)
+
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
-    * The verify join fetches shingles by id (narrow re-scan) instead of
-    * carrying shingle arrays through the bucket shuffle. */
+    * The verify join fetches shingle sets by id from the persisted shingle
+    * table instead of carrying arrays through the bucket shuffle. */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-    candidatePairs(docs, idCol, textCol)
+    val sh = shingleTable(docs, idCol, textCol)
+    candidatePairsFromShingles(sh)
       .join(sh.toDF("a_id", "a_sh"), "a_id")
       .join(sh.toDF("b_id", "b_sh"), "b_id")
       .select(col("a_id"), col("b_id"),
@@ -80,20 +88,8 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over the token multiset: bit b is the sign of the sum
-    * of ±1 votes from each token-hash's bit b. Pure nested higher-order
-    * expressions — no UDF, fully distributed. */
-  def simhash64(text: Column): Column = {
-    val hs = transform(split(text, " "), t => xxhash64(t))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => acc + when(
-        aggregate(hs, lit(0),
-          (s, h) => s + when(call_function("shiftright", h, b)
-            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)) > 0,
-        call_function("shiftleft", lit(1L), b)).otherwise(0L))
-  }
+  /** 64-bit SimHash over the token multiset (custom expression). */
+  def simhash64(text: Column): Column = call_function("graft_simhash64", text)
 
   /** SimHash near-dup pairs: 16-bit chunk buckets (a pair within hamming
     * distance ≤3 of 64 bits must agree on ≥1 of 4 chunks), then exact
@@ -101,6 +97,7 @@ object NearDup {
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 6): DataFrame = {
     val sim = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
