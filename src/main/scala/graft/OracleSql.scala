@@ -208,6 +208,10 @@ object OracleSql {
                <= (SELECT mx - INTERVAL 1 HOUR FROM m)
          GROUP BY 1, 2 ORDER BY win_start, event_type""",
 
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+
     "lang_id" ->
       """WITH s AS (SELECT doc_id, lang,
              len(list_filter(string_split(text,' '), x -> x = 'the')) s_en,

@@ -52,6 +52,7 @@ object SparkEntry {
     "to_json_col"         -> (Queries.toJsonCol(_, _)),
     "stream_file_source"  -> (streaming.StreamTwins.fileSourceCounts(_, _)),
     "stream_watermark"    -> (streaming.StreamTwins.watermarkWindow(_, _)),
+    "stream_dedup"        -> (streaming.StreamTwins.streamDedupKeys(_, _)),
     "lang_id"             -> (Queries.langId(_, _)),
     "text_quality"        -> (Queries.textQuality(_, _)),
     "token_count"         -> (Queries.tokenCount(_, _)),

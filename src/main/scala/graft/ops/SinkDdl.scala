@@ -46,6 +46,15 @@ object SinkDdl {
   def appendParquet(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** K3 — drop-if-exists (`sql_utils.py:15-17`). */
+  def dropTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+  /** K4 — table-exists probe (`sql_utils.py:41-45`, INFORMATION_SCHEMA
+    * count → catalog lookup). */
+  def tableExists(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(table)
+
   /** K8 — run a `;`-separated SQL script with `{key}` substitution. */
   def runSqlScript(spark: SparkSession, script: String,
                    subst: Map[String, String] = Map.empty): Seq[DataFrame] = {

@@ -56,6 +56,32 @@ object StreamTwins {
       "stream_file_source_sink", "complete")
       .orderBy(col("event_type"))
 
+  /** Append-only load into a silver parquet table (`Trigger.AvailableNow`
+    * + checkpoint = the reference's incremental exists-protocol,
+    * `emails_import.py:47-54`: the file-source checkpoint remembers
+    * processed files, so each run appends only new arrivals). */
+  def appendAvailableNow(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** Per-key first-arrival dedup state (`dropDuplicatesWithinWatermark` —
+    * the streaming twin of the kafka_s3_to_silver latest-per-key dedup;
+    * state is evicted once the watermark passes, bounding it at scale).
+    * Arrival order across partitions is racy, so which duplicate survives
+    * is not deterministic — batch `Dedup.dedupLatest` is the declared
+    * contract; this is the incremental twin. */
+  def streamDedupKeys(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(
+      eventsStream(spark, sfDir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type"),
+      "stream_dedup_sink", "append")
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+
   /** Watermarked tumbling-window count in append mode: only windows the
     * watermark (max event time − 1h) has passed are emitted — the streaming
     * twin of the reference's event-time cutoff. */

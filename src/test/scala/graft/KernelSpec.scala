@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+import graft.text.NearDup
+
+/** The custom Catalyst kernels must be drop-in equivalents of the
+  * built-in higher-order-function compositions they replace. */
+class KernelSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    s
+  }
+  import spark.implicits._
+
+  test("graft_dot equals sequential aggregate/zip_with fold bitwise") {
+    val df = Seq((Seq(1.5, -2.25, 3.125), Seq(0.5, 4.75, -1.875)))
+      .toDF("a", "b")
+    val r = df.select(
+      call_function("graft_dot", $"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x).as("ref")).collect().head
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
+  test("graft_dot matches on real embeddings for every row") {
+    val e = ops.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val diff = e.select(
+      call_function("graft_dot", $"e", $"e").as("fast"),
+      aggregate(zip_with($"e", $"e", (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x).as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0)
+  }
+
+  test("graft_shingles equals transform/sequence/concat_ws composition") {
+    val df = Seq("a b c d e", "x y z", "p q r s").toDF("text")
+    val toks = split($"text", " ")
+    val ref = array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - lit(2), lit(1))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2))))
+    val bad = df.select(NearDup.shingles($"text").as("fast"), ref.as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(bad == 0)
+  }
+
+  test("graft_jaccard equals array_intersect formula") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("b")),
+      (Seq("a", "b"), Seq("a", "b"))).toDF("a", "b")
+    val inter = size(array_intersect($"a", $"b")).cast("double")
+    val ref = inter / (size($"a") + size($"b") -
+      size(array_intersect($"a", $"b"))).cast("double")
+    val rows = df.select(NearDup.jaccard($"a", $"b").as("fast"), ref.as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("minhash signature is deterministic and monotone under containment") {
+    val df = Seq("the quick brown fox jumps over the lazy dog " * 3).toDF("text")
+    val sig1 = df.select(NearDup.minhashSig(NearDup.shingles($"text")))
+      .collect().head.getSeq[Long](0)
+    val sig2 = df.select(NearDup.minhashSig(NearDup.shingles($"text")))
+      .collect().head.getSeq[Long](0)
+    assert(sig1 == sig2)
+    assert(sig1.length == NearDup.NumHashes)
+  }
+
+  test("simhash of identical texts is identical; near texts are near") {
+    val df = Seq(
+      ("a", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      ("b", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      ("c", "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).toDF("id", "text")
+    val out = df.select($"id", NearDup.simhash64($"text").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == out("b"))
+    assert(java.lang.Long.bitCount(out("a") ^ out("c")) > 0)
+  }
+}
