@@ -208,6 +208,13 @@ object OracleSql {
                <= (SELECT mx - INTERVAL 1 HOUR FROM m)
          GROUP BY 1, 2 ORDER BY win_start, event_type""",
 
+    "sql_surface" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS total
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_orderstatus <> 'F'
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",

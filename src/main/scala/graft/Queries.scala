@@ -355,6 +355,19 @@ object Queries {
         .as("js"))
       .orderBy(col("event_id"))
 
+  /** The engine's SQL surface (the reference ships SQL to Redshift; here
+    * `spark.sql` over registered views runs the same text distributed). */
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("v_orders")
+    t(spark, dir, "customer").createOrReplaceTempView("v_customer")
+    spark.sql(
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+             CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS total
+         FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_orderstatus <> 'F'
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+  }
+
   // ── North-star: text analysis (SURVEY.md §2.11) ──────────────────────
 
   /** Language ID via marker-token scoring (deterministic argmax). */

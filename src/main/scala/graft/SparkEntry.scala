@@ -65,6 +65,7 @@ object SparkEntry {
     "ann_cosine_topk"     -> (Queries.annCosineTopK(_, _)),
     "ann_lsh_topk"        -> (Queries.annLshTopK(_, _)),
     "mm_decode"           -> (Queries.mmDecode(_, _)),
+    "sql_surface"         -> (Queries.sqlSurface(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -30,6 +30,40 @@ object Funnel {
       Cleanse.tsStr(max(col("ts"))).as("last_ts"),
       count(lit(1)).as("n_events"))
 
+  /** EP3 twin — build the gold star schema (the 5-table funnel of
+    * `create_customers_table.sql:7-92`) as managed parquet tables from the
+    * silver layer, via the SQL script runner (K8). Table/column shapes
+    * mirror the reference's DDL: per-customer funnel flags, FK chain
+    * customers ← invitations ← applications. Returns the created names. */
+  def buildGoldSchema(spark: SparkSession, sfDir: String,
+                      prefix: String = "gold"): Seq[String] = {
+    Tables.table(spark, sfDir, "events").createOrReplaceTempView("silver_events")
+    Tables.table(spark, sfDir, "customer").createOrReplaceTempView("silver_customers")
+    val script =
+      """DROP TABLE IF EXISTS {p}_applications;
+         DROP TABLE IF EXISTS {p}_invitations;
+         DROP TABLE IF EXISTS {p}_customers;
+         CREATE TABLE {p}_customers USING parquet AS
+         SELECT c.c_custkey AS customer_id, c.c_name AS name,
+                c.c_mktsegment AS segment,
+                CAST(max(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END) AS BOOLEAN) AS opened_flag,
+                CAST(max(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS BOOLEAN) AS clicked_flag,
+                min(e.ts) AS first_seen, max(e.ts) AS last_seen
+         FROM silver_customers c LEFT JOIN silver_events e ON e.user_id = c.c_custkey
+         GROUP BY c.c_custkey, c.c_name, c.c_mktsegment;
+         CREATE TABLE {p}_invitations USING parquet AS
+         SELECT event_id AS invitation_id, user_id AS customer_id, ts AS sent_at
+         FROM silver_events WHERE event_type = 'signup';
+         CREATE TABLE {p}_applications USING parquet AS
+         SELECT e.event_id AS application_id, i.invitation_id, e.user_id AS customer_id,
+                e.ts AS applied_at, e.value AS amount
+         FROM silver_events e
+         JOIN {p}_invitations i ON i.customer_id = e.user_id
+         WHERE e.event_type = 'purchase';"""
+    SinkDdl.runSqlScript(spark, script, Map("p" -> prefix))
+    Seq(s"${prefix}_customers", s"${prefix}_invitations", s"${prefix}_applications")
+  }
+
   /** The flagship end-to-end funnel query (SURVEY.md §7.2): scan → time
     * filter → latest-per-key dedup → broadcast dim join → flag aggregation
     * per market segment → deterministic order. */

@@ -30,6 +30,18 @@ class EndToEndSpec extends AnyFunSuite {
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }
 
+  test("gold star schema builds with the FK chain populated") {
+    val tables = ops.Funnel.buildGoldSchema(spark, sf, "t_gold")
+    try {
+      assert(tables.forall(spark.catalog.tableExists))
+      assert(spark.table("t_gold_customers").count() > 0)
+      val apps = spark.table("t_gold_applications")
+      val orphans = apps.join(spark.table("t_gold_invitations"),
+        Seq("invitation_id"), "left_anti").count()
+      assert(orphans == 0)
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming group-count equals batch group-count") {
     val stream = streaming.StreamTwins.fileSourceCounts(spark, sf).collect()
     val batch = Queries.aggGroupCount(spark, sf).collect()
