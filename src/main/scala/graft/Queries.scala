@@ -221,7 +221,11 @@ object Queries {
         col("o_orderkey").cast(StringType).as("key"),
         struct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice")).as("value"))).as("value")).as[String]
-    Sources.readKafkaEnvelope(lines)
+    val payload = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    Sources.readKafkaEnvelope(lines, Some(payload))
       .groupBy(col("partition"))
       .agg(count(lit(1)).as("n_msgs"), max(col("offset")).as("max_offset"),
         decOut(sum(Cleanse.dec2(col("o_totalprice")))).as("sum_price"))

@@ -32,9 +32,14 @@ object Sources {
     spark.read.json(path)
 
   /** S3 — newline-delimited JSON already held as a Dataset of lines
-    * (e.g. the value column of a Kafka batch). */
-  def readNdjsonLines(lines: Dataset[String]): DataFrame =
-    lines.sparkSession.read.json(lines)
+    * (e.g. the value column of a Kafka batch). With no schema Spark runs an
+    * extra inference pass over the data; at scale callers should pass the
+    * declared schema so the read is single-pass. */
+  def readNdjsonLines(lines: Dataset[String],
+                      schema: Option[StructType] = None): DataFrame = {
+    val r = lines.sparkSession.read
+    schema.fold(r)(s => r.schema(s)).json(lines)
+  }
 
   /** S4 — double-encoded NDJSON: each line is a JSON string literal
     * containing the real JSON. Decode the outer literal with `from_json`
@@ -54,8 +59,13 @@ object Sources {
   /** S5 — Kafka-envelope NDJSON (`topic,partition,offset,key,value`):
     * parse, then project the payload fields alongside the envelope,
     * exactly like the reference's `pd.concat([df, normalize(value)])`. */
-  def readKafkaEnvelope(lines: Dataset[String]): DataFrame = {
-    val df = readNdjsonLines(lines)
+  def readKafkaEnvelope(lines: Dataset[String],
+                        payloadSchema: Option[StructType] = None): DataFrame = {
+    val schema = payloadSchema.map(p => StructType(Seq(
+      StructField("topic", StringType), StructField("partition", LongType),
+      StructField("offset", LongType), StructField("key", StringType),
+      StructField("value", p))))
+    val df = readNdjsonLines(lines, schema)
     df.select((df.columns.filterNot(_ == "value").map(col) :+ col("value.*")): _*)
   }
 
