@@ -208,6 +208,37 @@ object OracleSql {
                <= (SELECT mx - INTERVAL 1 HOUR FROM m)
          GROUP BY 1, 2 ORDER BY win_start, event_type""",
 
+    "join_asof" ->
+      """SELECT event_id, o_orderkey, o_totalprice FROM (
+           SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+           FROM events e JOIN orders o
+             ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+         WHERE rn = 1 ORDER BY event_id""",
+
+    "topk_per_group" ->
+      """SELECT o_orderstatus, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey) rn FROM orders)
+         WHERE rn <= 3 ORDER BY o_orderstatus, rn""",
+
+    "dedup_apply" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           pairs AS (
+             SELECT a.doc_id a_id, b.doc_id b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) jac
+             FROM t a JOIN t b ON a.doc_id < b.doc_id),
+           dropped AS (SELECT DISTINCT b_id FROM pairs WHERE round(jac, 4) >= 0.5)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id NOT IN (SELECT b_id FROM dropped)
+         GROUP BY lang ORDER BY lang""",
+
     "sql_surface" ->
       """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
              CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS total

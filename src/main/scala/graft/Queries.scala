@@ -359,6 +359,46 @@ object Queries {
         .as("js"))
       .orderBy(col("event_id"))
 
+  /** As-of join (J5): each event picks the customer's most recent order at
+    * or before the event time — one union + one keyed window, no range
+    * probe (see [[AsOf.asofJoin]]). */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").select("event_id", "user_id", "ts")
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    AsOf.asofJoin(e, o, "user_id", "o_custkey",
+        col("ts"), col("o_orderdate"), col("o_orderkey"))
+      .filter(col("__match").isNotNull)
+      .select(col("event_id"), col("__match.o_orderkey").as("o_orderkey"),
+        col("__match.o_totalprice").as("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** W4 — top-k per group (rank-limit; WindowGroupLimit prunes map-side). */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderstatus"), col("rn").cast(LongType).as("rn"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderstatus"), col("rn"))
+  }
+
+  /** End-to-end dedup apply: corpus minus the non-kept side of verified
+    * near-dup pairs (keep the min doc_id of each dup cluster edge). */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val drop = text.NearDup.minhashDupPairs(docs, "doc_id", "text", 0.5)
+      .select(col("b_id").as("doc_id")).distinct()
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** The engine's SQL surface (the reference ships SQL to Redshift; here
     * `spark.sql` over registered views runs the same text distributed). */
   def sqlSurface(spark: SparkSession, dir: String): DataFrame = {

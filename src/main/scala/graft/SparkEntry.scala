@@ -66,6 +66,9 @@ object SparkEntry {
     "ann_lsh_topk"        -> (Queries.annLshTopK(_, _)),
     "mm_decode"           -> (Queries.mmDecode(_, _)),
     "sql_surface"         -> (Queries.sqlSurface(_, _)),
+    "join_asof"           -> (Queries.joinAsof(_, _)),
+    "topk_per_group"      -> (Queries.topkPerGroup(_, _)),
+    "dedup_apply"         -> (Queries.dedupApply(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -110,4 +110,18 @@ object NearDup {
       .dropDuplicates("a_id", "b_id")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash candidates re-verified with exact Jaccard — same precision
+    * contract as the MinHash path, so the two scale paths are directly
+    * comparable on recall. */
+  def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, maxHamming: Int = 6): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol)
+    simhashDupPairs(docs, idCol, textCol, maxHamming)
+      .join(sh.toDF("a_id", "a_sh"), "a_id")
+      .join(sh.toDF("b_id", "b_sh"), "b_id")
+      .select(col("a_id"), col("b_id"), col("hamming"),
+        round(jaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }
