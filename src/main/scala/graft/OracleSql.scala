@@ -208,6 +208,42 @@ object OracleSql {
                <= (SELECT mx - INTERVAL 1 HOUR FROM m)
          GROUP BY 1, 2 ORDER BY win_start, event_type""",
 
+    "agg_percentiles" ->
+      """SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+             CAST(count(*) AS BIGINT) AS cnt
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "agg_rollup" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+             coalesce(o_orderstatus, 'ALL') AS status,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS total
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+         ORDER BY segment, status""",
+
+    "agg_pivot" ->
+      """SELECT c_mktsegment,
+             CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+             CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+             CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "window_running" ->
+      """SELECT user_id, event_id,
+             CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+                 PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(18,4)) AS DOUBLE) AS running_value,
+             coalesce(lag(event_id, 1) OVER (
+                 PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id),
+               -1) AS prev_event
+         FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id, event_id""",
+
     "join_asof" ->
       """SELECT event_id, o_orderkey, o_totalprice FROM (
            SELECT e.event_id, o.o_orderkey, o.o_totalprice,

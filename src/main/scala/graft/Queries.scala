@@ -412,6 +412,69 @@ object Queries {
          GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
   }
 
+  /** A5 — exact interpolated percentiles (median/p95) per group. */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus"))
+
+  /** A6 — rollup with explicit ALL labels (no null-ordering ambiguity). */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .rollup(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        decOut(sum(Cleanse.dec2(col("o_totalprice")))).as("total"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("cnt"), col("total"))
+      .orderBy(col("segment"), col("status"))
+  }
+
+  /** A7 — pivot to one column per status (explicit value list so the
+    * output schema is static, the scalable form of pivot). */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("c_mktsegment"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** W5 — running analytics: cumulative sum + lag delta per user. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        decOut(sum(Cleanse.dec2(col("value")))
+          .over(w.rowsBetween(Long.MinValue, 0))).as("running_value"),
+        coalesce(lag(col("event_id"), 1).over(w), lit(-1L)).as("prev_event"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** A8 — HLL sketch distinct counts (rows-only: sketch estimates are
+    * engine-specific; the spec asserts ±5% of exact). */
+  def aggHllSketch(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        count_distinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy(col("l_returnflag"))
+
   // ── North-star: text analysis (SURVEY.md §2.11) ──────────────────────
 
   /** Language ID via marker-token scoring (deterministic argmax). */

@@ -69,6 +69,11 @@ object SparkEntry {
     "join_asof"           -> (Queries.joinAsof(_, _)),
     "topk_per_group"      -> (Queries.topkPerGroup(_, _)),
     "dedup_apply"         -> (Queries.dedupApply(_, _)),
+    "agg_percentiles"     -> (Queries.aggPercentiles(_, _)),
+    "agg_rollup"          -> (Queries.aggRollup(_, _)),
+    "agg_pivot"           -> (Queries.aggPivot(_, _)),
+    "window_running"      -> (Queries.windowRunning(_, _)),
+    "agg_hll_sketch"      -> (Queries.aggHllSketch(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

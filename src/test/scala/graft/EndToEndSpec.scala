@@ -25,7 +25,7 @@ class EndToEndSpec extends AnyFunSuite {
   test("every query name has an oracle or is documented rows-only") {
     // Probabilistic candidate-generation ops whose exact result is not
     // ANSI-SQL-expressible; the driver records a rows-only check for them.
-    val rowsOnly = Set("dedup_simhash", "ann_lsh_topk")
+    val rowsOnly = Set("dedup_simhash", "ann_lsh_topk", "agg_hll_sketch")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }
@@ -40,6 +40,15 @@ class EndToEndSpec extends AnyFunSuite {
         Seq("invitation_id"), "left_anti").count()
       assert(orphans == 0)
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("HLL sketch estimates within 5% of exact distinct counts") {
+    Queries.aggHllSketch(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx=$approx exact=$exact")
+    }
   }
 
   test("streaming group-count equals batch group-count") {
