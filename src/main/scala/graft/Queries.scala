@@ -471,7 +471,7 @@ object Queries {
   def aggHllSketch(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         count_distinct(col("l_orderkey")).as("exact_orders"))
       .orderBy(col("l_returnflag"))
 
