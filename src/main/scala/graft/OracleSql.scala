@@ -208,6 +208,31 @@ object OracleSql {
                <= (SELECT mx - INTERVAL 1 HOUR FROM m)
          GROUP BY 1, 2 ORDER BY win_start, event_type""",
 
+    "sink_csv_copy" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_acctbal,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+         FROM customer""",
+
+    "sink_partitioned" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+         FROM events WHERE event_type = 'purchase'""",
+
+    "join_bucketed" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS total
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+
+    "dedup_latest_agg" ->
+      """SELECT user_id, event_type, event_id,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+             value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+
     "agg_percentiles" ->
       """SELECT o_orderstatus,
              round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -269,6 +269,65 @@ object Queries {
       lit(ddl).as("ddl"))
   }
 
+  /** K6 — staged-CSV bulk load stand-in (the reference's Redshift COPY):
+    * write CSV with header, re-read with declared schema, verify content. */
+  def sinkCsvCopy(spark: SparkSession, dir: String): DataFrame = {
+    val path = TempFiles.dir(s"sink_csv_${TempFiles.tag(dir)}")
+    val cust = t(spark, dir, "customer")
+    cust.write.mode("overwrite").option("header", "true").csv(path)
+    spark.read.schema(cust.schema).option("header", "true").csv(path)
+      .agg(count(lit(1)).as("n_rows"),
+        decOut(sum(Cleanse.dec2(col("c_acctbal")))).as("sum_acctbal"),
+        count_distinct(col("c_mktsegment")).as("n_segments"))
+  }
+
+  /** K9 — Hive-style partitioned write + partition-pruned read: the filter
+    * on the partition column prunes directories in the file index (the scan
+    * shows PartitionFilters, not a data filter). */
+  def sinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val path = TempFiles.dir(s"sink_part_${TempFiles.tag(dir)}")
+    t(spark, dir, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n_rows"),
+        decOut(sum(Cleanse.dec2(col("value")))).as("sum_value"))
+  }
+
+  /** J6 — bucketed co-located join: both sides bucketed on the join key at
+    * write time, so the join needs NO exchange (the 100 TB answer to
+    * repeated fact-fact joins on the same key). */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val tag = TempFiles.tag(dir).replace(".", "_")
+    val oT = s"bk_orders_$tag"
+    val cT = s"bk_customer_$tag"
+    SinkDdl.dropManagedTable(spark, oT)
+    SinkDdl.dropManagedTable(spark, cT)
+    t(spark, dir, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").format("parquet")
+      .saveAsTable(oT)
+    t(spark, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").format("parquet")
+      .saveAsTable(cT)
+    // merge hint: demonstrate the bucketed sort-merge path (no exchange on
+    // either side) rather than letting tiny test inputs pick broadcast
+    spark.table(oT).hint("merge").join(spark.table(cT), "o_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        decOut(sum(Cleanse.dec2(col("o_totalprice")))).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** W1b — dedup via max_by aggregation (map-side partial aggregation, no
+    * sort): must produce exactly the window-rank result. */
+  def dedupLatestAgg(spark: SparkSession, dir: String): DataFrame =
+    Dedup.latestByAgg(t(spark, dir, "events"),
+        Seq("user_id", "event_type"), col("ts"), col("event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        Cleanse.tsStr(col("ts")).as("ts_str"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+
   // ── §2.3 Normalization / scalar surface ──────────────────────────────
 
   /** P1 — struct flatten with collision-prefixing: `meta.event_type`

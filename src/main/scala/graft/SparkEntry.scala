@@ -74,6 +74,10 @@ object SparkEntry {
     "agg_pivot"           -> (Queries.aggPivot(_, _)),
     "window_running"      -> (Queries.windowRunning(_, _)),
     "agg_hll_sketch"      -> (Queries.aggHllSketch(_, _)),
+    "sink_csv_copy"       -> (Queries.sinkCsvCopy(_, _)),
+    "sink_partitioned"    -> (Queries.sinkPartitioned(_, _)),
+    "join_bucketed"       -> (Queries.joinBucketed(_, _)),
+    "dedup_latest_agg"    -> (Queries.dedupLatestAgg(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -55,6 +55,22 @@ object SinkDdl {
   def tableExists(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(table)
 
+  /** Drop a managed table AND its warehouse location — the in-memory
+    * catalog forgets tables across JVMs while their directories persist,
+    * so a bare saveAsTable from a fresh session would hit
+    * LOCATION_ALREADY_EXISTS. */
+  def dropManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(warehouse, table.toLowerCase)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   /** K8 — run a `;`-separated SQL script with `{key}` substitution. */
   def runSqlScript(spark: SparkSession, script: String,
                    subst: Map[String, String] = Map.empty): Seq[DataFrame] = {
