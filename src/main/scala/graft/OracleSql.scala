@@ -208,6 +208,27 @@ object OracleSql {
                <= (SELECT mx - INTERVAL 1 HOUR FROM m)
          GROUP BY 1, 2 ORDER BY win_start, event_type""",
 
+    "window_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+                         epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+           sessions AS (
+           SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM flagged)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             CAST(count(*) AS BIGINT) AS n_events,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+         FROM sessions GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+
     "sink_csv_copy" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_acctbal,

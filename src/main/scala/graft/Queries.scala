@@ -525,6 +525,11 @@ object Queries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** W6 — gap-based sessionization (30-min gap) via lag + cumulative sum. */
+  def windowSessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionsByWindow(t(spark, dir, "events"), 30)
+      .orderBy(col("user_id"), col("session_idx"))
+
   /** A8 — HLL sketch distinct counts (rows-only: sketch estimates are
     * engine-specific; the spec asserts ±5% of exact). */
   def aggHllSketch(spark: SparkSession, dir: String): DataFrame =

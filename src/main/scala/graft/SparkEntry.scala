@@ -78,6 +78,7 @@ object SparkEntry {
     "sink_partitioned"    -> (Queries.sinkPartitioned(_, _)),
     "join_bucketed"       -> (Queries.joinBucketed(_, _)),
     "dedup_latest_agg"    -> (Queries.dedupLatestAgg(_, _)),
+    "window_sessionize"   -> (Queries.windowSessionize(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -42,6 +42,15 @@ class EndToEndSpec extends AnyFunSuite {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("typed sessionization equals the window-based plan") {
+    val ev = ops.Tables.table(spark, sf, "events")
+    val a = ops.Sessionize.sessionsByWindow(ev, 30)
+      .orderBy("user_id", "session_idx").collect().map(_.toSeq)
+    val b = ops.Sessionize.sessionsTyped(spark, ev, 30)
+      .orderBy("user_id", "session_idx").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("HLL sketch estimates within 5% of exact distinct counts") {
     Queries.aggHllSketch(spark, sf).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_orders").toDouble
