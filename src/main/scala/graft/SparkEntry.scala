@@ -61,9 +61,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard(_, _)),
     "dedup_minhash_lsh"   -> (Queries.dedupMinhashLsh(_, _)),
     "dedup_simhash"       -> (Queries.dedupSimhash(_, _)),
+    "dedup_simhash_verified" -> (Queries.dedupSimhashVerified(_, _)),
     "dedup_embedding_cosine" -> (Queries.dedupEmbeddingCosine(_, _)),
+    "dedup_embedding_lsh" -> (Queries.dedupEmbeddingLsh(_, _)),
     "ann_cosine_topk"     -> (Queries.annCosineTopK(_, _)),
     "ann_lsh_topk"        -> (Queries.annLshTopK(_, _)),
+    "ann_lsh_recall"      -> (Queries.annLshRecall(_, _)),
     "mm_decode"           -> (Queries.mmDecode(_, _)),
     "sql_surface"         -> (Queries.sqlSurface(_, _)),
     "join_asof"           -> (Queries.joinAsof(_, _)),

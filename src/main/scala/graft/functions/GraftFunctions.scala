@@ -30,7 +30,66 @@ object GraftFunctions {
       es => JaccardSim(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_bands",
+      es => LshBandKeys(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]),
+      "built-in")
   }
+}
+
+/** Banded random-hyperplane LSH keys for an array<double> vector: element b
+  * is the packed sign bits of band b's planes. Planes are derived from a
+  * SplitMix64 formula of the (plane, dim) index — identical on every
+  * executor with nothing to broadcast — and cached per vector dimension.
+  * One pass of dim × nPlanes multiply-adds replaces nPlanes separate
+  * dot-product expression trees (the composed form plants nPlanes literal
+  * arrays in the plan and made codegen compile dominate small inputs).
+  * Dot accumulation is sequential left-to-right, so signs are bit-identical
+  * to [[DotProductD]] against the same plane literals. */
+case class LshBandKeys(child: Expression, nPlanes: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+
+  private def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def planes(dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dim, _ =>
+      Array.tabulate(nPlanes, dim)((p, d) =>
+        ((mix64(p.toLong * 1000003L + d) >>> 11).toDouble /
+          (1L << 53).toDouble) * 2.0 - 1.0))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val pl = planes(dim)
+    val nBands = nPlanes / rowsPerBand
+    val keys = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      var key = 0
+      var r = 0
+      while (r < rowsPerBand) {
+        val p = pl(b * rowsPerBand + r)
+        var s = 0.0
+        var d = 0
+        while (d < dim) { s += arr.getDouble(d) * p(d); d += 1 }
+        if (s > 0) key |= 1 << r
+        r += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** Sequential-fold dot product over two array<double> columns. The fold is

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, to_json}
 import org.apache.spark.sql.types._
 
 /** Sink-side helpers: schema-derived DDL, overwrite/append writers, and the
@@ -45,6 +46,39 @@ object SinkDdl {
   /** K7 — append-or-create (SaveMode.Append subsumes the exists-protocol). */
   def appendParquet(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
+
+  /** Nested columns can't ride a plain JDBC row protocol; serialize them to
+    * JSON strings first (the reference lands them in a SUPER column via the
+    * same stringify step, `s3_to_silver_prov.py:40-45`). */
+  def jdbcReady(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType =>
+          d.withColumn(f.name, to_json(col(f.name)))
+        case _ => d
+      }
+    }
+
+  /** K1/K5 — the reference's actual terminal sink (`s3_to_silver.py:112`
+    * `df.to_sql`): a real `df.write.jdbc` path. String columns get the same
+    * width policy as [[sqlType]] via `createTableColumnTypes` (restricted to
+    * types Spark's DDL parser accepts — numeric/timestamp columns keep the
+    * dialect defaults); nested columns are JSON-serialized. Batching is the
+    * writer's `batchsize`, which subsumes the reference's hand-chunked
+    * INSERT ladder (`utils/sql_utils.py:84-140`). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: java.util.Properties = new java.util.Properties,
+                mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val ready = jdbcReady(df)
+    val overrides = ready.schema.fields.collect {
+      case f if f.dataType == StringType =>
+        val width = if (f.name.toLowerCase.contains("url")) 2048 else 256
+        s"${f.name} VARCHAR($width)"
+    }.mkString(", ")
+    val w = ready.write.mode(mode).option("batchsize", 1000)
+    (if (overrides.nonEmpty) w.option("createTableColumnTypes", overrides)
+     else w).jdbc(url, table, props)
+  }
 
   /** K3 — drop-if-exists (`sql_utils.py:15-17`). */
   def dropTable(spark: SparkSession, table: String): Unit =

@@ -8,15 +8,20 @@ import org.apache.spark.sql.types._
 /** Embedding similarity search: exact cosine (zip_with/aggregate fold —
   * sequential left-to-right, so any engine computing the same fold gets
   * bit-identical doubles), brute-force top-k as the correctness baseline,
-  * and random-hyperplane LSH bucketing as the scale path.
+  * and banded random-hyperplane LSH as the scale path for both near-dup
+  * pairs and ANN.
   *
   * Scale design: brute force is a broadcast of the (small) query set against
   * a full scan of the vector table — no shuffle on the big side, and per-
-  * query top-k is a windowed rank over query-partitioned rows. At 100 TB the
-  * LSH variant buckets vectors by sign-pattern once (narrow map + one
-  * shuffle on the bucket key) and only scores within buckets; recall is
-  * tuned by planes/probes, and the same verify-with-exact-cosine tier as
-  * NearDup keeps precision exact.
+  * query top-k is a windowed rank over query-partitioned rows. The LSH
+  * variants compute per-vector band keys once (narrow map), shuffle on the
+  * (band, key) pair, and score exact cosine only on bucket-mates — the
+  * standard banding amplification: a pair whose per-plane agreement
+  * probability is p = 1 − θ/π survives with P = 1 − (1 − p^R)^B for B bands
+  * of R planes. Band parameters are chosen per use: near-dup detection needs
+  * recall ≈ 1 at the declared threshold (small R, many bands), ANN trades
+  * recall for candidate volume (larger R). Exact-cosine verification keeps
+  * precision exact in both, so only recall is probabilistic.
   */
 object Similarity {
 
@@ -49,8 +54,9 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  /** All pairs with cosine ≥ threshold (embedding near-dup detection). At
-    * scale, swap the inner join for the LSH bucket join below. */
+  /** All pairs with cosine ≥ threshold — the BOUNDED VERIFICATION tier
+    * (O(n²) nested loop, like NearDup's exact n-gram Jaccard). The declared
+    * scale path is [[cosineDupPairsLsh]]. */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
     val v = withNorm(emb, idCol, vecCol)
@@ -62,30 +68,101 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
-  /** Deterministic random-ish hyperplanes (fixed seed-free formula so every
-    * executor and every run derives the same planes with no broadcast of
-    * driver state). */
+  /** SplitMix64 finalizer — the standard 64-bit mixer; every executor
+    * derives identical planes from the (plane, dim) index alone, with no
+    * driver state to broadcast and no cross-plane correlation (a sinusoid
+    * formula here would span a 2-D subspace and collapse banding recall). */
+  private def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic pseudo-random hyperplanes, components uniform in [-1,1). */
   def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
     Seq.tabulate(nPlanes)(p => Seq.tabulate(dim)(d =>
-      math.sin(1.0 + p * 131.7 + d * 17.3)))
+      ((mix64(p.toLong * 1000003L + d) >>> 11).toDouble /
+        (1L << 53).toDouble) * 2.0 - 1.0))
 
-  /** Sign-pattern LSH bucket id for a vector column. */
-  def lshBucket(e: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (pl, i) =>
-      when(dotd(e, typedlit(pl)) > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** Banded sign-pattern keys: planes are split into bands of `rowsPerBand`;
+    * element b is the packed sign bits of band b's planes. Two vectors are
+    * LSH candidates iff they agree on ALL planes of at least one band.
+    * Computed by the single-pass [[graft.functions.LshBandKeys]] kernel
+    * (the composed form below is its differential reference). */
+  def bandKeys(e: Column, nPlanes: Int, rowsPerBand: Int): Column =
+    call_function("graft_lsh_bands", e, lit(nPlanes), lit(rowsPerBand))
 
-  /** LSH-bucketed ANN: score only within the query's bucket. Returns per-
-    * query candidate count + top-k so recall loss is observable. */
-  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryPred: Column, k: Int, nPlanes: Int = 8): DataFrame = {
-    val planes = hyperplanes(nPlanes, 64)
+  /** Reference composition of [[bandKeys]] from nPlanes separate dot
+    * products — semantically identical, but plants nPlanes literal arrays
+    * in the plan; kept for the kernel-equivalence spec. */
+  def bandKeysComposed(e: Column, planes: Seq[Seq[Double]],
+                       rowsPerBand: Int): Column =
+    array(planes.grouped(rowsPerBand).toSeq.map { band =>
+      band.zipWithIndex.map { case (pl, r) =>
+        when(dotd(e, typedlit(pl)) > 0, lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** LSH-banded embedding near-dup: band keys once per vector (narrow map),
+    * one hash shuffle on (band, key), candidate dedup, exact-cosine verify —
+    * no all-pairs nested loop anywhere in the plan.
+    *
+    * Default banding (32 bands × 2 planes) puts recall ≈ 1 at cosine ≥ 0.4:
+    * per-pair miss probability (1 − p²)³² ≤ 1e-7 at p = 1 − arccos(0.4)/π.
+    * Note the honesty caveat: at thresholds this close to the random-pair
+    * noise floor of 64-dim data, near-total recall forces the candidate set
+    * toward all pairs — banding cannot beat information theory. At the
+    * thresholds a production near-dup pass actually uses (cos ≥ 0.8–0.95)
+    * the same code with larger `rowsPerBand` (e.g. 8) prunes aggressively;
+    * the structure — bucket, equi-join, verify — is the 100 TB shape either
+    * way, and precision is exact at any setting. */
+  def cosineDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nPlanes: Int = 64,
+                        rowsPerBand: Int = 2): DataFrame = {
     val v = withNorm(emb, idCol, vecCol)
-      .withColumn("bucket", lshBucket(col("e"), planes))
-    val q = v.filter(queryPred).select(col("id").as("q_id"),
-      col("e").as("qe"), col("nrm").as("qnrm"), col("bucket"))
-    val scored = broadcast(q).join(v, Seq("bucket"))
+    val banded = v
+      .select(col("id"), posexplode(bandKeys(col("e"), nPlanes, rowsPerBand)))
+      .toDF("id", "band", "bk")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(v.select(col("id").as("a_id"), col("e").as("ae"),
+        col("nrm").as("anrm")), "a_id")
+      .join(v.select(col("id").as("b_id"), col("e").as("be"),
+        col("nrm").as("bnrm")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (dotd(col("ae"), col("be")) / (col("anrm") * col("bnrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Banded LSH ANN: candidates are the union of the query's bucket-mates
+    * across all bands (amplified OR-construction), then exact cosine is
+    * computed once per distinct candidate and ranked. Default 16 bands × 4
+    * planes measures ~0.9 recall@10 on the test corpus while scoring ~65%
+    * of the table; `n_candidates` is surfaced per query so recall loss is
+    * observable (and asserted by [[graft.Queries.annLshRecall]]). */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, nPlanes: Int = 64,
+              rowsPerBand: Int = 4): DataFrame = {
+    val v = withNorm(emb, idCol, vecCol)
+      .withColumn("bks", bandKeys(col("e"), nPlanes, rowsPerBand))
+    val banded = v.select(col("id"), posexplode(col("bks")))
+      .toDF("id", "band", "bk")
+    val q = v.filter(queryPred)
+    val qBanded = q.select(col("id").as("q_id"), posexplode(col("bks")))
+      .toDF("q_id", "band", "bk")
+    val cand = broadcast(qBanded).join(banded, Seq("band", "bk"))
       .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"))
+      .dropDuplicates("q_id", "id")
+    val scored = cand
+      .join(broadcast(q.select(col("id").as("q_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"))), "q_id")
+      .join(v.select(col("id"), col("e"), col("nrm")), "id")
       .select(col("q_id"), col("id").as("neighbor_id"),
         (dotd(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
     val n = scored.groupBy("q_id").agg(count(lit(1)).as("n_candidates"))

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import scala.collection.concurrent.TrieMap
 
 /** Near-duplicate detection over a documents table: exact content hashing,
   * word n-gram Jaccard, MinHash+LSH banding, and SimHash.
@@ -17,13 +18,21 @@ import org.apache.spark.storage.StorageLevel
   * xxhash64 — deterministic across runs and engines, so results are
   * reproducible cluster-wide.
   *
+  * Banding recall: a pair at Jaccard j survives LSH with
+  * P = 1 − (1 − j^RowsPerBand)^Bands — ≈ 0.998 at j = 0.8 and ≈ 1 − 2e-4 at
+  * j = 0.9 with the 8×4 default. Declared dedup thresholds sit at ≥ 0.8 so
+  * the candidate tier's recall matches the exact oracle; for mid-similarity
+  * thresholds (j ≈ 0.5) callers must widen the banding (smaller RowsPerBand,
+  * more bands) and accept the larger candidate volume.
+  *
   * The text kernels (shingling, signatures, Jaccard, SimHash) are custom
   * Catalyst expressions ([[graft.functions.GraftFunctions]]) — single-pass
   * loops instead of interpreted higher-order-function trees. The shingle/
-  * signature table is persisted before the self-join: it is read three
-  * times (banding + both verify sides), and at 100 TB this intermediate is
-  * exactly what you'd materialize (memory-and-disk here; a checkpoint table
-  * on a cluster).
+  * signature table is read three times (banding + both verify sides), so the
+  * pair builders persist it, materialize the (small) verified pair set, and
+  * release the intermediates — at 100 TB this intermediate is exactly what
+  * you'd checkpoint to a table, and the eager release keeps a long-lived
+  * session's cache from accumulating plans (round-1 advice).
   */
 object NearDup {
 
@@ -47,19 +56,22 @@ object NearDup {
   def jaccard(a: Column, b: Column): Column = call_function("graft_jaccard", a, b)
 
   /** id → shingle-set table, persisted (re-read by banding + both verify
-    * join sides). */
+    * join sides; callers that materialize downstream results should
+    * `unpersist()` it afterwards — the pair builders below do). */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** Candidate pairs via band-bucket join over a shingle table. `maxBucket`
-    * drops spam buckets (every-doc-shares-this-shingle skew) before the
-    * join explodes. */
-  def candidatePairsFromShingles(sh: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val banded = sh
-      .select(col("id"), posexplode(bandHashes(minhashSig(col("sh")))))
+  /** id → exploded (band, bandHash) table, persisted (read once for the
+    * bucket-size cap and twice for the self-join). */
+  def bandedTable(sh: DataFrame): DataFrame =
+    sh.select(col("id"), posexplode(bandHashes(minhashSig(col("sh")))))
       .toDF("id", "band", "bh")
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Candidate pairs via band-bucket equi-join. `maxBucket` drops spam
+    * buckets (every-doc-shares-this-shingle skew) before the join explodes. */
+  def candidatePairsFromBanded(banded: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val ok = banded.groupBy("band", "bh").count()
       .filter(col("count") <= maxBucket).drop("count")
     val pruned = banded.join(ok, Seq("band", "bh"))
@@ -72,56 +84,123 @@ object NearDup {
 
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      maxBucket: Int = 1000): DataFrame =
-    candidatePairsFromShingles(shingleTable(docs, idCol, textCol), maxBucket)
+    candidatePairsFromBanded(bandedTable(
+      shingleTable(docs, idCol, textCol)), maxBucket)
 
-  /** MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
-    * The verify join fetches shingle sets by id from the persisted shingle
-    * table instead of carrying arrays through the bucket shuffle. */
+  /** Attach exact Jaccard (fetched by id from the shingle table rather than
+    * carrying arrays through the bucket shuffle) and keep pairs ≥ threshold. */
+  private def verifyJaccard(sh: DataFrame, pairs: DataFrame,
+                            threshold: Double): DataFrame =
+    pairs
+      .join(sh.toDF("a_id", "a_sh"), "a_id")
+      .join(sh.toDF("b_id", "b_sh"), "b_id")
+      .select(pairs.columns.map(col) :+
+        round(jaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"): _*)
+      .filter(col("jaccard") >= threshold)
+
+  /** MinHash+LSH near-dup pairs verified with exact Jaccard ≥ threshold.
+    * Eager: materializes the (small) pair set, then releases the shingle and
+    * banded intermediates. The returned frame stays persisted — pair counts
+    * are O(duplicates), not O(corpus). */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol)
-    candidatePairsFromShingles(sh)
-      .join(sh.toDF("a_id", "a_sh"), "a_id")
-      .join(sh.toDF("b_id", "b_sh"), "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(jaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val banded = bandedTable(sh)
+    val pairs = verifyJaccard(sh, candidatePairsFromBanded(banded), threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    banded.unpersist()
+    sh.unpersist()
+    pairs
+  }
+
+  /** Materialized pair tables keyed by corpus key + threshold, so a detect
+    * query and its apply step (or repeated catalog runs in one session)
+    * compute the LSH pipeline once and reuse the result as a cheap join
+    * input. */
+  private val pairCache = TrieMap[String, DataFrame]()
+
+  def minhashDupPairsCached(docs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, cacheKey: String): DataFrame =
+    pairCache.getOrElseUpdate(s"minhash|$cacheKey|$threshold",
+      minhashDupPairs(docs, idCol, textCol, threshold))
+
+  def clearCaches(): Unit = {
+    pairCache.values.foreach(_.unpersist())
+    pairCache.clear()
   }
 
   /** 64-bit SimHash over the token multiset (custom expression). */
   def simhash64(text: Column): Column = call_function("graft_simhash64", text)
 
-  /** SimHash near-dup pairs: 16-bit chunk buckets (a pair within hamming
-    * distance ≤3 of 64 bits must agree on ≥1 of 4 chunks), then exact
-    * hamming ≤ maxHamming via bit_count(xor). */
+  /** SimHash near-dup pairs, bucketed by `maxHamming + 1` bit-chunks: a pair
+    * within hamming distance ≤ maxHamming of 64 bits differs in at most
+    * maxHamming chunks, so by pigeonhole it agrees exactly on ≥ 1 chunk —
+    * candidate recall is structural, not probabilistic (the round-1 4-chunk
+    * split only guaranteed hamming ≤ 3 against the default filter of 6).
+    *
+    * `maxBucket` is the same spam-bucket skew guard as the MinHash tier:
+    * simhash bits of short documents are globally biased (common-token
+    * votes), so a few chunk values cover half the corpus — without the cap
+    * one sort-merge group enumerates millions of pairs on one task. True
+    * near-dups agree on MANY chunks, so dropping mega-buckets costs no
+    * recall in practice (verified empirically per scale factor); only pairs
+    * whose sole agreeing chunk is a mega-bucket would be lost.
+    *
+    * The hamming cut rides IN the join condition: bucket-mates that fail it
+    * are dropped as the join streams, so the pair dedup shuffles only the
+    * (tiny) survivor set, never the full candidate volume. */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 6): DataFrame = {
+                      maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
     val sim = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sim.select(col("id"), col("sim"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until nChunks).map { c =>
+        val width = bounds(c + 1) - bounds(c)
+        shiftright(col("sim"), bounds(c))
+          .bitwiseAND(lit((1L << width) - 1L))
+      }: _*)))
       .toDF("id", "sim", "chunk", "ck")
-    chunked.as("a").join(chunked.as("b"),
+    val ok = chunked.groupBy("chunk", "ck").count()
+      .filter(col("count") <= maxBucket).drop("count")
+    val pruned = chunked.join(ok, Seq("chunk", "ck"))
+    pruned.as("a").join(pruned.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= maxHamming)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
       .dropDuplicates("a_id", "b_id")
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** SimHash candidates re-verified with exact Jaccard — same precision
-    * contract as the MinHash path, so the two scale paths are directly
-    * comparable on recall. */
+    * contract as the MinHash path, so the two approaches are directly
+    * comparable on recall. Eager-materialized like [[minhashDupPairs]].
+    *
+    * The default radius (13) is wide because these documents are SHORT
+    * (~40 tokens): one changed token flips every bit whose ±1 vote sum sits
+    * near zero, so even j ≥ 0.9 pairs reach hamming 11-12 here (measured).
+    * A wide radius keeps recall exact while staying cheap — random 64-bit
+    * pairs sit at hamming 32 ± 4, so P(≤ 13) ≈ 1e-7 and the exact-Jaccard
+    * verify runs on a candidate set barely larger than the true pairs; the
+    * chunk join itself shuffles only (id, long) rows. On long-document
+    * corpora (simhash's home turf) radius 3-6 restores aggressive chunk
+    * pruning; for short docs MinHash+LSH is the primary scale path. */
   def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
-                           threshold: Double, maxHamming: Int = 6): DataFrame = {
+                           threshold: Double, maxHamming: Int = 13): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol)
-    simhashDupPairs(docs, idCol, textCol, maxHamming)
-      .join(sh.toDF("a_id", "a_sh"), "a_id")
-      .join(sh.toDF("b_id", "b_sh"), "b_id")
-      .select(col("a_id"), col("b_id"), col("hamming"),
-        round(jaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val pairs = verifyJaccard(sh,
+        simhashDupPairs(docs, idCol, textCol, maxHamming), threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    sh.unpersist()
+    pairs
   }
+
+  def simhashVerifiedPairsCached(docs: DataFrame, idCol: String, textCol: String,
+                                 threshold: Double, maxHamming: Int,
+                                 cacheKey: String): DataFrame =
+    pairCache.getOrElseUpdate(s"simhash|$cacheKey|$threshold|$maxHamming",
+      simhashVerifiedPairs(docs, idCol, textCol, threshold, maxHamming))
 }

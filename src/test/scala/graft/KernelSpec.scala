@@ -71,6 +71,18 @@ class KernelSpec extends AnyFunSuite {
     assert(sig1.length == NearDup.NumHashes)
   }
 
+  test("graft_lsh_bands equals the composed per-plane dot-product form " +
+    "on real embeddings") {
+    val e = ops.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val planes = sim.Similarity.hyperplanes(64, 64)
+    val bad = e.select(
+        sim.Similarity.bandKeys($"e", 64, 2).as("fast"),
+        sim.Similarity.bandKeysComposed($"e", planes, 2).as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(bad == 0)
+  }
+
   test("simhash of identical texts is identical; near texts are near") {
     val df = Seq(
       ("a", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),

@@ -1,0 +1,20 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI gate over the plan audit: a change that sneaks a cartesian product or
+  * nested-loop join into a declared query fails the build instead of
+  * surfacing at 100× the data. */
+class PlanSweepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("only documented queries plan a nested-loop join") {
+    val offenders = PlanSweep.sweep(spark, "/root/testdata/sf0.001")
+    val errors = offenders.filter(_._2.startsWith("PLAN_ERROR"))
+    assert(errors.isEmpty, s"queries failed to plan: $errors")
+    val unexpected = offenders.map(_._1).toSet -- PlanSweep.Allowlist
+    assert(unexpected.isEmpty,
+      s"undocumented scale-killer plans in: $unexpected " +
+        s"(allowlist: ${PlanSweep.Allowlist})")
+  }
+}

@@ -22,6 +22,39 @@ class SinkDdlSpec extends AnyFunSuite {
       """"geo" SUPER, "amount" DECIMAL(10,2), "ok" BOOLEAN)""")
   }
 
+  test("writeJdbc round-trips through embedded Derby with widened VARCHAR " +
+    "and JSON-serialized nested cols (s3_to_silver.py:112)") {
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val props = new java.util.Properties
+    val df = spark.range(5).selectExpr(
+      "id",
+      "concat('name-', id) AS name",
+      "concat('https://example.com/p/', id) AS page_url",
+      "cast(id as double) / 4 AS score",
+      "named_struct('k', id, 'tag', concat('t', id)) AS meta")
+    SinkDdl.writeJdbc(df, url, "t_jdbc_sink", props)
+    val back = spark.read.jdbc(url, "t_jdbc_sink", props)
+    assert(back.count() == 5)
+    // nested struct landed as its JSON serialization in a string column
+    assert(back.schema("meta").dataType == StringType)
+    val meta0 = back.orderBy("id").collect().head.getAs[String]("meta")
+    assert(meta0 == """{"k":0,"tag":"t0"}""")
+    // width policy is live in the created table: 2048 for *url*, 256 default
+    val widths = spark.read.jdbc(url,
+        """(SELECT c.columnname,
+             CAST(c.columndatatype AS VARCHAR(64)) AS coltype
+           FROM sys.syscolumns c
+           JOIN sys.systables t ON c.referenceid = t.tableid
+           WHERE t.tablename = 'T_JDBC_SINK') AS cols""", props)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(widths("page_url").startsWith("VARCHAR(2048)"))
+    assert(widths("name").startsWith("VARCHAR(256)"))
+    // append mode reuses the table (K7 append-or-create protocol)
+    SinkDdl.writeJdbc(df, url, "t_jdbc_sink", props,
+      org.apache.spark.sql.SaveMode.Append)
+    assert(spark.read.jdbc(url, "t_jdbc_sink", props).count() == 10)
+  }
+
   test("runSqlScript splits on ; and substitutes {} templates " +
     "(create_card_funnel_schema.py:12-21)") {
     val script =

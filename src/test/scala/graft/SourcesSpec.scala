@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.Sources
+import graft.ops.{Sources, TempFiles}
 
 class SourcesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -15,6 +15,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.columns.sorted.toSeq == Seq("event", "n"))
     assert(df.orderBy("n").select("event").as[String].collect().toSeq ==
       Seq("opened", "clicked"))
+  }
+
+  test("readPrunedNdjson prunes by modification time (s3_utils.py:84 " +
+    "last_modified >= s_date)") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val sub = "mtime_prune_spec"
+    TempFiles.write(s"$sub/fresh-rows.json", """{"id":1}""" + "\n" + """{"id":2}""")
+    val old = TempFiles.write(s"$sub/stale-rows.json", """{"id":3}""")
+    Files.setLastModifiedTime(Paths.get(old),
+      FileTime.fromMillis(System.currentTimeMillis() - 48L * 3600 * 1000))
+    val cutoff = java.time.LocalDateTime
+      .ofInstant(java.time.Instant.now().minusSeconds(3600),
+        java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+    val df = Sources.readPrunedNdjson(spark, TempFiles.dir(sub), "*.json",
+      modifiedAfter = Some(cutoff))
+    assert(df.orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L))
   }
 
   test("readKafkaEnvelope projects payload alongside envelope (kafka_s3_to_silver.py:8-11)") {

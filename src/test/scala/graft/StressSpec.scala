@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.NearDup
+
+/** Scale-behavior checks that a correctness oracle can't see: a dup-heavy
+  * 10× corpus must keep the LSH pipeline's buckets capped and its wall time
+  * bounded (an O(n²) regression would blow the bound by ~100×). */
+class StressSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH survives a 10x dup-heavy corpus with capped buckets") {
+    val docs = ops.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text")
+    val nDocs = docs.count()
+    val big = (0 until 10).map(i => docs.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+
+    val t0 = System.nanoTime()
+    val pairs = NearDup.minhashDupPairs(big, "doc_id", "text", 0.8)
+    val n = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    // every doc now has 10 byte-identical copies → C(10,2) certain pairs each
+    assert(n >= 45L * nDocs, s"expected >= ${45 * nDocs} self-dup pairs, got $n")
+    // the candidate join input respects the spam-bucket cap under 10x load
+    val sh = NearDup.shingleTable(big, "doc_id", "text")
+    val banded = NearDup.bandedTable(sh)
+    val overCap = banded.groupBy("band", "bh").count()
+      .filter(col("count") > 1000).count()
+    val kept = banded.groupBy("band", "bh").count()
+      .filter(col("count") <= 1000)
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    banded.unpersist(); sh.unpersist(); pairs.unpersist()
+    assert(kept <= 1000)
+    info(f"10x corpus: $n pairs in $secs%.1f s; $overCap spam buckets dropped")
+    // an O(n^2) plan at 5000 docs would take minutes; linear-ish takes seconds
+    assert(secs < 120, s"10x corpus took $secs s — scale regression")
+  }
+
+  test("cached pair table is computed once and reused by the apply step") {
+    val docs = ops.Tables.table(spark, sf, "documents")
+    val a = NearDup.minhashDupPairsCached(docs, "doc_id", "text", 0.8, "spec-key")
+    val b = NearDup.minhashDupPairsCached(docs, "doc_id", "text", 0.8, "spec-key")
+    assert(a eq b)
+  }
+}
