@@ -664,6 +664,18 @@ object Queries {
         col("rn").cast(LongType).as("rn"), col("n_candidates"))
       .orderBy(col("q_id"), col("rn"))
 
+  /** IVF ANN — the second scale path: centroid cells as broadcast model
+    * parameters (narrow-map assignment, no join), multi-probe search with
+    * candidate volume bounded at nProbes/nCells of the corpus. Rows-only
+    * (approximate); SimilaritySpec asserts its recall floor. */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    sim.Ivf.ivfTopK(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", col("id") < 8, 10)
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"),
+        col("rn").cast(LongType).as("rn"), col("n_candidates"))
+      .orderBy(col("q_id"), col("rn"))
+
   /** Recall@10 of the LSH ANN against the exact brute-force ground truth —
     * THE quality number an approximate index owes its users. Rows-only
     * (recall of an approximate structure isn't ANSI-SQL-expressible);

@@ -67,6 +67,7 @@ object SparkEntry {
     "ann_cosine_topk"     -> (Queries.annCosineTopK(_, _)),
     "ann_lsh_topk"        -> (Queries.annLshTopK(_, _)),
     "ann_lsh_recall"      -> (Queries.annLshRecall(_, _)),
+    "ann_ivf_topk"        -> (Queries.annIvfTopK(_, _)),
     "mm_decode"           -> (Queries.mmDecode(_, _)),
     "sql_surface"         -> (Queries.sqlSurface(_, _)),
     "join_asof"           -> (Queries.joinAsof(_, _)),

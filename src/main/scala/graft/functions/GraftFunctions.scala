@@ -34,7 +34,69 @@ object GraftFunctions {
       es => LshBandKeys(es.head,
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_nearest_centroids",
+      es => NearestCentroids(es.head, es(1), es(2)), "built-in")
   }
+}
+
+/** The `p` nearest centroid indices (by cosine) for an array<double> vector.
+  * Centroids arrive as a foldable array<array<double>> literal — the "model
+  * parameter" of an IVF index, shipped once with the plan (a few KB), so
+  * cell assignment is a pure narrow map: no join, no per-centroid explode,
+  * nothing shuffled. Centroid norms are precomputed once per executor. */
+case class NearestCentroids(vec: Expression, cents: Expression, p: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = vec
+  override def second: Expression = cents
+  override def third: Expression = p
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val centArr: Array[Array[Double]] = {
+    val ad = cents.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray)
+  }
+  @transient private lazy val centNrm: Array[Double] =
+    centArr.map(c => math.sqrt(c.map(x => x * x).sum))
+  @transient private lazy val nProbes: Int = p.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(v: Any, c: Any, pp: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val nC = centArr.length
+    val scores = new Array[Double](nC)
+    var i = 0
+    while (i < nC) {
+      val ct = centArr(i)
+      var s = 0.0
+      var d = 0
+      val n = math.min(dim, ct.length)
+      while (d < n) { s += arr.getDouble(d) * ct(d); d += 1 }
+      scores(i) = if (centNrm(i) > 0) s / centNrm(i) else Double.MinValue
+      i += 1
+    }
+    val k = math.min(nProbes, nC)
+    val out = new Array[Any](k)
+    val taken = new Array[Boolean](nC)
+    var j = 0
+    while (j < k) {
+      var best = -1
+      var bestS = Double.MinValue
+      var t = 0
+      while (t < nC) {
+        if (!taken(t) && (best == -1 || scores(t) > bestS)) {
+          best = t; bestS = scores(t)
+        }
+        t += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) =
+    copy(vec = f, cents = s, p = t)
 }
 
 /** Banded random-hyperplane LSH keys for an array<double> vector: element b

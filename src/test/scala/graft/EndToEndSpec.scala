@@ -25,8 +25,8 @@ class EndToEndSpec extends AnyFunSuite {
   test("every query name has an oracle or is documented rows-only") {
     // Probabilistic candidate-generation ops whose exact result is not
     // ANSI-SQL-expressible; the driver records a rows-only check for them.
-    val rowsOnly =
-      Set("dedup_simhash", "ann_lsh_topk", "ann_lsh_recall", "agg_hll_sketch")
+    val rowsOnly = Set("dedup_simhash", "ann_lsh_topk", "ann_lsh_recall",
+      "ann_ivf_topk", "agg_hll_sketch")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }
