@@ -229,6 +229,32 @@ object OracleSql {
          FROM sessions GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx""",
 
+    "stream_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+                         epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+           sessions AS (
+           SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM flagged),
+           rolled AS (
+           SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+           FROM sessions GROUP BY user_id, session_idx)
+         SELECT user_id, session_idx, n_events, session_start, session_end
+         FROM (SELECT *, max(session_idx) OVER (PARTITION BY user_id) AS mx
+               FROM rolled)
+         WHERE session_idx < mx
+         ORDER BY user_id, session_idx""",
+
     "sink_csv_copy" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_acctbal,
@@ -446,6 +472,22 @@ object OracleSql {
              CAST(4 + n_chars % 29 AS INTEGER) AS width,
              CAST(4 + n_chars % 17 AS INTEGER) AS height,
              CAST(24 AS INTEGER) AS bpp
+         FROM documents ORDER BY doc_id""",
+
+    "mm_resize" ->
+      """SELECT doc_id,
+             CAST(4 + n_chars % 29 AS INTEGER) AS src_width,
+             CAST(4 + n_chars % 17 AS INTEGER) AS src_height,
+             CAST(16 AS INTEGER) AS dst_width,
+             CAST(8 AS INTEGER) AS dst_height,
+             CAST(54 + 8 * 48 AS INTEGER) AS n_bytes
+         FROM documents ORDER BY doc_id""",
+
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+             CAST(4 + n_chars % 17 AS INTEGER) AS n_frames,
+             CAST((4 + n_chars % 17 + 3) // 4 AS INTEGER) AS n_sampled,
+             CAST(((4 + n_chars % 29) * 3 + 3) // 4 * 4 AS INTEGER) AS frame_bytes
          FROM documents ORDER BY doc_id""",
 
     "scan_parquet" ->

@@ -700,6 +700,19 @@ object Queries {
         mm.Multimodal.asMedia(t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** Multimodal resize: nearest-neighbor resample of every BMP payload to
+    * 16×8, dims re-parsed from the re-encoded payload's header. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.resizeFeatures(spark,
+        mm.Multimodal.asMedia(t(spark, dir, "documents")), 16, 8)
+      .orderBy(col("doc_id"))
+
+  /** Multimodal frame sampling: pixel rows as frames, keep every 4th. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.frameSampleFeatures(spark,
+        mm.Multimodal.asMedia(t(spark, dir, "documents")), 4)
+      .orderBy(col("doc_id"))
+
   /** S1 — parquet scan with filter+projection pushdown (TPC-H Q1 shape). */
   def scanParquet(spark: SparkSession, dir: String): DataFrame =
     Sources.readParquet(spark, s"$dir/lineitem.parquet")

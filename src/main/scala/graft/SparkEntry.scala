@@ -53,6 +53,7 @@ object SparkEntry {
     "stream_file_source"  -> (streaming.StreamTwins.fileSourceCounts(_, _)),
     "stream_watermark"    -> (streaming.StreamTwins.watermarkWindow(_, _)),
     "stream_dedup"        -> (streaming.StreamTwins.streamDedupKeys(_, _)),
+    "stream_sessionize"   -> (streaming.StreamTwins.streamSessionize(_, _)),
     "lang_id"             -> (Queries.langId(_, _)),
     "text_quality"        -> (Queries.textQuality(_, _)),
     "token_count"         -> (Queries.tokenCount(_, _)),
@@ -69,6 +70,8 @@ object SparkEntry {
     "ann_lsh_recall"      -> (Queries.annLshRecall(_, _)),
     "ann_ivf_topk"        -> (Queries.annIvfTopK(_, _)),
     "mm_decode"           -> (Queries.mmDecode(_, _)),
+    "mm_resize"           -> (Queries.mmResize(_, _)),
+    "mm_frame_sample"     -> (Queries.mmFrameSample(_, _)),
     "sql_surface"         -> (Queries.sqlSurface(_, _)),
     "join_asof"           -> (Queries.joinAsof(_, _)),
     "topk_per_group"      -> (Queries.topkPerGroup(_, _)),

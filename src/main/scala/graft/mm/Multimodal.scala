@@ -11,6 +11,15 @@ import org.apache.spark.sql.types._
 case class MediaFeature(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                         bpp: Int)
 
+/** Output of the resize stage: source dims parsed from the input header,
+  * destination dims and size parsed back from the RE-ENCODED payload. */
+case class ResizeFeature(doc_id: Long, src_width: Int, src_height: Int,
+                         dst_width: Int, dst_height: Int, n_bytes: Int)
+
+/** Output of the frame-sampling stage (pixel rows as "frames"). */
+case class FrameSample(doc_id: Long, n_frames: Int, n_sampled: Int,
+                       frame_bytes: Int)
+
 /** Multimodal column plumbing: media as opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted partition-wise.
   *
@@ -82,6 +91,86 @@ object Multimodal {
       .toDF("doc_id", "payload", "mime", "n_chars", "lang")
       .select(col("doc_id"), col("payload"),
         struct(col("mime"), col("n_chars"), col("lang")).as("meta"))
+  }
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+
+  /** Nearest-neighbor resize of a 24-bit BMP payload to dstW × dstH,
+    * re-encoded as a BMP — actual pixel-array resampling, the stand-in for
+    * `codec.resize(img, dims)` over an opaque binary column. */
+  def resizeBmp(b: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+    val srcW = le32(b, 18)
+    val srcH = le32(b, 22)
+    val srcStride = (srcW * 3 + 3) / 4 * 4
+    val dstStride = (dstW * 3 + 3) / 4 * 4
+    val out = encodeBmp(Array.emptyByteArray, 0) // header template
+    val sized = new Array[Byte](54 + dstStride * dstH)
+    System.arraycopy(out, 0, sized, 0, 54)
+    // patch header: file size, dims, image size
+    def put32(off: Int, v: Int): Unit = {
+      sized(off) = (v & 0xFF).toByte
+      sized(off + 1) = ((v >>> 8) & 0xFF).toByte
+      sized(off + 2) = ((v >>> 16) & 0xFF).toByte
+      sized(off + 3) = ((v >>> 24) & 0xFF).toByte
+    }
+    put32(2, sized.length); put32(18, dstW); put32(22, dstH)
+    put32(34, dstStride * dstH)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * srcH / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x * srcW / dstW
+        val so = 54 + sy * srcStride + sx * 3
+        val dof = 54 + y * dstStride + x * 3
+        sized(dof) = b(so); sized(dof + 1) = b(so + 1); sized(dof + 2) = b(so + 2)
+        x += 1
+      }
+      y += 1
+    }
+    sized
+  }
+
+  /** Partition-wise resize: parse source dims from the input header, resample
+    * the pixel array, re-encode, and report dims parsed back from the NEW
+    * payload's header — so the output proves the encode/decode round trip. */
+  def resizeFeatures(spark: SparkSession, media: DataFrame,
+                     dstW: Int, dstH: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          if (isBmp(b)) {
+            val r = resizeBmp(b, dstW, dstH)
+            ResizeFeature(id, le32(b, 18), le32(b, 22),
+              le32(r, 18), le32(r, 22), le32(r, 2))
+          } else ResizeFeature(id, -1, -1, -1, -1, b.length)
+        }
+      }.toDF()
+  }
+
+  /** Partition-wise frame sampling: treat the pixel rows of the payload as a
+    * frame sequence and keep every `stride`-th frame — the video analog of
+    * the decode stage (counting is real parsing; a codec would hand back the
+    * kept frames the same way). */
+  def frameSampleFeatures(spark: SparkSession, media: DataFrame,
+                          stride: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          if (isBmp(b)) {
+            val h = le32(b, 22)
+            val rowBytes = (le32(b, 18) * 3 + 3) / 4 * 4
+            FrameSample(id, h, (h + stride - 1) / stride, rowBytes)
+          } else FrameSample(id, -1, -1, -1)
+        }
+      }.toDF()
   }
 
   /** Partition-wise decode: verify the BMP magic and read file size, width,

@@ -1,9 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
+import graft.ops.{Cleanse, Ev, Session}
+
+/** Open-session state carried across micro-batches by
+  * [[StreamTwins.sessionizeStream]]. */
+case class OpenSess(idx: Long, n: Long, startMicros: Long, endMicros: Long)
+
+/** Streaming event row: keeps the watermarked `ts` column itself so the
+  * event-time watermark survives the typed projection into groupByKey. */
+case class EvW(user_id: Long, event_id: Long, tsMicros: Long,
+               ts: java.sql.Timestamp)
 
 /** Structured Streaming twins of the batch contract (SURVEY.md §2.9).
   *
@@ -81,6 +91,74 @@ object StreamTwins {
       "stream_dedup_sink", "append")
       .select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
+
+  /** Streaming gap-sessionization with CUSTOM STATE — the
+    * `flatMapGroupsWithState` form of [[graft.ops.Sessionize]]: per user,
+    * sessions closed by a later in-batch event are emitted immediately; the
+    * open tail session is held in (checkpointed) group state with an
+    * event-time timeout of gap past its last event, and is emitted when the
+    * watermark passes that timeout in a later micro-batch. State is one
+    * small record per active user — bounded by watermark eviction, the
+    * 100 TB-safe shape. In-batch events are sorted per user; cross-batch
+    * reordering inside the watermark is the standard streaming caveat. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+                       watermarkDelay: String): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val ds = events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("ts")).as[EvW]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSess, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EvW], state: GroupState[OpenSess]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, s.idx, s.n, s.startMicros, s.endMicros))
+          } else {
+            val evs = it.toArray.sortBy(e => (e.tsMicros, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            for (e <- evs) {
+              cur = cur match {
+                case Some(s) if e.tsMicros - s.endMicros <= gapMicros =>
+                  Some(s.copy(n = s.n + 1, endMicros = e.tsMicros))
+                case Some(s) =>
+                  out += Session(uid, s.idx, s.n, s.startMicros, s.endMicros)
+                  Some(OpenSess(s.idx + 1, 1, e.tsMicros, e.tsMicros))
+                case None =>
+                  Some(OpenSess(1, 1, e.tsMicros, e.tsMicros))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMicros / 1000L +
+                gapMinutes * 60L * 1000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Declared stream-sessionize query: with a watermark delay wider than
+    * the corpus's time span no timeout can fire inside the run, so the
+    * output is exactly the batch sessionization minus each user's final
+    * (still-open) session — deterministic, and SQL-expressible for the
+    * oracle. The timeout path is exercised by StreamingSpec's three-run
+    * incremental scenario. */
+  def streamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToMemory(
+      sessionizeStream(eventsStream(spark, sfDir), 30, "720 hours").toDF(),
+      s"stream_sessionize_sink_${graft.ops.TempFiles.tag(sfDir).replace(".", "_")}",
+      "append")
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        Cleanse.tsStr(timestamp_micros(col("startMicros"))).as("session_start"),
+        Cleanse.tsStr(timestamp_micros(col("endMicros"))).as("session_end"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
 
   /** Watermarked tumbling-window count in append mode: only windows the
     * watermark (max event time − 1h) has passed are emitted — the streaming

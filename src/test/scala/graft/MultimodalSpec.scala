@@ -33,6 +33,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize does genuine nearest-neighbor pixel resampling") {
+    val text = "abcdefghij " * 5
+    val src = Multimodal.encodeBmp(text.getBytes("UTF-8"), text.length)
+    val srcW = 4 + text.length % 29
+    val srcH = 4 + text.length % 17
+    val srcStride = (srcW * 3 + 3) / 4 * 4
+    val out = Multimodal.resizeBmp(src, 6, 5)
+    assert(out(0) == 'B'.toByte && out(1) == 'M'.toByte)
+    val dstStride = (6 * 3 + 3) / 4 * 4
+    assert(out.length == 54 + dstStride * 5)
+    // spot-check a pixel: dst (2,3) must equal src (2*srcW/6, 3*srcH/5)
+    val (sx, sy) = (2 * srcW / 6, 3 * srcH / 5)
+    val so = 54 + sy * srcStride + sx * 3
+    val dof = 54 + 3 * dstStride + 2 * 3
+    assert(out(dof) == src(so) && out(dof + 1) == src(so + 1) &&
+      out(dof + 2) == src(so + 2))
+  }
+
+  test("frame sampling counts derive from the parsed header") {
+    val docs = Seq((1L, "hello world bits", 16L, "en"))
+      .toDF("doc_id", "text", "n_chars", "lang")
+    val r = Multimodal.frameSampleFeatures(spark,
+      Multimodal.asMedia(docs), 4).collect().head
+    val h = 4 + 16 % 17
+    assert(r.getAs[Int]("n_frames") == h)
+    assert(r.getAs[Int]("n_sampled") == (h + 3) / 4)
+    assert(r.getAs[Int]("frame_bytes") == ((4 + 16 % 29) * 3 + 3) / 4 * 4)
+  }
+
   test("corrupted payloads surface as sentinel features, not exceptions") {
     val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
     val r = Multimodal.decodeFeatures(spark, bad).collect().head

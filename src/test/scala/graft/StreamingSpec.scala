@@ -21,6 +21,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(n1 == n2)
   }
 
+  test("stream sessionize equals batch sessionization minus each user's " +
+    "open tail session") {
+    val streamed = StreamTwins.streamSessionize(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = ops.Sessionize.sessionsByWindow(
+        ops.Tables.table(spark, sf, "events"), 30)
+    val expected = batch
+      .withColumn("mx", org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("session_idx")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(org.apache.spark.sql.functions.col("session_idx") <
+        org.apache.spark.sql.functions.col("mx"))
+      .select("user_id", "session_idx", "n_events",
+        "session_start", "session_end")
+      .orderBy("user_id", "session_idx")
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == expected.toSeq)
+  }
+
+  test("flatMapGroupsWithState holds open sessions across runs and emits " +
+    "them on event-time timeout (checkpointed state)") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_sess_src").toString
+    val out = Files.createTempDirectory("graft_sess_out").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+
+    def runOnce(): Unit = {
+      val events = spark.readStream
+        .schema("event_id LONG, user_id LONG, tsMicros LONG").json(src)
+        .withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros($"tsMicros".cast("long")))
+      val q = StreamTwins.sessionizeStream(events, 30, "1 hour").toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def micros(h: Double): Long = t0 + (h * 3600 * 1000000L).toLong
+    def write(name: String, rows: Seq[(Long, Long, Long)]): Unit =
+      Files.writeString(java.nio.file.Paths.get(src, name),
+        rows.map { case (e, u, ts) =>
+          s"""{"event_id":$e,"user_id":$u,"tsMicros":$ts}""" }.mkString("\n"))
+
+    // run 1: user 1 — session A (2 events), then a gap > 30 min opens B
+    write("b1.json", Seq((1L, 1L, micros(0)), (2L, 1L, micros(0.1)),
+      (3L, 1L, micros(2))))
+    runOnce()
+    val r1 = spark.read.parquet(out).as[ops.Session].collect()
+    assert(r1.map(s => (s.user_id, s.session_idx, s.n_events)).toSet ==
+      Set((1L, 1L, 2L))) // session A closed in-batch; B held in state
+
+    // run 2: user 2 far in the future — advances the watermark
+    write("b2.json", Seq((4L, 2L, micros(100))))
+    runOnce()
+    // run 3: another user-2 event; at batch start the watermark (99h) is
+    // past user 1's timeout (2h30m) → held session B emitted by timeout
+    write("b3.json", Seq((5L, 2L, micros(101))))
+    runOnce()
+    val r3 = spark.read.parquet(out).as[ops.Session].collect()
+    assert(r3.map(s => (s.user_id, s.session_idx, s.n_events)).toSet
+      .contains((1L, 2L, 1L)),
+      s"timeout session missing from ${r3.toSeq}")
+  }
+
   test("stream dedup emits each key exactly once") {
     val keys = StreamTwins.streamDedupKeys(spark, sf)
     val batch = ops.Tables.table(spark, sf, "events")
