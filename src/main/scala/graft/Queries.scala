@@ -572,6 +572,16 @@ object Queries {
       .withColumn("bucket", substring(col("fp"), 1, 4))
       .orderBy(col("doc_id"))
 
+  /** Winnowing rolling-hash fingerprints — rows-only (the hash values are
+    * engine-internal); KernelSpec asserts the winnowing guarantees. */
+  def docWinnow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        text.TextOps.winnow(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        element_at(col("fps"), 1).as("fp_min"))
+      .orderBy(col("doc_id"))
+
   // ── North-star: deduplication ────────────────────────────────────────
 
   /** Exact dedup: hash-groupBy on content, keep the min id per group. */

@@ -58,6 +58,7 @@ object SparkEntry {
     "text_quality"        -> (Queries.textQuality(_, _)),
     "token_count"         -> (Queries.tokenCount(_, _)),
     "doc_fingerprint"     -> (Queries.docFingerprint(_, _)),
+    "doc_winnow"          -> (Queries.docWinnow(_, _)),
     "dedup_exact"         -> (Queries.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard(_, _)),
     "dedup_minhash_lsh"   -> (Queries.dedupMinhashLsh(_, _)),

@@ -36,7 +36,71 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_centroids",
       es => NearestCentroids(es.head, es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      es => Winnow(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]),
+      "built-in")
   }
+}
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+  * Rabin-style rolling hash over every k-byte gram of the UTF-8 text, then
+  * the minimum hash of each w-gram window (rightmost on ties), distinct and
+  * sorted. Guarantees: any shared substring of length ≥ w + k − 1 yields at
+  * least one shared fingerprint, and fingerprints are position-independent —
+  * the rolling-hash fingerprint the plagiarism/near-dup literature uses,
+  * complementing the exact md5 fingerprint and the MinHash sketch. The
+  * rolling hash is a single pass; the window minimum is the simple
+  * O(text·w) scan (w is small; a monotone deque would make it linear). */
+case class Winnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private val B = 1000003L
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    // rolling hashes of all k-grams
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    val nGrams = n - k + 1
+    val hs = new Array[Long](nGrams)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xFF); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - (bytes(i - 1) & 0xFF) * pow) * B + (bytes(i + k - 1) & 0xFF)
+      hs(i) = h
+      i += 1
+    }
+    // winnow: min of each w-window of gram hashes, rightmost min on ties
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (nGrams <= w) {
+      var m = 0
+      i = 1
+      while (i < nGrams) { if (hs(i) <= hs(m)) m = i; i += 1 }
+      sel.add(hs(m))
+    } else {
+      var start = 0
+      while (start + w <= nGrams) {
+        var m = start
+        i = start + 1
+        while (i < start + w) { if (hs(i) <= hs(m)) m = i; i += 1 }
+        sel.add(hs(m))
+        start += 1
+      }
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** The `p` nearest centroid indices (by cosine) for an array<double> vector.

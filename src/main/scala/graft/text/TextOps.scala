@@ -58,4 +58,10 @@ object TextOps {
     * plus a short prefix bucket (shard key for fingerprint joins). */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, " +", " ")))
+
+  /** Winnowing rolling-hash fingerprints ([[graft.functions.Winnow]]):
+    * sorted distinct window-minimum Rabin hashes of k-byte grams — any
+    * shared substring of length ≥ w + k − 1 shares a fingerprint. */
+  def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
+    call_function("graft_winnow", text, lit(k), lit(w))
 }

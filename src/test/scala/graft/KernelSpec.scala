@@ -83,6 +83,29 @@ class KernelSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("winnowing fingerprints honor the selection guarantees " +
+    "(shared-substring and position independence)") {
+    import graft.text.TextOps
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val shifted = "PREFIX-PAD " + base           // same content, new position
+    val edited = base.replace("fox", "cat")      // small local edit
+    val other = "completely different content with no overlap whatsoever!"
+    val df = Seq(("base", base), ("shift", shifted), ("edit", edited),
+      ("other", other)).toDF("id", "text")
+    val fps = df.select($"id", TextOps.winnow($"text").as("f"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    // identical suffix content ⇒ overlapping fingerprints despite the shift
+    assert((fps("base") & fps("shift")).size >= fps("base").size / 2)
+    // a local edit keeps most fingerprints
+    assert((fps("base") & fps("edit")).size >= fps("base").size / 2)
+    // unrelated text shares (almost) nothing
+    assert((fps("base") & fps("other")).size <= 1)
+    // deterministic
+    val again = df.filter($"id" === "base")
+      .select(TextOps.winnow($"text")).collect().head.getSeq[Long](0).toSet
+    assert(again == fps("base"))
+  }
+
   test("simhash of identical texts is identical; near texts are near") {
     val df = Seq(
       ("a", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
