@@ -77,6 +77,29 @@ object StreamTwins {
     q.awaitTermination()
   }
 
+  /** Stream → JDBC terminal sink, the reference's actual end-to-end
+    * pipeline (incremental S3 pickup → silver → Redshift,
+    * `emails_import.py:49-54` + `s3_to_silver.py:112`): `foreachBatch`
+    * appends each micro-batch through [[graft.ops.SinkDdl.writeJdbc]]
+    * (first batch creates the table with the width-policy DDL). The file
+    * source checkpoint makes re-runs incremental — a second AvailableNow
+    * run with no new files writes nothing. Append is at-least-once on
+    * mid-batch failure (the standard foreachBatch caveat; exactly-once
+    * needs a batchId-keyed staging table — same semantics as the
+    * reference's chunked INSERT ladder). */
+  def streamToJdbc(df: DataFrame, url: String, table: String,
+                   checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.SinkDdl.writeJdbc(batch, url, table,
+          mode = if (batchId == 0) org.apache.spark.sql.SaveMode.Overwrite
+                 else org.apache.spark.sql.SaveMode.Append)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Per-key first-arrival dedup state (`dropDuplicatesWithinWatermark` —
     * the streaming twin of the kafka_s3_to_silver latest-per-key dedup;
     * state is evicted once the watermark passes, bounding it at scale).

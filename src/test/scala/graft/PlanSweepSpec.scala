@@ -8,6 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanSweepSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("parquet scans keep filter and projection pushdown (scan_parquet)") {
+    val plan = Queries.scanParquet(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), s"filter not pushed to scan:\n$plan")
+    // projection pruning: the wide comment column must not be read
+    assert(!plan.contains("l_comment"), "scan reads pruned columns")
+  }
+
   test("only documented queries plan a nested-loop join") {
     val offenders = PlanSweep.sweep(spark, "/root/testdata/sf0.001")
     val errors = offenders.filter(_._2.startsWith("PLAN_ERROR"))

@@ -87,6 +87,30 @@ class StreamingSpec extends AnyFunSuite {
       s"timeout session missing from ${r3.toSeq}")
   }
 
+  test("streamToJdbc lands micro-batches in the JDBC table and re-runs " +
+    "are incremental (the reference's S3-to-Redshift pipeline shape)") {
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val props = new java.util.Properties
+    val src = Files.createTempDirectory("graft_sj_src").toString
+    val ckpt = Files.createTempDirectory("graft_sj_ckpt").toString
+    def run(): Unit = StreamTwins.streamToJdbc(
+      spark.readStream.schema("id LONG, name STRING").json(src),
+      url, "t_stream_jdbc", ckpt)
+    Files.writeString(java.nio.file.Paths.get(src, "a.json"),
+      """{"id":1,"name":"a"}""" + "\n" + """{"id":2,"name":"b"}""")
+    run()
+    assert(spark.read.jdbc(url, "t_stream_jdbc", props).count() == 2)
+    // no new files → the checkpoint makes the second run a no-op
+    run()
+    assert(spark.read.jdbc(url, "t_stream_jdbc", props).count() == 2)
+    // a new file appends only its own rows
+    Files.writeString(java.nio.file.Paths.get(src, "b.json"),
+      """{"id":3,"name":"c"}""")
+    run()
+    assert(spark.read.jdbc(url, "t_stream_jdbc", props)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("stream dedup emits each key exactly once") {
     val keys = StreamTwins.streamDedupKeys(spark, sf)
     val batch = ops.Tables.table(spark, sf, "events")
