@@ -117,7 +117,7 @@ case class NearestCentroids(vec: Expression, cents: Expression, p: Expression)
 
   @transient private lazy val centArr: Array[Array[Double]] = {
     val ad = cents.eval().asInstanceOf[ArrayData]
-    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray)
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
   }
   @transient private lazy val centNrm: Array[Double] =
     centArr.map(c => math.sqrt(c.map(x => x * x).sum))

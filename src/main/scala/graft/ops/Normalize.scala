@@ -31,7 +31,7 @@ object Normalize {
         val name = if (existing.contains(f)) s"${c}_$f" else f
         col(s"`$c`.`$f`").as(name)
       }
-      cur.select(keep.map(n => col(s"`$n`")) ++ expanded: _*)
+      cur.select(keep.toIndexedSeq.map(n => col(s"`$n`")) ++ expanded: _*)
     }
 
   /** P2 — lower-case, `.`/`-`/space → `_`, strip `$` (Mongo `$date` style). */

@@ -66,7 +66,8 @@ object Sources {
       StructField("offset", LongType), StructField("key", StringType),
       StructField("value", p))))
     val df = readNdjsonLines(lines, schema)
-    df.select((df.columns.filterNot(_ == "value").map(col) :+ col("value.*")): _*)
+    df.select((df.columns.toIndexedSeq.filterNot(_ == "value").map(col) :+
+      col("value.*")): _*)
   }
 
   /** S6 — directory scan pruned by filename glob and modification time;

@@ -94,7 +94,7 @@ object NearDup {
     pairs
       .join(sh.toDF("a_id", "a_sh"), "a_id")
       .join(sh.toDF("b_id", "b_sh"), "b_id")
-      .select(pairs.columns.map(col) :+
+      .select(pairs.columns.toIndexedSeq.map(col) :+
         round(jaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"): _*)
       .filter(col("jaccard") >= threshold)
 
