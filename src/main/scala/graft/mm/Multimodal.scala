@@ -145,7 +145,14 @@ object Multimodal {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, b) =>
-          if (isBmp(b)) {
+          // a valid magic is not a valid image: the header's declared pixel
+          // array must actually be present, or the payload is corrupt
+          val whole = isBmp(b) && {
+            val w = le32(b, 18); val h = le32(b, 22)
+            w > 0 && h > 0 &&
+              b.length >= 54L + (w * 3 + 3) / 4 * 4 * h.toLong
+          }
+          if (whole) {
             val r = resizeBmp(b, dstW, dstH)
             ResizeFeature(id, le32(b, 18), le32(b, 22),
               le32(r, 18), le32(r, 22), le32(r, 2))

@@ -120,9 +120,13 @@ object NearDup {
     * input. */
   private val pairCache = TrieMap[String, DataFrame]()
 
+  private def sessionKey(docs: DataFrame): String =
+    System.identityHashCode(docs.sparkSession).toHexString
+
   def minhashDupPairsCached(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double, cacheKey: String): DataFrame =
-    pairCache.getOrElseUpdate(s"minhash|$cacheKey|$threshold",
+    pairCache.getOrElseUpdate(
+      s"minhash|${sessionKey(docs)}|$cacheKey|$threshold",
       minhashDupPairs(docs, idCol, textCol, threshold))
 
   def clearCaches(): Unit = {
@@ -201,6 +205,7 @@ object NearDup {
   def simhashVerifiedPairsCached(docs: DataFrame, idCol: String, textCol: String,
                                  threshold: Double, maxHamming: Int,
                                  cacheKey: String): DataFrame =
-    pairCache.getOrElseUpdate(s"simhash|$cacheKey|$threshold|$maxHamming",
+    pairCache.getOrElseUpdate(
+      s"simhash|${sessionKey(docs)}|$cacheKey|$threshold|$maxHamming",
       simhashVerifiedPairs(docs, idCol, textCol, threshold, maxHamming))
 }

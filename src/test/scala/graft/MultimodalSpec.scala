@@ -68,5 +68,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_bytes") == 3)
     assert(r.getAs[Int]("width") == -1)
     assert(r.getAs[Int]("height") == -1)
+    // a truncated payload with a valid magic and lying header must not crash
+    val lying = Multimodal.encodeBmp("some text".getBytes("UTF-8"), 9).take(60)
+    val r2 = Multimodal.resizeFeatures(spark,
+      Seq((10L, lying)).toDF("doc_id", "payload"), 8, 8).collect().head
+    assert(r2.getAs[Int]("src_width") == -1)
+    assert(r2.getAs[Int]("n_bytes") == 60)
   }
 }
