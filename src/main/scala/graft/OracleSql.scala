@@ -261,6 +261,12 @@ object OracleSql {
              CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
          FROM customer""",
 
+    "sink_clustered" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events WHERE user_id BETWEEN 100 AND 120""",
+
     "sink_partitioned" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value

@@ -319,6 +319,25 @@ object Queries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** K10 — range-clustered write: `repartitionByRange` on the filter key +
+    * `sortWithinPartitions` so every output parquet file covers a narrow
+    * key range and its row-group min/max stats let a key-range scan skip
+    * almost all files — the within-partition clustering that keeps needle
+    * queries cheap at 100 TB (partition dirs alone can't be keyed by a
+    * high-cardinality column). */
+  def sinkClustered(spark: SparkSession, dir: String): DataFrame = {
+    val path = TempFiles.dir(s"sink_clustered_${TempFiles.tag(dir)}")
+    t(spark, dir, "events")
+      .repartitionByRange(8, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"))
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("user_id").between(100, 120))
+      .agg(count(lit(1)).as("n_rows"),
+        decOut(sum(Cleanse.dec2(col("value")))).as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"))
+  }
+
   /** W1b — dedup via max_by aggregation (map-side partial aggregation, no
     * sort): must produce exactly the window-rank result. */
   def dedupLatestAgg(spark: SparkSession, dir: String): DataFrame =

@@ -83,6 +83,21 @@ class KernelSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("kernels are reachable from raw SQL text (registered function surface)") {
+    spark.range(1).createOrReplaceTempView("v_one")
+    val r = spark.sql(
+      """SELECT graft_jaccard(array('a b c', 'b c d'), array('b c d', 'x y z')) AS j,
+             graft_simhash64('w1 w2 w3') AS sh,
+             size(graft_shingles('a b c d e')) AS n_sh,
+             size(graft_lsh_bands(array(CAST(1.0 AS DOUBLE), CAST(-2.0 AS DOUBLE)), 8, 2)) AS n_bands,
+             size(graft_winnow('abcdefghijklmnop', 5, 4)) AS n_fp
+         FROM v_one""").collect().head
+    assert(r.getAs[Double]("j") == 1.0 / 3.0)
+    assert(r.getAs[Int]("n_sh") == 3)
+    assert(r.getAs[Int]("n_bands") == 4)
+    assert(r.getAs[Int]("n_fp") >= 1)
+  }
+
   test("winnowing fingerprints honor the selection guarantees " +
     "(shared-substring and position independence)") {
     import graft.text.TextOps
