@@ -229,6 +229,17 @@ object OracleSql {
          FROM sessions GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx""",
 
+    "stream_stream_join" ->
+      """SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT v.event_id) AS BIGINT) AS n_views,
+             CAST(max(p.event_id) AS BIGINT) AS max_purchase
+         FROM events p JOIN events v
+           ON v.user_id = p.user_id
+          AND p.event_type = 'purchase' AND v.event_type = 'view'
+          AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 24 HOUR
+          AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         GROUP BY p.user_id ORDER BY p.user_id""",
+
     "stream_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

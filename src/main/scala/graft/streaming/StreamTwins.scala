@@ -115,6 +115,38 @@ object StreamTwins {
       .select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** Stream-stream interval join — purchase attribution: each purchase
+    * joins the same user's view events from the preceding 24 hours. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark evicts join state as the watermark advances — the
+    * only state-safe shape for a stream-stream join at scale. Inner-join
+    * emission is batching-independent, so the result is deterministic and
+    * oracle-checked against the equivalent batch SQL self-join. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val views = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .withWatermark("ts", "25 hours")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val joined = purchases.join(views,
+      col("v_user") === col("user_id") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+        col("v_ts") <= col("p_ts"))
+    runToMemory(joined,
+      s"stream_join_sink_${graft.ops.TempFiles.tag(sfDir).replace(".", "_")}",
+      "append")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("v_id")).as("n_views"),
+        max(col("p_id")).as("max_purchase"))
+      .orderBy(col("user_id"))
+  }
+
   /** Streaming gap-sessionization with CUSTOM STATE — the
     * `flatMapGroupsWithState` form of [[graft.ops.Sessionize]]: per user,
     * sessions closed by a later in-batch event are emitted immediately; the
