@@ -10,7 +10,11 @@ import graft.ops.{Dedup, Normalize, Skew}
   * sampled with fixed seeds (the scalatest bridge isn't in the offline
   * dependency set), so failures are reproducible. */
 class PropertySpec extends AnyFunSuite {
-  lazy val spark = TestSpark.spark
+  lazy val spark = {
+    val s = TestSpark.spark
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
   import spark.implicits._
 
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
@@ -73,5 +77,55 @@ class PropertySpec extends AnyFunSuite {
     val salted = Skew.saltedJoin(fact, dim, "k", 4)
       .select("k", "v", "name").orderBy("v").collect().map(_.toSeq)
     assert(plain.toSeq == salted.toSeq)
+  }
+
+  test("LSH band keys: scaling a vector by a positive constant never " +
+    "changes its buckets (sign-pattern invariance)") {
+    val gen = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+    val vecs = samples(gen, 10).filter(_.nonEmpty)
+    val df = vecs.zip(samples(Gen.choose(0.1, 50.0), 10))
+      .map { case (v, c) => (v, v.map(_ * c)) }.toDF("a", "b")
+    val bad = df.select(
+        sim.Similarity.bandKeys($"a".cast("array<double>"), 32, 4).as("ka"),
+        sim.Similarity.bandKeys($"b".cast("array<double>"), 32, 4).as("kb"))
+      .filter($"ka" =!= $"kb").count()
+    assert(bad == 0)
+  }
+
+  test("winnowing fingerprints of a substring are covered by the text's " +
+    "window guarantee (every w+k-1 span shares one)") {
+    val gen = Gen.zip(Gen.choose(0, 30), Gen.listOfN(60, Gen.alphaChar))
+    samples(gen, 10).foreach { case (off, chars) =>
+      val s = chars.mkString
+      val df = Seq((s, s.substring(off))).toDF("full", "part")
+      val r = df.select(
+          graft.text.TextOps.winnow($"full").as("f"),
+          graft.text.TextOps.winnow($"part").as("p"))
+        .collect().head
+      val f = r.getSeq[Long](0).toSet
+      val p = r.getSeq[Long](1).toSet
+      // the suffix is a shared substring of length >= w+k-1 = 8 → overlap
+      if (s.length - off >= 8) assert((f & p).nonEmpty)
+    }
+  }
+
+  test("nearest-centroid assignment returns p distinct in-range cells " +
+    "and is scale-invariant") {
+    val cents = Seq.tabulate(8)(c => Seq.tabulate(16)(d =>
+      math.sin(c * 3.1 + d * 1.7)))
+    val gen = Gen.listOfN(16, Gen.choose(-5.0, 5.0))
+    val vecs = samples(gen, 10)
+    val df = vecs.map(v => (v, v.map(_ * 7.5))).toDF("a", "b")
+    val rows = df.select(
+        sim.Ivf.nearestCentroids($"a".cast("array<double>"), cents, 3).as("pa"),
+        sim.Ivf.nearestCentroids($"b".cast("array<double>"), cents, 3).as("pb"))
+      .collect()
+    rows.foreach { r =>
+      val pa = r.getSeq[Int](0)
+      assert(pa.length == 3 && pa.distinct.length == 3 &&
+        pa.forall(c => c >= 0 && c < 8))
+      // cosine ranking ignores vector magnitude
+      assert(pa == r.getSeq[Int](1))
+    }
   }
 }
