@@ -49,14 +49,31 @@ object StreamTwins {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Stateful streaming operators bind one state store per shuffle
+    * partition (a stream-stream join binds FOUR); inheriting a batch-sized
+    * shuffle width makes per-micro-batch store setup dominate. Start
+    * streaming queries under a stream-appropriate state width and restore
+    * the session conf afterwards (measured at sf0.1: the stream-stream
+    * join drops 15 s → 3.5 s going 32 → 8 state partitions). On a real
+    * cluster this is sized to stream volume once — the checkpoint pins it. */
+  def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
+  val StatePartitions = 8
+
   /** Run a streaming transform to completion against the data available now
     * and return the materialized result (memory sink). */
-  def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
-  }
+  def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =
+    withStatePartitions(df.sparkSession, StatePartitions) {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      df.sparkSession.table(name)
+    }
 
   /** Streaming group-count — must equal the batch `agg_group_count`. */
   def fileSourceCounts(spark: SparkSession, sfDir: String): DataFrame =
