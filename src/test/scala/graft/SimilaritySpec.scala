@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.posexplode
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Quality gates for the approximate (LSH) tiers against their exact
@@ -22,6 +23,43 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.75, s"mean recall@10 $mean below floor 0.75")
     assert(recalls.min >= 0.4, s"worst-query recall@10 ${recalls.min} below 0.4")
+  }
+
+  test("at production thresholds the LSH banding genuinely prunes " +
+    "(planted near-identical vectors, cos >= 0.98)") {
+    import spark.implicits._
+    // deterministic synthetic corpus: 400 random vectors + 40 planted
+    // near-dups (base + 10% noise → cos ≈ 0.995)
+    def vec(seed: Long): Array[Double] = {
+      val r = new java.util.Random(seed)
+      Array.fill(64)(r.nextGaussian())
+    }
+    val base = (0 until 400).map(i => (i.toLong, vec(i)))
+    val dups = (0 until 40).map { i =>
+      val r = new java.util.Random(10000L + i)
+      val b = base(i)._2
+      (1000L + i, b.map(x => x + 0.1 * r.nextGaussian()))
+    }
+    val df = (base ++ dups).toDF("vid", "v")
+    val exact = sim.Similarity
+      .cosineDupPairs(df, "vid", "v", 0.98)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = sim.Similarity
+      .cosineDupPairsLsh(df, "vid", "v", 0.98, nPlanes = 96, rowsPerBand = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.length >= 35) // nearly all plants qualify
+    assert(lsh.toSet == exact.toSet)
+    // candidate volume: the banding must prune, not enumerate all pairs
+    val planes96 = sim.Similarity.bandKeys($"v".cast("array<double>"), 96, 8)
+    val banded = df.select($"vid", posexplode(planes96)).toDF("id", "band", "bk")
+    val nCand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bk" === $"b.bk" && $"a.id" < $"b.id")
+      .select($"a.id", $"b.id").distinct().count()
+    val allPairs = 440L * 439 / 2
+    assert(nCand < allPairs / 5,
+      s"banding enumerated $nCand of $allPairs pairs — no pruning")
+    info(s"candidates $nCand of $allPairs pairs " +
+      f"(${100.0 * nCand / allPairs}%.1f%%), ${exact.length} true pairs")
   }
 
   test("IVF ANN recall@10 clears its floor with bounded candidate volume") {
