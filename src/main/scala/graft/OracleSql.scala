@@ -135,6 +135,38 @@ object OracleSql {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(n_nationkey) AS BIGINT) AS sum_key FROM nation""",
 
+    "scan_orc" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_acctbal,
+             CAST(min(c_custkey) AS BIGINT) AS min_key,
+             CAST(max(c_custkey) AS BIGINT) AS max_key
+         FROM customer WHERE c_acctbal > 0""",
+
+    "scan_csv_malformed" ->
+      """SELECT CAST(count(*) + 3 AS BIGINT) AS n_lines,
+             CAST(3 AS BIGINT) AS n_bad,
+             CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_acctbal
+         FROM customer""",
+
+    "merge_upsert" ->
+      """WITH updates AS (
+           SELECT c_custkey, c_name,
+               CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 1000 AS DECIMAL(18,4)) AS DOUBLE) AS c_acctbal,
+               c_mktsegment
+           FROM customer WHERE c_custkey % 10 = 0),
+           inserts AS (
+           SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey <= 5),
+           merged AS (
+           SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+           WHERE c_custkey % 10 <> 0
+           UNION ALL SELECT * FROM updates
+           UNION ALL SELECT * FROM inserts)
+         SELECT c_custkey, c_name,
+             CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(18,4)) AS DOUBLE) AS acctbal,
+             c_mktsegment
+         FROM merged ORDER BY c_custkey""",
+
     "sink_overwrite" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_acctbal

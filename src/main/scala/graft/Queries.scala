@@ -246,6 +246,54 @@ object Queries {
         sum(col("n_nationkey")).cast(LongType).as("sum_key"))
   }
 
+  /** S8 — ORC columnar roundtrip (same pushdown machinery as parquet). */
+  def scanOrc(spark: SparkSession, dir: String): DataFrame = {
+    val path = TempFiles.dir(s"orc_${TempFiles.tag(dir)}")
+    t(spark, dir, "customer").write.mode("overwrite").orc(path)
+    Sources.readOrc(spark, path)
+      .filter(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("n_rows"),
+        decOut(sum(Cleanse.dec2(col("c_acctbal")))).as("sum_acctbal"),
+        min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+  }
+
+  /** S9 — malformed-row quarantine: CSV parsed in PERMISSIVE mode with a
+    * corrupt-record column; bad lines are counted and excluded from the
+    * aggregate instead of failing the scan. */
+  def scanCsvMalformed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = t(spark, dir, "customer")
+    val good = cust.select(concat_ws(",",
+      cust.columns.map(col).toIndexedSeq: _*)).as[String]
+    val bad = Seq("not,a,number,x,y", "short,row",
+      "1,too,2,many,3,columns,here").toDS()
+    val parsed = Sources.readCsvPermissive(good.union(bad), cust.schema)
+    parsed.agg(
+      count(lit(1)).as("n_lines"),
+      count(col("_corrupt_record")).as("n_bad"),
+      decOut(sum(when(col("_corrupt_record").isNull,
+        Cleanse.dec2(col("c_acctbal"))))).as("sum_acctbal"))
+  }
+
+  /** CDC merge-upsert (MERGE INTO without a table format): a deterministic
+    * change batch — every 10th customer's balance bumped by 1000, five new
+    * customers inserted under shifted keys — applied via one union + one
+    * keyed window (see [[Dedup.upsert]]). */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "customer")
+    val updates = base.filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .withColumn("c_acctbal",
+        decOut(Cleanse.dec2(col("c_acctbal")) + lit(1000)))
+    val inserts = base.filter(col("c_custkey") <= 5)
+      .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+    Dedup.upsert(base, updates.unionByName(inserts),
+        Seq("c_custkey"), col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        decOut(Cleanse.dec2(col("c_acctbal"))).as("acctbal"),
+        col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   // ── §2.2 Sinks ───────────────────────────────────────────────────────
 
   /** K1/K7 — overwrite write + re-read roundtrip (parquet stand-in for the

@@ -38,6 +38,9 @@ object SparkEntry {
     "scan_double_json"    -> (Queries.scanDoubleJson(_, _)),
     "scan_kafka_envelope" -> (Queries.scanKafkaEnvelope(_, _)),
     "scan_pruned_files"   -> (Queries.scanPrunedFiles(_, _)),
+    "scan_orc"            -> (Queries.scanOrc(_, _)),
+    "scan_csv_malformed"  -> (Queries.scanCsvMalformed(_, _)),
+    "merge_upsert"        -> (Queries.mergeUpsert(_, _)),
     "sink_overwrite"      -> (Queries.sinkOverwrite(_, _)),
     "ddl_from_schema"     -> (Queries.ddlFromSchema(_, _)),
     "flatten_struct"      -> (Queries.flattenStructQ(_, _)),

@@ -27,6 +27,22 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** CDC upsert — MERGE INTO semantics without a table format: a change
+    * row replaces the base row with the same key; the latest change (by
+    * `tieBreak`) wins within the batch; unmatched changes insert. One
+    * union + one keyed window shuffle — the same single-shuffle shape as
+    * [[dedupLatest]], so it scales identically. */
+  def upsert(base: DataFrame, changes: DataFrame, keys: Seq[String],
+             tieBreak: Column): DataFrame = {
+    val u = base.withColumn("__src", lit(0))
+      .unionByName(changes.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__src").desc, tieBreak.desc)
+    u.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+
   /** Aggregation-based variant: partial-aggregates map-side (no full sort).
     * Picks the row maximizing (orderCol, tieBreak*). */
   def latestByAgg(df: DataFrame, keys: Seq[String], orderCol: Column,

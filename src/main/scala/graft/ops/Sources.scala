@@ -70,6 +70,24 @@ object Sources {
       col("value.*")): _*)
   }
 
+  /** S8 — ORC scan: the other columnar format a lake commonly holds; same
+    * pushdown/pruning machinery as parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** S9 — CSV with a declared schema in PERMISSIVE mode: malformed rows
+    * land whole in the corrupt-record column instead of killing a 100 TB
+    * scan; well-formed rows parse normally. Callers split on
+    * `_corrupt_record IS NULL` to route rows to the silver table vs the
+    * quarantine sink. */
+  def readCsvPermissive(lines: Dataset[String],
+                        schema: StructType): DataFrame =
+    lines.sparkSession.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(lines)
+
   /** S6 — directory scan pruned by filename glob and modification time;
     * Spark's file index does the pruning before any bytes are read. */
   def readPrunedNdjson(spark: SparkSession, dir: String, glob: String,
