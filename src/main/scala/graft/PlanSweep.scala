@@ -36,6 +36,7 @@ object PlanSweep {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     sweep(spark, "/root/testdata/sf0.001").foreach { case (n, b) =>

@@ -46,4 +46,25 @@ class DedupSpec extends AnyFunSuite {
       col("ts"), col("event_id")).select("user_id", "event_type", "ts", "value")
     assert(a.collect().toSet == b.collect().toSet)
   }
+
+  test("upsert: changes override base, latest change wins in-batch, " +
+    "unmatched changes insert, untouched rows survive") {
+    val base = Seq((1L, "old1", 1L), (2L, "old2", 1L), (3L, "old3", 1L))
+      .toDF("k", "v", "ver")
+    val changes = Seq(
+      (2L, "new2-a", 5L), (2L, "new2-b", 9L), // same key twice: ver 9 wins
+      (4L, "ins4", 2L))                       // unmatched: insert
+      .toDF("k", "v", "ver")
+    val out = Dedup.upsert(base, changes, Seq("k"), col("ver"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq(1L -> "old1", 2L -> "new2-b", 3L -> "old3", 4L -> "ins4"))
+  }
+
+  test("upsert is idempotent: re-applying the same change batch is a no-op") {
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
+    val changes = Seq((2L, "b2", 3L), (9L, "i", 3L)).toDF("k", "v", "ver")
+    val once = Dedup.upsert(base, changes, Seq("k"), col("ver"))
+    val twice = Dedup.upsert(once, changes, Seq("k"), col("ver"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
 }

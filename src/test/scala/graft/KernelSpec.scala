@@ -83,6 +83,15 @@ class KernelSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("GraftExtensions installs kernels via spark.sql.extensions — a fresh " +
+    "newSession (no imperative register) resolves them") {
+    val s2 = TestSpark.spark.newSession()
+    val r = s2.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)), " +
+        "array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS d").collect().head
+    assert(r.getDouble(0) == 11.0)
+  }
+
   test("kernels are reachable from raw SQL text (registered function surface)") {
     spark.range(1).createOrReplaceTempView("v_one")
     val r = spark.sql(
