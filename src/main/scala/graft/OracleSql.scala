@@ -298,6 +298,27 @@ object OracleSql {
          WHERE session_idx < mx
          ORDER BY user_id, session_idx""",
 
+    "window_sessionize_native" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+                         epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+           sessions AS (
+           SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM flagged)
+         SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+         FROM sessions GROUP BY user_id, session_idx
+         ORDER BY user_id, session_start""",
+
     "sink_csv_copy" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_acctbal,

@@ -600,6 +600,20 @@ object Queries {
     Sessionize.sessionsByWindow(t(spark, dir, "events"), 30)
       .orderBy(col("user_id"), col("session_idx"))
 
+  /** W6b — sessionization via Spark's NATIVE `session_window` aggregation
+    * (merging windows in one grouping pass — the built-in the hand-rolled
+    * lag/cumsum plan should defer to where bounds, not ordinals, are
+    * needed). Window end is exclusive: last event + gap. */
+  def windowSessionizeNative(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        Cleanse.tsStr(col("session_window.start")).as("session_start"),
+        Cleanse.tsStr(col("session_window.end")).as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** A8 — HLL sketch distinct counts (rows-only: sketch estimates are
     * engine-specific; the spec asserts ±5% of exact). */
   def aggHllSketch(spark: SparkSession, dir: String): DataFrame =

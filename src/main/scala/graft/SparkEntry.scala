@@ -92,6 +92,7 @@ object SparkEntry {
     "join_bucketed"       -> (Queries.joinBucketed(_, _)),
     "dedup_latest_agg"    -> (Queries.dedupLatestAgg(_, _)),
     "window_sessionize"   -> (Queries.windowSessionize(_, _)),
+    "window_sessionize_native" -> (Queries.windowSessionizeNative(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
