@@ -461,6 +461,27 @@ object OracleSql {
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_re_tokens
          FROM documents ORDER BY doc_id""",
 
+    "text_tfidf" ->
+      """WITH tokens AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) cnt
+                  FROM tokens GROUP BY doc_id, tok),
+           doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) len
+                      FROM tokens GROUP BY doc_id),
+           dftab AS (SELECT tok, CAST(count(*) AS BIGINT) df
+                     FROM (SELECT DISTINCT doc_id, tok FROM tokens) GROUP BY tok),
+           n AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+           scored AS (
+           SELECT tf.doc_id, tf.tok,
+               round((CAST(tf.cnt AS DOUBLE) * (n.n_docs + 1)) /
+                     (CAST(doclen.len AS DOUBLE) * (dftab.df + 1)), 6) AS score
+           FROM tf JOIN doclen USING (doc_id) JOIN dftab USING (tok) CROSS JOIN n),
+           ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, tok) AS rank FROM scored)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, score
+         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+
     "doc_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp,
              substr(md5(lower(regexp_replace(text, ' +', ' ', 'g'))), 1, 4) AS bucket

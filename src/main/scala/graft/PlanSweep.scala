@@ -12,10 +12,13 @@ object PlanSweep {
     *    and dedup_embedding_lsh);
     *  - ann_cosine_topk / ann_lsh_recall: exact brute-force baseline (and
     *    the recall query joining against it) — broadcast side is the 8-row
-    *    query set, the big side streams with no shuffle. */
+    *    query set, the big side streams with no shuffle;
+    *  - text_tfidf: a ONE-row broadcast (the corpus document count) cross-
+    *    joined onto the score expression — the scalar-subquery plan shape,
+    *    effectively free at any scale. */
   val Allowlist: Set[String] =
     Set("dedup_ngram_jaccard", "dedup_embedding_cosine", "ann_cosine_topk",
-      "ann_lsh_recall")
+      "ann_lsh_recall", "text_tfidf")
 
   /** name → offending operator names (or PLAN_ERROR) for every declared
     * query whose plan contains a scale-killer operator. */

@@ -653,6 +653,38 @@ object Queries {
       .withColumn("bucket", substring(col("fp"), 1, 4))
       .orderBy(col("doc_id"))
 
+  /** Corpus salience: top-3 tokens per document by tf·idf. The idf factor
+    * is the LINEAR variant (N+1)/(df+1) — rank-equivalent per token to the
+    * log form but pure rational arithmetic, so scores are bit-identical
+    * across engines (libm `ln` is not); the classic form is one `log()`
+    * swap away. One explode, two hash aggregations, one broadcast-size
+    * join — the corpus-vocabulary shape at any scale. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tf = tokens.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val docLen = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val dfTab = tokens.distinct().groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(docLen, "doc_id").join(dfTab, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"),
+        round((col("cnt") * (col("n_docs") + 1)) /
+          (col("len") * (col("df") + 1)), 6).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok"))))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+        col("tok"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Winnowing rolling-hash fingerprints — rows-only (the hash values are
     * engine-internal); KernelSpec asserts the winnowing guarantees. */
   def docWinnow(spark: SparkSession, dir: String): DataFrame =

@@ -63,6 +63,7 @@ object SparkEntry {
     "token_count"         -> (Queries.tokenCount(_, _)),
     "doc_fingerprint"     -> (Queries.docFingerprint(_, _)),
     "doc_winnow"          -> (Queries.docWinnow(_, _)),
+    "text_tfidf"          -> (Queries.textTfidf(_, _)),
     "dedup_exact"         -> (Queries.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard(_, _)),
     "dedup_minhash_lsh"   -> (Queries.dedupMinhashLsh(_, _)),
