@@ -114,6 +114,17 @@ object OracleSql {
                SELECT o_orderkey, o_orderstatus FROM orders)
          GROUP BY bucket ORDER BY bucket""",
 
+    "set_ops" ->
+      """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+           late AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+           tagged AS (
+             SELECT 'both' AS segment, o_custkey FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+             UNION ALL
+             SELECT 'early_only' AS segment, o_custkey FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late))
+         SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(o_custkey) AS BIGINT) AS key_sum
+         FROM tagged GROUP BY segment ORDER BY segment""",
+
     "scan_json_multiline" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
 

@@ -169,6 +169,23 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** U2 — INTERSECT / EXCEPT: customers who bought in both of two order
+    * windows, and those who only bought in the first (set semantics, i.e.
+    * distinct — Spark plans both as aggregated semi/anti joins). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val early = o.filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .select(col("o_custkey"))
+    val late = o.filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")))
+      .select(col("o_custkey"))
+    val both = early.intersect(late).withColumn("segment", lit("both"))
+    val onlyEarly = early.except(late).withColumn("segment", lit("early_only"))
+    both.unionByName(onlyEarly)
+      .groupBy(col("segment")).agg(count(lit(1)).as("n_customers"),
+        sum(col("o_custkey")).as("key_sum"))
+      .orderBy(col("segment"))
+  }
+
   // ── §2.1 Scans ───────────────────────────────────────────────────────
 
   /** S2 — one whole JSON document per file (multiLine), derived

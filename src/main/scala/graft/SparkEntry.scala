@@ -33,6 +33,7 @@ object SparkEntry {
     "json_extract"        -> (Queries.jsonExtract(_, _)),
     "project_drop"        -> (Queries.projectDrop(_, _)),
     "union_by_name"       -> (Queries.unionByNameDrift(_, _)),
+    "set_ops"             -> (Queries.setOps(_, _)),
     "scan_json_multiline" -> (Queries.scanJsonMultiline(_, _)),
     "scan_ndjson"         -> (Queries.scanNdjson(_, _)),
     "scan_double_json"    -> (Queries.scanDoubleJson(_, _)),
