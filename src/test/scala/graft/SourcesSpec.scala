@@ -35,6 +35,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L))
   }
 
+  test("readCsvPermissive routes malformed lines to quarantine, parses the rest") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val lines = Seq("1,alice,2.5", "oops,bob,1.0", "2,carol,3.25",
+      "3,dave,4.0,extra,cols").toDS()
+    val parsed = Sources.readCsvPermissive(lines, schema)
+    val good = parsed.filter($"_corrupt_record".isNull)
+    val bad = parsed.filter($"_corrupt_record".isNotNull)
+    assert(good.count() == 2)
+    assert(good.orderBy("id").select("name").as[String].collect().toSeq ==
+      Seq("alice", "carol"))
+    // quarantine keeps the raw line for replay/debugging
+    assert(bad.select("_corrupt_record").as[String].collect().toSet ==
+      Set("oops,bob,1.0", "3,dave,4.0,extra,cols"))
+  }
+
   test("readKafkaEnvelope projects payload alongside envelope (kafka_s3_to_silver.py:8-11)") {
     val lines = Seq(
       """{"topic":"t","partition":0,"offset":10,"key":"k1","value":{"appId":5,"status":"OK"}}""")
