@@ -336,6 +336,13 @@ object OracleSql {
              CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
          FROM customer""",
 
+    "sink_compacted" ->
+      """SELECT CAST(64 AS BIGINT) AS n_files_before,
+             CAST(2 AS BIGINT) AS n_files_after,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+         FROM events""",
+
     "sink_clustered" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value,

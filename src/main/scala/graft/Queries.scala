@@ -403,6 +403,30 @@ object Queries {
         count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** K11 — small-file compaction: a fragmented landing zone (64 shards of
+    * one small table — the steady-state of frequent micro-batch appends) is
+    * rewritten into a bounded file count. `coalesce` keeps the rewrite
+    * shuffle-free (it only merges read splits); content must be unchanged
+    * and the file count must actually drop — the maintenance job that keeps
+    * scan task counts sane at 100 TB. */
+  def sinkCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val frag = TempFiles.dir(s"compact_in_${TempFiles.tag(dir)}")
+    val out = TempFiles.dir(s"compact_out_${TempFiles.tag(dir)}")
+    t(spark, dir, "events").repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(2)
+      .write.mode("overwrite").parquet(out)
+    def nFiles(p: String): Long =
+      java.nio.file.Files.list(java.nio.file.Paths.get(p))
+        .filter(f => f.getFileName.toString.startsWith("part-")).count()
+    spark.read.parquet(out)
+      .agg(count(lit(1)).as("n_rows"),
+        decOut(sum(Cleanse.dec2(col("value")))).as("sum_value"))
+      .select(lit(nFiles(frag)).as("n_files_before"),
+        lit(nFiles(out)).as("n_files_after"),
+        col("n_rows"), col("sum_value"))
+  }
+
   /** W1b — dedup via max_by aggregation (map-side partial aggregation, no
     * sort): must produce exactly the window-rank result. */
   def dedupLatestAgg(spark: SparkSession, dir: String): DataFrame =

@@ -91,6 +91,7 @@ object SparkEntry {
     "sink_csv_copy"       -> (Queries.sinkCsvCopy(_, _)),
     "sink_partitioned"    -> (Queries.sinkPartitioned(_, _)),
     "sink_clustered"      -> (Queries.sinkClustered(_, _)),
+    "sink_compacted"      -> (Queries.sinkCompacted(_, _)),
     "join_bucketed"       -> (Queries.joinBucketed(_, _)),
     "dedup_latest_agg"    -> (Queries.dedupLatestAgg(_, _)),
     "window_sessionize"   -> (Queries.windowSessionize(_, _)),
