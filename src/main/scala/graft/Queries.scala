@@ -416,9 +416,11 @@ object Queries {
       .write.mode("overwrite").parquet(frag)
     spark.read.parquet(frag).coalesce(2)
       .write.mode("overwrite").parquet(out)
-    def nFiles(p: String): Long =
-      java.nio.file.Files.list(java.nio.file.Paths.get(p))
-        .filter(f => f.getFileName.toString.startsWith("part-")).count()
+    def nFiles(p: String): Long = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      try s.filter(f => f.getFileName.toString.startsWith("part-")).count()
+      finally s.close()
+    }
     spark.read.parquet(out)
       .agg(count(lit(1)).as("n_rows"),
         decOut(sum(Cleanse.dec2(col("value")))).as("sum_value"))
