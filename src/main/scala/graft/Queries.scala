@@ -763,16 +763,17 @@ object Queries {
 
   /** MinHash+LSH near-dup pairs over the FULL table, verified with exact
     * Jaccard — deterministic (xxhash64). The declared threshold (0.8) sits
-    * in the 8-band/4-row construction's near-1 recall region
-    * (P(candidate) ≈ 0.998 at j = 0.8, ≈ 1 − 2e-4 at 0.9), so the LSH tier
-    * reproduces the exact-pairwise oracle; at mid thresholds (j ≈ 0.5) the
-    * banding must be widened first (see [[text.NearDup]] scaladoc). */
+    * in the 16-band/3-row construction's near-1 recall region
+    * (P(candidate) ≈ 1 − 1e-5 at j = 0.8, ≈ 1 − 8e-10 at 0.9), so the LSH
+    * tier reproduces the exact-pairwise oracle; at mid thresholds (j ≈ 0.5,
+    * P ≈ 0.88) the banding must be widened first (see [[text.NearDup]]
+    * scaladoc). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     text.NearDup.minhashDupPairsCached(t(spark, dir, "documents"),
         "doc_id", "text", 0.8, dir)
       .orderBy(col("a_id"), col("b_id"))
 
-  /** SimHash candidate pairs (hamming ≤ 6 of 64 bits; pigeonhole 7-chunk
+  /** SimHash candidate pairs (hamming ≤ 6 of 64 bits; pigeonhole 7-block
     * buckets make candidate recall exact). Rows-only: raw candidates are
     * engine-specific; the precision tier is `dedup_simhash_verified`. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =

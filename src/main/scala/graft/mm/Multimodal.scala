@@ -34,6 +34,11 @@ case class FrameSample(doc_id: Long, n_frames: Int, n_sampled: Int,
   * header reads, exactly what a codec's probe step does. */
 object Multimodal {
 
+  /** Upper bound on header-declared dimensions accepted as valid: keeps a
+    * corrupt header from driving the resize loops into multi-GB allocations
+    * even when its declared pixel array happens to be present. */
+  val MaxDim = 1 << 14
+
   private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = (v & 0xFF).toByte
     b(off + 1) = ((v >>> 8) & 0xFF).toByte
@@ -146,11 +151,14 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, b) =>
           // a valid magic is not a valid image: the header's declared pixel
-          // array must actually be present, or the payload is corrupt
+          // array must actually be present, or the payload is corrupt.
+          // Dims are bounded and the stride/size math runs in Long — a
+          // corrupt header with a huge width must not overflow the Int
+          // stride into a passing length check (round-2 advice)
           val whole = isBmp(b) && {
             val w = le32(b, 18); val h = le32(b, 22)
-            w > 0 && h > 0 &&
-              b.length >= 54L + (w * 3 + 3) / 4 * 4 * h.toLong
+            w > 0 && h > 0 && w <= MaxDim && h <= MaxDim &&
+              b.length >= 54L + (w.toLong * 3 + 3) / 4 * 4 * h.toLong
           }
           if (whole) {
             val r = resizeBmp(b, dstW, dstH)

@@ -51,34 +51,44 @@ object StreamTwins {
 
   /** Stateful streaming operators bind one state store per shuffle
     * partition (a stream-stream join binds FOUR); inheriting a batch-sized
-    * shuffle width makes per-micro-batch store setup dominate. Start
-    * streaming queries under a stream-appropriate state width and restore
-    * the session conf afterwards (measured at sf0.1: the stream-stream
-    * join drops 15 s → 3.5 s going 32 → 8 state partitions). On a real
-    * cluster this is sized to stream volume once — the checkpoint pins it. */
-  def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, old)
-  }
-
+    * shuffle width makes per-micro-batch store setup dominate (measured at
+    * sf0.1: the stream-stream join drops 15 s → 3.5 s going 32 → 8 state
+    * partitions). Rather than toggling the shared session's
+    * `spark.sql.shuffle.partitions` around each run — not re-entrant: a
+    * concurrent batch query on the same session races on the conf
+    * (round-2 advice) — each root session gets ONE dedicated streaming
+    * session (`newSession()`: shared SparkContext and catalog, independent
+    * conf) whose state width is set once at creation. On a real cluster
+    * this mirrors sizing the streaming job's conf once — the checkpoint
+    * pins it from then on. */
   val StatePartitions = 8
 
+  private val streamSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  def streamSession(spark: SparkSession): SparkSession =
+    streamSessions.computeIfAbsent(spark, root => {
+      val ss = root.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ss
+    })
+
   /** Run a streaming transform to completion against the data available now
-    * and return the materialized result (memory sink). */
-  def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =
-    withStatePartitions(df.sparkSession, StatePartitions) {
-      val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      df.sparkSession.table(name)
-    }
+    * and return the materialized result (memory sink). The caller builds
+    * `df` on [[streamSession]]; the memory-sink temp view registers there,
+    * keeping the root session's catalog clean. */
+  def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
 
   /** Streaming group-count — must equal the batch `agg_group_count`. */
   def fileSourceCounts(spark: SparkSession, sfDir: String): DataFrame =
     runToMemory(
-      eventsStream(spark, sfDir)
+      eventsStream(streamSession(spark), sfDir)
         .groupBy(col("event_type")).agg(count(lit(1)).as("cnt")),
       "stream_file_source_sink", "complete")
       .orderBy(col("event_type"))
@@ -125,7 +135,7 @@ object StreamTwins {
     * contract; this is the incremental twin. */
   def streamDedupKeys(spark: SparkSession, sfDir: String): DataFrame =
     runToMemory(
-      eventsStream(spark, sfDir)
+      eventsStream(streamSession(spark), sfDir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type"),
       "stream_dedup_sink", "append")
@@ -140,12 +150,13 @@ object StreamTwins {
     * emission is batching-independent, so the result is deterministic and
     * oracle-checked against the equivalent batch SQL self-join. */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val purchases = eventsStream(spark, sfDir)
+    val ss = streamSession(spark)
+    val purchases = eventsStream(ss, sfDir)
       .filter(col("event_type") === "purchase")
       .withWatermark("ts", "1 hour")
       .select(col("event_id").as("p_id"), col("user_id"),
         col("ts").as("p_ts"))
-    val views = eventsStream(spark, sfDir)
+    val views = eventsStream(ss, sfDir)
       .filter(col("event_type") === "view")
       .withWatermark("ts", "25 hours")
       .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
@@ -221,9 +232,9 @@ object StreamTwins {
     * oracle. The timeout path is exercised by StreamingSpec's three-run
     * incremental scenario. */
   def streamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+    val ss = streamSession(spark)
     runToMemory(
-      sessionizeStream(eventsStream(spark, sfDir), 30, "720 hours").toDF(),
+      sessionizeStream(eventsStream(ss, sfDir), 30, "720 hours").toDF(),
       s"stream_sessionize_sink_${graft.ops.TempFiles.tag(sfDir).replace(".", "_")}",
       "append")
       .select(col("user_id"), col("session_idx"), col("n_events"),
@@ -237,7 +248,7 @@ object StreamTwins {
     * twin of the reference's event-time cutoff. */
   def watermarkWindow(spark: SparkSession, sfDir: String): DataFrame =
     runToMemory(
-      eventsStream(spark, sfDir)
+      eventsStream(streamSession(spark), sfDir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("cnt")),

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import scala.collection.concurrent.TrieMap
@@ -19,11 +19,17 @@ import scala.collection.concurrent.TrieMap
   * reproducible cluster-wide.
   *
   * Banding recall: a pair at Jaccard j survives LSH with
-  * P = 1 − (1 − j^RowsPerBand)^Bands — ≈ 0.998 at j = 0.8 and ≈ 1 − 2e-4 at
-  * j = 0.9 with the 8×4 default. Declared dedup thresholds sit at ≥ 0.8 so
-  * the candidate tier's recall matches the exact oracle; for mid-similarity
-  * thresholds (j ≈ 0.5) callers must widen the banding (smaller RowsPerBand,
-  * more bands) and accept the larger candidate volume.
+  * P = 1 − (1 − j^RowsPerBand)^Bands. With the 16×3 default that is
+  * ≈ 1 − 1e-5 at j = 0.8 and ≈ 1 − 8e-10 at j = 0.9 — so at the declared
+  * dedup threshold (0.8) the candidate tier's per-pair miss probability is
+  * negligible even for corpora with millions of true pairs. (The previous
+  * 8×4 banding had P ≈ 0.985 at j = 0.8 — a 1.5% per-pair miss that only
+  * looked safe because the small fixtures happened to survive it.) The cost
+  * of the wider banding is the false-candidate rate on dissimilar pairs:
+  * ≈ 2e-3 of j = 0.05 pairs (vs 5e-5 at 8×4) reach the exact-Jaccard verify
+  * tier, which is the cheap side of the trade. For mid-similarity thresholds
+  * (j ≈ 0.5, candidate P ≈ 0.88) callers must widen further (smaller
+  * RowsPerBand, more bands) and accept the larger candidate volume.
   *
   * The text kernels (shingling, signatures, Jaccard, SimHash) are custom
   * Catalyst expressions ([[graft.functions.GraftFunctions]]) — single-pass
@@ -36,9 +42,9 @@ import scala.collection.concurrent.TrieMap
   */
 object NearDup {
 
-  val NumHashes = 32
-  val Bands = 8
-  val RowsPerBand = 4 // P(candidate | j) = 1-(1-j^4)^8 → ~1.0 at j≥0.9
+  val NumHashes = 48
+  val Bands = 16
+  val RowsPerBand = 3 // P(candidate | j) = 1-(1-j^3)^16 → ~1-1e-5 at j=0.8
 
   /** Distinct word n-gram shingles of the text (trigrams). */
   def shingles(text: Column): Column = call_function("graft_shingles", text)
@@ -98,80 +104,155 @@ object NearDup {
         round(jaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"): _*)
       .filter(col("jaccard") >= threshold)
 
-  /** MinHash+LSH near-dup pairs verified with exact Jaccard ≥ threshold.
-    * Eager: materializes the (small) pair set, then releases the shingle and
-    * banded intermediates. The returned frame stays persisted — pair counts
-    * are O(duplicates), not O(corpus). */
-  def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol)
+  /** Core of the MinHash pipeline against an (already persisted) shingle
+    * table: band, cap, self-join, verify; materializes the (small) pair set
+    * eagerly and releases the banded intermediate. Pair counts are
+    * O(duplicates), not O(corpus). */
+  private def minhashPairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
     val banded = bandedTable(sh)
     val pairs = verifyJaccard(sh, candidatePairsFromBanded(banded), threshold)
       .persist(StorageLevel.MEMORY_AND_DISK)
     pairs.count()
     banded.unpersist()
+    pairs
+  }
+
+  /** MinHash+LSH near-dup pairs verified with exact Jaccard ≥ threshold.
+    * Eager: materializes the pair set, then releases the shingle and banded
+    * intermediates (the cached variant below keeps the shingle table for
+    * reuse instead). */
+  def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol)
+    val pairs = minhashPairsFromShingles(sh, threshold)
     sh.unpersist()
     pairs
   }
 
-  /** Materialized pair tables keyed by corpus key + threshold, so a detect
+  /** Materialized pair tables keyed by corpus key + parameters, so a detect
     * query and its apply step (or repeated catalog runs in one session)
     * compute the LSH pipeline once and reuse the result as a cheap join
-    * input. */
-  private val pairCache = TrieMap[String, DataFrame]()
+    * input.
+    *
+    * One cache per live SparkSession, held through a weak map: a stopped and
+    * GC'd session drops its whole cache with it (round-2 advice — the old
+    * single map keyed entries on `System.identityHashCode(session)`, which
+    * can be reused after GC and never evicts). The caller-supplied
+    * `cacheKey` must uniquely identify the CORPUS (e.g. its directory) —
+    * the frame's contents are not fingerprinted, so two different frames
+    * passed under one key would silently share results. */
+  private val pairCaches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, DataFrame]]())
 
-  private def sessionKey(docs: DataFrame): String =
-    System.identityHashCode(docs.sparkSession).toHexString
+  private def cacheFor(spark: SparkSession): TrieMap[String, DataFrame] =
+    pairCaches.computeIfAbsent(spark, _ => TrieMap.empty[String, DataFrame])
+
+  /** The corpus's shingle table, cached for the session: the MinHash and
+    * SimHash precision tiers both verify against it, so within one catalog
+    * run it is computed once — the single-session analog of checkpointing
+    * the shingle/signature table once per corpus at 100 TB. Stays persisted
+    * until [[clearCaches]]. */
+  def shingleTableCached(docs: DataFrame, idCol: String, textCol: String,
+                         cacheKey: String): DataFrame =
+    cacheFor(docs.sparkSession).getOrElseUpdate(
+      s"shingles|$cacheKey|$idCol|$textCol", {
+        val sh = shingleTable(docs, idCol, textCol)
+        sh.count()
+        sh
+      })
 
   def minhashDupPairsCached(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double, cacheKey: String): DataFrame =
-    pairCache.getOrElseUpdate(
-      s"minhash|${sessionKey(docs)}|$cacheKey|$threshold",
-      minhashDupPairs(docs, idCol, textCol, threshold))
+    cacheFor(docs.sparkSession).getOrElseUpdate(
+      s"minhash|$cacheKey|$idCol|$textCol|$threshold",
+      minhashPairsFromShingles(
+        shingleTableCached(docs, idCol, textCol, cacheKey), threshold))
 
-  def clearCaches(): Unit = {
-    pairCache.values.foreach(_.unpersist())
-    pairCache.clear()
+  /** Unpersist and drop every cached pair table of this session. */
+  def clearCaches(spark: SparkSession): Unit = {
+    val c = pairCaches.remove(spark)
+    if (c != null) c.values.foreach(_.unpersist())
+  }
+
+  /** Unpersist and drop all cached pair tables across sessions. */
+  def clearCaches(): Unit = pairCaches.synchronized {
+    val it = pairCaches.values.iterator()
+    while (it.hasNext) { it.next().values.foreach(_.unpersist()); it.remove() }
   }
 
   /** 64-bit SimHash over the token multiset (custom expression). */
   def simhash64(text: Column): Column = call_function("graft_simhash64", text)
 
-  /** SimHash near-dup pairs, bucketed by `maxHamming + 1` bit-chunks: a pair
-    * within hamming distance ≤ maxHamming of 64 bits differs in at most
-    * maxHamming chunks, so by pigeonhole it agrees exactly on ≥ 1 chunk —
-    * candidate recall is structural, not probabilistic (the round-1 4-chunk
-    * split only guaranteed hamming ≤ 3 against the default filter of 6).
+  /** How the SimHash Hamming join is bucketed: the 64-bit signature is cut
+    * into `SimBlocks` equal blocks (~9 bits each). A pair within Hamming
+    * distance ≤ maxHamming has, by pigeonhole, at least one block with at
+    * most `maxHamming / SimBlocks` differing bits — so bucketing the exact
+    * block values and probing with the Hamming ball of that radius around
+    * each block gives STRUCTURAL candidate recall (multi-index hashing,
+    * Norouzi et al., CVPR'12), not probabilistic.
     *
-    * `maxBucket` is the same spam-bucket skew guard as the MinHash tier:
-    * simhash bits of short documents are globally biased (common-token
-    * votes), so a few chunk values cover half the corpus — without the cap
-    * one sort-merge group enumerates millions of pairs on one task. True
-    * near-dups agree on MANY chunks, so dropping mega-buckets costs no
-    * recall in practice (verified empirically per scale factor); only pairs
-    * whose sole agreeing chunk is a mega-bucket would be lost.
+    * With radius 0 (maxHamming ≤ 6) both sides key on exact block values —
+    * equivalent to the classic maxHamming+1-chunk scheme. With radius 1
+    * (maxHamming ≤ 13) the probe side additionally emits each block value
+    * with one bit flipped (1 + width keys per block). The win over cutting
+    * 64 bits into maxHamming+1 chunks is bucket width: 14 chunks are only
+    * 4-5 bits wide (≤ 32 distinct values), so at corpus scale every bucket
+    * is huge and the self-join enumerates tens of millions of pairs; 7
+    * blocks of 9 bits spread the same corpus over 512 values per block, and
+    * the ball explode (×10 keys on one side) is far cheaper than the
+    * bucket-size blowup it avoids (measured at sf0.1: 16 s → ~3 s). */
+  val SimBlocks = 7
+
+  /** SimHash near-dup pairs within `maxHamming`, via the multi-index block
+    * join described on [[SimBlocks]].
+    *
+    * `maxBucket` drops spam buckets (the same skew guard as the MinHash
+    * tier): simhash bits of short documents are globally biased
+    * (common-token votes), so a few block values cover a large corpus
+    * fraction — without the cap one join group enumerates millions of pairs
+    * on one task. True near-dups agree on MANY blocks, so dropping
+    * mega-buckets costs no recall in practice (verified empirically per
+    * scale factor); only pairs whose sole low-distance block is a
+    * mega-bucket would be lost.
     *
     * The hamming cut rides IN the join condition: bucket-mates that fail it
     * are dropped as the join streams, so the pair dedup shuffles only the
     * (tiny) survivor set, never the full candidate volume. */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame = {
-    val nChunks = maxHamming + 1
-    val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
-    val sim = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-    val chunked = sim.select(col("id"), col("sim"),
-      posexplode(array((0 until nChunks).map { c =>
-        val width = bounds(c + 1) - bounds(c)
-        shiftright(col("sim"), bounds(c))
-          .bitwiseAND(lit((1L << width) - 1L))
-      }: _*)))
-      .toDF("id", "sim", "chunk", "ck")
-    val ok = chunked.groupBy("chunk", "ck").count()
+                      maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame =
+    simhashPairsFromSim(
+      docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim")),
+      maxHamming, maxBucket)
+
+  private def simhashPairsFromSim(sim: DataFrame, maxHamming: Int,
+                                  maxBucket: Int): DataFrame = {
+    val radius = maxHamming / SimBlocks
+    require(radius <= 1,
+      s"simhash block join supports maxHamming <= ${2 * SimBlocks - 1} " +
+        s"(radius-1 ball over $SimBlocks blocks); got $maxHamming")
+    val bounds = (0 to SimBlocks).map(c => c * 64 / SimBlocks)
+    def blockVal(b: Int): Column = {
+      val width = bounds(b + 1) - bounds(b)
+      shiftright(col("sim"), bounds(b)).bitwiseAND(lit((1L << width) - 1L))
+    }
+    // block index and value packed into one long join key
+    def key(b: Int, v: Column): Column = lit(b.toLong << 32).bitwiseOR(v)
+    val exactKeys = (0 until SimBlocks).map(b => key(b, blockVal(b)))
+    val exact = sim.select(col("id"), col("sim"),
+      explode(array(exactKeys: _*)).as("k"))
+    val probe =
+      if (radius == 0) exact
+      else sim.select(col("id"), col("sim"),
+        explode(array((0 until SimBlocks).flatMap { b =>
+          val width = bounds(b + 1) - bounds(b)
+          key(b, blockVal(b)) +: (0 until width).map(bit =>
+            key(b, blockVal(b).bitwiseXOR(lit(1L << bit))))
+        }: _*)).as("k"))
+    val ok = exact.groupBy("k").count()
       .filter(col("count") <= maxBucket).drop("count")
-    val pruned = chunked.join(ok, Seq("chunk", "ck"))
-    pruned.as("a").join(pruned.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
-          col("a.id") < col("b.id") &&
+    probe.join(ok, "k").as("a")
+      .join(exact.join(ok, "k").as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id") &&
           bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= maxHamming)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
@@ -188,16 +269,29 @@ object NearDup {
     * A wide radius keeps recall exact while staying cheap — random 64-bit
     * pairs sit at hamming 32 ± 4, so P(≤ 13) ≈ 1e-7 and the exact-Jaccard
     * verify runs on a candidate set barely larger than the true pairs; the
-    * chunk join itself shuffles only (id, long) rows. On long-document
-    * corpora (simhash's home turf) radius 3-6 restores aggressive chunk
-    * pruning; for short docs MinHash+LSH is the primary scale path. */
+    * block join shuffles only (id, long, long) rows. On long-document
+    * corpora (simhash's home turf) radius 3-6 restores exact-block-only
+    * probing; for short docs MinHash+LSH is the primary scale path. */
+  private def simhashVerifiedFromShingles(docs: DataFrame, sh: DataFrame,
+                                          idCol: String, textCol: String,
+                                          threshold: Double,
+                                          maxHamming: Int): DataFrame = {
+    val sim = docs
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = verifyJaccard(sh,
+        simhashPairsFromSim(sim, maxHamming, maxBucket = 1000), threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    sim.unpersist()
+    pairs
+  }
+
   def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                            threshold: Double, maxHamming: Int = 13): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol)
-    val pairs = verifyJaccard(sh,
-        simhashDupPairs(docs, idCol, textCol, maxHamming), threshold)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
+    val pairs = simhashVerifiedFromShingles(docs, sh, idCol, textCol,
+      threshold, maxHamming)
     sh.unpersist()
     pairs
   }
@@ -205,7 +299,9 @@ object NearDup {
   def simhashVerifiedPairsCached(docs: DataFrame, idCol: String, textCol: String,
                                  threshold: Double, maxHamming: Int,
                                  cacheKey: String): DataFrame =
-    pairCache.getOrElseUpdate(
-      s"simhash|${sessionKey(docs)}|$cacheKey|$threshold|$maxHamming",
-      simhashVerifiedPairs(docs, idCol, textCol, threshold, maxHamming))
+    cacheFor(docs.sparkSession).getOrElseUpdate(
+      s"simhash|$cacheKey|$idCol|$textCol|$threshold|$maxHamming",
+      simhashVerifiedFromShingles(docs,
+        shingleTableCached(docs, idCol, textCol, cacheKey),
+        idCol, textCol, threshold, maxHamming))
 }
