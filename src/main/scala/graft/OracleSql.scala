@@ -620,6 +620,72 @@ object OracleSql {
              CAST(count(CASE WHEN e.event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
              CAST(CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
          FROM latest e JOIN customer c ON e.user_id = c.c_custkey
-         GROUP BY c.c_mktsegment ORDER BY mktsegment"""
+         GROUP BY c.c_mktsegment ORDER BY mktsegment""",
+
+    "dedup_components" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           p AS (
+             SELECT a.doc_id a_id, b.doc_id b_id
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+           e AS (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),
+           reach(id, r) AS (
+             SELECT u, u FROM e
+             UNION
+             SELECT e2.u, reach.r FROM e e2 JOIN reach ON reach.id = e2.v),
+           comp AS (SELECT id, min(r) c FROM reach GROUP BY id)
+         SELECT CAST(id AS BIGINT) AS doc_id, CAST(c AS BIGINT) AS component,
+             CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS n_members
+         FROM comp ORDER BY doc_id""",
+
+    "dedup_apply_cc" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           p AS (
+             SELECT a.doc_id a_id, b.doc_id b_id
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+           e AS (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),
+           reach(id, r) AS (
+             SELECT u, u FROM e
+             UNION
+             SELECT e2.u, reach.r FROM e e2 JOIN reach ON reach.id = e2.v),
+           comp AS (SELECT id, min(r) c FROM reach GROUP BY id)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> c)
+         GROUP BY lang ORDER BY lang""",
+
+    "sample_hash" ->
+      """SELECT event_id, event_type FROM events
+         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '29'
+         ORDER BY event_id""",
+
+    "sample_stratified" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept FROM events
+         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+           CASE event_type WHEN 'purchase' THEN 'ff' WHEN 'signup' THEN '80'
+             WHEN 'view' THEN '40' WHEN 'click' THEN '20'
+             WHEN 'error' THEN '08' ELSE '00' END
+         GROUP BY event_type ORDER BY event_type""",
+
+    "sample_mix_quota" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 60 ORDER BY lang, doc_id""",
+
+    "vocab_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 20"""
   )
 }

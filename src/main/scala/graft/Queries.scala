@@ -890,4 +890,90 @@ object Queries {
         decOut(sum(Cleanse.dec2(col("l_extendedprice")))).as("sum_base_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ── North-star: dup clustering + deterministic sampling ──────────────
+
+  /** Dup-cluster assignment: connected components over the verified MinHash
+    * pair list ([[ops.Components]]) — every doc in any near-dup pair,
+    * labeled with its cluster (the minimum doc_id transitively reachable)
+    * and the cluster size. Oracle: recursive-CTE reachability over the
+    * exact-Jaccard pair list. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = text.NearDup.minhashDupPairsCached(
+      t(spark, dir, "documents"), "doc_id", "text", 0.8, dir)
+    val comp = Components.connectedComponentsCached(pairs, "a_id", "b_id", dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    comp
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cluster-canonical dedup apply: drop every clustered doc except the
+    * minimum of its component. Unlike `dedup_apply` (which drops the
+    * b-side of each EDGE), this is correct under transitivity: in the
+    * cluster {1,2,3} with edges (1,3),(2,3) it keeps only doc 1, where
+    * edge-local logic keeps both 1 and 2. */
+  def dedupApplyCc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = text.NearDup.minhashDupPairsCached(docs, "doc_id", "text", 0.8, dir)
+    val comp = Components.connectedComponentsCached(pairs, "a_id", "b_id", dir)
+    val drop = comp.filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Deterministic content-hash sampling (~16%): keep an event iff the
+    * first md5 byte of its id falls under the threshold. Hash-based (not
+    * `TABLESAMPLE`/rand()) so the sample is stable across runs, engines,
+    * and partitionings — the reproducibility property training-data
+    * pipelines need when a corpus is resampled incrementally. */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(substring(md5(col("event_id").cast(StringType)), 1, 2) < "29")
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** Stratified deterministic sampling: per-stratum hash thresholds (keep
+    * all purchases, half of signups, down to 1/32 of errors) — the "domain
+    * mixing weights" shape: one narrow filter, no shuffle, no rand(). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val thresh = typedLit(Map(
+      "purchase" -> "ff", "signup" -> "80", "view" -> "40",
+      "click" -> "20", "error" -> "08"))
+    t(spark, dir, "events")
+      .filter(substring(md5(col("event_id").cast(StringType)), 1, 2) <
+        coalesce(element_at(thresh, col("event_type")), lit("00")))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-language quota sampling (≤ 60 docs each): rank docs inside each
+    * language by content-hash order and keep the first 60 — deterministic
+    * corpus mixing toward target language proportions. One shuffle (the
+    * per-lang window); at 100 TB the rank is a per-partition top-k under
+    * AQE, never a global sort. */
+  def sampleMixQuota(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 60).drop("rn")
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Corpus vocabulary head: token frequencies over all documents, top 20
+    * with a total order (count desc, token asc). The explode is a narrow
+    * flatMap; the count is one partial-aggregated shuffle — the same plan
+    * at any corpus size. */
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
 }

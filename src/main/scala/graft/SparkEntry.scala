@@ -96,6 +96,12 @@ object SparkEntry {
     "dedup_latest_agg"    -> (Queries.dedupLatestAgg(_, _)),
     "window_sessionize"   -> (Queries.windowSessionize(_, _)),
     "window_sessionize_native" -> (Queries.windowSessionizeNative(_, _)),
+    "dedup_components"    -> (Queries.dedupComponents(_, _)),
+    "dedup_apply_cc"      -> (Queries.dedupApplyCc(_, _)),
+    "sample_hash"         -> (Queries.sampleHash(_, _)),
+    "sample_stratified"   -> (Queries.sampleStratified(_, _)),
+    "sample_mix_quota"    -> (Queries.sampleMixQuota(_, _)),
+    "vocab_topk"          -> (Queries.vocabTopk(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
