@@ -642,6 +642,26 @@ object OracleSql {
              CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS n_members
          FROM comp ORDER BY doc_id""",
 
+    "dedup_components_star" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           p AS (
+             SELECT a.doc_id a_id, b.doc_id b_id
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+           e AS (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),
+           reach(id, r) AS (
+             SELECT u, u FROM e
+             UNION
+             SELECT e2.u, reach.r FROM e e2 JOIN reach ON reach.id = e2.v),
+           comp AS (SELECT id, min(r) c FROM reach GROUP BY id)
+         SELECT CAST(id AS BIGINT) AS doc_id, CAST(c AS BIGINT) AS component,
+             CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS n_members
+         FROM comp ORDER BY doc_id""",
+
     "dedup_apply_cc" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
@@ -686,6 +706,60 @@ object OracleSql {
     "vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-         GROUP BY token ORDER BY n DESC, token LIMIT 20"""
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+
+    "corpus_curate" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           p AS (
+             SELECT a.doc_id a_id, b.doc_id b_id
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+           e AS (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),
+           reach(id, r) AS (
+             SELECT u, u FROM e
+             UNION
+             SELECT e2.u, reach.r FROM e e2 JOIN reach ON reach.id = e2.v),
+           comp AS (SELECT id, min(r) c FROM reach GROUP BY id),
+           kept AS (SELECT lang, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                 len(string_split(text, ' ')), 4) AS uniq_ratio
+             FROM documents
+             WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> c))
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS mean_tokens
+         FROM kept WHERE n_tokens >= 30 AND uniq_ratio >= 0.32
+         GROUP BY lang ORDER BY lang""",
+
+    "profile_table" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) n_rows,
+             CAST(count(event_id) AS BIGINT) e_nn,
+             CAST(count(DISTINCT event_id) AS BIGINT) e_nd,
+             CAST(min(event_id) AS VARCHAR) e_mn, CAST(max(event_id) AS VARCHAR) e_mx,
+             CAST(count(user_id) AS BIGINT) u_nn,
+             CAST(count(DISTINCT user_id) AS BIGINT) u_nd,
+             CAST(min(user_id) AS VARCHAR) u_mn, CAST(max(user_id) AS VARCHAR) u_mx,
+             CAST(count(event_type) AS BIGINT) t_nn,
+             CAST(count(DISTINCT event_type) AS BIGINT) t_nd,
+             min(event_type) t_mn, max(event_type) t_mx,
+             CAST(count(props) AS BIGINT) p_nn,
+             CAST(count(DISTINCT props) AS BIGINT) p_nd,
+             min(props) p_mn, max(props) p_mx
+           FROM events)
+         SELECT col_name, n_rows, n_notnull, n_distinct, min_val, max_val FROM (
+           SELECT 'event_id' col_name, n_rows, e_nn n_notnull, e_nd n_distinct,
+               e_mn min_val, e_mx max_val FROM a
+           UNION ALL
+           SELECT 'user_id', n_rows, u_nn, u_nd, u_mn, u_mx FROM a
+           UNION ALL
+           SELECT 'event_type', n_rows, t_nn, t_nd, t_mn, t_mx FROM a
+           UNION ALL
+           SELECT 'props', n_rows, p_nn, p_nd, p_mn, p_mx FROM a)
+         ORDER BY col_name"""
   )
 }

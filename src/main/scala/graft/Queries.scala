@@ -909,6 +909,24 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Same clustering through the O(log n)-round alternating large-star /
+    * small-star edge rewriting ([[ops.Components.connectedComponentsStar]])
+    * — the declared proof that the scale-path algorithm exists and agrees:
+    * same recursive-CTE oracle as `dedup_components`. */
+  def dedupComponentsStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = text.NearDup.minhashDupPairsCached(
+      t(spark, dir, "documents"), "doc_id", "text", 0.8, dir)
+    val comp = Components.connectedComponentsStar(pairs, "a_id", "b_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    val out = comp
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+    out.cache().count()
+    comp.unpersist()
+    out
+  }
+
   /** Cluster-canonical dedup apply: drop every clustered doc except the
     * minimum of its component. Unlike `dedup_apply` (which drops the
     * b-side of each EDGE), this is correct under transitivity: in the
@@ -976,4 +994,53 @@ object Queries {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(20)
+
+  /** End-to-end corpus curation — the training-data pipeline composed:
+    * cluster-canonical near-dup removal (reuses the cached pair table and
+    * component labels), then cheap quality gates (length + uniqueness), then
+    * per-language corpus stats. Everything upstream of the (tiny) anti-join
+    * set is narrow maps over the documents scan. */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = text.NearDup.minhashDupPairsCached(docs, "doc_id", "text", 0.8, dir)
+    val comp = Components.connectedComponentsCached(pairs, "a_id", "b_id", dir)
+    val drop = comp.filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val toks = split(col("text"), " ")
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .withColumn("n_tokens", size(toks))
+      .withColumn("uniq_ratio",
+        round(size(array_distinct(toks)).cast(DoubleType) /
+          size(toks).cast(DoubleType), 4))
+      .filter(col("n_tokens") >= 30 && col("uniq_ratio") >= 0.32)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        round(sum(col("n_tokens")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 4).as("mean_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Table profiling (the ANALYZE shape): per-column row/non-null/distinct
+    * counts and min/max, for the long and string columns of events — ONE
+    * scan (Spark plans the multi-distinct aggregate through a single-pass
+    * Expand), then the 1-row aggregate unpivots to a row per column.
+    * Doubles/timestamps are excluded by design: their string rendering is
+    * engine-specific, and profiling them belongs to typed stats. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "user_id", "event_type", "props")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_nn"),
+      count_distinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).cast(StringType).as(s"${c}_mn"),
+      max(col(c)).cast(StringType).as(s"${c}_mx")))
+    t(spark, dir, "events")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("n_rows"),
+        col(s"${c}_nn").as("n_notnull"), col(s"${c}_nd").as("n_distinct"),
+        col(s"${c}_mn").as("min_val"), col(s"${c}_mx").as("max_val"))): _*))
+        .as("s"))
+      .select(col("s.*"))
+      .orderBy(col("col_name"))
+  }
 }

@@ -97,11 +97,14 @@ object SparkEntry {
     "window_sessionize"   -> (Queries.windowSessionize(_, _)),
     "window_sessionize_native" -> (Queries.windowSessionizeNative(_, _)),
     "dedup_components"    -> (Queries.dedupComponents(_, _)),
+    "dedup_components_star" -> (Queries.dedupComponentsStar(_, _)),
     "dedup_apply_cc"      -> (Queries.dedupApplyCc(_, _)),
     "sample_hash"         -> (Queries.sampleHash(_, _)),
     "sample_stratified"   -> (Queries.sampleStratified(_, _)),
     "sample_mix_quota"    -> (Queries.sampleMixQuota(_, _)),
     "vocab_topk"          -> (Queries.vocabTopk(_, _)),
+    "corpus_curate"       -> (Queries.corpusCurate(_, _)),
+    "profile_table"       -> (Queries.profileTable(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

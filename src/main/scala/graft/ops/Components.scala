@@ -59,9 +59,13 @@ object Components {
       // each vertex adopts the smallest label among itself and its neighbors
       val viaNeighbors = edges.join(labels.toDF("dst", "comp"), "dst")
         .select(col("src").as("id"), col("comp"))
+      // localCheckpoint truncates lineage: an iterative plan that references
+      // the previous round's frame multiple times otherwise grows
+      // geometrically and chokes the analyzer long before the data is big
+      // (at cluster scale this is a reliable checkpoint to storage)
       val next = labels.union(viaNeighbors)
         .groupBy("id").agg(min("comp").as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -69,6 +73,82 @@ object Components {
       prevSum = nextSum
       iter += 1
     }
+    edges.unpersist()
+    labels
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round alternative to min-label
+    * propagation for graphs whose components have long chains (propagation
+    * needs diameter rounds; star rewriting halves path lengths every
+    * round). Each round is two per-node window minima plus an edge dedup —
+    * shuffle shapes identical to propagation's join+agg, just fewer rounds
+    * at scale. At the fixpoint the edge set is a union of stars rooted at
+    * each component's minimum vertex, so labels read off the final edges
+    * directly.
+    *
+    * large-star(u): every neighbor v > u re-points to m = min(N(u) ∪ {u});
+    * small-star(u): u and its smaller neighbors all point to its minimum
+    * neighbor. Both preserve connectivity; alternation converges. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    // canonical undirected form: (u = max, v = min), no self-loops, distinct
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = least(min(col("v")).over(Window.partitionBy(col("u"))), col("u"))
+      canon(sym.select(col("u"), col("v"), m.as("m"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val g = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val withM = g.select(col("u"), col("v"),
+        min(col("v")).over(Window.partitionBy(col("u"))).as("m"))
+      canon(withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v"))))
+    }
+
+    // edge-set signature (count + order-independent hash sum) — one cheap
+    // aggregate per round to detect the fixpoint
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0)))).first()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+
+    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+      .localCheckpoint(true)
+    var prevSig = sig(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each star op references the previous edge frame 2×, so lineage
+      // would QUADRUPLE per round without per-round checkpoint truncation
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = sig(next)
+      edges.unpersist()
+      edges = next
+      converged = nextSig == prevSig
+      prevSig = nextSig
+      iter += 1
+    }
+    val labels = edges.select(col("u").as("id"), col("v").as("comp"))
+      .union(edges.select(col("v").as("id"), col("v").as("comp")))
+      .groupBy("id").agg(min("comp").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
     edges.unpersist()
     labels
   }

@@ -47,4 +47,29 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L))
     assert(got.keySet == Set(1L, 6L, 7L, 8L, 9L))
   }
+
+  test("star rewriting equals propagation on a random multi-component graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("a_id", "b_id")
+    val prop = Components.connectedComponents(pairs, "a_id", "b_id")
+    val star = Components.connectedComponentsStar(pairs, "a_id", "b_id")
+    val pm = prop.as[(Long, Long)].collect().toMap
+    val sm = star.as[(Long, Long)].collect().toMap
+    prop.unpersist(); star.unpersist()
+    assert(pm == sm)
+    assert(pm.nonEmpty)
+  }
+
+  test("star rewriting closes a 64-node chain (log-round regime)") {
+    // worst case for propagation (diameter rounds); star rewriting halves
+    // path lengths each round, so 20 iterations is ample headroom
+    val pairs = (1L until 64L).map(i => (i + 1, i)).toDF("a_id", "b_id")
+    val star = Components.connectedComponentsStar(pairs, "a_id", "b_id")
+    val got = star.as[(Long, Long)].collect().toMap
+    star.unpersist()
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to 64L).toSet)
+  }
 }
