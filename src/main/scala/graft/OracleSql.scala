@@ -708,6 +708,18 @@ object OracleSql {
            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
 
+    "dedup_incremental" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents)
+         SELECT new_id, base_id, jaccard FROM (
+           SELECT d.doc_id new_id, b.doc_id base_id,
+               round(CAST(len(list_intersect(d.sh, b.sh)) AS DOUBLE) /
+                     (len(d.sh) + len(b.sh) - len(list_intersect(d.sh, b.sh))), 4) jaccard
+           FROM t d JOIN t b ON d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+         WHERE jaccard >= 0.8 ORDER BY new_id, base_id""",
+
     "corpus_curate" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),

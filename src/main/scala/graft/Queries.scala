@@ -995,6 +995,16 @@ object Queries {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  /** Incremental ingest dedup: the 10% "new batch" (doc_id ≡ 0 mod 10) is
+    * banded and joined against the 90% corpus — the production pattern
+    * where each arriving batch dedups against the checkpointed corpus
+    * signatures without ever re-pairing the corpus with itself. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    text.NearDup.minhashDupPairsIncrementalCached(
+        t(spark, dir, "documents"), "doc_id", "text", 0.8,
+        col("id") % 10 === 0, dir)
+      .orderBy(col("new_id"), col("base_id"))
+
   /** End-to-end corpus curation — the training-data pipeline composed:
     * cluster-canonical near-dup removal (reuses the cached pair table and
     * component labels), then cheap quality gates (length + uniqueness), then

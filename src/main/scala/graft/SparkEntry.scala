@@ -105,6 +105,7 @@ object SparkEntry {
     "vocab_topk"          -> (Queries.vocabTopk(_, _)),
     "corpus_curate"       -> (Queries.corpusCurate(_, _)),
     "profile_table"       -> (Queries.profileTable(_, _)),
+    "dedup_incremental"   -> (Queries.dedupIncremental(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

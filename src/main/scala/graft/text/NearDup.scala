@@ -161,12 +161,31 @@ object NearDup {
         sh
       })
 
+  /** The corpus's banded (id, band, bandHash) table, cached for the session
+    * beside [[shingleTableCached]] — the signature index an ingest pipeline
+    * checkpoints once and probes per batch. */
+  def bandedTableCached(docs: DataFrame, idCol: String, textCol: String,
+                        cacheKey: String): DataFrame =
+    cacheFor(docs.sparkSession).getOrElseUpdate(
+      s"banded|$cacheKey|$idCol|$textCol", {
+        val banded = bandedTable(
+          shingleTableCached(docs, idCol, textCol, cacheKey))
+        banded.count()
+        banded
+      })
+
   def minhashDupPairsCached(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double, cacheKey: String): DataFrame =
     cacheFor(docs.sparkSession).getOrElseUpdate(
-      s"minhash|$cacheKey|$idCol|$textCol|$threshold",
-      minhashPairsFromShingles(
-        shingleTableCached(docs, idCol, textCol, cacheKey), threshold))
+      s"minhash|$cacheKey|$idCol|$textCol|$threshold", {
+        val sh = shingleTableCached(docs, idCol, textCol, cacheKey)
+        val pairs = verifyJaccard(sh,
+            candidatePairsFromBanded(
+              bandedTableCached(docs, idCol, textCol, cacheKey)), threshold)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        pairs.count()
+        pairs
+      })
 
   /** Unpersist and drop every cached pair table of this session. */
   def clearCaches(spark: SparkSession): Unit = {
@@ -179,6 +198,74 @@ object NearDup {
     val it = pairCaches.values.iterator()
     while (it.hasNext) { it.next().values.foreach(_.unpersist()); it.remove() }
   }
+
+  /** Incremental near-dup detection: band the (small) DELTA batch and
+    * equi-join it against the corpus band table — candidate work scales
+    * with |delta| × bucket density, never |corpus|², and the corpus side is
+    * exactly the checkpointed signature table a production ingest pipeline
+    * maintains (here: the session-cached shingle table via the cached
+    * variant's `cacheKey`). The spam-bucket cap applies to CORPUS bucket
+    * sizes — the side whose skew can explode the join. Returns
+    * (new_id, base_id, jaccard) pairs with exact-Jaccard precision. */
+  def minhashDupPairsIncremental(base: DataFrame, delta: DataFrame,
+                                 idCol: String, textCol: String,
+                                 threshold: Double,
+                                 maxBucket: Int = 1000): DataFrame = {
+    val shBase = shingleTable(base, idCol, textCol)
+    val shDelta = shingleTable(delta, idCol, textCol)
+    val bandedBase = bandedTable(shBase)
+    val bandedDelta = bandedTable(shDelta)
+    val ok = bandedBase.groupBy("band", "bh").count()
+      .filter(col("count") <= maxBucket).drop("count")
+    val cand = bandedDelta.toDF("new_id", "band", "bh")
+      .join(bandedBase.toDF("base_id", "band", "bh").join(ok, Seq("band", "bh")),
+        Seq("band", "bh"))
+      .filter(col("new_id") =!= col("base_id"))
+      .select(col("new_id"), col("base_id"))
+      .dropDuplicates("new_id", "base_id")
+    val pairs = cand
+      .join(shDelta.toDF("new_id", "new_sh"), "new_id")
+      .join(shBase.toDF("base_id", "base_sh"), "base_id")
+      .select(col("new_id"), col("base_id"),
+        round(jaccard(col("new_sh"), col("base_sh")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    bandedDelta.unpersist(); bandedBase.unpersist()
+    shDelta.unpersist(); shBase.unpersist()
+    pairs
+  }
+
+  /** Cached incremental dedup over a SPLIT of one corpus: the session's
+    * cached shingle + banded tables are filtered by `deltaPred` (a predicate
+    * over the `id` column) instead of re-shingling each side — the in-demo
+    * analog of probing a checkpointed signature index with a new batch. */
+  def minhashDupPairsIncrementalCached(docs: DataFrame, idCol: String,
+                                       textCol: String, threshold: Double,
+                                       deltaPred: Column, cacheKey: String,
+                                       maxBucket: Int = 1000): DataFrame =
+    cacheFor(docs.sparkSession).getOrElseUpdate(
+      s"minhash_inc|$cacheKey|$idCol|$textCol|$threshold|${deltaPred.toString}", {
+        val sh = shingleTableCached(docs, idCol, textCol, cacheKey)
+        val banded = bandedTableCached(docs, idCol, textCol, cacheKey)
+        val bandedBase = banded.filter(!deltaPred)
+        val ok = bandedBase.groupBy("band", "bh").count()
+          .filter(col("count") <= maxBucket).drop("count")
+        val cand = banded.filter(deltaPred).toDF("new_id", "band", "bh")
+          .join(bandedBase.toDF("base_id", "band", "bh")
+            .join(ok, Seq("band", "bh")), Seq("band", "bh"))
+          .select(col("new_id"), col("base_id"))
+          .dropDuplicates("new_id", "base_id")
+        val pairs = cand
+          .join(sh.toDF("new_id", "new_sh"), "new_id")
+          .join(sh.toDF("base_id", "base_sh"), "base_id")
+          .select(col("new_id"), col("base_id"),
+            round(jaccard(col("new_sh"), col("base_sh")), 4).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        pairs.count()
+        pairs
+      })
 
   /** 64-bit SimHash over the token multiset (custom expression). */
   def simhash64(text: Column): Column = call_function("graft_simhash64", text)

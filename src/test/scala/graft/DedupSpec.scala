@@ -67,4 +67,19 @@ class DedupSpec extends AnyFunSuite {
     val twice = Dedup.upsert(once, changes, Seq("k"), col("ver"))
     assert(once.collect().toSet == twice.collect().toSet)
   }
+
+  test("incremental dedup equals the cross-split slice of full-corpus pairs") {
+    val docs = graft.ops.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val full = graft.text.NearDup
+      .minhashDupPairs(docs, "doc_id", "text", 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expected = full.filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+    val inc = graft.text.NearDup.minhashDupPairsIncremental(
+        docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0),
+        "doc_id", "text", 0.8)
+      .select("new_id", "base_id").as[(Long, Long)].collect()
+      .map { case (n, b) => (math.min(n, b), math.max(n, b)) }.toSet
+    assert(inc == expected)
+    assert(inc.nonEmpty) // the sf0.001 corpus must actually exercise the op
+  }
 }
