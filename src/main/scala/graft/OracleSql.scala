@@ -708,6 +708,42 @@ object OracleSql {
            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
 
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           ce AS (SELECT doc_id, unnest(sh) s FROM t WHERE doc_id >= 10),
+           be AS (SELECT doc_id bench_id, unnest(sh) s FROM t WHERE doc_id < 10)
+         SELECT ce.doc_id, CAST(count(DISTINCT ce.s) AS BIGINT) AS n_shared,
+             CAST(count(DISTINCT be.bench_id) AS BIGINT) AS n_bench_docs
+         FROM ce JOIN be USING (s)
+         GROUP BY ce.doc_id ORDER BY ce.doc_id""",
+
+    "pack_tokens" ->
+      """SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM (
+           SELECT lang, doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT) AS bin
+           FROM (SELECT lang, doc_id,
+                     len(string_split(text, ' ')) AS n_tokens FROM documents))
+         GROUP BY lang, bin ORDER BY lang, bin""",
+
+    "quality_deciles" ->
+      """SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+             min(uniq_ratio) AS min_ratio, max(uniq_ratio) AS max_ratio,
+             round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS mean_tokens
+         FROM (
+           SELECT n_tokens, uniq_ratio,
+               ntile(10) OVER (ORDER BY uniq_ratio, doc_id) AS decile
+           FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                     round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                       len(string_split(text, ' ')), 4) AS uniq_ratio
+                 FROM documents))
+         GROUP BY decile ORDER BY decile""",
+
     "dedup_incremental" ->
       """WITH t AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),

@@ -1030,6 +1030,72 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Benchmark decontamination: corpus docs sharing any word-trigram with
+    * the "benchmark" subset (doc_id < 10) — the n-gram overlap check every
+    * training pipeline runs against eval sets before training. The (tiny)
+    * benchmark side explodes and BROADCASTS, so the corpus scan never
+    * shuffles. Trigrams reuse the shingle kernel; production runs use
+    * longer (8-13) grams so common-phrase collisions vanish — same plan,
+    * different `n` — and pre-drop stop-grams to kill hot-key skew. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = text.NearDup.shingleTableCached(
+      t(spark, dir, "documents"), "doc_id", "text", dir)
+    val corpus = sh.filter(col("id") >= 10)
+      .select(col("id").as("doc_id"), explode(col("sh")).as("s"))
+    val bench = sh.filter(col("id") < 10)
+      .select(col("id").as("bench_id"), explode(col("sh")).as("s"))
+    corpus.join(broadcast(bench), "s")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("s")).as("n_shared"),
+        count_distinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing: concatenate each language's docs in id order and cut
+    * the token stream into 2048-token training windows; a doc belongs to
+    * the bin where it STARTS. Per-language windows keep the prefix-sum
+    * parallel (one shuffle on lang); a single global stream would serialize
+    * the cumsum — at cluster scale that becomes a two-pass partitioned
+    * prefix sum, same semantics. */
+  def packTokens(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tokens")) / lit(2048.0)).cast(LongType))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  /** Quality deciles: ntile(10) over the uniqueness ratio (total order via
+    * doc_id tiebreak) with per-decile corpus stats — the distribution view
+    * that picks curation thresholds. The unpartitioned ntile serializes the
+    * rank over the (narrow, 3-column) per-doc stats; at cluster scale the
+    * same view comes from `approx_percentile` cut points instead of an
+    * exact global rank. */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("uniq_ratio"), col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        round(size(array_distinct(toks)).cast(DoubleType) /
+          size(toks).cast(DoubleType), 4).as("uniq_ratio"))
+      .withColumn("decile", ntile(10).over(w).cast(LongType))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("uniq_ratio")).as("min_ratio"),
+        max(col("uniq_ratio")).as("max_ratio"),
+        round(sum(col("n_tokens")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 4).as("mean_tokens"))
+      .orderBy(col("decile"))
+  }
+
   /** Table profiling (the ANALYZE shape): per-column row/non-null/distinct
     * counts and min/max, for the long and string columns of events — ONE
     * scan (Spark plans the multi-distinct aggregate through a single-pass

@@ -106,6 +106,9 @@ object SparkEntry {
     "corpus_curate"       -> (Queries.corpusCurate(_, _)),
     "profile_table"       -> (Queries.profileTable(_, _)),
     "dedup_incremental"   -> (Queries.dedupIncremental(_, _)),
+    "decontaminate"       -> (Queries.decontaminate(_, _)),
+    "pack_tokens"         -> (Queries.packTokens(_, _)),
+    "quality_deciles"     -> (Queries.qualityDeciles(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
