@@ -74,6 +74,13 @@ object Components {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIter rounds — the graph " +
+          "has components with diameter beyond the round budget; use " +
+          "connectedComponentsStar (O(log n) rounds) for chain-heavy graphs")
+    }
     labels
   }
 
@@ -143,6 +150,12 @@ object Components {
       converged = nextSig == prevSig
       prevSig = nextSig
       iter += 1
+    }
+    if (!converged) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"star rewriting did not converge in $maxIter rounds " +
+          "(needs ~log2(longest path); raise maxIter)")
     }
     val labels = edges.select(col("u").as("id"), col("v").as("comp"))
       .union(edges.select(col("v").as("id"), col("v").as("comp")))

@@ -62,6 +62,25 @@ class ComponentsSpec extends AnyFunSuite {
     assert(pm.nonEmpty)
   }
 
+  test("propagation refuses to return wrong labels past its round budget") {
+    // a 40-node chain cannot converge in 3 rounds; silent wrong labels
+    // would poison every downstream dedup — it must throw instead
+    val pairs = (1L until 40L).map(i => (i + 1, i)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(pairs, "a_id", "b_id", maxIter = 3)
+    }
+    assert(e.getMessage.contains("connectedComponentsStar"))
+  }
+
+  test("star rewriting closes a 1024-node chain inside its log-round budget") {
+    // diameter 1023: propagation would need ~1023 rounds, star needs ~10
+    val pairs = (1L until 1024L).map(i => (i + 1, i)).toDF("a_id", "b_id")
+    val star = Components.connectedComponentsStar(pairs, "a_id", "b_id")
+    val got = star.as[(Long, Long)].collect()
+    star.unpersist()
+    assert(got.length == 1024 && got.forall(_._2 == 1L))
+  }
+
   test("star rewriting closes a 64-node chain (log-round regime)") {
     // worst case for propagation (diameter rounds); star rewriting halves
     // path lengths each round, so 20 iterations is ample headroom
