@@ -744,6 +744,18 @@ object OracleSql {
                  FROM documents))
          GROUP BY decile ORDER BY decile""",
 
+    "stream_dedup_incremental" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents)
+         SELECT new_id, base_id, jaccard FROM (
+           SELECT d.doc_id new_id, b.doc_id base_id,
+               round(CAST(len(list_intersect(d.sh, b.sh)) AS DOUBLE) /
+                     (len(d.sh) + len(b.sh) - len(list_intersect(d.sh, b.sh))), 4) jaccard
+           FROM t d JOIN t b ON d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+         WHERE jaccard >= 0.8 ORDER BY new_id, base_id""",
+
     "dedup_incremental" ->
       """WITH t AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),

@@ -59,6 +59,7 @@ object SparkEntry {
     "stream_dedup"        -> (streaming.StreamTwins.streamDedupKeys(_, _)),
     "stream_sessionize"   -> (streaming.StreamTwins.streamSessionize(_, _)),
     "stream_stream_join"  -> (streaming.StreamTwins.streamStreamJoin(_, _)),
+    "stream_dedup_incremental" -> (streaming.StreamTwins.streamIncrementalDedup(_, _)),
     "lang_id"             -> (Queries.langId(_, _)),
     "text_quality"        -> (Queries.textQuality(_, _)),
     "token_count"         -> (Queries.tokenCount(_, _)),

@@ -243,6 +243,63 @@ object StreamTwins {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** STREAMING incremental ingest dedup: arriving documents stream-static
+    * join the session-cached corpus signature index — the real-time form of
+    * `dedup_incremental`. The streaming side is all narrow maps (shingle →
+    * sig → band explode); the corpus band and shingle tables are static
+    * broadcast sides, so a micro-batch never shuffles the corpus; the only
+    * streaming state is the candidate-pair dedup. The delta (doc_id ≡ 0 mod
+    * 10) lands as parquet once and is picked up by the file source, so the
+    * declared run is deterministic and shares `dedup_incremental`'s oracle.
+    * The band-key explode carries the shingle array alongside (×Bands
+    * duplication) to keep the verify join static-only — at corpus scale the
+    * verify would re-join the delta's own shingle store instead. */
+  def streamIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.NearDup
+    val ss = streamSession(spark)
+    val docs = graft.ops.Tables.table(ss, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val key = s"$sfDir#stream_base"
+    val shBase = NearDup.shingleTableCached(corpus, "doc_id", "text", key)
+    val bandedBase = NearDup.bandedTableCached(corpus, "doc_id", "text", key)
+
+    val landing = java.nio.file.Paths.get(graft.ops.TempFiles.dir(
+      s"stream_docs_delta_${graft.ops.TempFiles.tag(sfDir)}"))
+    val hasFiles = {
+      val s = java.nio.file.Files.list(landing)
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (!hasFiles)
+      docs.filter(col("doc_id") % 10 === 0)
+        .repartition(1).write.mode("overwrite").parquet(landing.toString)
+
+    val delta = ss.readStream.schema(docsSchema).parquet(landing.toString)
+    val banded = delta
+      .select(col("doc_id").as("new_id"),
+        NearDup.shingles(col("text")).as("new_sh"))
+      .select(col("new_id"), col("new_sh"),
+        posexplode(NearDup.bandHashes(NearDup.minhashSig(col("new_sh")))))
+      .toDF("new_id", "new_sh", "band", "bh")
+    val cand = banded
+      .join(broadcast(bandedBase.toDF("base_id", "band", "bh")),
+        Seq("band", "bh"))
+      .dropDuplicates("new_id", "base_id")
+    val verified = cand
+      .join(broadcast(shBase.toDF("base_id", "base_sh")), "base_id")
+      .select(col("new_id"), col("base_id"),
+        round(NearDup.jaccard(col("new_sh"), col("base_sh")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+    runToMemory(verified,
+      s"stream_inc_dedup_sink_${graft.ops.TempFiles.tag(sfDir).replace(".", "_")}",
+      "append")
+      .orderBy(col("new_id"), col("base_id"))
+  }
+
   /** Watermarked tumbling-window count in append mode: only windows the
     * watermark (max event time − 1h) has passed are emitted — the streaming
     * twin of the reference's event-time cutoff. */
