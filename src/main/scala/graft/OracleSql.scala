@@ -384,6 +384,24 @@ object OracleSql {
          GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
          ORDER BY segment, status""",
 
+    "agg_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+             coalesce(o_orderstatus, 'ALL') AS status,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS total
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY CUBE (c_mktsegment, o_orderstatus)
+         ORDER BY segment, status""",
+
+    "window_rolling_time" ->
+      """SELECT user_id, event_id,
+             CAST(count(*) OVER w AS BIGINT) AS n_24h,
+             CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DECIMAL(18,4)) AS DOUBLE) AS sum_24h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+
     "agg_pivot" ->
       """SELECT c_mktsegment,
              CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,

@@ -608,6 +608,40 @@ object Queries {
       .orderBy(col("segment"), col("status"))
   }
 
+  /** A6b — CUBE: all grouping-set combinations with explicit ALL labels
+    * (rollup's lattice sibling; same one-Expand-pass plan). */
+  def aggCube(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        decOut(sum(Cleanse.dec2(col("o_totalprice")))).as("total"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("cnt"), col("total"))
+      .orderBy(col("segment"), col("status"))
+  }
+
+  /** W4 — event-TIME rolling window (RANGE frame): per user, the count and
+    * value sum of the trailing 24 hours at each event — the time-based
+    * sibling of the rows-based `window_running` (a RANGE frame bounds the
+    * frame by timestamp distance, so ties and gaps behave identically on
+    * any engine). One shuffle on user_id. */
+  def windowRollingTime(spark: SparkSession, dir: String): DataFrame = {
+    val dayMicros = 24L * 3600 * 1000000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_micros"))
+      .rangeBetween(-dayMicros, 0)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_micros"), col("value"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_24h", decOut(sum(Cleanse.dec2(col("value"))).over(w)))
+      .select(col("user_id"), col("event_id"), col("n_24h"), col("sum_24h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** A7 — pivot to one column per status (explicit value list so the
     * output schema is static, the scalable form of pivot). */
   def aggPivot(spark: SparkSession, dir: String): DataFrame = {
