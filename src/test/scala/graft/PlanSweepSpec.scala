@@ -26,4 +26,29 @@ class PlanSweepSpec extends AnyFunSuite {
       s"undocumented scale-killer plans in: $unexpected " +
         s"(allowlist: ${PlanSweep.Allowlist})")
   }
+
+  test("decontaminate joins the benchmark side as a broadcast, never a shuffle") {
+    val plan = Queries.decontaminate(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n$plan")
+  }
+
+  test("hash sampling is a pure pushup-free filter (no pre-sort exchange)") {
+    // one range exchange for the final ORDER BY is expected; the sample
+    // filter itself must not induce any aggregation or join exchange
+    val plan = Queries.sampleHash(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
+      s"hash sampling should be filter-only:\n$plan")
+  }
+
+  test("incremental dedup probes the cached index instead of rescanning") {
+    val dir = "/root/testdata/sf0.001"
+    Queries.dedupIncremental(spark, dir).count() // warm the session index
+    val plan = Queries.dedupIncremental(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"incremental dedup should read the cached pair/index tables:\n$plan")
+  }
 }
