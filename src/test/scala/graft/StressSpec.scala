@@ -47,4 +47,34 @@ class StressSpec extends AnyFunSuite {
     val b = NearDup.minhashDupPairsCached(docs, "doc_id", "text", 0.8, "spec-key")
     assert(a eq b)
   }
+
+  test("connected components close the 10x dup graph in bounded rounds") {
+    // 10 byte-identical copies of every doc → dense near-clique clusters:
+    // tens of thousands of edges, the worst realistic load for the
+    // clustering step between detection and apply
+    val docs = ops.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text")
+    val big = (0 until 10).map(i => docs.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    val pairs = NearDup.minhashDupPairs(big, "doc_id", "text", 0.8)
+    val nEdges = pairs.count()
+
+    val t0 = System.nanoTime()
+    val comp = ops.Components.connectedComponents(pairs, "a_id", "b_id")
+    val secs = (System.nanoTime() - t0) / 1e9
+    import spark.implicits._
+    val labels = comp.as[(Long, Long)].collect()
+    comp.unpersist(); pairs.unpersist()
+
+    // every vertex of the pair graph is labeled, labels are component minima
+    val byComp = labels.groupBy(_._2)
+    assert(byComp.forall { case (c, members) => members.map(_._1).min == c })
+    // the 10 copies of one doc must always share a component
+    assert(labels.filter(_._1 % 1000000L == 0L)
+      .groupBy(_._1 % 1000000L).forall(_._2.map(_._2).distinct.length == 1))
+    info(f"$nEdges edges -> ${byComp.size} clusters of ${labels.length} docs " +
+      f"in $secs%.1f s")
+    assert(secs < 60, s"CC over the 10x dup graph took $secs s")
+  }
 }
