@@ -384,6 +384,30 @@ object OracleSql {
          GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
          ORDER BY segment, status""",
 
+    "dedup_modality_agreement" ->
+      """WITH sht AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           tp AS (
+             SELECT a.doc_id a_id, b.doc_id b_id
+             FROM sht a JOIN sht b ON a.doc_id < b.doc_id
+             WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+           n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM v),
+           ep AS (
+             SELECT a.vec_id a_id, b.vec_id b_id
+             FROM n a JOIN n b ON a.vec_id < b.vec_id
+             WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4)
+         SELECT category, CAST(count(*) AS BIGINT) AS n_pairs FROM (
+           SELECT CASE
+               WHEN t.a_id IS NOT NULL AND e.a_id IS NOT NULL THEN 'both'
+               WHEN t.a_id IS NOT NULL THEN 'text_only'
+               ELSE 'embedding_only' END AS category
+           FROM tp t FULL OUTER JOIN ep e ON t.a_id = e.a_id AND t.b_id = e.b_id)
+         GROUP BY category ORDER BY category""",
+
     "agg_cube" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
              coalesce(o_orderstatus, 'ALL') AS status,

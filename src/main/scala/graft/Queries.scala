@@ -840,10 +840,31 @@ object Queries {
     * recall ≈ 1 at cos ≥ 0.4 (miss ≤ 1e-7 per pair), so the result is
     * bit-identical to the exact tier and shares its oracle. */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
-    sim.Similarity.cosineDupPairsLsh(t(spark, dir, "embeddings"),
-        "vec_id", "embedding", 0.4)
+    sim.Similarity.cosineDupPairsLshCached(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", 0.4, dir)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("a_id"), col("b_id"))
+
+  /** Modality agreement: the text near-dup signal (Jaccard ≥ 0.8) and the
+    * embedding near-dup signal (cosine ≥ 0.4) over the SAME item ids,
+    * full-outer-joined pairwise — the complementarity report that tells a
+    * curation pipeline whether its two dedup passes are redundant or
+    * additive. Both pair tables come from the session caches, so this is
+    * join-only on top of already-declared work. */
+  def dedupModalityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val tp = text.NearDup.minhashDupPairsCached(
+        t(spark, dir, "documents"), "doc_id", "text", 0.8, dir)
+      .select(col("a_id"), col("b_id"), lit(1).as("in_text"))
+    val ep = sim.Similarity.cosineDupPairsLshCached(
+        t(spark, dir, "embeddings"), "vec_id", "embedding", 0.4, dir)
+      .select(col("a_id"), col("b_id"), lit(1).as("in_emb"))
+    tp.join(ep, Seq("a_id", "b_id"), "full_outer")
+      .select(when(col("in_text").isNotNull && col("in_emb").isNotNull, "both")
+        .when(col("in_text").isNotNull, "text_only")
+        .otherwise("embedding_only").as("category"))
+      .groupBy(col("category")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("category"))
+  }
 
   // ── North-star: similarity search ────────────────────────────────────
 

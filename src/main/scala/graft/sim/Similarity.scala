@@ -1,9 +1,11 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+import scala.collection.concurrent.TrieMap
 
 /** Embedding similarity search: exact cosine (zip_with/aggregate fold —
   * sequential left-to-right, so any engine computing the same fold gets
@@ -138,6 +140,23 @@ object Similarity {
         (dotd(col("ae"), col("be")) / (col("anrm") * col("bnrm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Session-cached materialized LSH pair tables (same weak-map pattern as
+    * [[graft.text.NearDup]]): the declared near-dup query and downstream
+    * consumers (modality agreement, dedup apply) share one banding run. */
+  private val pairCaches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, DataFrame]]())
+
+  def cosineDupPairsLshCached(emb: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, cacheKey: String): DataFrame =
+    pairCaches.computeIfAbsent(emb.sparkSession,
+        _ => TrieMap.empty[String, DataFrame])
+      .getOrElseUpdate(s"emblsh|$cacheKey|$idCol|$vecCol|$threshold", {
+        val pairs = cosineDupPairsLsh(emb, idCol, vecCol, threshold)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        pairs.count()
+        pairs
+      })
 
   /** Banded LSH ANN: candidates are the union of the query's bucket-mates
     * across all bands (amplified OR-construction), then exact cosine is
