@@ -29,30 +29,40 @@ object GraftFunctions {
     else throw new IllegalArgumentException(
       s"$fn: argument '$name' must be a non-null INT literal, got ${e.sql}")
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      es => DotProductD(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingles",
-      es => WordShingles(es.head, 3), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      es => MinHashSig(es.head, graft.text.NearDup.NumHashes), "built-in")
-    reg.createOrReplaceTempFunction("graft_jaccard",
-      es => JaccardSim(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash64",
-      es => SimHash64(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_lsh_bands",
+  /** The single source of truth for kernel registration — consumed by both
+    * the imperative [[register]] path and the config-driven
+    * [[GraftExtensions]] injection, so the two can never drift (a
+    * parameter that differs between them — e.g. the MinHash seed count —
+    * would silently change signatures depending on how the session was
+    * built). */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", "sequential-fold dot product of two array<double>",
+      es => DotProductD(es.head, es(1))),
+    ("graft_shingles", "distinct word trigram shingles",
+      es => WordShingles(es.head, 3)),
+    ("graft_minhash_sig",
+      s"${graft.text.NearDup.NumHashes}-seed MinHash signature of a shingle set",
+      es => MinHashSig(es.head, graft.text.NearDup.NumHashes)),
+    ("graft_jaccard", "exact Jaccard of two distinct-element arrays",
+      es => JaccardSim(es.head, es(1))),
+    ("graft_simhash64", "64-bit SimHash of a token stream",
+      es => SimHash64(es.head)),
+    ("graft_lsh_bands", "banded hyperplane LSH keys of array<double>",
       es => LshBandKeys(es.head,
         foldableInt("graft_lsh_bands", "nPlanes", es(1)),
-        foldableInt("graft_lsh_bands", "rowsPerBand", es(2))),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_nearest_centroids",
-      es => NearestCentroids(es.head, es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("graft_winnow",
+        foldableInt("graft_lsh_bands", "rowsPerBand", es(2)))),
+    ("graft_nearest_centroids", "p nearest centroid cells by cosine",
+      es => NearestCentroids(es.head, es(1), es(2))),
+    ("graft_winnow", "winnowing rolling-hash fingerprints",
       es => Winnow(es.head,
         foldableInt("graft_winnow", "k", es(1)),
-        foldableInt("graft_winnow", "w", es(2))),
-      "built-in")
+        foldableInt("graft_winnow", "w", es(2)))))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }
 

@@ -92,6 +92,52 @@ class KernelSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("extension-injected and imperatively-registered minhash agree (one " +
+    "builder table — a seed-count drift between paths would split corpora)") {
+    val s2 = TestSpark.spark.newSession() // extension path only
+    val viaExt = s2.sql(
+      "SELECT graft_minhash_sig(graft_shingles('a b c d e f')) AS s")
+      .collect().head.getSeq[Long](0)
+    val viaReg = spark.sql( // TestSpark session: register() also ran
+      "SELECT graft_minhash_sig(graft_shingles('a b c d e f')) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(viaExt == viaReg)
+    assert(viaExt.length == graft.text.NearDup.NumHashes)
+  }
+
+  test("jaccard threshold filters gain the length-filter guard (optimizer rule)") {
+    import org.apache.spark.sql.functions.{col, concat, lit, round => rnd, split}
+    // arrays must derive from a non-foldable column, or the optimizer
+    // constant-folds the whole filter before the guard is observable
+    val df = spark.range(3)
+      .select(split(concat(lit("a b "), col("id")), " ").as("x"),
+        split(concat(lit("a b c "), col("id")), " ").as("y"))
+      .filter(rnd(NearDup.jaccard(col("x"), col("y")), 4) >= 0.8)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("size("),
+      s"length-filter guard missing from:\n$optimized")
+    // idempotent under the fixed-point batch: re-applying adds nothing
+    val once = functions.SimilarityFilterPruning(df.queryExecution.optimizedPlan)
+    assert(once.toString == df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("length-filter pruning preserves semantics on edge cases") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c"), Seq("a", "b", "c")),     // j = 1.0: kept
+      (2L, Seq("a", "b", "c"), Seq("a", "b", "x")),     // j = 0.5: dropped
+      (3L, Seq("a"), Seq("a", "b", "c", "d", "e")),     // length-mismatch: dropped
+      (4L, Seq.empty[String], Seq.empty[String]),       // j = 0/0 = NaN — and
+      // Spark's double ordering ranks NaN ABOVE every value, so NaN >= τ is
+      // TRUE with or without the rule (size guard 0 >= τ·0 agrees)
+      (5L, null, Seq("a"))                              // null: dropped
+    ).toDF("id", "x", "y")
+    val kept = df
+      .filter(org.apache.spark.sql.functions.round(
+        NearDup.jaccard($"x", $"y"), 4) >= 0.8)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("kernels are reachable from raw SQL text (registered function surface)") {
     spark.range(1).createOrReplaceTempView("v_one")
     val r = spark.sql(
