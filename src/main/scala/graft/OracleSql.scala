@@ -838,6 +838,30 @@ object OracleSql {
          FROM kept WHERE n_tokens >= 30 AND uniq_ratio >= 0.32
          GROUP BY lang ORDER BY lang""",
 
+    "resample_ffill" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) tts,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value, event_id
+           FROM events),
+           daily AS (SELECT user_id, d, value AS day_value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, d
+                 ORDER BY tts DESC, event_id DESC) rn FROM ev) WHERE rn = 1),
+           counts AS (SELECT user_id, d, CAST(count(*) AS BIGINT) n
+             FROM ev GROUP BY user_id, d),
+           grid AS (SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                 CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+             FROM (SELECT user_id, min(d) d0, max(d) d1
+                   FROM ev GROUP BY user_id))
+         SELECT g.user_id, strftime(g.d, '%Y-%m-%d') AS day_str,
+             last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+             coalesce(c.n, 0) AS n_events
+         FROM grid g
+         LEFT JOIN daily d ON g.user_id = d.user_id AND g.d = d.d
+         LEFT JOIN counts c ON g.user_id = c.user_id AND g.d = c.d
+         ORDER BY g.user_id, day_str""",
+
     "profile_table" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) n_rows,
              CAST(count(event_id) AS BIGINT) e_nn,

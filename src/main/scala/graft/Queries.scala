@@ -1151,6 +1151,39 @@ object Queries {
       .orderBy(col("decile"))
   }
 
+  /** Time-grid resample + forward fill — the `resample('1D').ffill()`
+    * idiom of the reference's pandas stack, distributed: per user, a daily
+    * grid spanning their activity (groupBy min/max + `sequence` explode —
+    * narrow after one keyed agg), each day carrying that day's last
+    * observed value (deterministic rank) forward-filled across gap days
+    * with `last(ignoreNulls)` over a keyed window. Every step shuffles on
+    * user_id only. */
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .withColumn("day", to_date(col("ts")))
+    val daily = ev
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("day_value"))
+    val counts = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .join(counts, Seq("user_id", "day"), "left")
+      .withColumn("filled_value", last(col("day_value"), ignoreNulls = true)
+        .over(Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("filled_value"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("user_id"), col("day_str"))
+  }
+
   /** Table profiling (the ANALYZE shape): per-column row/non-null/distinct
     * counts and min/max, for the long and string columns of events — ONE
     * scan (Spark plans the multi-distinct aggregate through a single-pass
