@@ -32,6 +32,23 @@ object OracleSql {
              CAST(count(*) AS BIGINT) AS n_events
          FROM events GROUP BY user_id ORDER BY user_id""",
 
+    "melt_unpivot" ->
+      """WITH f AS (SELECT user_id,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+           FROM events GROUP BY user_id)
+         SELECT user_id, flag, flag_value FROM (
+           SELECT user_id, 'has_signup' AS flag, has_signup AS flag_value FROM f
+           UNION ALL
+           SELECT user_id, 'has_view', has_view FROM f
+           UNION ALL
+           SELECT user_id, 'has_click', has_click FROM f
+           UNION ALL
+           SELECT user_id, 'has_purchase', has_purchase FROM f)
+         ORDER BY user_id, flag""",
+
     "dedup_latest" ->
       """SELECT user_id, event_type, event_id,
              strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,

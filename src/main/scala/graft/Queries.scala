@@ -45,6 +45,16 @@ object Queries {
   def aggFunnelFlags(spark: SparkSession, dir: String): DataFrame =
     Funnel.funnelFlags(t(spark, dir, "events")).orderBy(col("user_id"))
 
+  /** A4b — melt/unpivot (pivot's inverse): the per-user funnel-flag wide
+    * row unpivots to (user_id, flag, flag_value) long form — a narrow
+    * Expand over the aggregated rows, no extra shuffle. */
+  def meltUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Funnel.funnelFlags(t(spark, dir, "events"))
+      .select(col("user_id"), col("has_signup"), col("has_view"),
+        col("has_click"), col("has_purchase"))
+      .unpivot(Array(col("user_id")), "flag", "flag_value")
+      .orderBy(col("user_id"), col("flag"))
+
   // ── §2.6 Sort / dedup / top-k ────────────────────────────────────────
 
   /** W1 — latest record per (user_id, event_type). */
