@@ -902,7 +902,7 @@ object Queries {
     * (approximate); SimilaritySpec asserts its recall floor. */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
     sim.Ivf.ivfTopK(t(spark, dir, "embeddings"),
-        "vec_id", "embedding", col("id") < 8, 10)
+        "vec_id", "embedding", col("id") < 8, 10, cacheKey = Some(dir))
       .select(col("q_id"), col("neighbor_id"),
         round(col("cos"), 6).as("cos_sim"),
         col("rn").cast(LongType).as("rn"), col("n_candidates"))

@@ -1,8 +1,9 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
 import Similarity.{dotd, withNorm}
 
 /** IVF (inverted-file) approximate nearest neighbor — the second scale path
@@ -53,14 +54,34 @@ object Ivf {
     cents
   }
 
+  /** Session-cached centroid tables keyed by corpus — an IVF index is
+    * TRAINED ONCE and probed per query; re-running Lloyd on every search
+    * call would re-scan the corpus for a model that hasn't changed (the
+    * in-session analog of persisting the index artifact). Same weak-map
+    * pattern as the pair caches. */
+  private val centroidCaches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, Seq[Seq[Double]]]]())
+
+  def centroidsCached(emb: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int, iters: Int, cacheKey: String): Seq[Seq[Double]] =
+    centroidCaches.computeIfAbsent(emb.sparkSession,
+        _ => TrieMap.empty[String, Seq[Seq[Double]]])
+      .getOrElseUpdate(s"ivf|$cacheKey|$idCol|$vecCol|$nCells|$iters",
+        centroids(emb, idCol, vecCol, nCells, iters))
+
   /** IVF top-k: vectors keyed by their cell (narrow map), queries probe
     * their `nProbes` nearest cells, candidates come from one broadcast
     * equi-join on the cell id, and exact cosine ranks them. `n_candidates`
-    * is surfaced per query so the recall/volume trade is observable. */
+    * is surfaced per query so the recall/volume trade is observable.
+    * `cacheKey` reuses the session's trained centroids (train-once). */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, nCells: Int = 16,
-              nProbes: Int = 4, iters: Int = 2): DataFrame = {
-    val cents = centroids(emb, idCol, vecCol, nCells, iters)
+              nProbes: Int = 4, iters: Int = 2,
+              cacheKey: Option[String] = None): DataFrame = {
+    val cents = cacheKey match {
+      case Some(key) => centroidsCached(emb, idCol, vecCol, nCells, iters, key)
+      case None => centroids(emb, idCol, vecCol, nCells, iters)
+    }
     val v = withNorm(emb, idCol, vecCol)
       .withColumn("cell", element_at(nearestCentroids(col("e"), cents, 1), 1))
     val q = v.filter(queryPred)
