@@ -32,6 +32,34 @@ object OracleSql {
              CAST(count(*) AS BIGINT) AS n_events
          FROM events GROUP BY user_id ORDER BY user_id""",
 
+    "join_salted" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "gold_star_schema" ->
+      """WITH inv AS (SELECT event_id, user_id FROM events
+             WHERE event_type = 'signup'),
+           app AS (SELECT e.event_id, e.user_id
+             FROM events e JOIN inv i ON i.user_id = e.user_id
+             WHERE e.event_type = 'purchase'),
+           summary AS (
+             SELECT 'gold_applications' AS tbl,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(coalesce(sum(CASE WHEN user_id NOT IN
+                   (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+             FROM app
+             UNION ALL
+             SELECT 'gold_customers', CAST(count(*) AS BIGINT),
+                 CAST(0 AS BIGINT) FROM customer
+             UNION ALL
+             SELECT 'gold_invitations', CAST(count(*) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN user_id NOT IN
+                   (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END), 0) AS BIGINT)
+             FROM inv)
+         SELECT tbl, n_rows, n_orphans FROM summary ORDER BY tbl""",
+
     "melt_unpivot" ->
       """WITH f AS (SELECT user_id,
              max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup,

@@ -581,6 +581,46 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** X13 — salted fact/dim join declared end-to-end: the events fact takes
+    * a salt, the customer dimension replicates `buckets` times, and the
+    * join key becomes (key, salt) — each hot key spreads over `buckets`
+    * tasks. Salting is semantically the identity, so the oracle is the
+    * plain join; the PropertySpec equivalence pins the same at the
+    * operator level. */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id").as("c_custkey"), col("value"))
+    val dim = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Skew.saltedJoin(ev, dim, "c_custkey", buckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        decOut(sum(Cleanse.dec2(col("value")))).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** X14 — gold star-schema build declared end-to-end: run the SQL-script
+    * build (customers ← invitations ← applications), then report per-table
+    * row counts and FK-orphan counts — the load-then-reconcile shape of a
+    * warehouse gold job. The oracle recomputes the same counts straight
+    * from the silver parquet. */
+  def goldStarSchema(spark: SparkSession, dir: String): DataFrame = {
+    Funnel.buildGoldSchema(spark, dir)
+    val cust = spark.table("gold_customers")
+    val inv = spark.table("gold_invitations")
+    val app = spark.table("gold_applications")
+    val custKeys = cust.select(col("customer_id"))
+    val invOrph = inv.join(custKeys, Seq("customer_id"), "left_anti").count()
+    val appOrph = app.join(custKeys, Seq("customer_id"), "left_anti").count()
+    import spark.implicits._
+    Seq(
+      ("gold_applications", app.count(), appOrph),
+      ("gold_customers", cust.count(), 0L),
+      ("gold_invitations", inv.count(), invOrph))
+      .toDF("tbl", "n_rows", "n_orphans")
+      .orderBy(col("tbl"))
+  }
+
   /** The engine's SQL surface (the reference ships SQL to Redshift; here
     * `spark.sql` over registered views runs the same text distributed). */
   def sqlSurface(spark: SparkSession, dir: String): DataFrame = {

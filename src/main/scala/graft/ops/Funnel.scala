@@ -37,6 +37,17 @@ object Funnel {
     * customers ← invitations ← applications. Returns the created names. */
   def buildGoldSchema(spark: SparkSession, sfDir: String,
                       prefix: String = "gold"): Seq[String] = {
+    // DROP TABLE only clears the CATALOG; a managed-table location left by a
+    // previous session (fresh catalog, stale warehouse dir) still blocks
+    // CREATE TABLE with LOCATION_ALREADY_EXISTS — remove stale dirs first,
+    // as any re-runnable warehouse build job must
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("customers", "invitations", "applications").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
+      fs.delete(new org.apache.hadoop.fs.Path(warehouse, s"${prefix}_$t"), true)
+    }
     Tables.table(spark, sfDir, "events").createOrReplaceTempView("silver_events")
     Tables.table(spark, sfDir, "customer").createOrReplaceTempView("silver_customers")
     val script =
