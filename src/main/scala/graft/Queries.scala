@@ -569,7 +569,10 @@ object Queries {
   /** End-to-end dedup apply: corpus minus the non-kept side of verified
     * near-dup pairs (keep the min doc_id of each dup cluster edge). Reuses
     * the pair table `dedup_minhash_lsh` already materialized (same cache
-    * key), so the apply step costs one anti-join, not a second LSH pass. */
+    * key), so the apply step costs one anti-join, not a second LSH pass.
+    * Edge-local dropping over-keeps transitive duplicates — see
+    * [[dedupApplyCc]] for the cluster-canonical (connected-components)
+    * variant. */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val drop = text.NearDup
