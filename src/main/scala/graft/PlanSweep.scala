@@ -1,9 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical
 
 /** Plan audit: flags any declared query whose physical plan contains a
-  * cartesian product or nested-loop join. [[PlanSweepSpec]] asserts the
-  * findings equal [[Allowlist]] so a plan regression fails `sbt test`. */
+  * cartesian product / nested-loop join, or whose optimized logical plan
+  * contains a Window with an EMPTY partition spec (a single-task global
+  * window — every row funnels through one core, the quietest scale-killer
+  * of all because it is invisible to correctness tests).
+  * [[PlanSweepSpec]] asserts the findings equal the allowlists so a plan
+  * regression fails `sbt test`. */
 object PlanSweep {
 
   /** Queries DOCUMENTED to plan a BroadcastNestedLoopJoin:
@@ -20,14 +25,26 @@ object PlanSweep {
     Set("dedup_ngram_jaccard", "dedup_embedding_cosine", "ann_cosine_topk",
       "ann_lsh_recall", "text_tfidf")
 
+  /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
+    * quality_deciles — the one query that used to — now runs its exact
+    * ntile through the two-pass distributed scan
+    * ([[graft.ops.PrefixSum]]). */
+  val GlobalWindowAllowlist: Set[String] = Set.empty
+
   /** name → offending operator names (or PLAN_ERROR) for every declared
-    * query whose plan contains a scale-killer operator. */
+    * query whose plan contains a scale-killer operator. Both audits run in
+    * one pass so each query's plan is built once. */
   def sweep(spark: SparkSession, sf: String): Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        val qe = fn(spark, sf).queryExecution
+        val plan = qe.executedPlan.toString
+        val bnlj = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
           .filter(plan.contains)
+        val gw = qe.optimizedPlan.collect {
+          case w: logical.Window if w.partitionSpec.isEmpty => "GlobalWindow"
+        }.distinct
+        val bad = bnlj ++ gw
         if (bad.nonEmpty) Some(name -> bad.mkString(",")) else None
       } catch {
         case e: Throwable =>

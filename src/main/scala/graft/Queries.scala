@@ -1161,18 +1161,18 @@ object Queries {
 
   /** Sequence packing: concatenate each language's docs in id order and cut
     * the token stream into 2048-token training windows; a doc belongs to
-    * the bin where it STARTS. Per-language windows keep the prefix-sum
-    * parallel (one shuffle on lang); a single global stream would serialize
-    * the cumsum — at cluster scale that becomes a two-pass partitioned
-    * prefix sum, same semantics. */
+    * the bin where it STARTS. The per-language cumulative sum runs as a
+    * two-pass partitioned prefix scan ([[PrefixSum.cumSum]]): a
+    * `Window.partitionBy(lang)` would serialize the dominant language
+    * through one task (real corpora are >50% one language); the scan
+    * range-partitions on (lang, doc_id) instead, so the hot language
+    * spreads over every partition and no task sees more than a
+    * range-partition of rows. */
   def packTokens(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    t(spark, dir, "documents")
+    val stats = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+    PrefixSum.cumSum(stats, Seq("lang"), Seq("doc_id"), col("n_tokens"), "cum")
       .withColumn("bin",
         floor((col("cum") - col("n_tokens")) / lit(2048.0)).cast(LongType))
       .groupBy(col("lang"), col("bin"))
@@ -1182,19 +1182,21 @@ object Queries {
 
   /** Quality deciles: ntile(10) over the uniqueness ratio (total order via
     * doc_id tiebreak) with per-decile corpus stats — the distribution view
-    * that picks curation thresholds. The unpartitioned ntile serializes the
-    * rank over the (narrow, 3-column) per-doc stats; at cluster scale the
-    * same view comes from `approx_percentile` cut points instead of an
-    * exact global rank. */
+    * that picks curation thresholds. An unpartitioned `ntile(10).over` would
+    * sort every per-doc stats row through ONE task; here the exact rank
+    * comes from the two-pass distributed scan ([[PrefixSum.ntileGlobal]]) —
+    * same bucket assignment bit-for-bit (including tie-splitting by doc_id),
+    * no single-partition window anywhere in the plan. An approximate
+    * variant via `approx_percentile` cut points trades the tie-exactness
+    * for one aggregate; the exact scan costs only a range shuffle of the
+    * narrow stats, so it stays the declared form. */
   def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("uniq_ratio"), col("doc_id"))
-    t(spark, dir, "documents")
+    val stats = t(spark, dir, "documents")
       .select(col("doc_id"), size(toks).as("n_tokens"),
         round(size(array_distinct(toks)).cast(DoubleType) /
           size(toks).cast(DoubleType), 4).as("uniq_ratio"))
-      .withColumn("decile", ntile(10).over(w).cast(LongType))
+    PrefixSum.ntileGlobal(stats, Seq("uniq_ratio", "doc_id"), 10, "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("uniq_ratio")).as("min_ratio"),

@@ -17,14 +17,21 @@ class PlanSweepSpec extends AnyFunSuite {
     assert(!plan.contains("l_comment"), "scan reads pruned columns")
   }
 
-  test("only documented queries plan a nested-loop join") {
+  test("only documented queries plan a nested-loop join or global window") {
     val offenders = PlanSweep.sweep(spark, "/root/testdata/sf0.001")
     val errors = offenders.filter(_._2.startsWith("PLAN_ERROR"))
     assert(errors.isEmpty, s"queries failed to plan: $errors")
-    val unexpected = offenders.map(_._1).toSet -- PlanSweep.Allowlist
+    val byOp = offenders.flatMap { case (n, ops) => ops.split(",").map((n, _)) }
+    val bnlj = byOp.collect { case (n, o) if o != "GlobalWindow" => n }.toSet
+    val unexpected = bnlj -- PlanSweep.Allowlist
     assert(unexpected.isEmpty,
       s"undocumented scale-killer plans in: $unexpected " +
         s"(allowlist: ${PlanSweep.Allowlist})")
+    // a Window with an empty partition spec funnels every row through ONE
+    // task — no declared query may plan one
+    val gw = byOp.collect { case (n, "GlobalWindow") => n }.toSet
+    assert((gw -- PlanSweep.GlobalWindowAllowlist).isEmpty,
+      s"single-task global windows in: $gw")
   }
 
   test("decontaminate joins the benchmark side as a broadcast, never a shuffle") {
