@@ -80,6 +80,29 @@ object SinkDdl {
      else w).jdbc(url, table, props)
   }
 
+  /** Execute one non-query statement over a raw JDBC connection (the
+    * engine-side DELETE/DDL a JDBC sink needs around `df.write.jdbc`). */
+  def execJdbc(url: String, sqlText: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(sqlText) finally st.close()
+    } finally conn.close()
+  }
+
+  /** Probe a JDBC-side table's existence (zero-row SELECT; any SQLException
+    * means absent — the INFORMATION_SCHEMA probe of `sql_utils.py:41-45`
+    * without dialect-specific catalog queries). */
+  def jdbcTableExists(url: String, table: String): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+      catch { case _: java.sql.SQLException => false }
+      finally st.close()
+    } finally conn.close()
+  }
+
   /** K3 — drop-if-exists (`sql_utils.py:15-17`). */
   def dropTable(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table")

@@ -111,9 +111,8 @@ object StreamTwins {
     * (first batch creates the table with the width-policy DDL). The file
     * source checkpoint makes re-runs incremental — a second AvailableNow
     * run with no new files writes nothing. Append is at-least-once on
-    * mid-batch failure (the standard foreachBatch caveat; exactly-once
-    * needs a batchId-keyed staging table — same semantics as the
-    * reference's chunked INSERT ladder). */
+    * mid-batch failure (the standard foreachBatch caveat);
+    * [[streamToJdbcExactlyOnce]] is the batchId-keyed idempotent form. */
   def streamToJdbc(df: DataFrame, url: String, table: String,
                    checkpointDir: String): Unit = {
     val q = df.writeStream
@@ -121,6 +120,47 @@ object StreamTwins {
         graft.ops.SinkDdl.writeJdbc(batch, url, table,
           mode = if (batchId == 0) org.apache.spark.sql.SaveMode.Overwrite
                  else org.apache.spark.sql.SaveMode.Append)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** The idempotent per-batch body of [[streamToJdbcExactlyOnce]], exposed
+    * so a replay can be driven deterministically in tests: delete any rows
+    * this batch id already landed (a failed attempt's partial write), then
+    * append the batch tagged with its id. Same replace-the-key shape as
+    * [[graft.ops.Dedup.upsert]], with batch_id as the key and the JDBC
+    * DELETE playing the anti-join — DELETE + append commute with retries,
+    * so replay converges instead of duplicating. */
+  private[graft] def jdbcBatchUpsert(batch: DataFrame, batchId: Long,
+                                     url: String, table: String): Unit = {
+    val withId = batch.withColumn("batch_id", lit(batchId))
+    if (!graft.ops.SinkDdl.jdbcTableExists(url, table))
+      graft.ops.SinkDdl.writeJdbc(withId, url, table,
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
+    else {
+      // Spark's JDBC writer quotes column names, so Derby (and ANSI dbs)
+      // store them case-sensitively — the DELETE must quote to match
+      graft.ops.SinkDdl.execJdbc(url,
+        s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+      graft.ops.SinkDdl.writeJdbc(withId, url, table,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    }
+  }
+
+  /** EXACTLY-ONCE stream → JDBC: [[streamToJdbc]] is at-least-once on
+    * mid-batch failure (the standard foreachBatch caveat — the checkpoint
+    * only records batch completion, so a crash between partial insert and
+    * commit replays the whole batch). This variant keys every row by its
+    * micro-batch id and makes the batch write idempotent via
+    * [[jdbcBatchUpsert]]; the target carries one extra `batch_id` column,
+    * which is also the operational lineage a warehouse load wants. */
+  def streamToJdbcExactlyOnce(df: DataFrame, url: String, table: String,
+                              checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        jdbcBatchUpsert(batch, batchId, url, table)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow()).start()
@@ -248,17 +288,46 @@ object StreamTwins {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Candidate + verify join of a (streaming or batch) document delta
+    * against the corpus signature index. The index sides carry a
+    * `shuffle_hash` hint, NOT a broadcast: the band and shingle tables are
+    * O(corpus) — at 100 TB they are not broadcastable, so the join must
+    * shuffle-partition the (session-cached) index and probe it with the
+    * delta. On a real cluster the index lives as a table bucketed by the
+    * join key (`(band, bh)` / `base_id`), which makes even the index-side
+    * shuffle a one-time write amortized across every arriving batch. The
+    * band-key explode carries the shingle array alongside (×Bands
+    * duplication) to keep the verify join static-only — at corpus scale the
+    * verify would re-join the delta's own shingle store instead. */
+  private[graft] def incrementalDedupJoin(delta: DataFrame,
+      bandedBase: DataFrame, shBase: DataFrame): DataFrame = {
+    import graft.text.NearDup
+    val banded = delta
+      .select(col("doc_id").as("new_id"),
+        NearDup.shingles(col("text")).as("new_sh"))
+      .select(col("new_id"), col("new_sh"),
+        posexplode(NearDup.bandHashes(NearDup.minhashSig(col("new_sh")))))
+      .toDF("new_id", "new_sh", "band", "bh")
+    val cand = banded
+      .join(bandedBase.toDF("base_id", "band", "bh").hint("shuffle_hash"),
+        Seq("band", "bh"))
+      .dropDuplicates("new_id", "base_id")
+    cand
+      .join(shBase.toDF("base_id", "base_sh").hint("shuffle_hash"), "base_id")
+      .select(col("new_id"), col("base_id"),
+        round(NearDup.jaccard(col("new_sh"), col("base_sh")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
   /** STREAMING incremental ingest dedup: arriving documents stream-static
     * join the session-cached corpus signature index — the real-time form of
     * `dedup_incremental`. The streaming side is all narrow maps (shingle →
-    * sig → band explode); the corpus band and shingle tables are static
-    * broadcast sides, so a micro-batch never shuffles the corpus; the only
-    * streaming state is the candidate-pair dedup. The delta (doc_id ≡ 0 mod
-    * 10) lands as parquet once and is picked up by the file source, so the
-    * declared run is deterministic and shares `dedup_incremental`'s oracle.
-    * The band-key explode carries the shingle array alongside (×Bands
-    * duplication) to keep the verify join static-only — at corpus scale the
-    * verify would re-join the delta's own shingle store instead. */
+    * sig → band explode); the corpus index joins via
+    * [[incrementalDedupJoin]] (shuffle-partitioned, never broadcast); the
+    * only streaming state is the candidate-pair dedup. The delta (doc_id ≡
+    * 0 mod 10) lands as parquet once and is picked up by the file source,
+    * so the declared run is deterministic and shares
+    * `dedup_incremental`'s oracle. */
   def streamIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.text.NearDup
     val ss = streamSession(spark)
@@ -279,21 +348,7 @@ object StreamTwins {
         .repartition(1).write.mode("overwrite").parquet(landing.toString)
 
     val delta = ss.readStream.schema(docsSchema).parquet(landing.toString)
-    val banded = delta
-      .select(col("doc_id").as("new_id"),
-        NearDup.shingles(col("text")).as("new_sh"))
-      .select(col("new_id"), col("new_sh"),
-        posexplode(NearDup.bandHashes(NearDup.minhashSig(col("new_sh")))))
-      .toDF("new_id", "new_sh", "band", "bh")
-    val cand = banded
-      .join(broadcast(bandedBase.toDF("base_id", "band", "bh")),
-        Seq("band", "bh"))
-      .dropDuplicates("new_id", "base_id")
-    val verified = cand
-      .join(broadcast(shBase.toDF("base_id", "base_sh")), "base_id")
-      .select(col("new_id"), col("base_id"),
-        round(NearDup.jaccard(col("new_sh"), col("base_sh")), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+    val verified = incrementalDedupJoin(delta, bandedBase, shBase)
     runToMemory(verified,
       s"stream_inc_dedup_sink_${graft.ops.TempFiles.tag(sfDir).replace(".", "_")}",
       "append")

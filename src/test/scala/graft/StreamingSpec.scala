@@ -111,10 +111,64 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streamToJdbcExactlyOnce: a replayed batch lands no duplicate rows") {
+    val url = "jdbc:derby:memory:graftxonce;create=true"
+    val props = new java.util.Properties
+    val src = Files.createTempDirectory("graft_xo_src").toString
+    val ckpt = Files.createTempDirectory("graft_xo_ckpt").toString
+    Files.writeString(java.nio.file.Paths.get(src, "a.json"),
+      """{"id":1,"name":"a"}""" + "\n" + """{"id":2,"name":"b"}""")
+    StreamTwins.streamToJdbcExactlyOnce(
+      spark.readStream.schema("id LONG, name STRING").json(src),
+      url, "t_stream_xonce", ckpt)
+    val n1 = spark.read.jdbc(url, "t_stream_xonce", props).count()
+    assert(n1 == 2)
+    // simulate a foreachBatch REPLAY of batch 0 (crash after partial write,
+    // before the checkpoint commit): the same batch body runs again —
+    // the batchId-keyed upsert must converge, not duplicate
+    StreamTwins.jdbcBatchUpsert(
+      spark.read.schema("id LONG, name STRING").json(src), 0L,
+      url, "t_stream_xonce")
+    val replayed = spark.read.jdbc(url, "t_stream_xonce", props)
+    assert(replayed.count() == 2,
+      s"replay duplicated rows: ${replayed.collect().toSeq}")
+    // and a genuinely new batch still appends
+    Files.writeString(java.nio.file.Paths.get(src, "b.json"),
+      """{"id":3,"name":"c"}""")
+    StreamTwins.streamToJdbcExactlyOnce(
+      spark.readStream.schema("id LONG, name STRING").json(src),
+      url, "t_stream_xonce", ckpt)
+    assert(spark.read.jdbc(url, "t_stream_xonce", props)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("stream dedup emits each key exactly once") {
     val keys = StreamTwins.streamDedupKeys(spark, sf)
     val batch = ops.Tables.table(spark, sf, "events")
       .select("user_id", "event_type").distinct()
     assert(keys.count() == batch.count())
+  }
+
+  test("incremental dedup join never broadcasts the corpus index") {
+    // the index is O(corpus) — at scale it is not broadcastable; the join
+    // must shuffle-partition the index side (same builder drives the
+    // streaming query, whose micro-batch planner honors the same hints)
+    import org.apache.spark.sql.functions.col
+    val docs = ops.Tables.table(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val sh = text.NearDup.shingleTableCached(corpus, "doc_id", "text", "spec-inc")
+    val banded = text.NearDup.bandedTableCached(corpus, "doc_id", "text", "spec-inc")
+    val joined = StreamTwins.incrementalDedupJoin(
+      docs.filter(col("doc_id") % 10 === 0), banded, sh)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"corpus index must not broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"index side should shuffle-hash join:\n$plan")
+    // and the de-broadcast join is still the same dedup
+    val expected = text.NearDup.minhashDupPairsIncrementalCached(
+      docs, "doc_id", "text", 0.8, col("id") % 10 === 0, sf)
+    assert(joined.select("new_id", "base_id").exceptAll(
+      expected.select("new_id", "base_id")).isEmpty)
   }
 }
