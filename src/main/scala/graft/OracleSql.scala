@@ -41,15 +41,31 @@ object OracleSql {
     "gold_star_schema" ->
       """WITH inv AS (SELECT event_id, user_id FROM events
              WHERE event_type = 'signup'),
-           app AS (SELECT e.event_id, e.user_id
+           app AS (SELECT e.event_id, e.user_id, e.ts
              FROM events e JOIN inv i ON i.user_id = e.user_id
              WHERE e.event_type = 'purchase'),
+           acc AS (SELECT a.event_id, a.user_id,
+                 count(CASE WHEN e2.event_type = 'click' THEN 1 END) > 0 AS activated
+             FROM (SELECT DISTINCT event_id, user_id, ts FROM app) a
+             LEFT JOIN events e2 ON e2.user_id = a.user_id
+                 AND CAST(e2.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+             GROUP BY a.event_id, a.user_id),
            summary AS (
-             SELECT 'gold_applications' AS tbl,
+             SELECT 'gold_accounts' AS tbl,
                  CAST(count(*) AS BIGINT) AS n_rows,
                  CAST(coalesce(sum(CASE WHEN user_id NOT IN
                    (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+             FROM acc
+             UNION ALL
+             SELECT 'gold_applications', CAST(count(*) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN user_id NOT IN
+                   (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END), 0) AS BIGINT)
              FROM app
+             UNION ALL
+             SELECT 'gold_card', CAST(count(*) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN user_id NOT IN
+                   (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END), 0) AS BIGINT)
+             FROM acc WHERE activated
              UNION ALL
              SELECT 'gold_customers', CAST(count(*) AS BIGINT),
                  CAST(0 AS BIGINT) FROM customer

@@ -603,23 +603,21 @@ object Queries {
   }
 
   /** X14 — gold star-schema build declared end-to-end: run the SQL-script
-    * build (customers ← invitations ← applications), then report per-table
-    * row counts and FK-orphan counts — the load-then-reconcile shape of a
-    * warehouse gold job. The oracle recomputes the same counts straight
-    * from the silver parquet. */
+    * build (all FIVE reference tables: customers ← invitations ←
+    * applications ← accounts ← card), then report per-table row counts and
+    * FK-orphan counts — the load-then-reconcile shape of a warehouse gold
+    * job. The oracle recomputes the same counts straight from the silver
+    * parquet. */
   def goldStarSchema(spark: SparkSession, dir: String): DataFrame = {
     Funnel.buildGoldSchema(spark, dir)
     val cust = spark.table("gold_customers")
-    val inv = spark.table("gold_invitations")
-    val app = spark.table("gold_applications")
     val custKeys = cust.select(col("customer_id"))
-    val invOrph = inv.join(custKeys, Seq("customer_id"), "left_anti").count()
-    val appOrph = app.join(custKeys, Seq("customer_id"), "left_anti").count()
+    def orphans(tbl: String): Long = spark.table(tbl)
+      .join(custKeys, Seq("customer_id"), "left_anti").count()
     import spark.implicits._
-    Seq(
-      ("gold_applications", app.count(), appOrph),
-      ("gold_customers", cust.count(), 0L),
-      ("gold_invitations", inv.count(), invOrph))
+    (("gold_customers", cust.count(), 0L) +:
+      Seq("gold_invitations", "gold_applications", "gold_accounts",
+        "gold_card").map(t => (t, spark.table(t).count(), orphans(t))))
       .toDF("tbl", "n_rows", "n_orphans")
       .orderBy(col("tbl"))
   }

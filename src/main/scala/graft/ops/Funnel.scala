@@ -30,11 +30,18 @@ object Funnel {
       Cleanse.tsStr(max(col("ts"))).as("last_ts"),
       count(lit(1)).as("n_events"))
 
-  /** EP3 twin — build the gold star schema (the 5-table funnel of
+  /** EP3 twin — build the gold star schema (the FULL 5-table funnel of
     * `create_customers_table.sql:7-92`) as managed parquet tables from the
     * silver layer, via the SQL script runner (K8). Table/column shapes
     * mirror the reference's DDL: per-customer funnel flags, FK chain
-    * customers ← invitations ← applications. Returns the created names. */
+    * customers ← invitations ← applications ← accounts ← card, with the
+    * activation-funnel flags of `create_customers_table.sql:62-91`
+    * (first_activation / first_transaction on accounts; sent / booked /
+    * card_activated on card) derived from each customer's post-application
+    * event stream — the conversion end of the funnel. The activation join
+    * shuffles on user_id only (events per user are bounded), so every CTAS
+    * stays a keyed join + hash aggregate at any corpus size. Returns the
+    * created names. */
   def buildGoldSchema(spark: SparkSession, sfDir: String,
                       prefix: String = "gold"): Seq[String] = {
     // DROP TABLE only clears the CATALOG; a managed-table location left by a
@@ -44,14 +51,17 @@ object Funnel {
     val warehouse = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"))
     val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("customers", "invitations", "applications").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
-      fs.delete(new org.apache.hadoop.fs.Path(warehouse, s"${prefix}_$t"), true)
-    }
+    Seq("customers", "invitations", "applications", "accounts", "card")
+      .foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
+        fs.delete(new org.apache.hadoop.fs.Path(warehouse, s"${prefix}_$t"), true)
+      }
     Tables.table(spark, sfDir, "events").createOrReplaceTempView("silver_events")
     Tables.table(spark, sfDir, "customer").createOrReplaceTempView("silver_customers")
     val script =
-      """DROP TABLE IF EXISTS {p}_applications;
+      """DROP TABLE IF EXISTS {p}_card;
+         DROP TABLE IF EXISTS {p}_accounts;
+         DROP TABLE IF EXISTS {p}_applications;
          DROP TABLE IF EXISTS {p}_invitations;
          DROP TABLE IF EXISTS {p}_customers;
          CREATE TABLE {p}_customers USING parquet AS
@@ -70,9 +80,37 @@ object Funnel {
                 e.ts AS applied_at, e.value AS amount
          FROM silver_events e
          JOIN {p}_invitations i ON i.customer_id = e.user_id
-         WHERE e.event_type = 'purchase';"""
+         WHERE e.event_type = 'purchase';
+         CREATE TABLE {p}_accounts USING parquet AS
+         SELECT a.application_id AS account_id, a.customer_id,
+                a.application_id,
+                CAST(count(CASE WHEN e.event_type = 'click' THEN 1 END) > 0 AS BOOLEAN) AS first_activation_flag,
+                min(CASE WHEN e.event_type = 'click' THEN e.ts END) AS first_activation_date,
+                CAST(count(CASE WHEN e.event_type = 'purchase' THEN 1 END) > 0 AS BOOLEAN) AS is_first_transaction,
+                min(CASE WHEN e.event_type = 'purchase' THEN e.ts END) AS first_transaction_date,
+                CASE WHEN count(CASE WHEN e.event_type = 'click' THEN 1 END) > 0
+                     THEN 'active' ELSE 'pending' END AS status
+         FROM {p}_applications a
+         LEFT JOIN silver_events e ON e.user_id = a.customer_id AND e.ts > a.applied_at
+         GROUP BY a.application_id, a.customer_id;
+         CREATE TABLE {p}_card USING parquet AS
+         SELECT acc.account_id AS card_number, acc.account_id, acc.customer_id,
+                CAST(TRUE AS BOOLEAN) AS sent_flag,
+                acc.first_activation_date AS sent_date,
+                CAST(count(CASE WHEN e.event_type = 'purchase' THEN 1 END) > 0 AS BOOLEAN) AS booked_flag,
+                min(CASE WHEN e.event_type = 'purchase' THEN e.ts END) AS booked_date,
+                CAST(count(CASE WHEN e.event_type = 'view' THEN 1 END) > 0 AS BOOLEAN) AS card_activated_flag,
+                min(CASE WHEN e.event_type = 'view' THEN e.ts END) AS card_activated_date,
+                CASE WHEN count(CASE WHEN e.event_type = 'view' THEN 1 END) > 0
+                     THEN 'activated' ELSE 'sent' END AS status
+         FROM {p}_accounts acc
+         LEFT JOIN silver_events e ON e.user_id = acc.customer_id
+             AND e.ts > acc.first_activation_date
+         WHERE acc.first_activation_flag
+         GROUP BY acc.account_id, acc.customer_id, acc.first_activation_date;"""
     SinkDdl.runSqlScript(spark, script, Map("p" -> prefix))
-    Seq(s"${prefix}_customers", s"${prefix}_invitations", s"${prefix}_applications")
+    Seq(s"${prefix}_customers", s"${prefix}_invitations",
+      s"${prefix}_applications", s"${prefix}_accounts", s"${prefix}_card")
   }
 
   /** The flagship end-to-end funnel query (SURVEY.md §7.2): scan → time
