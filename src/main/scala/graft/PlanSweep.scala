@@ -15,15 +15,16 @@ object PlanSweep {
     *  - dedup_ngram_jaccard / dedup_embedding_cosine: bounded O(n²) exact
     *    verification tiers (the declared scale paths are dedup_minhash_lsh
     *    and dedup_embedding_lsh);
-    *  - ann_cosine_topk / ann_lsh_recall: exact brute-force baseline (and
-    *    the recall query joining against it) — broadcast side is the 8-row
-    *    query set, the big side streams with no shuffle;
+    *  - ann_cosine_topk / ann_lsh_recall / ann_ivf_recall: exact
+    *    brute-force baseline (and the recall queries joining against it) —
+    *    broadcast side is the 8-row query set, the big side streams with
+    *    no shuffle;
     *  - text_tfidf: a ONE-row broadcast (the corpus document count) cross-
     *    joined onto the score expression — the scalar-subquery plan shape,
     *    effectively free at any scale. */
   val Allowlist: Set[String] =
     Set("dedup_ngram_jaccard", "dedup_embedding_cosine", "ann_cosine_topk",
-      "ann_lsh_recall", "text_tfidf")
+      "ann_lsh_recall", "ann_ivf_recall", "text_tfidf")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

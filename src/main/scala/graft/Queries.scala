@@ -965,6 +965,22 @@ object Queries {
       .orderBy(col("q_id"))
   }
 
+  /** Recall@10 of the IVF ANN against the same exact ground truth — the
+    * IVF twin of [[annLshRecall]], so BOTH approximate indexes publish
+    * their quality number as a declared query. Rows-only;
+    * `SimilaritySpec` asserts the floor. */
+  def annIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = annCosineTopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = annIvfTopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))
+    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"),
+        (sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+      .orderBy(col("q_id"))
+  }
+
   // ── North-star: multimodal plumbing ──────────────────────────────────
 
   /** Binary payload + metadata → partition-wise (stub) decode features. */

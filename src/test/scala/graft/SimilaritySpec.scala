@@ -62,6 +62,15 @@ class SimilaritySpec extends AnyFunSuite {
       f"(${100.0 * nCand / allPairs}%.1f%%), ${exact.length} true pairs")
   }
 
+  test("declared ann_ivf_recall clears its floor (IVF's published quality number)") {
+    val rows = Queries.annIvfRecall(spark, sf).collect()
+    assert(rows.length == 8)
+    val recalls = rows.map(_.getAs[Double]("recall_at_10"))
+    val mean = recalls.sum / recalls.length
+    info(f"declared IVF mean recall@10 $mean%.2f min ${recalls.min}%.2f")
+    assert(mean >= 0.75, s"mean IVF recall@10 $mean below floor 0.75")
+  }
+
   test("IVF ANN recall@10 clears its floor with bounded candidate volume") {
     val truth = Queries.annCosineTopK(spark, sf)
       .select("q_id", "neighbor_id").collect()
