@@ -77,4 +77,28 @@ class StressSpec extends AnyFunSuite {
       f"in $secs%.1f s")
     assert(secs < 60, s"CC over the 10x dup graph took $secs s")
   }
+
+  test("heaviest queries grow sub-linearly from sf0.01 to sf0.1 " +
+    "(10x rows, growth slope)") {
+    // correctness gates can't see a plan that is right but scales wrong;
+    // the slope between scale factors can (SURVEY.md §6). Each of the five
+    // heaviest catalog queries must grow by LESS than its 10x row growth —
+    // a super-linear (O(n²)-ish) regression would show a slope >> 10.
+    // Single-shot timings swing ±2x on this box, so the bound is the row
+    // ratio itself, not a tighter constant.
+    val names = Seq("corpus_curate", "dedup_incremental",
+      "stream_dedup_incremental", "dedup_simhash_verified", "resample_ffill")
+    for (n <- names) {
+      val times = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").map {
+        dir =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+      }
+      val slope = times(1) / times(0)
+      info(f"$n: ${times(0)}%.2f s -> ${times(1)}%.2f s, " +
+        f"growth $slope%.2fx on 10x rows")
+      assert(slope < 10.0, s"$n grew ${slope}x on 10x rows — super-linear")
+    }
+  }
 }
