@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // one JVM runs ~100 queries x several codegen'd stages each; the JIT
+  // code cache (default 240m) fills and HotSpot silently stops compiling,
+  // which makes compute-heavy queries ~10x slower late in a bench run
+  "-XX:ReservedCodeCacheSize=512m",
 )

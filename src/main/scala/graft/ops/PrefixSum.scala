@@ -27,13 +27,12 @@ import org.apache.spark.sql.types.LongType
   *      partitions, pennies for any realistic P) and broadcast-joined back
   *      on the partition id.
   *
-  * Cost: one range shuffle of the narrow input, one tiny agg, one broadcast
-  * hash join — vs the single-task sort of the naive form. Both passes hang
-  * off the SAME range exchange, which Spark executes once (exchange reuse;
-  * the sampled range boundaries are deterministic for a fixed lineage, so
-  * the partition ids both passes observe agree by construction). The result
-  * is independent of where the sampled boundaries land, so the output is
-  * deterministic even though the partitioning itself is an execution detail.
+  * Cost: one range shuffle of the narrow input, materialized ONCE for both
+  * passes (see [[ranged]] — the materialization is load-bearing, not an
+  * optimization), one tiny agg, one broadcast hash join — vs the
+  * single-task sort of the naive form. The result is independent of where
+  * the sampled range boundaries land, so the output is deterministic even
+  * though the partitioning itself is an execution detail.
   *
   * Reference semantics: the pandas `cumsum`/`qcut` idioms of
   * `card_funnel/kafka_s3_to_silver.py`-style frame code, re-expressed as a
@@ -70,13 +69,27 @@ object PrefixSum {
         col(s"__ps_o.$Pid").as(Pid), col(s"__ps_o.$Off").as(Off)): _*)
   }
 
-  /** Range-partition `df` on (group, order) keys and materialize the
-    * partition id as a column (spark_partition_id is constant per partition,
-    * so evaluation order within the partition is immaterial). */
+  /** Range-partition `df` on (group, order) keys, materialize the partition
+    * id as a column, and pin BOTH consumers (local window + totals) to the
+    * same physical partitioning with an eager `localCheckpoint`.
+    *
+    * The checkpoint is load-bearing, not an optimization: the two passes
+    * must observe the SAME partition ids, and without materialization each
+    * pass re-executes the range exchange independently — column pruning
+    * makes the subtrees non-identical, so exchange reuse does not apply,
+    * and range boundaries are SAMPLED from the input row order, which is
+    * nondeterministic whenever `df` sits downstream of a shuffle (reduce
+    * tasks interleave map outputs differently per execution). Divergent
+    * boundaries would silently mis-rank rows. Materializing the narrow
+    * (key, value) frame once — exactly what a production pipeline does by
+    * checkpointing its stats table — makes the scan correct for ANY input,
+    * and as a side effect halves the scan+shuffle work. Storage is freed by
+    * the ContextCleaner when the frame is garbage-collected. */
   private def ranged(df: DataFrame, groupCols: Seq[String],
                      orderCols: Seq[String]): DataFrame =
     df.repartitionByRange((groupCols ++ orderCols).map(col): _*)
       .withColumn(Pid, spark_partition_id())
+      .localCheckpoint()
 
   /** `df` + `out` = cumulative sum of `value` ordered by `orderCols` within
     * each `groupCols` group (the whole frame when `groupCols` is empty) —

@@ -50,6 +50,17 @@ class PlanSweepSpec extends AnyFunSuite {
       s"hash sampling should be filter-only:\n$plan")
   }
 
+  test("bucketed join plans exchange-free on the join key (and reuses the " +
+    "session's bucketed tables)") {
+    val dir = "/root/testdata/sf0.001"
+    Queries.joinBucketed(spark, dir).count() // first call builds the tables
+    val plan = Queries.joinBucketed(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected bucketed SMJ:\n$plan")
+    assert(!plan.contains("hashpartitioning(o_custkey"),
+      s"bucketed join must not re-shuffle the join key:\n$plan")
+  }
+
   test("incremental dedup probes the cached index instead of rescanning") {
     val dir = "/root/testdata/sf0.001"
     Queries.dedupIncremental(spark, dir).count() // warm the session index
