@@ -155,4 +155,30 @@ object PrefixSum {
       .withColumn(out, ntileFromRank(col(rankCol), col(NTot), k))
       .drop(rankCol, NTot)
   }
+
+  /** APPROXIMATE global ntile: bucket by VALUE against `approx_percentile`
+    * cut points — one aggregate plus a narrow when-chain, no shuffle of the
+    * data at all (vs [[ntileGlobal]]'s range exchange). The cut points are
+    * the k-1 quantiles collected to the driver as model parameters (k-1
+    * doubles — the [[Ivf]] centroid pattern). Two semantic trades vs the
+    * exact form: ties cannot be split by position (every row with the same
+    * value lands in one bucket, so bucket populations are only approximately
+    * equal), and the quantile estimate itself is within `accuracy`
+    * (G-K sketch). Right for threshold-picking over a distribution; use
+    * [[ntileGlobal]] when exact bucket populations matter. */
+  def approxNtile(df: DataFrame, orderCol: String, k: Int, out: String,
+                  accuracy: Int = 10000): DataFrame = {
+    val qs = (1 until k).map(_.toDouble / k)
+    val cuts = df
+      .agg(percentile_approx(col(orderCol).cast("double"),
+        array(qs.map(lit): _*), lit(accuracy)).as("__ps_cuts"))
+      .head().getSeq[Double](0)
+    val chain = cuts.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, (c, i)) =>
+        val cond = col(orderCol) <= lit(c)
+        Some(acc.fold(when(cond, i + 1))(_.when(cond, i + 1)))
+    }
+    val bucket = chain.fold(lit(1))(_.otherwise(k))
+    df.withColumn(out, bucket.cast(LongType))
+  }
 }

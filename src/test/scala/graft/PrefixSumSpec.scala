@@ -69,6 +69,46 @@ class PrefixSumSpec extends AnyFunSuite {
       agg.getLong(2) == n && agg.getLong(3) == n)
   }
 
+  test("the scan stays correct downstream of a shuffle (the case the " +
+    "localCheckpoint pins)") {
+    // post-shuffle row order is nondeterministic per execution; without the
+    // materialized partitioning the window and totals passes could sample
+    // different range boundaries and silently mis-rank — this exercises
+    // exactly that input shape
+    val shuffled = docStats.repartition(5, col("lang"))
+    val ranked = PrefixSum.globalRank(shuffled, Seq("doc_id"), "r", "n")
+    val n = ranked.count()
+    val agg = ranked.agg(min(col("r")), max(col("r")),
+      count_distinct(col("r"))).collect()(0)
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == n && agg.getLong(2) == n)
+    // and ranks follow doc_id order exactly
+    val bad = ranked.filter(col("r") =!= col("doc_id") + 1).count()
+    assert(bad == 0, s"$bad rows ranked out of doc_id order")
+  }
+
+  test("approxNtile agrees with exact deciles away from tie boundaries") {
+    val toks = split(col("text"), " ")
+    val stats = ops.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        round(size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double"), 4).as("uniq_ratio"))
+    val exact = PrefixSum.ntileGlobal(stats, Seq("uniq_ratio", "doc_id"),
+      10, "decile")
+    val approx = PrefixSum.approxNtile(stats, "uniq_ratio", 10, "adec")
+    // plan shape: the approximate form never shuffles the data
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"approxNtile must be a narrow map:\n$plan")
+    // value-bucketing can't split ties by position, so compare bucket
+    // agreement, not equality: the overwhelming majority must agree
+    val joined = exact.join(approx, Seq("doc_id", "uniq_ratio"))
+    val total = joined.count().toDouble
+    val agree = joined.filter(col("decile") === col("adec")).count()
+    info(f"approx/exact decile agreement ${agree / total * 100}%.1f%%")
+    assert(agree / total >= 0.8,
+      f"only ${agree / total * 100}%.1f%% decile agreement")
+  }
+
   test("a 90%-one-language corpus spreads over all partitions (no hot task)") {
     // the shape pack_tokens used to get wrong: a per-lang window gives the
     // dominant language ONE task; the range scan must spread it evenly
