@@ -171,4 +171,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.select("new_id", "base_id").exceptAll(
       expected.select("new_id", "base_id")).isEmpty)
   }
+
+  test("a bucketed signature index joins the delta with no static-side " +
+    "shuffle (the 100 TB deployment shape)") {
+    // the scale story for the incremental dedup is an index TABLE bucketed
+    // on the probe key: the per-batch join then shuffles only the delta —
+    // demonstrated, not just documented
+    import org.apache.spark.sql.functions.col
+    val docs = ops.Tables.table(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val sh = text.NearDup.shingleTableCached(corpus, "doc_id", "text", "spec-bkt")
+    val banded = text.NearDup.bandedTableCached(corpus, "doc_id", "text", "spec-bkt")
+    val idx = "bk_band_index"
+    ops.SinkDdl.dropManagedTable(spark, idx)
+    banded.write.bucketBy(4, "band", "bh").format("parquet").saveAsTable(idx)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+
+    val viaBucketed = StreamTwins.incrementalDedupJoin(delta, spark.table(idx), sh)
+    val viaCached = StreamTwins.incrementalDedupJoin(delta, banded, sh)
+    assert(viaBucketed.select("new_id", "base_id").exceptAll(
+      viaCached.select("new_id", "base_id")).isEmpty &&
+      viaCached.select("new_id", "base_id").exceptAll(
+        viaBucketed.select("new_id", "base_id")).isEmpty)
+
+    // cached (unpartitioned) index: BOTH candidate-join sides shuffle on
+    // the band key; bucketed index: only the delta side does
+    def bandShuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "hashpartitioning\\(band".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(bandShuffles(viaCached) == 2,
+      "expected both sides of the cached-index join to shuffle")
+    assert(bandShuffles(viaBucketed) == 1,
+      "bucketed index must join pre-partitioned (delta-side shuffle only)")
+  }
 }
