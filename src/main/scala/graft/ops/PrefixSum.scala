@@ -164,7 +164,8 @@ object PrefixSum {
     * exact form: ties cannot be split by position (every row with the same
     * value lands in one bucket, so bucket populations are only approximately
     * equal), and the quantile estimate itself is within `accuracy`
-    * (G-K sketch). Right for threshold-picking over a distribution; use
+    * (G-K sketch). Nulls land in bucket 1, matching ntile's ASC NULLS
+    * FIRST ordering. Right for threshold-picking over a distribution; use
     * [[ntileGlobal]] when exact bucket populations matter. */
   def approxNtile(df: DataFrame, orderCol: String, k: Int, out: String,
                   accuracy: Int = 10000): DataFrame = {
@@ -175,7 +176,9 @@ object PrefixSum {
       .head().getSeq[Double](0)
     val chain = cuts.zipWithIndex.foldLeft(Option.empty[Column]) {
       case (acc, (c, i)) =>
-        val cond = col(orderCol) <= lit(c)
+        val cond =
+          if (i == 0) col(orderCol).isNull || col(orderCol) <= lit(c)
+          else col(orderCol) <= lit(c)
         Some(acc.fold(when(cond, i + 1))(_.when(cond, i + 1)))
     }
     val bucket = chain.fold(lit(1))(_.otherwise(k))
