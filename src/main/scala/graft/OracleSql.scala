@@ -576,6 +576,21 @@ object OracleSql {
                         len(list_filter(toks, x -> x = 'a')) AS DOUBLE) / len(toks), 4) AS stopword_ratio
          FROM s ORDER BY doc_id""",
 
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             FROM documents WHERE len(string_split(text, ' ')) >= 3),
+           tri AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tri
+             FROM toks),
+           cnts AS (SELECT doc_id, tri, count(*) AS cnt
+             FROM tri GROUP BY doc_id, tri)
+         SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tri,
+             CAST(count(*) AS BIGINT) AS n_distinct_tri,
+             round(CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+               / sum(cnt), 4) AS rep3_frac
+         FROM cnts GROUP BY doc_id ORDER BY doc_id""",
+
     "token_count" ->
       """SELECT doc_id,
              CAST(len(string_split(text,' ')) AS INTEGER) AS n_ws_tokens,
