@@ -615,16 +615,21 @@ object Queries {
     * parquet. */
   def goldStarSchema(spark: SparkSession, dir: String): DataFrame = {
     Funnel.buildGoldSchema(spark, dir)
-    val cust = spark.table("gold_customers")
-    val custKeys = cust.select(col("customer_id"))
-    def orphans(tbl: String): Long = spark.table(tbl)
-      .join(custKeys, Seq("customer_id"), "left_anti").count()
-    import spark.implicits._
-    (("gold_customers", cust.count(), 0L) +:
-      Seq("gold_invitations", "gold_applications", "gold_accounts",
-        "gold_card").map(t => (t, spark.table(t).count(), orphans(t))))
-      .toDF("tbl", "n_rows", "n_orphans")
-      .orderBy(col("tbl"))
+    // reconciliation as ONE plan (a union of per-table aggregates, each
+    // orphan check a broadcast anti-join) instead of 9 driver actions —
+    // fewer job round-trips, same rows
+    val perTable = Seq("gold_invitations", "gold_applications",
+      "gold_accounts", "gold_card").map { tbl =>
+      s"""SELECT '$tbl' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(coalesce(sum(CASE WHEN customer_id NOT IN
+               (SELECT customer_id FROM gold_customers) THEN 1 ELSE 0 END),
+               0) AS BIGINT) AS n_orphans
+          FROM $tbl"""
+    }
+    val cust = """SELECT 'gold_customers' AS tbl,
+        CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_orphans
+      FROM gold_customers"""
+    spark.sql((cust +: perTable).mkString("", " UNION ALL ", " ORDER BY tbl"))
   }
 
   /** The engine's SQL surface (the reference ships SQL to Redshift; here
