@@ -791,24 +791,9 @@ object Queries {
     * plus occurrence and distinct counts. One narrow index-explode + two
     * keyed aggregations — the (doc_id, trigram) shuffle is bounded by
     * corpus token count, linear at any scale. */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val tri = transform(sequence(lit(0), size(col("t")) - 3), i =>
-      concat_ws(" ", element_at(col("t"), i + 1),
-        element_at(col("t"), i + 2), element_at(col("t"), i + 3)))
-    t(spark, dir, "documents")
-      .select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(tri).as("tri"))
-      .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_tri"),
-        count(lit(1)).as("n_distinct_tri"),
-        round(sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L))
-          .cast(DoubleType) / sum(col("cnt")).cast(DoubleType), 4)
-          .as("rep3_frac"))
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    text.TextOps.repetitionStats(t(spark, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
-  }
 
   /** Content fingerprinting with a shard-key bucket. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =

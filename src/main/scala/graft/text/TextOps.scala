@@ -62,6 +62,29 @@ object TextOps {
   /** Winnowing rolling-hash fingerprints ([[graft.functions.Winnow]]):
     * sorted distinct window-minimum Rabin hashes of k-byte grams — any
     * shared substring of length ≥ w + k − 1 shares a fingerprint. */
+  /** Intra-document repetition stats (the Gopher/MassiveText duplicate-
+    * n-gram signal): per id — total and distinct trigram-occurrence counts
+    * and the fraction of occurrences belonging to a trigram repeated within
+    * the same document. Docs shorter than 3 tokens are dropped (no trigram
+    * exists). One index-explode + two keyed aggregations; the
+    * (id, trigram) shuffle is bounded by the corpus token count. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tri = transform(sequence(lit(0), size(col("__t")) - 3), i =>
+      concat_ws(" ", element_at(col("__t"), i + 1),
+        element_at(col("__t"), i + 2), element_at(col("__t"), i + 3)))
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 3)
+      .select(col(idCol), explode(tri).as("__tri"))
+      .groupBy(col(idCol), col("__tri")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_tri"),
+        count(lit(1)).as("n_distinct_tri"),
+        round(sum(when(col("__cnt") >= 2, col("__cnt")).otherwise(0L))
+          .cast(DoubleType) / sum(col("__cnt")).cast(DoubleType), 4)
+          .as("rep3_frac"))
+  }
+
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
     call_function("graft_winnow", text, lit(k), lit(w))
 }

@@ -33,6 +33,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("repetition stats hit both extremes and stay in [0,1]") {
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "x x x x x x x x x x"),             // one trigram repeated → 1.0
+      (2L, "a b c d e f g h i j"),             // all trigrams distinct → 0.0
+      (3L, "a b c a b c a b c d"),             // partial repetition
+      (4L, "a b")                              // < 3 tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) == ((8L, 1L, 1.0)))
+    assert(out(2L) == ((8L, 8L, 0.0)))
+    val (n3, d3, f3) = out(3L)
+    assert(n3 == 8L && d3 < n3 && f3 > 0.0 && f3 < 1.0)
+  }
+
   test("unionByName with drift conserves row count") {
     samples(Gen.zip(Gen.choose(1, 30), Gen.choose(1, 30)), 5).foreach {
       case (n, m) =>
