@@ -616,15 +616,19 @@ object Queries {
   def goldStarSchema(spark: SparkSession, dir: String): DataFrame = {
     Funnel.buildGoldSchema(spark, dir)
     // reconciliation as ONE plan (a union of per-table aggregates, each
-    // orphan check a broadcast anti-join) instead of 9 driver actions —
-    // fewer job round-trips, same rows
+    // orphan check a broadcast left join against the distinct key set)
+    // instead of 9 driver actions — fewer job round-trips, same rows.
+    // LEFT JOIN + IS NULL rather than NOT IN: Spark plans NOT IN as a
+    // null-AWARE anti join, which falls back to a nested-loop broadcast —
+    // the exact plan shape the PlanSweep gate exists to keep out
     val perTable = Seq("gold_invitations", "gold_applications",
       "gold_accounts", "gold_card").map { tbl =>
       s"""SELECT '$tbl' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(coalesce(sum(CASE WHEN customer_id NOT IN
-               (SELECT customer_id FROM gold_customers) THEN 1 ELSE 0 END),
-               0) AS BIGINT) AS n_orphans
-          FROM $tbl"""
+             CAST(coalesce(sum(CASE WHEN c.customer_id IS NULL
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+          FROM $tbl t LEFT JOIN
+            (SELECT DISTINCT customer_id FROM gold_customers) c
+            ON t.customer_id = c.customer_id"""
     }
     val cust = """SELECT 'gold_customers' AS tbl,
         CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_orphans
