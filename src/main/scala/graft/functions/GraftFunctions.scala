@@ -56,7 +56,9 @@ object GraftFunctions {
     ("graft_winnow", "winnowing rolling-hash fingerprints",
       es => Winnow(es.head,
         foldableInt("graft_winnow", "k", es(1)),
-        foldableInt("graft_winnow", "w", es(2)))))
+        foldableInt("graft_winnow", "w", es(2)))),
+    ("graft_repstats", "per-document trigram repetition stats",
+      es => RepetitionStats(es.head, 3)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -303,6 +305,45 @@ case class WordShingles(child: Expression, n: Int)
     var k = 0
     while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Per-document n-gram repetition stats in ONE pass. The repetition signal
+  * carries only per-document state, so the grouped two-shuffle form
+  * (occurrence explode → per-gram count → per-doc re-aggregate) collapses
+  * to a narrow map: token split, one count map, three outputs — plan cost
+  * drops from two keyed shuffles to zero. Returns null for texts with
+  * fewer than n tokens (no gram exists); callers filter those first. The
+  * grouped DataFrame form stays as the differential spec
+  * ([[graft.text.TextOps.repetitionStatsGrouped]]). */
+case class RepetitionStats(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tri", LongType, nullable = false),
+    StructField("n_distinct_tri", LongType, nullable = false),
+    StructField("rep3_frac", DoubleType, nullable = false)))
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val last = toks.length - n
+    if (last < 0) return null
+    val counts = new java.util.HashMap[String, Integer]()
+    var total = 0L
+    var i = 0
+    while (i <= last) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      counts.merge(sb.toString, 1, (a, b) => a + b)
+      total += 1
+      i += 1
+    }
+    var rep = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c >= 2) rep += c }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, counts.size.toLong, rep.toDouble / total))
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

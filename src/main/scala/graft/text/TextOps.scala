@@ -66,10 +66,24 @@ object TextOps {
     * n-gram signal): per id — total and distinct trigram-occurrence counts
     * and the fraction of occurrences belonging to a trigram repeated within
     * the same document. Docs shorter than 3 tokens are dropped (no trigram
-    * exists). One index-explode + two keyed aggregations; the
-    * (id, trigram) shuffle is bounded by the corpus token count. */
+    * exists). The signal is purely per-document, so it runs as a ZERO-
+    * shuffle narrow map (the `RepetitionStats` kernel — one token pass,
+    * one count map per row); [[repetitionStatsGrouped]] is the shuffle-
+    * based differential form the kernel is spec'd against. */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
-                      textCol: String): org.apache.spark.sql.DataFrame = {
+                      textCol: String): org.apache.spark.sql.DataFrame =
+    df.filter(size(tokens(col(textCol))) >= 3)
+      .select(col(idCol),
+        call_function("graft_repstats", col(textCol)).as("__r"))
+      .select(col(idCol), col("__r.n_tri").as("n_tri"),
+        col("__r.n_distinct_tri").as("n_distinct_tri"),
+        round(col("__r.rep3_frac"), 4).as("rep3_frac"))
+
+  /** The grouped two-shuffle form of [[repetitionStats]] (occurrence
+    * explode → per-gram count → per-doc re-aggregate) — kept as the
+    * built-in-operators differential spec for the kernel. */
+  def repetitionStatsGrouped(df: org.apache.spark.sql.DataFrame, idCol: String,
+                             textCol: String): org.apache.spark.sql.DataFrame = {
     val tri = transform(sequence(lit(0), size(col("__t")) - 3), i =>
       concat_ws(" ", element_at(col("__t"), i + 1),
         element_at(col("__t"), i + 2), element_at(col("__t"), i + 3)))

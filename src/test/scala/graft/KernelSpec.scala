@@ -48,6 +48,21 @@ class KernelSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("graft_repstats equals the grouped explode/count composition") {
+    import graft.text.TextOps
+    val docs = ops.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val fast = TextOps.repetitionStats(docs, "doc_id", "text")
+    val ref = TextOps.repetitionStatsGrouped(docs, "doc_id", "text")
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty,
+      "kernel repetition stats diverge from the grouped form")
+    // the kernel form is a pure narrow map: no aggregate, no exchange
+    // beyond none at all (the query's final ORDER BY lives elsewhere)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("HashAggregate"),
+      s"kernel repetition stats must be shuffle-free:\n$plan")
+  }
+
   test("graft_jaccard equals array_intersect formula") {
     val df = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),
