@@ -1027,6 +1027,18 @@ object Queries {
         mm.Multimodal.asMedia(t(spark, dir, "documents")), 4)
       .orderBy(col("doc_id"))
 
+  /** Multimodal FILE ingestion: payloads land as real files and re-enter
+    * through Spark's `binaryFile` source (path/length/content), ids
+    * recovered from object names, then the same real header decode as
+    * `mm_decode` — the first step of an actual 100 TB image pipeline,
+    * where media lives in an object store, not a parquet column. */
+  def scanBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
+    val path = TempFiles.dir(s"mm_files_${TempFiles.tag(dir)}")
+    val media = mm.Multimodal.binaryFileMedia(
+      spark, t(spark, dir, "documents"), path)
+    mm.Multimodal.decodeFeatures(spark, media).orderBy(col("doc_id"))
+  }
+
   /** S1 — parquet scan with filter+projection pushdown (TPC-H Q1 shape). */
   def scanParquet(spark: SparkSession, dir: String): DataFrame =
     Sources.readParquet(spark, s"$dir/lineitem.parquet")

@@ -98,6 +98,39 @@ object Multimodal {
         struct(col("mime"), col("n_chars"), col("lang")).as("meta"))
   }
 
+  /** Land each document's BMP payload as a real FILE (executor-side, once
+    * per fixture dir) and re-ingest through Spark's `binaryFile` source —
+    * the actual first step of a multimodal pipeline, where 100 TB of
+    * images arrive as object-store files, not as a parquet column. The
+    * source hands back (path, length, content); the item id is recovered
+    * from the file name, exactly like production key-encoded object names.
+    * At scale the source packs many small files per task
+    * (`spark.sql.files.maxPartitionBytes`), so a billion-object bucket
+    * scans with bounded task counts. */
+  def binaryFileMedia(spark: SparkSession, docs: DataFrame,
+                      dir: String): DataFrame = {
+    import spark.implicits._
+    val p = java.nio.file.Paths.get(dir)
+    val hasFiles = {
+      val s = java.nio.file.Files.list(p)
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (!hasFiles)
+      asMedia(docs).select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+          it.foreach { case (id, b) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"$id%08d.bmp"), b)
+          }
+        }
+    spark.read.format("binaryFile").load(s"$dir/*.bmp")
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.bmp$", 1)
+          .cast(LongType).as("doc_id"),
+        col("content").as("payload"))
+  }
+
   private def le32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
       ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
