@@ -31,7 +31,10 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // fixed (sorted) execution order: hash-map order shifts whenever a
+    // query is added, which silently changes each query's cache/JVM
+    // context between rounds and poisons round-over-round comparison
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
