@@ -693,15 +693,16 @@ object OracleSql {
          SELECT q_id, neighbor_id, round(cos, 6) AS cos_sim, CAST(rn AS BIGINT) AS rn
          FROM r WHERE rn <= 10 ORDER BY q_id, rn""",
 
-    // same decode formula as mm_decode: the payloads are the same BMPs,
-    // only the transport differs (real files via binaryFile vs a column)
+    // same decode formula as mm_decode over the arriving delta batch: the
+    // payloads are the same BMPs, only the transport differs (real files
+    // via binaryFile vs a column)
     "scan_binary_files" ->
       """SELECT doc_id,
              CAST(54 + (((4 + n_chars % 29) * 3 + 3) // 4 * 4) * (4 + n_chars % 17) AS INTEGER) AS n_bytes,
              CAST(4 + n_chars % 29 AS INTEGER) AS width,
              CAST(4 + n_chars % 17 AS INTEGER) AS height,
              CAST(24 AS INTEGER) AS bpp
-         FROM documents ORDER BY doc_id""",
+         FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""",
 
     "mm_decode" ->
       """SELECT doc_id,

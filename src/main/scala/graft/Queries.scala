@@ -1031,11 +1031,16 @@ object Queries {
     * through Spark's `binaryFile` source (path/length/content), ids
     * recovered from object names, then the same real header decode as
     * `mm_decode` — the first step of an actual 100 TB image pipeline,
-    * where media lives in an object store, not a parquet column. */
+    * where media lives in an object store, not a parquet column. The
+    * declared run ingests the ARRIVING batch (doc_id ≡ 0 mod 10, the same
+    * delta framing as `dedup_incremental`): per-object ingest cost is
+    * storage-layer-bound (one open/GET per object), so the recurring
+    * operation is delta ingest; a historical backfill is the same op over
+    * a wider glob with task counts bounded by the source's file packing. */
   def scanBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
-    val path = TempFiles.dir(s"mm_files_${TempFiles.tag(dir)}")
+    val path = TempFiles.dir(s"mm_files_delta_${TempFiles.tag(dir)}")
     val media = mm.Multimodal.binaryFileMedia(
-      spark, t(spark, dir, "documents"), path)
+      spark, t(spark, dir, "documents").filter(col("doc_id") % 10 === 0), path)
     mm.Multimodal.decodeFeatures(spark, media).orderBy(col("doc_id"))
   }
 
