@@ -87,7 +87,10 @@ class StressSpec extends AnyFunSuite {
     // Single-shot timings swing ±2x on this box, so the bound is the row
     // ratio itself, not a tighter constant.
     val names = Seq("corpus_curate", "dedup_incremental",
-      "stream_dedup_incremental", "dedup_simhash_verified", "resample_ffill")
+      "stream_dedup_incremental", "dedup_simhash_verified", "resample_ffill",
+      // the two prefix-scan rewrites: their scale shape is the round-4
+      // change, so their slope is part of the evidence
+      "quality_deciles", "pack_tokens")
     for (n <- names) {
       val times = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").map {
         dir =>
