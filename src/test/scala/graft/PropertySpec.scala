@@ -33,6 +33,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("two-pass prefix scan equals the window form on random grouped data") {
+    import graft.ops.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    // random (group, key, value) tables with heavy group skew and duplicate
+    // keys broken by a unique id — the window form is the executable spec
+    val gen = Gen.listOfN(300,
+      Gen.zip(Gen.frequency(8 -> Gen.const("hot"), 2 -> Gen.oneOf("a", "b", "c")),
+        Gen.choose(0, 20), Gen.choose(-50, 50)))
+    samples(gen, 3).filter(_.nonEmpty).foreach { data =>
+      val df = data.toDF("g", "k", "v")
+        .withColumn("id", monotonically_increasing_id())
+      val naive = df.withColumn("cum",
+        sum($"v").over(Window.partitionBy($"g").orderBy($"k", $"id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val scan = PrefixSum.cumSum(df, Seq("g"), Seq("k", "id"), $"v", "cum")
+      assert(scan.exceptAll(naive).isEmpty && naive.exceptAll(scan).isEmpty,
+        "random-data cumsum diverges from the window form")
+    }
+  }
+
+  test("distributed ntile equals the builtin on random tie-heavy data") {
+    import graft.ops.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    // few distinct values → every decile boundary lands inside a tie run,
+    // the case value-based bucketing cannot reproduce but the exact rank
+    // scan must
+    val gen = Gen.listOfN(137, Gen.choose(0, 5))
+    samples(gen, 3).filter(_.nonEmpty).foreach { data =>
+      val df = data.toDF("v").withColumn("id", monotonically_increasing_id())
+      val naive = df.withColumn("b",
+        ntile(7).over(Window.orderBy($"v", $"id")).cast("long"))
+      val scan = PrefixSum.ntileGlobal(df, Seq("v", "id"), 7, "b")
+      assert(scan.exceptAll(naive).isEmpty && naive.exceptAll(scan).isEmpty,
+        "random-data ntile diverges from the builtin")
+    }
+  }
+
   test("repetition stats hit both extremes and stay in [0,1]") {
     import graft.text.TextOps
     val docs = Seq(
