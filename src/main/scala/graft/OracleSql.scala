@@ -445,6 +445,15 @@ object OracleSql {
          GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
          ORDER BY segment, status""",
 
+    "agg_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+             coalesce(o_orderstatus, 'ALL') AS status,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS total
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (o_orderstatus), ())
+         ORDER BY segment, status""",
+
     "dedup_modality_agreement" ->
       """WITH sht AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),

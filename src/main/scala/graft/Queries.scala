@@ -673,6 +673,26 @@ object Queries {
       .orderBy(col("segment"), col("status"))
   }
 
+  /** A6c — explicit GROUPING SETS, the general form rollup and cube are
+    * shorthands for: a non-prefix-chain set list ((segment, status),
+    * (status), ()) that neither shorthand can express — still ONE Expand
+    * pass. Spark 4's `Dataset.groupingSets` API. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment"), col("o_orderstatus")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        decOut(sum(Cleanse.dec2(col("o_totalprice")))).as("total"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("cnt"), col("total"))
+      .orderBy(col("segment"), col("status"))
+  }
+
   /** A6b — CUBE: all grouping-set combinations with explicit ALL labels
     * (rollup's lattice sibling; same one-Expand-pass plan). */
   def aggCube(spark: SparkSession, dir: String): DataFrame = {
