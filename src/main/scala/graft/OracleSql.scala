@@ -220,6 +220,14 @@ object OracleSql {
              CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_acctbal
          FROM customer""",
 
+    "scan_merge_schema" ->
+      """SELECT 'v1' AS src, n_nationkey, n_name,
+             CAST(NULL AS INTEGER) AS n_regionkey FROM nation
+         UNION ALL
+         SELECT 'v2' AS src, n_nationkey, CAST(NULL AS VARCHAR) AS n_name,
+             n_regionkey FROM nation
+         ORDER BY n_nationkey, src""",
+
     "merge_upsert" ->
       """WITH updates AS (
            SELECT c_custkey, c_name,
@@ -636,6 +644,51 @@ object OracleSql {
       """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
              CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "pii_redact" ->
+      """WITH pii AS (
+           SELECT doc_id,
+               concat('reach user', CAST(doc_id AS VARCHAR), '@mail',
+                 CAST(doc_id % 7 AS VARCHAR), '.example.com or +1-202-',
+                 lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+                 lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0'),
+                 ' ip 10.', CAST(doc_id % 256 AS VARCHAR), '.0.',
+                 CAST((doc_id * 13) % 256 AS VARCHAR), ' :: ', text) AS raw
+           FROM documents),
+           red AS (
+           SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+?\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+           FROM pii)
+         SELECT doc_id, redacted,
+             CAST(len(string_split(redacted, '<EMAIL>')) - 1
+                + len(string_split(redacted, '<PHONE>')) - 1
+                + len(string_split(redacted, '<IP>')) - 1 AS BIGINT) AS n_redactions
+         FROM red ORDER BY doc_id""",
+
+    "dedup_boilerplate" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+           c AS (
+           SELECT doc_id, CAST(floor((pos - 1) / 8) AS BIGINT) AS chunk_id,
+               string_agg(word, ' ' ORDER BY pos) AS chunk_text
+           FROM w GROUP BY doc_id, floor((pos - 1) / 8)),
+           b AS (
+           SELECT md5(chunk_text) AS h FROM c
+           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+           f AS (
+           SELECT c.doc_id, c.chunk_id, c.chunk_text,
+               (b.h IS NOT NULL) AS is_boiler
+           FROM c LEFT JOIN b ON md5(c.chunk_text) = b.h)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id)
+               FILTER (WHERE NOT is_boiler), '') AS kept_text
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
 
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,

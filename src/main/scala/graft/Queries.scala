@@ -302,6 +302,26 @@ object Queries {
         Cleanse.dec2(col("c_acctbal"))))).as("sum_acctbal"))
   }
 
+  /** S10 — schema-evolution scan: two parquet generations of the same
+    * table (v1 carries `n_name`, v2 carries `n_regionkey`) read as ONE
+    * dataset via `mergeSchema` — the lakehouse reality of a column added
+    * mid-history. Absent columns surface as typed nulls; `src` derives
+    * provenance so ordering never depends on engine null placement. */
+  def scanMergeSchema(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+    val sub = s"mergeschema_${TempFiles.tag(dir)}"
+    val base = TempFiles.dir(sub)
+    n.select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$base/v1")
+    n.select(col("n_nationkey"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$base/v2")
+    Sources.readParquetMerged(spark, Seq(s"$base/v1", s"$base/v2"))
+      .select(
+        when(col("n_name").isNotNull, "v1").otherwise("v2").as("src"),
+        col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"), col("src"))
+  }
+
   /** CDC merge-upsert (MERGE INTO without a table format): a deterministic
     * change batch — every 10th customer's balance bumped by 1000, five new
     * customers inserted under shifted keys — applied via one union + one
@@ -868,7 +888,46 @@ object Queries {
         element_at(col("fps"), 1).as("fp_min"))
       .orderBy(col("doc_id"))
 
+  /** PII redaction before corpus release: emails, phone numbers and bare
+    * IPv4s rewritten to typed placeholders ([[text.TextOps.redactPii]] — a
+    * codegen'd regexp chain, zero shuffles). The synthetic corpus carries
+    * no PII, so the fixture deterministically plants one of each derived
+    * from `doc_id` in front of the real text — the redactor must remove
+    * every plant and leave the document body byte-identical. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val ids = col("doc_id").cast(StringType)
+    val raw = concat(
+      lit("reach user"), ids, lit("@mail"),
+      pmod(col("doc_id"), lit(7)).cast(StringType), lit(".example.com or +1-202-"),
+      lpad(pmod(col("doc_id"), lit(1000)).cast(StringType), 3, "0"), lit("-"),
+      lpad(pmod(col("doc_id") * 7, lit(10000)).cast(StringType), 4, "0"),
+      lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast(StringType), lit(".0."),
+      pmod(col("doc_id") * 13, lit(256)).cast(StringType),
+      lit(" :: "), col("text"))
+    d.select(col("doc_id"), text.TextOps.redactPii(raw).as("redacted"))
+      .withColumn("n_redactions",
+        (size(split(col("redacted"), "<EMAIL>", -1)) - 1
+          + size(split(col("redacted"), "<PHONE>", -1)) - 1
+          + size(split(col("redacted"), "<IP>", -1)) - 1).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
   // ── North-star: deduplication ────────────────────────────────────────
+
+  /** Cross-document boilerplate removal — the CCNet/MassiveText line-dedup
+    * pass at chunk granularity (8-word chunks stand in for lines: the
+    * synthetic corpus has no newlines). Chunks shared by ≥ 2 documents are
+    * dropped everywhere and each doc is reassembled from its survivors
+    * ([[text.TextOps.dropBoilerplate]]: narrow chunking, one fingerprint
+    * agg, one join, one keyed reassembly — no windows, no cross joins). */
+  def dedupBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    text.TextOps.dropBoilerplate(
+        t(spark, dir, "documents"), "doc_id", "text", chunkWords = 8)
+      .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+        col("kept_text"))
+      .orderBy(col("doc_id"))
+
 
   /** Exact dedup: hash-groupBy on content, keep the min id per group. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =

@@ -23,6 +23,14 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S10 — schema-evolution scan: parquet written over time with columns
+    * added/dropped between generations, read as one dataset. `mergeSchema`
+    * unions footer schemas by name (absent columns → typed nulls); pushdown
+    * and pruning still work per file because each footer keeps its own
+    * physical schema. */
+  def readParquetMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", true).parquet(paths: _*)
+
   /** S2 — one whole JSON document (object or array) per file. */
   def readJsonMultiline(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", true).json(path)

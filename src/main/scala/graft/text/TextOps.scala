@@ -101,4 +101,63 @@ object TextOps {
 
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
     call_function("graft_winnow", text, lit(k), lit(w))
+
+  /** PII patterns redacted before training-data release, most-specific
+    * first (emails before phones before bare IPs so an earlier rewrite
+    * never creates a later match). Each is plain POSIX-compatible regex —
+    * identical semantics under Java regex (Spark) and RE2 (most engines). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?\\d{1,2}-\\d{3}-\\d{3}-\\d{4}" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** PII redaction: a chain of codegen'd `regexp_replace` rewrites — a pure
+    * narrow map, so it streams through a 100 TB scan with no shuffle. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** The document cut into fixed-size word chunks ("lines" for line-level
+    * dedup when the corpus has no newlines) — a pure HOF composition
+    * (sequence → slice → array_join), so chunking itself costs NO shuffle
+    * and no row explosion until the caller explodes the (much smaller)
+    * chunk array. */
+  def wordChunks(text: Column, chunkWords: Int): Column = {
+    val toks = tokens(text)
+    val nChunks = (size(toks) + lit(chunkWords - 1)) / lit(chunkWords)
+    transform(sequence(lit(0), nChunks.cast(IntegerType) - 1), i =>
+      array_join(slice(toks, i * chunkWords + 1, lit(chunkWords)), " "))
+  }
+
+  /** Cross-document boilerplate removal (the CCNet/MassiveText line-dedup
+    * pass, chunk-granular): any chunk occurring in ≥ `minDocs` distinct
+    * documents is boilerplate; every document is reassembled from its
+    * surviving chunks in order. Cost at any scale: one narrow chunking map,
+    * one partial-agg shuffle on the chunk fingerprint (md5 — the key stays
+    * 16 bytes however long the chunk is), one equi-join back, one keyed
+    * re-aggregation per document. No windows, no cross joins; the chunk
+    * table is bounded by corpus token count. */
+  def dropBoilerplate(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, chunkWords: Int = 8,
+                      minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
+    val chunks = df
+      .select(col(idCol), posexplode(wordChunks(col(textCol), chunkWords))
+        .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("h", md5(col("chunk_text")))
+    val boiler = chunks.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"), lit(true).as("is_boiler"))
+    chunks.join(boiler, Seq("h"), "left")
+      .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("is_boiler").cast(LongType)).as("n_dropped"),
+        array_join(transform(
+          filter(array_sort(collect_list(struct(col("chunk_id"),
+            col("chunk_text"), col("is_boiler")))), c => !c("is_boiler")),
+          c => c("chunk_text")), " ").as("kept_text"))
+  }
 }

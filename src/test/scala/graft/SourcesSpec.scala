@@ -70,4 +70,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 2)
     assert(df.filter($"b".isNull || $"c".isNull).count() == 2)
   }
+
+  test("readParquetMerged unions generations by name; pushdown survives the merge") {
+    val base = TempFiles.dir("mergeschema_spec")
+    Seq((1L, "x")).toDF("id", "name").write.mode("overwrite")
+      .parquet(s"$base/v1")
+    Seq((2L, 7L)).toDF("id", "score").write.mode("overwrite")
+      .parquet(s"$base/v2")
+    val df = Sources.readParquetMerged(spark, Seq(s"$base/v1", s"$base/v2"))
+    assert(df.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[String]("name") == "x" && rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(1).getAs[Long]("score") == 7L && rows(1).isNullAt(rows(1).fieldIndex("name")))
+    // predicate on the shared column still reaches the parquet scan
+    val plan = df.filter($"id" === 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"),
+      s"missing pushdown:\n$plan")
+  }
 }
