@@ -888,6 +888,29 @@ object Queries {
         element_at(col("fps"), 1).as("fp_min"))
       .orderBy(col("doc_id"))
 
+  /** Approximate heavy hitters: exact top-20 token counts side by side with
+    * their count-min-sketch estimates ([[graft.functions.CmsEstimate]] over
+    * Spark's `count_min_sketch` one-pass aggregate, ε = 0.001, δ = 0.001,
+    * fixed seed). At 100 TB the sketch replaces the full-vocabulary
+    * shuffle: one mergeable O(1/ε) state per partition, collected once and
+    * probed as a plan literal; candidates come from any cheap source (here
+    * the exact counts, so the overestimate column is the measured CMS
+    * error — guaranteed ≥ 0, ≤ ε·N w.p. ≥ 1−δ). Rows-only (the sketch is
+    * engine-internal); the guarantees are spec-asserted corpus-wide. */
+  def vocabCmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sk = toks.agg(expr("count_min_sketch(tok, 0.001d, 0.999d, 42)").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+      .limit(20)
+      .select(col("tok"), col("exact_cnt"),
+        call_function("graft_cms_estimate", col("tok"), lit(sk)).as("est_cnt"))
+      .withColumn("overestimate", col("est_cnt") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
   /** PII redaction before corpus release: emails, phone numbers and bare
     * IPv4s rewritten to typed placeholders ([[text.TextOps.redactPii]] — a
     * codegen'd regexp chain, zero shuffles). The synthetic corpus carries

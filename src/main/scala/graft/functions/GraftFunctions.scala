@@ -58,7 +58,15 @@ object GraftFunctions {
         foldableInt("graft_winnow", "k", es(1)),
         foldableInt("graft_winnow", "w", es(2)))),
     ("graft_repstats", "per-document trigram repetition stats",
-      es => RepetitionStats(es.head, 3)))
+      es => RepetitionStats(es.head, 3)),
+    ("graft_cms_estimate", "count-min-sketch point frequency estimate",
+      es => {
+        if (!(es(1).foldable && es(1).dataType == BinaryType))
+          throw new IllegalArgumentException(
+            "graft_cms_estimate: argument 'sketch' must be a BINARY literal " +
+              s"(the collected sketch as a plan literal), got ${es(1).sql}")
+        CmsEstimate(es.head, es(1))
+      }))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -250,6 +258,32 @@ case class LshBandKeys(child: Expression, nPlanes: Int, rowsPerBand: Int)
   * left-to-right, so results are bit-identical to `aggregate(zip_with(a, b,
   * (x,y) -> x*y), 0D, (acc,x) -> acc+x)` and to any engine summing the same
   * way — the property the differential oracle relies on. Codegen'd. */
+/** Count-min-sketch point query: the frequency estimate of `item` under a
+  * sketch built by Spark's `count_min_sketch` aggregate (Cormode/
+  * Muthukrishnan '05 — estimate ≥ true count always; ≤ true + ε·N with
+  * probability ≥ confidence). The sketch argument is a FOLDABLE binary
+  * literal — the collected one-row aggregate embedded as a plan literal,
+  * the same model-parameter pattern as the IVF centroids — so it is
+  * deserialized once per task, not per row. Items are hashed through their
+  * UTF-8 bytes, matching how the aggregate feeds StringType into the
+  * sketch. */
+case class CmsEstimate(item: Expression, sketch: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = item
+  override def right: Expression = sketch
+  override def dataType: DataType = LongType
+
+  @transient private lazy val sk: org.apache.spark.util.sketch.CountMinSketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketch.eval().asInstanceOf[Array[Byte]]))
+
+  override def nullSafeEval(i: Any, s: Any): Any =
+    sk.estimateCount(i.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(item = l, sketch = r)
+}
+
 case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType

@@ -201,4 +201,38 @@ class KernelSpec extends AnyFunSuite {
     assert(out("a") == out("b"))
     assert(java.lang.Long.bitCount(out("a") ^ out("c")) > 0)
   }
+
+  test("graft_cms_estimate: CMS guarantees hold corpus-wide (est ≥ exact, " +
+    "est ≤ exact + ε·N at the sketch's confidence) and probes are deterministic") {
+    // zipf-ish synthetic stream: token t_k appears ~1000/k times
+    val toks = (1 to 40).flatMap(k => Seq.fill(1000 / k)(s"t$k"))
+    val df = toks.toDF("tok")
+    val eps = 0.005
+    val n = toks.size.toLong
+    val sk = df.agg(expr(s"count_min_sketch(tok, ${eps}d, 0.999d, 7)").as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val est = df.groupBy($"tok").agg(count(lit(1)).as("exact"))
+      .select($"tok", $"exact",
+        call_function("graft_cms_estimate", $"tok", lit(sk)).as("est"))
+      .collect()
+    est.foreach { r =>
+      val (exact, e) = (r.getLong(1), r.getLong(2))
+      assert(e >= exact, s"CMS must never underestimate: ${r.getString(0)}")
+      assert(e <= exact + (eps * n).toLong,
+        s"estimate ${e} breaches ε·N slack over ${exact} for ${r.getString(0)}")
+    }
+    val again = df.select(call_function("graft_cms_estimate", $"tok", lit(sk)))
+      .collect().map(_.getLong(0)).toSeq
+    val first = df.select(call_function("graft_cms_estimate", $"tok", lit(sk)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == first)
+  }
+
+  test("graft_cms_estimate rejects a non-literal sketch argument") {
+    val df = Seq(("a", Array[Byte](1, 2))).toDF("tok", "sk")
+    val e = intercept[Exception] {
+      df.select(call_function("graft_cms_estimate", $"tok", $"sk")).collect()
+    }
+    assert(e.getMessage.contains("BINARY literal"))
+  }
 }
