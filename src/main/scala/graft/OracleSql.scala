@@ -228,6 +228,21 @@ object OracleSql {
              n_regionkey FROM nation
          ORDER BY n_nationkey, src""",
 
+    "join_range" ->
+      """WITH bands AS (
+           SELECT 'band_' || lpad(CAST(k AS VARCHAR), 2, '0') AS band,
+               CAST(k * 40000.0 AS DOUBLE) AS lo,
+               CAST(k * 40000.0 + 60000.0 AS DOUBLE) AS hi
+           FROM range(0, 12) t(k)),
+           j AS (
+           SELECT band, lo, hi, o_totalprice
+           FROM orders JOIN bands
+             ON o_totalprice >= lo AND o_totalprice < hi)
+         SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+             min(lo) AS lo, min(hi) AS hi
+         FROM j GROUP BY band ORDER BY band""",
+
     "merge_upsert" ->
       """WITH updates AS (
            SELECT c_custkey, c_name,

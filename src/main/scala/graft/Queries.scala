@@ -805,6 +805,26 @@ object Queries {
         count_distinct(col("l_orderkey")).as("exact_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Range (interval) join without a nested loop: orders priced into
+    * overlapping price bands (stride 40k, width 60k — each order lands in
+    * 1-2 bands) via [[RangeJoin.binned]]. The theta form `v BETWEEN lo AND
+    * hi` plans as BNLJ/cartesian; the binned form is a plain equi-join on
+    * the quantized value — see RangeJoinSpec for the shuffle-plan pin. */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(0, 12).select(
+      concat(lit("band_"), lpad(col("id").cast(StringType), 2, "0")).as("band"),
+      (col("id") * 40000.0).as("lo"),
+      (col("id") * 40000.0 + 60000.0).as("hi"))
+    RangeJoin.binned(
+        t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", bands, "lo", "hi", binWidth = 20000.0)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        decOut(sum(Cleanse.dec2(col("o_totalprice")))).as("sum_price"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+      .orderBy(col("band"))
+  }
+
   // ── North-star: text analysis (SURVEY.md §2.11) ──────────────────────
 
   /** Language ID via marker-token scoring (deterministic argmax). */
