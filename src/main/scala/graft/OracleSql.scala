@@ -433,6 +433,15 @@ object OracleSql {
              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM events WHERE user_id BETWEEN 100 AND 120""",
 
+    "sink_zorder" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events
+         WHERE user_id BETWEEN 30 AND 60
+           AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08'
+           AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'""",
+
     "sink_partitioned" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value

@@ -438,6 +438,38 @@ object Queries {
         count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** K13 — Z-order (Morton) clustered sink: events laid out by the
+    * interleaved bits of BOTH user and time ([[graft.functions.MortonCode]]
+    * after equal-width scaling of each dimension to 10-bit buckets — the
+    * Delta OPTIMIZE ZORDER recipe), so parquet footer min/max stats skip
+    * files for rectangle predicates on either or both dimensions. A
+    * single-key layout ([[sinkClustered]]) can only skip on its one sort
+    * key; ZOrderSpec measures the per-file span contraction on both dims.
+    * The scaling bounds are a 2-value aggregate collected once (model
+    * parameters, the IVF-centroids pattern); content round-trips exactly —
+    * the oracle checks the rectangle aggregate against the raw table. */
+  def sinkZorder(spark: SparkSession, dir: String): DataFrame = {
+    val path = TempFiles.dir(s"sink_zorder_${TempFiles.tag(dir)}")
+    val ev = t(spark, dir, "events")
+    val mins = floor(col("ts").cast(LongType) / 60L).cast(LongType)
+    val b = ev.agg(max(col("user_id")).as("mu"),
+      min(mins).as("lo"), max(mins).as("hi")).head()
+    val (mu, lo, hi) = (b.getAs[Long]("mu"), b.getAs[Long]("lo"), b.getAs[Long]("hi"))
+    val uB = (col("user_id") * 1024L / lit(mu + 1)).cast(LongType)
+    val tB = ((mins - lit(lo)) * 1024L / lit(hi - lo + 1)).cast(LongType)
+    ev.withColumn("zcode", call_function("graft_morton", uB, tB))
+      .repartitionByRange(8, col("zcode"))
+      .sortWithinPartitions(col("zcode"))
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("user_id").between(30, 60) &&
+        col("ts") >= lit("2024-01-08").cast(TimestampType) &&
+        col("ts") < lit("2024-01-15").cast(TimestampType))
+      .agg(count(lit(1)).as("n_rows"),
+        decOut(sum(Cleanse.dec2(col("value")))).as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"))
+  }
+
   /** K11 — small-file compaction: a fragmented landing zone (64 shards of
     * one small table — the steady-state of frequent micro-batch appends) is
     * rewritten into a bounded file count. `coalesce` keeps the rewrite

@@ -59,6 +59,8 @@ object GraftFunctions {
         foldableInt("graft_winnow", "w", es(2)))),
     ("graft_repstats", "per-document trigram repetition stats",
       es => RepetitionStats(es.head, 3)),
+    ("graft_morton", "64-bit Morton (Z-order) code of two 32-bit dimensions",
+      es => MortonCode(es.head, es(1))),
     ("graft_cms_estimate", "count-min-sketch point frequency estimate",
       es => {
         if (!(es(1).foldable && es(1).dataType == BinaryType))
@@ -258,6 +260,44 @@ case class LshBandKeys(child: Expression, nPlanes: Int, rowsPerBand: Int)
   * left-to-right, so results are bit-identical to `aggregate(zip_with(a, b,
   * (x,y) -> x*y), 0D, (acc,x) -> acc+x)` and to any engine summing the same
   * way — the property the differential oracle relies on. Codegen'd. */
+/** Bit-spreading helpers for [[MortonCode]] — a top-level object so the
+  * generated whole-stage-codegen Java can call the static forwarders. */
+object MortonCodes {
+  /** Spread the low 32 bits of `v` to the even bit positions of a long. */
+  def spread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+  /** Interleave the low 32 bits of `a` (even positions) and `b` (odd). */
+  def zEncode(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+}
+
+/** 64-bit Morton (Z-order) code: the bits of two 32-bit dimensions
+  * interleaved, so sorting by the code gives multi-dimensional locality —
+  * rows close in the code are close in BOTH dimensions, and every
+  * 2^k-aligned square of the plane is one contiguous code range. Callers
+  * should scale both dimensions to comparable bit widths first (equal-width
+  * or rank buckets — the Delta OPTIMIZE ZORDER recipe); interleaving a
+  * 13-bit key with a 30-bit key lets the wide key's high bits dominate and
+  * degenerates to single-key sorting. Participates in whole-stage codegen
+  * via [[MortonCodes]]' static forwarders. */
+case class MortonCode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MortonCodes.zEncode(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.MortonCodes.zEncode($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Count-min-sketch point query: the frequency estimate of `item` under a
   * sketch built by Spark's `count_min_sketch` aggregate (Cormode/
   * Muthukrishnan '05 — estimate ≥ true count always; ≤ true + ε·N with

@@ -26,7 +26,9 @@ class EndToEndSpec extends AnyFunSuite {
     // Probabilistic candidate-generation ops whose exact result is not
     // ANSI-SQL-expressible; the driver records a rows-only check for them.
     val rowsOnly = Set("dedup_simhash", "ann_lsh_topk", "ann_lsh_recall",
-      "ann_ivf_topk", "ann_ivf_recall", "agg_hll_sketch", "doc_winnow")
+      "ann_ivf_topk", "ann_ivf_recall", "agg_hll_sketch", "doc_winnow",
+      // sketch internals: estimates beside exact counts, bounds spec-asserted
+      "vocab_cms_topk")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }

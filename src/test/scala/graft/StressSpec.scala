@@ -90,7 +90,9 @@ class StressSpec extends AnyFunSuite {
       "stream_dedup_incremental", "dedup_simhash_verified", "resample_ffill",
       // the two prefix-scan rewrites: their scale shape is the round-4
       // change, so their slope is part of the evidence
-      "quality_deciles", "pack_tokens")
+      "quality_deciles", "pack_tokens",
+      // chunk-dedup pipeline: fingerprint agg + join-back + reassembly
+      "dedup_boilerplate")
     for (n <- names) {
       val times = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").map {
         dir =>
