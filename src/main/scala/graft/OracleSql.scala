@@ -228,6 +228,37 @@ object OracleSql {
              n_regionkey FROM nation
          ORDER BY n_nationkey, src""",
 
+    "dq_checks" ->
+      """WITH wide AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_null,
+               CAST(sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT) AS type_unknown,
+               CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01'
+                              OR CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_range,
+               CAST(sum(CASE WHEN value <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS value_not_positive,
+               CAST(sum(CASE WHEN value > 450.0 THEN 1 ELSE 0 END) AS BIGINT) AS value_above_450,
+               CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS event_id_dup
+           FROM events)
+         SELECT rule, n_violations, n_rows, (n_violations = 0) AS pass FROM (
+           SELECT 'user_id_null' AS rule, user_id_null AS n_violations, n_rows FROM wide
+           UNION ALL SELECT 'type_unknown', type_unknown, n_rows FROM wide
+           UNION ALL SELECT 'ts_out_of_range', ts_out_of_range, n_rows FROM wide
+           UNION ALL SELECT 'value_not_positive', value_not_positive, n_rows FROM wide
+           UNION ALL SELECT 'value_above_450', value_above_450, n_rows FROM wide
+           UNION ALL SELECT 'event_id_dup', event_id_dup, n_rows FROM wide)
+         ORDER BY rule""",
+
+    "agg_incremental" ->
+      """WITH parts AS (
+           SELECT user_id, event_type, count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(12,2))) AS sum_state
+           FROM events
+           GROUP BY user_id, event_type, (CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20'))
+         SELECT user_id, event_type, CAST(sum(n_events) AS BIGINT) AS n_events,
+             CAST(CAST(sum(sum_state) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+         FROM parts GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
+
     "join_range" ->
       """WITH bands AS (
            SELECT 'band_' || lpad(CAST(k AS VARCHAR), 2, '0') AS band,

@@ -857,6 +857,57 @@ object Queries {
       .orderBy(col("band"))
   }
 
+  /** One-scan declarative data-quality checks (the Deequ/dbt-test shape):
+    * every rule is a conditional aggregate over the SAME pass — nulls,
+    * domain violations, range violations, duplicate keys (exact distinct
+    * rides the same Expand) — then the 1-row result unpivots to a row per
+    * rule. A 100 TB table gets audited in exactly one scan, no matter how
+    * many rules; thresholds make each row a pass/fail gate. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val wide = ev.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("user_id_null"),
+      sum(when(!col("event_type").isin("view", "click", "purchase",
+        "signup", "error"), 1L).otherwise(0L)).as("type_unknown"),
+      sum(when(col("ts") < lit("2024-01-01").cast(TimestampType) ||
+        col("ts") >= lit("2024-02-01").cast(TimestampType), 1L)
+        .otherwise(0L)).as("ts_out_of_range"),
+      sum(when(col("value") <= 0.0, 1L).otherwise(0L)).as("value_not_positive"),
+      sum(when(col("value") > 450.0, 1L).otherwise(0L)).as("value_above_450"),
+      (count(lit(1)) - count_distinct(col("event_id"))).as("event_id_dup"))
+    val rules = Seq("user_id_null", "type_unknown", "ts_out_of_range",
+      "value_not_positive", "value_above_450", "event_id_dup")
+    wide.unpivot(Array(col("n_rows")),
+        rules.map(col).toArray, "rule", "n_violations")
+      .select(col("rule"), col("n_violations"), col("n_rows"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy(col("rule"))
+  }
+
+  /** Incremental aggregate maintenance (materialized-view refresh): the
+    * pre-cutoff aggregate is treated as an existing materialization and
+    * merged with the delta batch's partial aggregate by re-aggregating the
+    * UNION of partial states — count adds, exact-decimal sum adds. The
+    * refresh cost is O(delta + |aggregate|), never a rescan of history;
+    * the oracle is the full-history aggregate, proving the partial-state
+    * algebra exact (decimal partials, so no float reorder drift). */
+  def aggIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val cutoff = lit("2024-01-20").cast(TimestampType)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(Cleanse.dec2(col("value"))).as("sum_state"))
+    val base = partial(ev.filter(col("ts") < cutoff))
+    val delta = partial(ev.filter(col("ts") >= cutoff))
+    base.unionByName(delta)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        decOut(sum(col("sum_state"))).as("sum_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   // ── North-star: text analysis (SURVEY.md §2.11) ──────────────────────
 
   /** Language ID via marker-token scoring (deterministic argmax). */
