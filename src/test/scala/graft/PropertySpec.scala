@@ -183,4 +183,27 @@ class PropertySpec extends AnyFunSuite {
       assert(pa == r.getSeq[Int](1))
     }
   }
+
+  test("binned range join equals the theta join on random points and " +
+    "intervals at every bin width") {
+    import graft.ops.RangeJoin
+    val ptsGen = Gen.listOfN(60, Gen.choose(-100.0, 100.0))
+    val ivGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(-110.0, 110.0), Gen.choose(0.0, 45.0)))
+    for (seed <- 0 until 4) {
+      val pts = samples(ptsGen, seed + 1).last.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("pid", "v")
+      val ivs = samples(ivGen, seed + 1).last.zipWithIndex
+        .map { case ((lo, span), i) => (i.toLong, lo, lo + span) }
+        .toDF("iid", "lo", "hi")
+      val want = pts.join(ivs, $"v" >= $"lo" && $"v" < $"hi")
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      for (w <- Seq(3.3, 10.0, 64.0)) {
+        val got = RangeJoin.binned(pts, "v", ivs, "lo", "hi", w)
+          .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+        assert(got == want, s"seed=$seed binWidth=$w")
+        assert(got.size == got.distinct.size, s"dup pairs seed=$seed w=$w")
+      }
+    }
+  }
 }
