@@ -69,4 +69,35 @@ class PlanSweepSpec extends AnyFunSuite {
     assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
       s"incremental dedup should read the cached pair/index tables:\n$plan")
   }
+
+  test("dq_checks audits every rule in exactly ONE table scan") {
+    val plan = Queries.dqChecks(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one events scan, found $scans:\n$plan")
+  }
+
+  test("pii_redact plans no exchange before its ORDER BY (pure narrow map)") {
+    val plan = Queries.piiRedact(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    // exactly the one range exchange the deterministic ORDER BY needs
+    assert(exchanges == 1,
+      s"redaction must not shuffle (1 sort exchange expected, got $exchanges):\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"redaction must stay a projection:\n$plan")
+  }
+
+  test("dedup_boilerplate never explodes words through a shuffle — only " +
+    "chunk-granular keyed exchanges") {
+    val df = Queries.dedupBoilerplate(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // chunking is a projection (generate over the chunk array), so every
+    // exchange key must be doc- or fingerprint-granular: fingerprint agg,
+    // join-back, per-doc reassembly, final sort
+    val exchanges = "Exchange (range|hash)partitioning".r.findAllIn(plan).size
+    assert(exchanges <= 5, s"unexpected exchange count $exchanges:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop in chunk dedup:\n$plan")
+  }
 }
