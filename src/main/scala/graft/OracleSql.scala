@@ -868,6 +868,44 @@ object OracleSql {
          FROM latest e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY c.c_mktsegment ORDER BY mktsegment""",
 
+    "window_ranks" ->
+      """SELECT event_id, user_id,
+             CAST(rank() OVER w AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             round(percent_rank() OVER w, 6) AS prank,
+             round(cume_dist() OVER w, 6) AS cdist,
+             CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+                  AS BIGINT) AS q4
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY value)
+         ORDER BY event_id""",
+
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           p AS (
+             SELECT a.doc_id a_id, b.doc_id b_id
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+           e AS (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),
+           reach(id, r) AS (
+             SELECT u, u FROM e
+             UNION
+             SELECT e2.u, reach.r FROM e e2 JOIN reach ON reach.id = e2.v),
+           comp AS (SELECT id, min(r) c FROM reach GROUP BY id),
+           sizes AS (SELECT c, CAST(count(*) AS BIGINT) cluster_size FROM comp GROUP BY c),
+           hist AS (
+             SELECT cluster_size, CAST(count(*) AS BIGINT) n_clusters
+             FROM sizes GROUP BY cluster_size
+             UNION ALL
+             SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT)
+             FROM documents WHERE doc_id NOT IN (SELECT id FROM comp))
+         SELECT cluster_size, n_clusters, cluster_size * n_clusters AS n_docs
+         FROM hist WHERE n_clusters > 0 ORDER BY cluster_size""",
+
     "dedup_components" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
@@ -1065,6 +1103,38 @@ object OracleSql {
          LEFT JOIN daily d ON g.user_id = d.user_id AND g.d = d.d
          LEFT JOIN counts c ON g.user_id = c.user_id AND g.d = c.d
          ORDER BY g.user_id, day_str""",
+
+    "join_bloom_pruned" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4))
+                  AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_acctbal > 9000
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "split_train" ->
+      """WITH s AS (SELECT lang, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents)
+         SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM s GROUP BY lang, split ORDER BY lang, split""",
+
+    "scd2_build" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type AS status,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         c AS (SELECT user_id, ts, event_id, status FROM o
+           WHERE prev IS NULL OR prev <> status)
+         SELECT user_id, status,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             strftime(CAST(lead(ts) OVER w AS TIMESTAMP),
+                      '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+             lead(ts) OVER w IS NULL AS is_current
+         FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, valid_from, status""",
 
     "profile_table" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) n_rows,

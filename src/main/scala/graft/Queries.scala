@@ -659,6 +659,29 @@ object Queries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** X17 — explicit bloom-filter semi-join reduction: high-balance
+    * customers (a selective dim predicate) aggregate to a 16 Kibit bitset
+    * (driver-held model parameter, ~2 KB), and the orders fact side is
+    * pruned by the codegen'd `mightContain` predicate BEFORE the join's
+    * shuffle — the classic "ship a summary of the small side, not the
+    * rows" trick for when the automatic runtime filter doesn't fire. The
+    * real join then removes bloom false positives, so the oracle is the
+    * plain join SQL. At 100 TB the fact shuffle carries only ~dim-matching
+    * rows instead of the whole table. */
+  def joinBloomPruned(spark: SparkSession, dir: String): DataFrame = {
+    val dim = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val bits = BloomPrune.buildBits(dim, col("c_custkey"))
+    t(spark, dir, "orders")
+      .filter(BloomPrune.mightContain(col("o_custkey"), bits))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        decOut(sum(Cleanse.dec2(col("o_totalprice")))).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** X14 — gold star-schema build declared end-to-end: run the SQL-script
     * build (all FIVE reference tables: customers ← invitations ←
     * applications ← accounts ← card), then report per-table row counts and
@@ -1126,6 +1149,23 @@ object Queries {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** N5c — SemDeDup-style semantic dedup pairs: k-means cluster the
+    * embedding space (the IVF centroid model, trained once per session),
+    * then exact-cosine compare only within each cell — O(Σ cellᵢ²) instead
+    * of O(n²), the cluster-then-compare recipe from the SemDeDup paper,
+    * with multi-probe assignment (each vector lists under its 4 nearest
+    * cells) so dup pairs straddling a cell boundary are still compared.
+    * Rows-only by design (cell assignment is not ANSI-SQL-expressible);
+    * the SimilaritySpec floor asserts recall vs the exact tier and the
+    * subset property (every reported pair IS an exact near-dup pair, since
+    * the within-cell comparison is exact cosine). */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    sim.Ivf.semanticDupPairs(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", 0.4, nCells = 16, iters = 2, probes = 4,
+        cacheKey = Some(dir))
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+
   /** Modality agreement: the text near-dup signal (Jaccard ≥ 0.8) and the
     * embedding near-dup signal (cosine ≥ 0.4) over the SAME item ids,
     * full-outer-joined pairwise — the complementarity report that tells a
@@ -1351,6 +1391,95 @@ object Queries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 60).drop("rn")
       .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Deterministic stratified train/val/test split — the reproducible
+    * 80/10/10 assignment a training pipeline needs: a document's split is a
+    * pure function of its id (md5 first byte: < 0xcc train, < 0xe6 val,
+    * else test), so re-running over a grown corpus never moves an existing
+    * document between splits and no shuffle or rand() is involved. The
+    * per-(lang, split) counts audit stratum balance; the assignment itself
+    * is the narrow `when` chain, attachable to any scan. */
+  def splitTrain(spark: SparkSession, dir: String): DataFrame = {
+    val b = substring(md5(col("doc_id").cast(StringType)), 1, 2)
+    t(spark, dir, "documents")
+      .withColumn("split",
+        when(b < "cc", "train").when(b < "e6", "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  /** SCD2 history build (slowly-changing dimension, type 2): collapse each
+    * user's event stream into status-run rows with `valid_from`/`valid_to`
+    * validity intervals and an `is_current` flag — the warehouse pattern
+    * behind every "as of" dimension table. Change detection is one `lag`
+    * per key, interval closing one `lead` over the surviving change rows;
+    * both windows partition on user_id (bounded rows per key, never a
+    * global window), and the second reuses the first's hash partitioning so
+    * the plan carries ONE exchange. Timestamps leave as formatted strings
+    * (oracle comparison is representation-proof). */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("status"))
+      .withColumn("prev", lag(col("status"), 1).over(byKey))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+      .withColumn("end_ts", lead(col("ts"), 1).over(byKey))
+      .select(col("user_id"), col("status"),
+        Cleanse.tsStr(col("ts")).as("valid_from"),
+        Cleanse.tsStr(col("end_ts")).as("valid_to"),
+        col("end_ts").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("status"))
+  }
+
+  /** X9d — the full ranking-function surface in one keyed window: rank,
+    * dense_rank, percent_rank, cume_dist and quartile ntile per user over
+    * event value. Partitioned on user_id (high cardinality — thousands of
+    * small partitions, never a handful of giant ones), ties on value share
+    * a rank deterministically, and the ntile ordering is totalized with
+    * the event id. Int-returning rank functions are cast to long (DuckDB
+    * windows return BIGINT). */
+  def windowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("value"))
+    val wTotal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        rank().over(w).cast(LongType).as("rnk"),
+        dense_rank().over(w).cast(LongType).as("drnk"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(wTotal).cast(LongType).as("q4"))
+      .orderBy(col("event_id"))
+  }
+
+  /** N14d — dup-cluster size histogram: how many near-dup clusters of each
+    * size the corpus carries (singletons included via one anti-join) — the
+    * audit view that catches both a broken banding (everything singleton)
+    * and a degenerate collapse (one giant cluster) before a dedup pass is
+    * trusted. Reuses the session-cached pair table and component labels;
+    * the histogram itself is two tiny aggregates over the label table. */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = text.NearDup.minhashDupPairsCached(docs, "doc_id", "text", 0.8, dir)
+    val comp = Components.connectedComponentsCached(pairs, "a_id", "b_id", dir)
+    val clustered = comp.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    val singletons = docs
+      .join(comp.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    // clusters from the pair graph always have >= 2 members, so the union
+    // branches are disjoint and need no re-aggregation
+    clustered.unionByName(singletons)
+      .filter(col("n_clusters") > 0)
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy(col("cluster_size"))
   }
 
   /** Corpus vocabulary head: token frequencies over all documents, top 20

@@ -69,6 +69,47 @@ object Ivf {
       .getOrElseUpdate(s"ivf|$cacheKey|$idCol|$vecCol|$nCells|$iters",
         centroids(emb, idCol, vecCol, nCells, iters))
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): cluster
+    * the embedding space with the SAME trained k-means centroids the IVF
+    * index uses, then compare pairs only WITHIN each cell — the
+    * cluster-then-compare recipe that turns the O(n²) pairwise scan into
+    * O(Σ cellᵢ²). Cell assignment is the narrow plan-literal kernel map
+    * (no join); the within-cell pairing is ONE equi-join on the cell id
+    * (shuffle on cell, never a nested loop). Boundary splits (a dup pair
+    * straddling two cells) are recovered by ASYMMETRIC multi-probe: every
+    * vector is INDEXED under its primary cell only, and additionally
+    * PROBES its `probes` nearest cells — a pair is compared iff either
+    * endpoint's primary cell is on the other's probe list. Candidate
+    * volume is therefore probes/nCells of the quadratic (not probes**2),
+    * and with nCells grown ~ sqrt(corpus) at scale the ratio vanishes; the
+    * SimilaritySpec floor pins the recall this buys. */
+  def semanticDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                       minCos: Double, nCells: Int = 16, iters: Int = 2,
+                       probes: Int = 1,
+                       cacheKey: Option[String] = None): DataFrame = {
+    val cents = cacheKey match {
+      case Some(key) => centroidsCached(emb, idCol, vecCol, nCells, iters, key)
+      case None => centroids(emb, idCol, vecCol, nCells, iters)
+    }
+    val v = withNorm(emb, idCol, vecCol)
+    // index side: one row per vector under its primary cell
+    val idx = v.select(
+      element_at(nearestCentroids(col("e"), cents, 1), 1).as("cell"),
+      col("id").as("a_id"), col("e").as("ae"), col("nrm").as("an"))
+    // probe side: one row per (vector, probed cell)
+    val prb = v.select(col("id").as("b_id"), col("e").as("be"),
+      col("nrm").as("bn"),
+      explode(nearestCentroids(col("e"), cents, probes)).as("cell"))
+    idx.join(prb, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", dotd(col("ae"), col("be")) / (col("an") * col("bn")))
+      .filter(col("cos") >= minCos)
+      // canonicalize: either direction may have found the pair
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("cos"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
   /** IVF top-k: vectors keyed by their cell (narrow map), queries probe
     * their `nProbes` nearest cells, candidates come from one broadcast
     * equi-join on the cell id, and exact cosine ranks them. `n_candidates`

@@ -28,7 +28,9 @@ class EndToEndSpec extends AnyFunSuite {
     val rowsOnly = Set("dedup_simhash", "ann_lsh_topk", "ann_lsh_recall",
       "ann_ivf_topk", "ann_ivf_recall", "agg_hll_sketch", "doc_winnow",
       // sketch internals: estimates beside exact counts, bounds spec-asserted
-      "vocab_cms_topk")
+      "vocab_cms_topk",
+      // cluster-then-compare: cell assignment is the k-means kernel, not SQL
+      "dedup_semantic")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.posexplode
+import org.apache.spark.sql.functions.{col, element_at, posexplode}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Quality gates for the approximate (LSH) tiers against their exact
@@ -88,6 +88,46 @@ class SimilaritySpec extends AnyFunSuite {
     // the volume bound is the point: probes/cells of the corpus, not all of it
     val nVec = ops.Tables.table(spark, sf, "embeddings").count()
     assert(rows.map(_.getAs[Long]("n_candidates")).max < nVec / 2)
+  }
+
+  test("semantic dedup pairs are a subset of the exact tier with recall " +
+    "above the floor") {
+    val semantic = Queries.dedupSemantic(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact all-pairs tier at the same threshold
+    val exact = Queries.dedupEmbeddingCosine(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact by construction: within-cell scoring IS exact cosine
+    assert((semantic -- exact).isEmpty, "semantic pair not in exact tier")
+    assert(exact.nonEmpty)
+    // recall loss is only pairs whose 4-cell probe lists don't intersect
+    val recall = semantic.size.toDouble / exact.size
+    info(f"semantic recall $recall%.2f (${semantic.size}/${exact.size} pairs)")
+    assert(recall >= 0.60, s"semantic recall $recall below floor (" +
+      s"${semantic.size}/${exact.size} pairs)")
+  }
+
+  test("semantic dedup compares within probed cells only: candidate volume " +
+    "is the probes/nCells fraction of quadratic") {
+    import org.apache.spark.sql.functions.{explode, element_at => elemAt}
+    val emb = ops.Tables.table(spark, sf, "embeddings")
+    val n = emb.count()
+    val cents = sim.Ivf.centroidsCached(emb, "vec_id", "embedding", 16, 2, sf)
+    val v = sim.Similarity.withNorm(emb, "vec_id", "embedding")
+    val idx = v.select(elemAt(
+      sim.Ivf.nearestCentroids(col("e"), cents, 1), 1).as("cell"),
+      col("id").as("a_id"))
+    val prb = v.select(col("id").as("b_id"),
+      explode(sim.Ivf.nearestCentroids(col("e"), cents, 4)).as("cell"))
+    val candidates = idx.join(prb, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .selectExpr("least(a_id, b_id) AS x", "greatest(a_id, b_id) AS y")
+      .distinct().count()
+    val allPairs = n * (n - 1) / 2
+    // the ratio is ~probes/nCells (4/16 here); nCells grows ~sqrt(corpus)
+    // at scale, so the fraction vanishes as the corpus grows
+    assert(candidates < allPairs / 2,
+      s"cells too coarse: $candidates of $allPairs pairs compared")
   }
 
   test("simhash-verified pairs equal the minhash-verified pairs (two scale " +

@@ -94,11 +94,16 @@ class StressSpec extends AnyFunSuite {
       // chunk-dedup pipeline: fingerprint agg + join-back + reassembly
       "dedup_boilerplate")
     for (n <- names) {
+      // min-of-2 per scale point: a single GC/JIT pause on either side of
+      // the ratio can push a healthy query past the bound (it flaked once
+      // under full-suite contention); the minimum is pause-robust
       val times = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").map {
         dir =>
-          val t0 = System.nanoTime()
-          SparkEntry.queries(n)(spark, dir).count()
-          (System.nanoTime() - t0) / 1e9
+          Seq.fill(2) {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
       }
       val slope = times(1) / times(0)
       info(f"$n: ${times(0)}%.2f s -> ${times(1)}%.2f s, " +
