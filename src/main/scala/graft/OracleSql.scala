@@ -745,6 +745,53 @@ object OracleSql {
                FILTER (WHERE NOT is_boiler), '') AS kept_text
          FROM f GROUP BY doc_id ORDER BY doc_id""",
 
+    "text_lm_score" ->
+      """WITH tokens AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           vocab AS (SELECT tok, CAST(count(*) AS BIGINT) cnt
+                     FROM tokens GROUP BY tok),
+           tot AS (SELECT CAST(count(*) AS BIGINT) n_total FROM tokens),
+           d AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) n_tokens,
+                     CAST(sum(v.cnt) AS BIGINT) sum_cnt
+                 FROM tokens t JOIN vocab v USING (tok) GROUP BY t.doc_id)
+         SELECT doc_id, n_tokens,
+             round(CAST(sum_cnt AS DOUBLE) /
+                   CAST(n_tokens * n_total AS DOUBLE), 9) AS mean_tok_freq
+         FROM d CROSS JOIN tot ORDER BY doc_id""",
+
+    "vocab_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') arr FROM documents),
+           uni AS (SELECT unnest(arr) tok FROM t),
+           uc AS (SELECT tok, CAST(count(*) AS BIGINT) c FROM uni GROUP BY tok),
+           nu AS (SELECT CAST(count(*) AS BIGINT) n_uni FROM uni),
+           bl AS (SELECT list_transform(range(1, len(arr)),
+                      i -> arr[i] || ' ' || arr[i+1]) bs FROM t),
+           bi AS (SELECT unnest(bs) bg FROM bl),
+           bc AS (SELECT string_split(bg, ' ')[1] w1, string_split(bg, ' ')[2] w2,
+                      CAST(count(*) AS BIGINT) c_xy FROM bi GROUP BY bg),
+           nb AS (SELECT CAST(count(*) AS BIGINT) n_bi FROM bi)
+         SELECT w1, w2, c_xy,
+             round((CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE)
+                    * CAST(n_uni AS DOUBLE)) /
+                   (CAST(n_bi AS DOUBLE) * CAST(cx.c AS DOUBLE)
+                    * CAST(cy.c AS DOUBLE)), 6) AS pmi_lift
+         FROM bc JOIN uc cx ON bc.w1 = cx.tok JOIN uc cy ON bc.w2 = cy.tok
+         CROSS JOIN nu CROSS JOIN nb
+         WHERE c_xy >= 3
+         ORDER BY pmi_lift DESC, w1, w2 LIMIT 20""",
+
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents)
+         SELECT a_id, b_id, containment FROM (
+           SELECT a.doc_id a_id, b.doc_id b_id,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     CAST(len(a.sh) AS DOUBLE), 4) containment
+           FROM t a JOIN t b ON a.doc_id != b.doc_id)
+         WHERE containment >= 0.8 ORDER BY a_id, b_id""",
+
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),

@@ -1037,6 +1037,19 @@ object Queries {
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
+  /** Corpus unigram-LM quality score (the CCNet/KenLM perplexity-filter
+    * shape) — see [[text.TextOps.lmScore]] for the plan shapes and the
+    * exact-integer-arithmetic parity argument. */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    text.TextOps.lmScore(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Bigram collocations by PMI lift ("new york"-style multiword units) —
+    * see [[text.TextOps.pmiCollocations]]. */
+  def vocabPmi(spark: SparkSession, dir: String): DataFrame =
+    text.TextOps.pmiCollocations(t(spark, dir, "documents"), "text",
+      minCount = 3, topK = 20)
+
   /** PII redaction before corpus release: emails, phone numbers and bare
     * IPv4s rewritten to typed placeholders ([[text.TextOps.redactPii]] — a
     * codegen'd regexp chain, zero shuffles). The synthetic corpus carries
@@ -1098,6 +1111,16 @@ object Queries {
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** Asymmetric containment pairs (|A∩B| / |A| ≥ 0.8) via the SSJoin-style
+    * prefix-filter inverted index — see [[text.NearDup.containmentPairs]]
+    * for the completeness argument and plan shapes. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    text.NearDup.containmentPairs(
+        t(spark, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, cacheKey = dir)
+      .toDF("a_id", "b_id", "containment")
+      .orderBy(col("a_id"), col("b_id"))
 
   /** MinHash+LSH near-dup pairs over the FULL table, verified with exact
     * Jaccard — deterministic (xxhash64). The declared threshold (0.8) sits

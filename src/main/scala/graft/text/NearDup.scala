@@ -199,6 +199,65 @@ object NearDup {
     while (it.hasNext) { it.next().values.foreach(_.unpersist()); it.remove() }
   }
 
+  /** Asymmetric containment pairs — |A∩B| / |A| ≥ threshold over shingle
+    * sets: the quote/subset detector Jaccard-based dedup structurally
+    * misses (a small doc embedded in a big one has high containment but
+    * low Jaccard, so MinHash-LSH candidate generation excludes the pair).
+    *
+    * Scale path is the SSJoin-family prefix filter: rank each doc's
+    * shingles by global document frequency (rarest first, shingle value as
+    * tiebreak — both sides deterministic) and index only the first
+    * ⌊(1−t)·|A|⌋+1. If A is t-contained in B it misses at most
+    * ⌊(1−t)·|A|⌋ of its own shingles in B, so at least one prefix shingle
+    * hits B: candidates from prefix(A) ⋈ full(B) are COMPLETE — the filter
+    * trades only candidate volume, never recall. The indexed side shrinks
+    * (1−t)× and is skewed toward globally-rare shingles, which keeps the
+    * inverted-index equi-join off hot keys; the verify tier is the
+    * codegen'd built-in `array_intersect` on surviving pairs only. Plan
+    * shapes: one df aggregate, one per-doc keyed window (rank by df), one
+    * shingle-keyed equi-join, one pair aggregate — no cross join, every
+    * stage keyed and linear-ish in corpus shingle count.
+    *
+    * Returns ordered (a_id, b_id, containment) pairs — containment is
+    * measured from a_id's side, so both directions can appear. Cached and
+    * eagerly materialized like the other pair builders. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, cacheKey: String): DataFrame =
+    cacheFor(docs.sparkSession).getOrElseUpdate(
+      s"containment|$cacheKey|$idCol|$textCol|$threshold", {
+        val sh = shingleTableCached(docs, idCol, textCol, cacheKey)
+        val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+        val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
+        // ⌊(1−t)·|A|⌋ + 1, nudged by 1e-9 before the floor: 1−t is not
+        // exactly representable (1.0 − 0.8 < 0.2 in IEEE), and an
+        // un-nudged floor loses the +1 exactly at boundary sizes
+        // (|A| = 20, t = 0.8 → 3.9999… → prefix 4 instead of 5), missing
+        // pairs whose containment equals the threshold. Over-nudging only
+        // adds candidates — the verify tier keeps precision exact.
+        val pref = inv.join(dfreq, "s").join(sizes, "id")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("id")).orderBy(col("df"), col("s"))))
+          .filter(col("rn") <=
+            floor((lit(1.0) - threshold) * col("n_sh") + lit(1e-9)) + 1)
+          .select(col("id").as("a_id"), col("s"))
+        val cands = pref.join(inv.toDF("b_id", "s"), "s")
+          .filter(col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id")).dropDuplicates("a_id", "b_id")
+        val pairs = cands
+          .join(sh.toDF("a_id", "a_sh"), "a_id")
+          .join(sh.toDF("b_id", "b_sh"), "b_id")
+          .select(col("a_id"), col("b_id"),
+            round(size(array_intersect(col("a_sh"), col("b_sh")))
+                .cast("double") / size(col("a_sh")).cast("double"), 4)
+              .as("containment"))
+          .filter(col("containment") >= threshold)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        pairs.count()
+        pairs
+      })
+
   /** Incremental near-dup detection: band the (small) DELTA batch and
     * equi-join it against the corpus band table — candidate work scales
     * with |delta| × bucket density, never |corpus|², and the corpus side is

@@ -138,6 +138,65 @@ object TextOps {
     * 16 bytes however long the chunk is), one equi-join back, one keyed
     * re-aggregation per document. No windows, no cross joins; the chunk
     * table is bounded by corpus token count. */
+  /** Corpus unigram-LM quality score — the engine-side shape of the
+    * CCNet/KenLM perplexity filter: each document scored by the mean
+    * corpus frequency of its token occurrences (gibberish and rare-token
+    * spam score low, common prose high; production swaps the in-corpus
+    * unigram table for an external LM without changing the plan). All
+    * arithmetic is exact integer sums until ONE final double division, so
+    * scores are bit-identical across engines (no `ln`/`exp`). Cost at any
+    * scale: one vocabulary aggregate, one equi-join of the token stream
+    * back to the vocabulary (same key — the exchange is reused), one
+    * per-document aggregate; every stage keyed and linear in corpus token
+    * count. The corpus-total factor is a one-row broadcast. */
+  def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(vocab, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"),
+        round(col("sum_cnt").cast(DoubleType) /
+          (col("n_tokens") * col("n_total")).cast(DoubleType), 9)
+          .as("mean_tok_freq"))
+  }
+
+  /** Bigram collocations by PMI lift — the vocabulary-induction view of a
+    * corpus ("new york"-style multiword units). Score is the pure rational
+    * lift `P(xy) / (P(x)·P(y))` — rank-equivalent to PMI without the
+    * cross-engine `log` — over bigrams occurring ≥ `minCount` times.
+    * Bigrams come from a narrow `zip_with` over the shifted token array
+    * (no self-join, no positional window); then two token-keyed aggregates
+    * and two vocabulary joins, all linear in corpus token count. */
+  def pmiCollocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      minCount: Int = 3,
+                      topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    val arrs = df.select(tokens(col(textCol)).as("arr"))
+    val uni = arrs.select(explode(col("arr")).as("tok"))
+    val uniCnt = uni.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(count(lit(1)).as("n_uni"))
+    val bi = arrs.select(explode(expr(
+        "zip_with(slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val biCnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val nBi = bi.agg(count(lit(1)).as("n_bi"))
+    biCnt.filter(col("c_xy") >= minCount)
+      .join(uniCnt.toDF("w1", "c_x"), "w1")
+      .join(uniCnt.toDF("w2", "c_y"), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round((col("c_xy").cast(DoubleType) * col("n_uni").cast(DoubleType)
+            * col("n_uni").cast(DoubleType)) /
+          (col("n_bi").cast(DoubleType) * col("c_x").cast(DoubleType)
+            * col("c_y").cast(DoubleType)), 6).as("pmi_lift"))
+      .orderBy(col("pmi_lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   def dropBoilerplate(df: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String, chunkWords: Int = 8,
                       minDocs: Int = 2): org.apache.spark.sql.DataFrame = {

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextOps
+
+/** Hand-computed fixtures for the corpus-statistics text scores (unigram-LM
+  * score and PMI-lift collocations) — the numbers below are worked by hand
+  * so an arithmetic regression in either plan fails loudly. */
+class TextScoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("lmScore: exact hand-computed mean token frequency") {
+    // corpus tokens: a a b | c → vocab a:2 b:1 c:1, total 4
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc1: (2+2+1) / (3*4) = 5/12;  doc2: 1 / (1*4)
+    assert(out(0).getLong(1) == 3L)
+    assert(out(0).getDouble(2) == BigDecimal(5.0 / 12)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1).getLong(1) == 1L)
+    assert(out(1).getDouble(2) == 0.25)
+  }
+
+  test("lmScore ranks common prose above rare-token spam") {
+    val common = (1 to 20).map(_ => "the data is here").mkString(" ")
+    val spam = (1 to 20).map(i => s"zxqj$i").mkString(" ")
+    val out = TextOps.lmScore(
+        Seq((1L, common), (2L, spam)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getDouble(2) > 10 * out(1).getDouble(2))
+  }
+
+  test("pmiCollocations: exact hand-computed lift, minCount filter applied") {
+    // tokens: new york a new york b new york (8 tokens, 7 bigrams)
+    // c(new york)=3, c(new)=3, c(york)=3, n_uni=8, n_bi=7
+    // lift = (3·8·8)/(7·3·3) = 192/63
+    val docs = Seq((1L, "new york a new york b new york")).toDF("doc_id", "text")
+    val out = TextOps.pmiCollocations(docs, "text", minCount = 3).collect()
+    assert(out.length == 1, s"minCount must drop 1-count bigrams: ${out.toSeq}")
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == ("new", "york", 3L))
+    assert(r.getDouble(3) == BigDecimal(192.0 / 63)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("pmiCollocations: single-token docs produce no bigrams and no error") {
+    val docs = Seq((1L, "solo"), (2L, "x y x y x y")).toDF("doc_id", "text")
+    val out = TextOps.pmiCollocations(docs, "text", minCount = 3).collect()
+    // bigrams of doc2: (x,y)×3 (y,x)×2 — only (x,y) survives minCount
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet == Set(("x", "y")))
+  }
+}
