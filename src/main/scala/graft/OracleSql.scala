@@ -745,6 +745,40 @@ object OracleSql {
                FILTER (WHERE NOT is_boiler), '') AS kept_text
          FROM f GROUP BY doc_id ORDER BY doc_id""",
 
+    "window_rolling_distinct" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) d
+             FROM events),
+           mx AS (SELECT max(d) max_d FROM e),
+           x AS (SELECT user_id,
+                 unnest(generate_series(d, d + INTERVAL 6 DAY,
+                   INTERVAL 1 DAY)) td
+               FROM e)
+         SELECT strftime(CAST(td AS DATE), '%Y-%m-%d') AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+         FROM x CROSS JOIN mx WHERE CAST(td AS DATE) <= max_d
+         GROUP BY 1 ORDER BY 1""",
+
+    "dq_drift" ->
+      """WITH d AS (SELECT n_chars, doc_id % 2 = 0 AS in_a FROM documents),
+           pv AS (SELECT n_chars,
+                 CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) cnt_a,
+                 CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) cnt_b
+               FROM d GROUP BY n_chars),
+           tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) n_a,
+                       CAST(sum(cnt_b) AS BIGINT) n_b FROM pv),
+           c AS (SELECT n_chars,
+                 sum(cnt_a) OVER (ORDER BY n_chars) cum_a,
+                 sum(cnt_b) OVER (ORDER BY n_chars) cum_b FROM pv),
+           g AS (SELECT n_chars, n_a, n_b,
+                 round(abs(CAST(cum_a AS DOUBLE) / n_a
+                       - CAST(cum_b AS DOUBLE) / n_b), 6) gap
+               FROM c CROSS JOIN tot),
+           m AS (SELECT max(gap) ks_stat FROM g)
+         SELECT m.ks_stat, min(g.n_chars) AS at_value, g.n_a, g.n_b
+         FROM g JOIN m ON g.gap = m.ks_stat
+         GROUP BY m.ks_stat, g.n_a, g.n_b""",
+
     "text_lm_score" ->
       """WITH tokens AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -802,6 +802,33 @@ object Queries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** W4b — rolling DISTINCT count (the trailing-7-day-active-users /
+    * "rolling WAU" report): distinct users in the 7-day window ending at
+    * each day. A distinct aggregate cannot ride a running window frame —
+    * the exact distributed form inverts the window: dedup to (user, day)
+    * pairs (one keyed shuffle, map-side partial), explode each pair to the
+    * ≤ 7 target days it contributes to (narrow ×7), and count distinct
+    * users per target day (one more keyed shuffle). Cost is linear ×
+    * window-days at any scale, with NO per-user or global ordering
+    * anywhere; days past the data's horizon are trimmed against the
+    * one-row max-day broadcast. */
+  def windowRollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val mx = e.agg(max(col("d")).as("max_d"))
+    e.select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+      .crossJoin(broadcast(mx))
+      .filter(col("day") <= col("max_d"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("n_users_7d"))
+      // dates cross engines as strings (the resample_ffill precedent:
+      // parquet DATE and DuckDB DATE materialize differently downstream)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_users_7d"))
+      .orderBy(col("day"))
+  }
+
   /** A7 — pivot to one column per status (explicit value list so the
     * output schema is static, the scalable form of pivot). */
   def aggPivot(spark: SparkSession, dir: String): DataFrame = {
@@ -907,6 +934,15 @@ object Queries {
         (col("n_violations") === 0L).as("pass"))
       .orderBy(col("rule"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift check between even- and odd-id
+    * docs over `n_chars` (fresh-slice-vs-baseline gate) — see
+    * [[graft.ops.Drift.ks]] for the distributed-CDF design. */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame =
+    Drift.ks(
+      t(spark, dir, "documents")
+        .select(col("n_chars"), (pmod(col("doc_id"), lit(2)) === 0).as("in_a")),
+      "n_chars", "in_a")
 
   /** Incremental aggregate maintenance (materialized-view refresh): the
     * pre-cutoff aggregate is treated as an existing materialization and
@@ -1618,6 +1654,42 @@ object Queries {
           count(lit(1)).cast(DoubleType), 4).as("mean_tokens"))
       .orderBy(col("decile"))
   }
+
+  /** The approximate sibling of [[qualityDeciles]], declared so the
+    * zero-shuffle path publishes its numbers beside the exact one (the
+    * ann_lsh_recall pattern): buckets come from
+    * [[graft.ops.PrefixSum.approxNtile]] — `approx_percentile` cut points
+    * collected once as plan literals, bucket assignment a narrow `when`
+    * chain, NO shuffle of the data at all (the exact form costs a range
+    * exchange). Rows-only: the G-K sketch's cut points are
+    * engine-internal; PrefixSumSpec floors the agreement with the exact
+    * scan (99%+ at sf0.01). Value-ties share a bucket by construction, so
+    * bucket populations are approximately equal — the threshold-picking
+    * trade documented on approxNtile. */
+  def qualityDecilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stats = t(spark, dir, "documents")
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        round(size(array_distinct(toks)).cast(DoubleType) /
+          size(toks).cast(DoubleType), 4).as("uniq_ratio"))
+    PrefixSum.approxNtile(stats, "uniq_ratio", 10, "decile")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("uniq_ratio")).as("min_ratio"),
+        max(col("uniq_ratio")).as("max_ratio"),
+        round(sum(col("n_tokens")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 4).as("mean_tokens"))
+      .orderBy(col("decile"))
+  }
+
+  /** Approximate kNN graph over the corpus embeddings (top-5 neighbors per
+    * vector via the trained IVF cells, asymmetric multi-probe) — see
+    * [[sim.Ivf.knnGraph]]. Rows-only: cell assignment is the k-means
+    * kernel; SimilaritySpec floors the recall vs the exact graph. */
+  def knnGraphIvf(spark: SparkSession, dir: String): DataFrame =
+    sim.Ivf.knnGraph(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, probes = 6, cacheKey = Some(dir))
+      .orderBy(col("q_id"), col("rn"))
 
   /** Time-grid resample + forward fill — the `resample('1D').ffill()`
     * idiom of the reference's pandas stack, distributed: per user, a daily

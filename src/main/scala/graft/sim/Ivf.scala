@@ -110,6 +110,46 @@ object Ivf {
       .dropDuplicates("a_id", "b_id")
   }
 
+  /** Approximate kNN GRAPH: every vector's top-k neighbors at once — the
+    * input graph-based curation methods consume (connectivity pruning,
+    * density-based filtering, SemDeDup-style cluster analysis). Unlike
+    * [[ivfTopK]] (a small query set, broadcast), both sides here are the
+    * full corpus, so nothing is broadcast: vectors are INDEXED under their
+    * primary cell (narrow plan-literal kernel map), every vector PROBES its
+    * `probes` nearest cells, and candidates come from ONE shuffle equi-join
+    * on the cell id — candidate volume ~ probes/nCells of the quadratic,
+    * vanishing as nCells grows ~ sqrt(corpus). The per-query top-k window
+    * is keyed by q_id (high cardinality — Spark's WindowGroupLimit pushes
+    * `rn ≤ k` below the exchange, bounding skew). Recall floor vs the
+    * exact graph is spec-asserted; precision of returned scores is exact
+    * (true cosine, not an approximation). */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+               nCells: Int = 16, iters: Int = 2, probes: Int = 4,
+               cacheKey: Option[String] = None): DataFrame = {
+    val cents = cacheKey match {
+      case Some(key) => centroidsCached(emb, idCol, vecCol, nCells, iters, key)
+      case None => centroids(emb, idCol, vecCol, nCells, iters)
+    }
+    val v = withNorm(emb, idCol, vecCol)
+    val idx = v.select(
+      element_at(nearestCentroids(col("e"), cents, 1), 1).as("cell"),
+      col("id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"))
+    val prb = v.select(col("id").as("q_id"), col("e").as("qe"),
+      col("nrm").as("qn"),
+      explode(nearestCentroids(col("e"), cents, probes)).as("cell"))
+    // (q, neighbor) is unique already: a neighbor is indexed under ONE
+    // primary cell and a query probes distinct cells
+    idx.join(prb, Seq("cell"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotd(col("qe"), col("ne")) / (col("qn") * col("nn")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rn").cast("long").as("rn"))
+  }
+
   /** IVF top-k: vectors keyed by their cell (narrow map), queries probe
     * their `nProbes` nearest cells, candidates come from one broadcast
     * equi-join on the cell id, and exact cosine ranks them. `n_candidates`

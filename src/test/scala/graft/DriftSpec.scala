@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Drift
+
+/** Two-sample KS statistic: hand-computed fixtures plus the invariants a
+  * drift gate leans on (zero for identical samples, bounded by 1, null
+  * exclusion). */
+class DriftSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ksRow(vals: Seq[(Long, Boolean)]) = {
+    val r = Drift.ks(vals.toDF("v", "in_a"), "v", "in_a").collect()
+    assert(r.length == 1)
+    (r.head.getDouble(0), r.head.getLong(1), r.head.getLong(2), r.head.getLong(3))
+  }
+
+  test("hand-computed KS: A={1,2,3} vs B={3,4,5} → 2/3 at value 2") {
+    // CDF_A: 1→1/3 2→2/3 3→1 4→1 5→1 ; CDF_B: 1→0 2→0 3→1/3 4→2/3 5→1
+    // gaps: .333 .667 .667 .333 0 → max 2/3, first attained at 2
+    val (ks, at, na, nb) = ksRow(
+      Seq(1L, 2L, 3L).map((_, true)) ++ Seq(3L, 4L, 5L).map((_, false)))
+    assert(ks == BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(at == 2L && na == 3L && nb == 3L)
+  }
+
+  test("identical samples drift zero; disjoint samples drift one") {
+    val same = Seq(1L, 2L, 3L)
+    assert(ksRow(same.map((_, true)) ++ same.map((_, false)))._1 == 0.0)
+    val (ks, at, _, _) = ksRow(
+      Seq(1L, 2L).map((_, true)) ++ Seq(10L, 20L).map((_, false)))
+    assert(ks == 1.0 && at == 2L) // CDF_A complete before CDF_B starts
+  }
+
+  test("unbalanced sample sizes use each side's own total") {
+    // A={1,1,2,2} (n=4), B={2} (n=1): CDF_A 1→.5 2→1; CDF_B 1→0 2→1
+    val (ks, at, na, nb) = ksRow(
+      Seq(1L, 1L, 2L, 2L).map((_, true)) :+ ((2L, false)))
+    assert(ks == 0.5 && at == 1L && na == 4L && nb == 1L)
+  }
+
+  test("null values are excluded from both CDFs") {
+    val df = Seq((Some(1L), true), (None, true), (Some(1L), false),
+      (None, false)).toDF("v", "in_a")
+    val r = Drift.ks(df, "v", "in_a").collect().head
+    assert(r.getDouble(0) == 0.0 && r.getLong(2) == 1L && r.getLong(3) == 1L)
+  }
+}

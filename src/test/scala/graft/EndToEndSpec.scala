@@ -30,7 +30,12 @@ class EndToEndSpec extends AnyFunSuite {
       // sketch internals: estimates beside exact counts, bounds spec-asserted
       "vocab_cms_topk",
       // cluster-then-compare: cell assignment is the k-means kernel, not SQL
-      "dedup_semantic")
+      "dedup_semantic",
+      // kNN graph over IVF cells: same kernel; recall floor spec-asserted
+      "knn_graph_ivf",
+      // approx_percentile cut points are engine-internal (G-K sketch);
+      // agreement with the exact decile scan is spec-floored
+      "quality_deciles_approx")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }

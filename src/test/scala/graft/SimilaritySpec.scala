@@ -130,6 +130,40 @@ class SimilaritySpec extends AnyFunSuite {
       s"cells too coarse: $candidates of $allPairs pairs compared")
   }
 
+  test("kNN graph via IVF cells: structure sound, recall vs the exact " +
+    "graph clears the floor") {
+    val emb = ops.Tables.table(spark, sf, "embeddings")
+    val approx = Queries.knnGraphIvf(spark, sf).collect()
+    // structure: ≤ 5 neighbors per query, rn contiguous from 1, no self
+    val byQ = approx.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= 5 && rs.map(_.getAs[Long]("rn")).sorted.toSeq
+        == (1L to rs.length).toSeq, s"broken rank sequence for $q")
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+    // exact top-5 graph by brute force (corpus is small at sf0.001)
+    val v = graft.sim.Similarity.withNorm(emb, "vec_id", "embedding")
+    val exact = v.select(col("id").as("q_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
+      .join(v.select(col("id").as("n_id"), col("e").as("ne"),
+        col("nrm").as("nn")), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (graft.sim.Similarity.dotd(col("qe"), col("ne")) /
+          (col("qn") * col("nn"))).as("cos"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .take(5).map(_.getLong(1)).toSet).toMap
+    val recalls = byQ.map { case (q, rs) =>
+      rs.map(_.getAs[Long]("neighbor_id")).count(exact(q)) / 5.0
+    }.toSeq
+    val mean = recalls.sum / recalls.length
+    info(f"kNN-graph mean recall@5 $mean%.2f over ${byQ.size} queries")
+    assert(byQ.size == emb.count(), "every vector must appear as a query")
+    // 0.73 measured at 6/16 probes on the near-uniform synthetic vectors —
+    // the hardest case for cell pruning (real embedding spaces cluster)
+    assert(mean >= 0.6, s"kNN-graph mean recall@5 $mean below floor")
+  }
+
   test("simhash-verified pairs equal the minhash-verified pairs (two scale " +
     "paths, one precision contract)") {
     val viaSimhash = Queries.dedupSimhashVerified(spark, sf)
