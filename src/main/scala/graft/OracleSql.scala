@@ -759,6 +759,45 @@ object OracleSql {
          FROM x CROSS JOIN mx WHERE CAST(td AS DATE) <= max_d
          GROUP BY 1 ORDER BY 1""",
 
+    "agg_corr" ->
+      """WITH d AS (SELECT lang, n_chars AS x,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+             FROM documents),
+           m AS (SELECT lang, CAST(count(*) AS BIGINT) n,
+                 CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+                 CAST(sum(x * y) AS BIGINT) sxy,
+                 CAST(sum(x * x) AS BIGINT) sxx,
+                 CAST(sum(y * y) AS BIGINT) syy
+               FROM d GROUP BY lang)
+         SELECT lang, n,
+             round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                    sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS corr_chars_tokens
+         FROM m ORDER BY lang""",
+
+    // the streaming twin lands the odd-id delta as ONE file → exactly one
+    // micro-batch → the result equals the batch KS (same SQL)
+    "stream_drift" ->
+      """WITH d AS (SELECT n_chars, doc_id % 2 = 0 AS in_a FROM documents),
+           pv AS (SELECT n_chars,
+                 CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) cnt_a,
+                 CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) cnt_b
+               FROM d GROUP BY n_chars),
+           tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) n_a,
+                       CAST(sum(cnt_b) AS BIGINT) n_b FROM pv),
+           c AS (SELECT n_chars,
+                 sum(cnt_a) OVER (ORDER BY n_chars) cum_a,
+                 sum(cnt_b) OVER (ORDER BY n_chars) cum_b FROM pv),
+           g AS (SELECT n_chars, n_a, n_b,
+                 round(abs(CAST(cum_a AS DOUBLE) / n_a
+                       - CAST(cum_b AS DOUBLE) / n_b), 6) gap
+               FROM c CROSS JOIN tot),
+           m AS (SELECT max(gap) ks_stat FROM g)
+         SELECT m.ks_stat, min(g.n_chars) AS at_value, g.n_a, g.n_b
+         FROM g JOIN m ON g.gap = m.ks_stat
+         GROUP BY m.ks_stat, g.n_a, g.n_b""",
+
     "dq_drift" ->
       """WITH d AS (SELECT n_chars, doc_id % 2 = 0 AS in_a FROM documents),
            pv AS (SELECT n_chars,

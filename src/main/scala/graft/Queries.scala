@@ -802,6 +802,32 @@ object Queries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** A8 — Pearson correlation with EXACT integer co-moments: built-in
+    * `corr()` accumulates doubles, whose summation order makes the result
+    * partitioning-dependent and engine-divergent; over integer columns the
+    * five co-moments (Σx, Σy, Σxy, Σx², Σy², n) are exact BIGINTs, and
+    * r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is then ONE
+    * deterministic double expression (÷, ×, √ are all correctly rounded
+    * IEEE ops — same expression, same bits, any partitioning, any engine).
+    * One partial-agg shuffle on the group key; per-language here
+    * (length-vs-token-count correlation, a curation sanity signal). */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("lang"), col("n_chars").as("x"),
+        size(split(col("text"), " ")).cast(LongType).as("y"))
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lang"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))), 6)
+          .as("corr_chars_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** W4b — rolling DISTINCT count (the trailing-7-day-active-users /
     * "rolling WAU" report): distinct users in the 7-day window ending at
     * each day. A distinct aggregate cannot ride a running window frame —

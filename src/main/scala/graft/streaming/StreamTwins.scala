@@ -355,6 +355,62 @@ object StreamTwins {
       .orderBy(col("new_id"), col("base_id"))
   }
 
+  /** STREAMING distribution-drift gate: each arriving micro-batch is
+    * KS-tested against the static baseline slice — the monitor a corpus
+    * ingest runs continuously ("has the length distribution of what we're
+    * crawling drifted from what we trained on?"). The KS computation
+    * ([[graft.ops.Drift.ks]]: distributed CDFs, no single-task window) is
+    * not incrementalizable, so it runs per batch inside `foreachBatch` —
+    * the standard seam for batch-only plans in a stream; per-batch cost is
+    * bounded by distinct values, not corpus size. The delta (odd-id docs)
+    * lands as ONE parquet file, so AvailableNow yields exactly one batch
+    * and the declared result equals the batch `dq_drift` (same oracle);
+    * StreamingSpec also drives a 3-file landing to prove the per-batch
+    * monitoring behavior. */
+  def streamDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val docs = graft.ops.Tables.table(ss, sfDir, "documents")
+    val baseline = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("n_chars"), lit(true).as("in_a"))
+    val landing = java.nio.file.Paths.get(graft.ops.TempFiles.dir(
+      s"stream_drift_delta_${graft.ops.TempFiles.tag(sfDir)}"))
+    val hasFiles = {
+      val s = java.nio.file.Files.list(landing)
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (!hasFiles)
+      docs.filter(col("doc_id") % 2 === 1)
+        .repartition(1).write.mode("overwrite").parquet(landing.toString)
+    drainDriftStream(ss, baseline,
+      ss.readStream.schema(docsSchema).parquet(landing.toString))
+      .select(col("ks_stat"), col("at_value"), col("n_a"), col("n_b"))
+      .orderBy(col("batch_id"))
+  }
+
+  /** Run the drift stream to completion: per micro-batch, union the
+    * arriving slice (in_a = false) with the baseline and collect the
+    * one-row KS result into the returned (batch_id-keyed) frame. */
+  private[graft] def drainDriftStream(ss: SparkSession, baseline: DataFrame,
+                                      delta: DataFrame): DataFrame = {
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Double, Long, Long, Long)]()
+    val q = delta.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val merged = baseline.unionByName(
+          batch.select(col("n_chars"), lit(false).as("in_a")))
+        graft.ops.Drift.ks(merged, "n_chars", "in_a").collect().foreach { r =>
+          results.add((batchId, r.getDouble(0), r.getLong(1),
+            r.getLong(2), r.getLong(3)))
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    import ss.implicits._
+    results.asScala.toSeq
+      .toDF("batch_id", "ks_stat", "at_value", "n_a", "n_b")
+  }
+
   /** Watermarked tumbling-window count in append mode: only windows the
     * watermark (max event time − 1h) has passed are emitted — the streaming
     * twin of the reference's event-time cutoff. */

@@ -149,6 +149,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.count() == batch.count())
   }
 
+  test("stream drift monitors per batch: three landed files → three KS " +
+    "rows, single-batch run equals the batch gate") {
+    import org.apache.spark.sql.functions.col
+    val ss = StreamTwins.streamSession(spark)
+    val docs = ops.Tables.table(ss, sf, "documents")
+    val baseline = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("n_chars"), org.apache.spark.sql.functions.lit(true).as("in_a"))
+    // three-file landing: each file is its own micro-batch under
+    // maxFilesPerTrigger=1, so the monitor emits one KS row per arrival
+    val landing = Files.createTempDirectory("drift3").toString
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    Seq(0, 1, 2).foreach { i =>
+      odd.filter(col("doc_id") % 3 === i).repartition(1)
+        .write.mode("append").parquet(landing)
+    }
+    val delta = ss.readStream.schema(StreamTwins.docsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    val perBatch = StreamTwins.drainDriftStream(ss, baseline, delta).collect()
+    assert(perBatch.length == 3, s"expected 3 micro-batches: ${perBatch.length}")
+    assert(perBatch.forall { r =>
+      val ks = r.getAs[Double]("ks_stat"); ks >= 0.0 && ks <= 1.0
+    })
+    // each batch tests ONLY its own arrivals: sample sizes are per-slice
+    assert(perBatch.map(_.getAs[Long]("n_b")).sum == odd.count())
+
+    // and the declared single-batch twin reproduces the batch gate exactly
+    val streamed = StreamTwins.streamDrift(spark, sf).collect().map(_.toSeq)
+    val batch = Queries.dqDrift(spark, sf).collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("incremental dedup join never broadcasts the corpus index") {
     // the index is O(corpus) — at scale it is not broadcastable; the join
     // must shuffle-partition the index side (same builder drives the
