@@ -759,6 +759,33 @@ object OracleSql {
          FROM x CROSS JOIN mx WHERE CAST(td AS DATE) <= max_d
          GROUP BY 1 ORDER BY 1""",
 
+    "agg_moments" ->
+      """WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) n,
+               CAST(sum(n_chars) AS BIGINT) s1,
+               sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) s2,
+               sum(CAST(n_chars * n_chars * n_chars AS DECIMAL(38,0))) s3,
+               sum(CAST(n_chars * n_chars * n_chars * n_chars
+                 AS DECIMAL(38,0))) s4
+             FROM documents GROUP BY lang),
+           e AS (SELECT lang, n,
+               CAST(n AS DOUBLE) nd, CAST(s1 AS DOUBLE) s1d,
+               CAST(s2 AS DOUBLE) s2d, CAST(s3 AS DOUBLE) s3d,
+               CAST(s4 AS DOUBLE) s4d FROM m),
+           f AS (SELECT lang, n,
+               s1d / nd AS mean,
+               s2d / nd - (s1d / nd) * (s1d / nd) AS m2,
+               s3d / nd - 3.0 * (s1d / nd) * (s2d / nd)
+                 + 2.0 * (s1d / nd) * (s1d / nd) * (s1d / nd) AS m3,
+               s4d / nd - 4.0 * (s1d / nd) * (s3d / nd)
+                 + 6.0 * (s1d / nd) * (s1d / nd) * (s2d / nd)
+                 - 3.0 * (s1d / nd) * (s1d / nd) * (s1d / nd) * (s1d / nd) AS m4
+             FROM e)
+         SELECT lang, n, round(mean, 6) AS mean,
+             round(sqrt(m2), 6) AS stddev_pop,
+             round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) AS skewness,
+             round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+         FROM f ORDER BY lang""",
+
     "agg_corr" ->
       """WITH d AS (SELECT lang, n_chars AS x,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS y

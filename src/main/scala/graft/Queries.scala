@@ -802,6 +802,23 @@ object Queries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Centrality over the verified near-dup graph ([[ops.PageRank]]): docs
+    * weighted by how embedded they are in duplicate clusters — the
+    * graph-importance quality signal (Common Crawl publishes exactly this
+    * shape for hosts). Edges are the session-cached MinHash-verified pairs
+    * (deterministic), ranks after 10 damped rounds. Rows-only: the inflow
+    * sum is floating-point (partitioning-dependent last bits) — the honest
+    * contract for an iterative numeric fixpoint; invariants
+    * (mass conservation, symmetry, closed forms) are property-spec'd. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = text.NearDup.minhashDupPairsCached(
+      t(spark, dir, "documents"), "doc_id", "text",
+      threshold = 0.8, cacheKey = dir)
+    ops.PageRank.ranks(pairs, "a_id", "b_id", iters = 10)
+      .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("doc_id"))
+  }
+
   /** A8 — Pearson correlation with EXACT integer co-moments: built-in
     * `corr()` accumulates doubles, whose summation order makes the result
     * partitioning-dependent and engine-divergent; over integer columns the
@@ -825,6 +842,44 @@ object Queries {
           (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))), 6)
           .as("corr_chars_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** A9 — higher distribution moments (mean / stddev / skewness / excess
+    * kurtosis) per language over doc length, with the same exactness rule
+    * as [[aggCorr]]: the power sums Σx..Σx⁴ are computed exactly (per-row
+    * powers fit a Long; the sums accumulate in DECIMAL(38,0) so they stay
+    * exact at ANY corpus size — the mergeable partial state a 100 TB scan
+    * needs), then each moment is one closed-form double expression over
+    * exact inputs — deterministic bits on any engine, any partitioning.
+    * One partial-agg shuffle total for all four moments. */
+  def aggMoments(spark: SparkSession, dir: String): DataFrame = {
+    val dec380 = DecimalType(38, 0)
+    val x = col("x")
+    val m = t(spark, dir, "documents")
+      .select(col("lang"), col("n_chars").as("x"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("s1"),
+        sum((x * x).cast(dec380)).as("s2"),
+        sum((x * x * x).cast(dec380)).as("s3"),
+        sum((x * x * x * x).cast(dec380)).as("s4"))
+    val n = col("n").cast(DoubleType)
+    val mean = col("s1").cast(DoubleType) / n
+    val m2 = col("s2").cast(DoubleType) / n - mean * mean
+    val sd = sqrt(m2)
+    val m3 = col("s3").cast(DoubleType) / n -
+      lit(3.0) * mean * (col("s2").cast(DoubleType) / n) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4").cast(DoubleType) / n -
+      lit(4.0) * mean * (col("s3").cast(DoubleType) / n) +
+      lit(6.0) * mean * mean * (col("s2").cast(DoubleType) / n) -
+      lit(3.0) * mean * mean * mean * mean
+    m.select(col("lang"), col("n"),
+        round(mean, 6).as("mean"),
+        round(sd, 6).as("stddev_pop"),
+        round(m3 / (sd * sd * sd), 6).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_excess"))
       .orderBy(col("lang"))
   }
 

@@ -35,7 +35,10 @@ class EndToEndSpec extends AnyFunSuite {
       "knn_graph_ivf",
       // approx_percentile cut points are engine-internal (G-K sketch);
       // agreement with the exact decile scan is spec-floored
-      "quality_deciles_approx")
+      "quality_deciles_approx",
+      // iterative floating-point fixpoint: last-ulp bits vary with
+      // partitioning; invariants are property-spec'd (PageRankSpec)
+      "graph_pagerank")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }
