@@ -859,6 +859,34 @@ object OracleSql {
                    CAST(n_tokens * n_total AS DOUBLE), 9) AS mean_tok_freq
          FROM d CROSS JOIN tot ORDER BY doc_id""",
 
+    "text_gini" ->
+      """WITH c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) c FROM (
+               SELECT doc_id, unnest(string_split(text, ' ')) tok
+               FROM documents) GROUP BY doc_id, tok),
+           s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n,
+                 CAST(sum(c * c) AS BIGINT) ssq FROM c GROUP BY doc_id)
+         SELECT doc_id, n AS n_tokens,
+             round(1.0 - CAST(ssq AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+               AS gini
+         FROM s ORDER BY doc_id""",
+
+    "corpus_report" ->
+      """WITH cp AS (SELECT text, CAST(count(*) AS BIGINT) n_copies
+             FROM documents GROUP BY text),
+           d AS (SELECT lang, cp.n_copies > 1 AS is_dup,
+                 CAST(len(string_split(d0.text, ' ')) AS BIGINT) n_tok,
+                 CAST(len(list_distinct(string_split(d0.text, ' '))) AS BIGINT) n_uniq,
+                 n_chars
+               FROM documents d0 JOIN cp ON d0.text = cp.text)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             round(CAST(sum(n_uniq) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE), 6)
+               AS pooled_uniq_ratio,
+             round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS mean_chars
+         FROM d GROUP BY lang ORDER BY lang""",
+
     "vocab_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') arr FROM documents),
            uni AS (SELECT unnest(arr) tok FROM t),

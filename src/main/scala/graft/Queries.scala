@@ -802,6 +802,52 @@ object Queries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Token-concentration (Gini/Simpson) score per doc — the distribution
+    * view of repetitiveness that `uniq_ratio` (support size) and
+    * `text_repetition` (n-gram reuse) don't capture: 1 − Σc²/n² over the
+    * token histogram is 0 for a one-token doc and →1 for fully diverse
+    * text, and spam that repeats a few tokens scores low even when its
+    * distinct-token count looks healthy. Exact integer sums (Σc² in Long)
+    * until one final division — bit-identical cross-engine. Two keyed
+    * aggregations, both on doc-bounded keys. */
+  def textGini(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ssq"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(lit(1.0) - col("ssq").cast(DoubleType) /
+          (col("n") * col("n")).cast(DoubleType), 6).as("gini"))
+      .orderBy(col("doc_id"))
+
+  /** The corpus DATASHEET: per-language doc counts, exact-duplicate rate,
+    * token mass, pooled uniqueness, mean length — the one-page summary a
+    * curation run publishes next to its output. Every ratio is a pooled
+    * exact-integer sum with ONE final division (per-doc rational means
+    * would sum doubles — order-dependent); the dup flag is one
+    * content-keyed aggregate joined back. Three keyed shuffles total at
+    * any scale. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val copies = docs.groupBy(col("text")).agg(count(lit(1)).as("n_copies"))
+    val toks = split(col("text"), " ")
+    docs.join(copies, "text")
+      .select(col("lang"), (col("n_copies") > 1).as("is_dup"),
+        size(toks).cast(LongType).as("n_tok"),
+        size(array_distinct(toks)).cast(LongType).as("n_uniq"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup").cast(LongType)).as("n_dup_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(sum(col("n_uniq")).cast(DoubleType) /
+          sum(col("n_tok")).cast(DoubleType), 6).as("pooled_uniq_ratio"),
+        round(sum(col("n_chars")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 6).as("mean_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Centrality over the verified near-dup graph ([[ops.PageRank]]): docs
     * weighted by how embedded they are in duplicate clusters — the
     * graph-importance quality signal (Common Crawl publishes exactly this
@@ -1765,12 +1811,23 @@ object Queries {
 
   /** Approximate kNN graph over the corpus embeddings (top-5 neighbors per
     * vector via the trained IVF cells, asymmetric multi-probe) — see
-    * [[sim.Ivf.knnGraph]]. Rows-only: cell assignment is the k-means
-    * kernel; SimilaritySpec floors the recall vs the exact graph. */
-  def knnGraphIvf(spark: SparkSession, dir: String): DataFrame =
-    sim.Ivf.knnGraph(t(spark, dir, "embeddings"), "vec_id", "embedding",
-        k = 5, probes = 6, cacheKey = Some(dir))
+    * [[sim.Ivf.knnGraph]]. The cell COUNT scales with the corpus
+    * (`max(16, n/32)` — constant target cell SIZE), which is what makes
+    * the cell join LINEAR in n: with a fixed cell count the within-cell
+    * candidate volume is probes/nCells of n² (quadratic in disguise —
+    * StressSpec's growth-slope gate would catch it), while constant cell
+    * size keeps per-vector candidates ~ probes × cellSize regardless of
+    * corpus scale. Centroid sizing costs one count() (model sizing, the
+    * Ivf driver-scalar pattern). Rows-only: cell assignment is the
+    * k-means kernel; SimilaritySpec floors the recall vs the exact
+    * graph. */
+  def knnGraphIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val nCells = math.max(16, (emb.count() / 32).toInt)
+    sim.Ivf.knnGraph(emb, "vec_id", "embedding",
+        k = 5, nCells = nCells, probes = 6, cacheKey = Some(dir))
       .orderBy(col("q_id"), col("rn"))
+  }
 
   /** Time-grid resample + forward fill — the `resample('1D').ffill()`
     * idiom of the reference's pandas stack, distributed: per user, a daily

@@ -92,7 +92,10 @@ class StressSpec extends AnyFunSuite {
       // change, so their slope is part of the evidence
       "quality_deciles", "pack_tokens",
       // chunk-dedup pipeline: fingerprint agg + join-back + reassembly
-      "dedup_boilerplate")
+      "dedup_boilerplate",
+      // round-4 session additions that carry join/iteration structure:
+      // cell-join kNN graph, iterative PageRank, prefix-filter containment
+      "knn_graph_ivf", "graph_pagerank", "dedup_containment")
     for (n <- names) {
       // min-of-2 per scale point: a single GC/JIT pause on either side of
       // the ratio can push a healthy query past the bound (it flaked once
