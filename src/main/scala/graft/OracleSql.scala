@@ -588,6 +588,19 @@ object OracleSql {
              ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
          WHERE rn = 1 ORDER BY event_id""",
 
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) t FROM events),
+           c AS (SELECT p.event_id, v.event_id view_id,
+                 abs(p.t - v.t) dist,
+                 row_number() OVER (PARTITION BY p.event_id
+                     ORDER BY abs(p.t - v.t), v.t, v.event_id DESC) rn
+               FROM e p JOIN e v ON p.user_id = v.user_id
+                 AND p.event_type = 'purchase' AND v.event_type = 'view')
+         SELECT event_id, view_id, CAST(dist AS BIGINT) AS dist_us
+         FROM c WHERE rn = 1 AND dist <= 3600000000
+         ORDER BY event_id""",
+
     "topk_per_group" ->
       """SELECT o_orderstatus, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
            SELECT *, row_number() OVER (PARTITION BY o_orderstatus

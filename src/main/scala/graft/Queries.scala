@@ -610,6 +610,31 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** J5b — NEAREST as-of join with tolerance (pandas
+    * `merge_asof(direction='nearest')`): each purchase event picks the
+    * same user's VIEW event closest in time, either direction, within one
+    * hour — the attribution pairing a backward-only as-of gets wrong when
+    * the view lands just after the purchase record. See
+    * [[AsOf.asofNearest]]: two union-window passes, no range probe; ties
+    * prefer the backward match, then the greatest view id. */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("vt_us"))
+    val oneHourUs = 3600L * 1000000
+    AsOf.asofNearest(purchases, views, "user_id", "user_id",
+        col("t_us"), col("vt_us"), col("view_id"))
+      .filter(col("__nearest").isNotNull && col("__dist") <= oneHourUs)
+      .select(col("event_id"),
+        col("__nearest.view_id").as("view_id"),
+        col("__dist").as("dist_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** W4 — top-k per group (rank-limit; WindowGroupLimit prunes map-side). */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")

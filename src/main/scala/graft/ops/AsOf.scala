@@ -23,6 +23,42 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** NEAREST-direction as-of join (pandas `merge_asof(direction=
+    * 'nearest')`): each left row picks the right row minimizing
+    * |rightTime − leftTime| for its key. Composed as TWO [[asofJoin]]
+    * passes — backward as-is, forward by negating the time axis (the
+    * "most recent −rt ≤ −lt" is exactly the earliest rt ≥ lt) — then a
+    * narrow per-row pick of the nearer match; still no range probe and no
+    * broadcast, two key-shuffles total at any scale. Times must be
+    * NUMERIC (epoch micros/days) so distances subtract; `__nearest`
+    * carries the matched payload with its time as `__rt`, and `__dist`
+    * the absolute distance (callers apply their tolerance as a filter).
+    * Ties: equal distance prefers the backward match; within a side,
+    * rows at the same time resolve by greatest `rightTieBreak` — all
+    * deterministic, all reproducible in ANSI SQL (the oracle ranks by
+    * (distance, rightTime, tieBreak DESC)). */
+  def asofNearest(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTime: Column, rightTime: Column,
+                  rightTieBreak: Column): DataFrame = {
+    val rightAug = right.withColumn("__rt", rightTime)
+    val back = asofJoin(left, rightAug, leftKey, rightKey,
+        leftTime, col("__rt"), rightTieBreak)
+      .withColumnRenamed("__match", "__back")
+    val fwd = asofJoin(back, rightAug, leftKey, rightKey,
+        -leftTime, -col("__rt"), rightTieBreak)
+      .withColumnRenamed("__match", "__fwd")
+    fwd
+      .withColumn("__nearest",
+        when(col("__back").isNull, col("__fwd"))
+          .when(col("__fwd").isNull, col("__back"))
+          .when(abs(leftTime - col("__fwd.__rt")) <
+            abs(leftTime - col("__back.__rt")), col("__fwd"))
+          .otherwise(col("__back")))
+      .withColumn("__dist", abs(leftTime - col("__nearest.__rt")))
+      .drop("__back", "__fwd")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: Column, rightTime: Column,

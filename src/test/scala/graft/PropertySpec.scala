@@ -70,6 +70,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("nearest as-of join equals brute force on random tie-heavy data") {
+    import graft.ops.AsOf
+    // small time domain → frequent exact ties in BOTH distance and time,
+    // exercising every branch of the documented tie order: (distance,
+    // rightTime asc, tieBreak DESC). Brute force is the executable spec.
+    val gen = Gen.zip(
+      Gen.listOfN(30, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 12L))),
+      Gen.listOfN(30, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 12L))))
+    samples(gen, 5).foreach { case (lRows, rRows) =>
+      val left = lRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "lt")
+      val right = rRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("rid", "k", "rt")
+      val got = AsOf.asofNearest(left, right, "k", "k",
+          col("lt"), col("rt"), col("rid"))
+        .select($"lid", $"__nearest.rid".as("rid"), $"__dist")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      val byKey = rRows.zipWithIndex.groupBy(_._1._1)
+      val want = lRows.zipWithIndex.map { case ((k, lt), i) =>
+        val cands = byKey.getOrElse(k, Nil)
+          .map { case ((_, rt), rid) => (math.abs(rt - lt), rt, rid.toLong) }
+        if (cands.isEmpty) (i.toLong, None, None)
+        else {
+          val (d, _, rid) =
+            cands.minBy { case (d, rt, rid) => (d, rt, -rid) }
+          (i.toLong, Some(rid), Some(d))
+        }
+      }.toSet
+      assert(got == want, "nearest as-of diverges from brute force")
+    }
+  }
+
   test("repetition stats hit both extremes and stay in [0,1]") {
     import graft.text.TextOps
     val docs = Seq(
