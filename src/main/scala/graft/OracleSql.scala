@@ -274,6 +274,27 @@ object OracleSql {
              min(lo) AS lo, min(hi) AS hi
          FROM j GROUP BY band ORDER BY band""",
 
+    "join_interval_overlap" ->
+      """WITH w AS (
+           SELECT o_orderkey,
+               datediff('day', DATE '1970-01-01',
+                 CAST(o_orderdate AS DATE)) AS w_lo,
+               datediff('day', DATE '1970-01-01',
+                 CAST(o_orderdate AS DATE)) + 7 AS w_hi
+           FROM orders
+           WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995),
+           s AS (
+           SELECT datediff('day', DATE '1970-01-01',
+                 CAST(l_shipdate AS DATE)) AS s_lo,
+               datediff('day', DATE '1970-01-01',
+                 CAST(l_shipdate AS DATE)) + 1 +
+                 ((l_orderkey + l_linenumber) % 14) AS s_hi
+           FROM lineitem
+           WHERE l_linenumber = 1 AND year(l_shipdate) = 1995)
+         SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_in_transit
+         FROM w JOIN s ON w_lo < s_hi AND s_lo < w_hi
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
+
     "merge_upsert" ->
       """WITH updates AS (
            SELECT c_custkey, c_name,
@@ -661,6 +682,27 @@ object OracleSql {
                         len(list_filter(toks, x -> x = 'a')) AS DOUBLE) / len(toks), 4) AS stopword_ratio
          FROM s ORDER BY doc_id""",
 
+    "text_dup_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             FROM documents),
+           g AS (SELECT DISTINCT doc_id,
+                 array_to_string(t[i:i+4], ' ') AS gram
+               FROM toks CROSS JOIN LATERAL
+                 (SELECT unnest(range(1, len(t) - 3)) AS i) sub
+               WHERE len(t) >= 5),
+           shared AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+           per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_grams
+               FROM g GROUP BY doc_id),
+           sh_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_shared
+               FROM g WHERE gram IN (SELECT gram FROM shared)
+               GROUP BY doc_id)
+         SELECT p.doc_id, p.n_grams,
+             coalesce(s.n_shared, 0) AS n_shared,
+             round(CAST(coalesce(s.n_shared, 0) AS DOUBLE) /
+                   CAST(p.n_grams AS DOUBLE), 6) AS shared_frac
+         FROM per_doc p LEFT JOIN sh_doc s ON p.doc_id = s.doc_id
+         ORDER BY p.doc_id""",
+
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
              FROM documents WHERE len(string_split(text, ' ')) >= 3),
@@ -858,6 +900,38 @@ object OracleSql {
          FROM g JOIN m ON g.gap = m.ks_stat
          GROUP BY m.ks_stat, g.n_a, g.n_b""",
 
+    "dq_drift_js" ->
+      """WITH d AS (SELECT lang, doc_id % 2 = 0 AS in_a FROM documents),
+           pv AS (SELECT lang,
+                 CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) cnt_a,
+                 CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) cnt_b
+               FROM d GROUP BY lang),
+           tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) n_a,
+                       CAST(sum(cnt_b) AS BIGINT) n_b FROM pv)
+         SELECT lang, cnt_a, cnt_b,
+             round(0.5 * (
+               CASE WHEN cnt_a > 0 THEN
+                 CAST(cnt_a AS DOUBLE) / CAST(n_a AS DOUBLE) *
+                 log2(2.0 * CAST(cnt_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+                   (CAST(cnt_a AS DOUBLE) * CAST(n_b AS DOUBLE) +
+                    CAST(cnt_b AS DOUBLE) * CAST(n_a AS DOUBLE)))
+               ELSE 0.0 END +
+               CASE WHEN cnt_b > 0 THEN
+                 CAST(cnt_b AS DOUBLE) / CAST(n_b AS DOUBLE) *
+                 log2(2.0 * CAST(cnt_b AS DOUBLE) * CAST(n_a AS DOUBLE) /
+                   (CAST(cnt_a AS DOUBLE) * CAST(n_b AS DOUBLE) +
+                    CAST(cnt_b AS DOUBLE) * CAST(n_a AS DOUBLE)))
+               ELSE 0.0 END), 9) AS js_term,
+             round(0.5 * ((CAST(cnt_a AS DOUBLE) * CAST(n_b AS DOUBLE) -
+                           CAST(cnt_b AS DOUBLE) * CAST(n_a AS DOUBLE)) *
+                          (CAST(cnt_a AS DOUBLE) * CAST(n_b AS DOUBLE) -
+                           CAST(cnt_b AS DOUBLE) * CAST(n_a AS DOUBLE))) /
+                 ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) *
+                  (CAST(cnt_a AS DOUBLE) * CAST(n_b AS DOUBLE) +
+                   CAST(cnt_b AS DOUBLE) * CAST(n_a AS DOUBLE))), 9)
+               AS lecam_term
+         FROM pv CROSS JOIN tot ORDER BY lang""",
+
     "text_lm_score" ->
       """WITH tokens AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -1016,6 +1090,11 @@ object OracleSql {
              CAST(4 + n_chars % 17 AS INTEGER) AS height,
              CAST(24 AS INTEGER) AS bpp
          FROM documents ORDER BY doc_id""",
+
+    "mm_phash_dedup" ->
+      """SELECT doc_id AS a_id, doc_id + 1048576 AS b_id,
+             CAST(0 AS INTEGER) AS hamming
+         FROM documents ORDER BY a_id""",
 
     "mm_resize" ->
       """SELECT doc_id,
@@ -1267,6 +1346,45 @@ object OracleSql {
              round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS mean_tokens
          FROM kept WHERE n_tokens >= 30 AND uniq_ratio >= 0.32
          GROUP BY lang ORDER BY lang""",
+
+    "resample_interpolate" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) tts,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value, event_id
+           FROM events),
+           daily AS (SELECT user_id, d, value AS day_value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, d
+                 ORDER BY tts DESC, event_id DESC) rn FROM ev) WHERE rn = 1),
+           grid AS (SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                 CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+             FROM (SELECT user_id, min(d) d0, max(d) d1
+                   FROM ev GROUP BY user_id)),
+           j AS (SELECT g.user_id, g.d,
+               last_value(dd.day_value IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+               last_value(CASE WHEN dd.day_value IS NOT NULL THEN g.d END
+                   IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pd,
+               first_value(dd.day_value IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+               first_value(CASE WHEN dd.day_value IS NOT NULL THEN g.d END
+                   IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nd
+             FROM grid g LEFT JOIN daily dd
+               ON g.user_id = dd.user_id AND g.d = dd.d)
+         SELECT user_id, strftime(d, '%Y-%m-%d') AS day_str,
+             round(CASE WHEN pv IS NULL THEN nv
+                        WHEN nv IS NULL THEN pv
+                        WHEN pd = nd THEN pv
+                        ELSE pv + (nv - pv) *
+                          (CAST(datediff('day', pd, d) AS DOUBLE) /
+                           CAST(datediff('day', pd, nd) AS DOUBLE)) END, 6)
+               AS interp_value
+         FROM j ORDER BY user_id, day_str""",
 
     "resample_ffill" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) tts,

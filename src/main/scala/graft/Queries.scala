@@ -1059,6 +1059,37 @@ object Queries {
       .orderBy(col("band"))
   }
 
+  /** X2d — interval OVERLAP join without a nested loop: for each urgent
+    * 1995 order's 7-day fulfilment window, count AIR shipments in transit
+    * ([ship, receipt) intervals) at any point of the window — the
+    * concurrency-counting shape (sessions×outages, trips×tolls) that
+    * Spark plans as a cartesian product in its theta form. Via
+    * [[RangeJoin.overlapBinned]]: both interval sets quantize to 7-day
+    * bins, pairs are found on a bin equi-join and counted exactly once at
+    * the intersection-start bin. Dates cross engines as epoch-day ints. */
+  def joinIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast(DateType)
+    val windows = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1995)
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), epoch).as("w_lo"))
+      .withColumn("w_hi", col("w_lo") + 7)
+    // the fixture lineitem carries no receipt date; transit time is a
+    // deterministic 1-14 days derived from the keys (same formula in the
+    // oracle), keeping the interval shape without inventing data
+    val transit = t(spark, dir, "lineitem")
+      .filter(col("l_linenumber") === 1 && year(col("l_shipdate")) === 1995)
+      .select(datediff(to_date(col("l_shipdate")), epoch).as("s_lo"),
+        (datediff(to_date(col("l_shipdate")), epoch) + lit(1) +
+          pmod(col("l_orderkey") + col("l_linenumber"), lit(14))).as("s_hi"))
+    RangeJoin.overlapBinned(windows, "w_lo", "w_hi",
+        transit, "s_lo", "s_hi", binWidth = 7.0)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_in_transit"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** One-scan declarative data-quality checks (the Deequ/dbt-test shape):
     * every rule is a conditional aggregate over the SAME pass — nulls,
     * domain violations, range violations, duplicate keys (exact distinct
@@ -1095,6 +1126,19 @@ object Queries {
       t(spark, dir, "documents")
         .select(col("n_chars"), (pmod(col("doc_id"), lit(2)) === 0).as("in_a")),
       "n_chars", "in_a")
+
+  /** X15c — categorical drift gate: per-language Jensen–Shannon and
+    * Vincze–Le Cam divergence contributions between the two corpus
+    * snapshot halves — the language-mix shift signal beside [[dqDrift]]'s
+    * ordinal KS. One count aggregate over ≤|languages| rows; see
+    * [[Drift.jsDivergence]] for the exact-integer/per-row-double
+    * determinism story. */
+  def dqDriftJs(spark: SparkSession, dir: String): DataFrame =
+    Drift.jsDivergence(
+      t(spark, dir, "documents")
+        .select(col("lang"), (pmod(col("doc_id"), lit(2)) === 0).as("in_a")),
+      "lang", "in_a")
+      .orderBy(col("lang"))
 
   /** Incremental aggregate maintenance (materialized-view refresh): the
     * pre-cutoff aggregate is treated as an existing materialization and
@@ -1152,6 +1196,43 @@ object Queries {
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     text.TextOps.repetitionStats(t(spark, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  /** N1c — CROSS-document duplicated n-gram audit (the Lee et al.
+    * "Deduplicating Training Data" memorization signal, at 5-gram
+    * granularity): per doc, how many of its distinct word-5-grams also
+    * appear in at least one OTHER document, and the shared fraction — the
+    * span-level complement of whole/chunk-level dedup ([[dedupExact]] /
+    * `dedup_boilerplate`) that catches verbatim passages too short to flag
+    * a whole chunk. Narrow index-explode to 5-grams, per-doc distinct (one
+    * (gram, doc) shuffle), gram-count aggregate and a semi-join back on
+    * the SAME gram key, then a per-doc count — every shuffle keyed on gram
+    * or doc_id, all volumes bounded by corpus token count, linear at any
+    * scale: explode → (doc, gram) distinct → one gram-keyed whole-partition
+    * count window (each doc's sharing flag annotated in place — no
+    * self-join, no recomputation of the gram table) → one doc-keyed
+    * aggregate. Docs under 5 tokens carry no grams and drop, as in the
+    * oracle. */
+  def textDupNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = 5
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val grams = toks
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("t")) - n),
+        i => array_join(slice(col("t"), i + 1, lit(n)), " "))).as("gram"))
+      .distinct()
+    grams
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType) /
+          col("n_grams").cast(DoubleType), 6).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Content fingerprinting with a shard-key bucket. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -1476,6 +1557,33 @@ object Queries {
     mm.Multimodal.resizeFeatures(spark,
         mm.Multimodal.asMedia(t(spark, dir, "documents")), 16, 8)
       .orderBy(col("doc_id"))
+
+  /** N12d — IMAGE near-dup via perceptual hash: the corpus's images plus
+    * 2×-upscaled RE-ENCODES of each ([[mm.Multimodal.upscaledMedia]] —
+    * the same image at a different resolution, the scenario perceptual
+    * dedup exists for), hashed with the 64-bit average-hash
+    * ([[mm.Multimodal.pHash64]] — exact integer arithmetic, provably
+    * invariant under integer upscaling) and joined by the SAME
+    * multi-index Hamming-ball join the text SimHash tier uses
+    * ([[text.NearDup.hammingDupPairs]]): one explode + one hash shuffle,
+    * no pairwise scan. Every original must pair with its re-encode at
+    * hamming 0, and at the oracle-gate scales (sf0.001/sf0.01, verified)
+    * nothing else sits within the radius — so the result is exactly
+    * derivable and oracle-checked. At sf0.1 the same query additionally
+    * surfaces 64 ORGANIC near-dup image pairs (near-identical texts
+    * rendered at equal dims) — the operator doing its real job; the
+    * closed-form oracle is therefore gate-scale-specific, and the
+    * scale-robust correctness contract is MultimodalSpec's pair-set
+    * equality to brute-force Hamming on the union corpus. */
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = mm.Multimodal.asMedia(t(spark, dir, "documents"))
+    val corpus = media.select(col("doc_id"), col("payload"))
+      .unionByName(mm.Multimodal.upscaledMedia(spark, media, 2))
+    val ph = mm.Multimodal.phashFeatures(spark, corpus)
+      .filter(col("phash").isNotNull)
+    text.NearDup.hammingDupPairs(ph, "doc_id", "phash", maxHamming = 4)
+      .orderBy(col("a_id"), col("b_id"))
+  }
 
   /** Multimodal frame sampling: pixel rows as frames, keep every 4th. */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
@@ -1884,6 +1992,50 @@ object Queries {
           .rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
         col("filled_value"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("user_id"), col("day_str"))
+  }
+
+  /** X14b — LINEAR-interpolation resampling beside [[resampleFfill]]'s
+    * step fill: each user's daily grid gets the straight line between the
+    * surrounding observations (pandas `interpolate(method='time')`),
+    * ffill/bfill at the tails. Both the backward (prev value/day) and
+    * forward (next value/day) carries are `last`/`first(ignoreNulls)`
+    * windows over the SAME (user, day) sort — one exchange, one sort, two
+    * frame passes; the slope formula is one closed-form double expression
+    * per row, token-matched to the oracle's. */
+  def resampleInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .withColumn("day", to_date(col("ts")))
+    val daily = ev
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("day_value"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    val obsDay = when(col("day_value").isNotNull, col("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("day_value"), ignoreNulls = true).over(back))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("day_value"), ignoreNulls = true).over(fwd))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(fwd))
+      .withColumn("interp_value", round(
+        when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .when(col("pd") === col("nd"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (datediff(col("day"), col("pd")).cast(DoubleType) /
+              datediff(col("nd"), col("pd")).cast(DoubleType))), 6))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("interp_value"))
       .orderBy(col("user_id"), col("day_str"))
   }
 

@@ -221,6 +221,96 @@ object Multimodal {
       }.toDF()
   }
 
+  /** 64-bit perceptual hash (average-hash) of a 24-bit BMP payload: sample
+    * the pixel array on a nearest-neighbor 8×8 grid, sum each sample's
+    * three channels (integer luma — no float), and set bit (y·8+x) when the
+    * sample is STRICTLY above the grid mean (`64·s > Σs` — cross-product
+    * form, so the mean is never divided and the hash is exact integer
+    * arithmetic end to end). Visually-close images differ in few bits, so
+    * image near-dup becomes the same Hamming-ball join the text SimHash
+    * tier runs.
+    *
+    * The nearest-neighbor grid makes the hash EXACTLY invariant under
+    * integer-factor upscaling (floor(floor(x·kw/8)/k) = floor(x·w/8)) —
+    * the resize-robustness a perceptual hash promises, here provable and
+    * spec-asserted rather than approximate. */
+  def pHash64(b: Array[Byte]): Long = {
+    val w = le32(b, 18)
+    val h = le32(b, 22)
+    val stride = (w.toLong * 3 + 3) / 4 * 4
+    val s = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y.toLong * h / 8
+      var x = 0
+      while (x < 8) {
+        val sx = x.toLong * w / 8
+        val off = (54L + sy * stride + sx * 3).toInt
+        val v = ((b(off) & 0xFF) + (b(off + 1) & 0xFF) +
+          (b(off + 2) & 0xFF)).toLong
+        s(y * 8 + x) = v
+        total += v
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (s(i) * 64 > total) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Partition-wise perceptual hashing: (doc_id, phash) per decodable
+    * payload; corrupt payloads surface as a null hash (sentinel row, same
+    * contract as the other feature extractors — one bad blob must not kill
+    * the scan). */
+  def phashFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          val whole = isBmp(b) && {
+            val w = le32(b, 18); val h = le32(b, 22)
+            w > 0 && h > 0 && w <= MaxDim && h <= MaxDim &&
+              b.length >= 54L + (w.toLong * 3 + 3) / 4 * 4 * h.toLong
+          }
+          (id, if (whole) Some(pHash64(b)) else None)
+        }
+      }.toDF("doc_id", "phash")
+  }
+
+  /** Id offset distinguishing re-encoded copies from originals in the
+    * perceptual-dedup fixture. */
+  val UpscaleIdOffset: Long = 1L << 20
+
+  /** The corpus re-encoded at k× resolution — the scenario perceptual
+    * dedup exists for (the same image circulating at different
+    * resolutions/encodings), synthesized from the corpus itself. Valid
+    * payloads are genuinely resampled and re-encoded ([[resizeBmp]]);
+    * corrupt ones pass through untouched (the hasher nulls them).
+    * Copies carry `doc_id + UpscaleIdOffset`. */
+  def upscaledMedia(spark: SparkSession, media: DataFrame,
+                    k: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          val whole = isBmp(b) && {
+            val w = le32(b, 18); val h = le32(b, 22)
+            w > 0 && h > 0 && w <= MaxDim && h <= MaxDim &&
+              b.length >= 54L + (w.toLong * 3 + 3) / 4 * 4 * h.toLong
+          }
+          val out =
+            if (whole) resizeBmp(b, le32(b, 18) * k, le32(b, 22) * k) else b
+          (id + UpscaleIdOffset, out)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** Partition-wise decode: verify the BMP magic and read file size, width,
     * height, and bit depth from the little-endian header — an actual binary
     * parse of the payload (invalid payloads surface as -1 dimensions, not

@@ -21,6 +21,46 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Drift {
 
+  /** Categorical drift between the same two slices — the language-mix /
+    * source-mix shift a KS-over-ordinals cannot express. Output is ONE row
+    * per category with its Jensen–Shannon divergence contribution
+    * (`js_term`, base-2: the sum over categories is the JS divergence in
+    * bits, 0 = identical mix, 1 = disjoint) and its Vincze–Le Cam
+    * contribution (`lecam_term`, also summing to at most 1). Everything is
+    * exact integer counts until ONE closed-form double expression per row
+    * — no cross-row float accumulation anywhere, so any drift threshold
+    * applied downstream sums a handful of per-category doubles, not the
+    * corpus. `lecam_term` is pure rational arithmetic (bit-identical on
+    * any engine, the vocab_pmi precedent); `js_term` carries a log2 whose
+    * libm can differ by an ulp between engines — round(·, 9) absorbs that
+    * everywhere except the measure-zero case of a value landing within an
+    * ulp of a rounding boundary. Ratios inside the logs are cross-products
+    * (`2·a·n_b / (a·n_b + b·n_a)`), cast to double at the leaves so no
+    * BIGINT product can overflow at corpus scale. */
+  def jsDivergence(df: DataFrame, catCol: String, inACol: String): DataFrame = {
+    val perCat = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol))
+      .agg(sum(when(col(inACol), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col(inACol), 1L).otherwise(0L)).as("cnt_b"))
+    val totals = perCat.agg(sum(col("cnt_a")).as("n_a"),
+      sum(col("cnt_b")).as("n_b"))
+    val ca = col("cnt_a").cast(DoubleType)
+    val cb = col("cnt_b").cast(DoubleType)
+    val na = col("n_a").cast(DoubleType)
+    val nb = col("n_b").cast(DoubleType)
+    val denom = ca * nb + cb * na
+    val termA = when(col("cnt_a") > 0,
+      ca / na * log2(lit(2.0) * ca * nb / denom)).otherwise(lit(0.0))
+    val termB = when(col("cnt_b") > 0,
+      cb / nb * log2(lit(2.0) * cb * na / denom)).otherwise(lit(0.0))
+    val diff = ca * nb - cb * na
+    val leCam = lit(0.5) * (diff * diff) / ((na * nb) * denom)
+    perCat.crossJoin(broadcast(totals))
+      .select(col(catCol), col("cnt_a"), col("cnt_b"),
+        round(lit(0.5) * (termA + termB), 9).as("js_term"),
+        round(leCam, 9).as("lecam_term"))
+  }
+
   /** One row: (ks_stat, at_value = smallest value attaining the max CDF
     * gap, n_a, n_b), where membership in sample A is `inACol` (boolean;
     * false = sample B). Rows with NULL `valueCol` are excluded from both

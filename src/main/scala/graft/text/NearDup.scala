@@ -370,6 +370,17 @@ object NearDup {
       docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim")),
       maxHamming, maxBucket)
 
+  /** The same multi-index Hamming-ball join over ANY 64-bit signature
+    * column — shared by the text SimHash tier and the image pHash tier
+    * (`mm/Multimodal.pHash64`): signatures are signatures, whatever
+    * modality produced them. Returns (a_id, b_id, hamming), a_id < b_id,
+    * each pair once. */
+  def hammingDupPairs(sig: DataFrame, idCol: String, hashCol: String,
+                      maxHamming: Int, maxBucket: Int = 1000): DataFrame =
+    simhashPairsFromSim(
+      sig.select(col(idCol).as("id"), col(hashCol).as("sim")),
+      maxHamming, maxBucket)
+
   private def simhashPairsFromSim(sim: DataFrame, maxHamming: Int,
                                   maxBucket: Int): DataFrame = {
     val radius = maxHamming / SimBlocks

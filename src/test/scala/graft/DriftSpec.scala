@@ -47,4 +47,32 @@ class DriftSpec extends AnyFunSuite {
     val r = Drift.ks(df, "v", "in_a").collect().head
     assert(r.getDouble(0) == 0.0 && r.getLong(2) == 1L && r.getLong(3) == 1L)
   }
+
+  private def jsRows(vals: Seq[(String, Boolean)]) =
+    Drift.jsDivergence(vals.toDF("c", "in_a"), "c", "in_a")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+
+  test("hand-computed JS/LeCam: A={x:3,y:1} vs B={x:1,y:3}") {
+    // p_x=3/4 q_x=1/4 m_x=1/2: js_x = .5*(.75*log2(1.5) + .25*log2(.5))
+    // (y is the mirror image); lecam_x = .5*(1/2)^2/1 = 1/8
+    val expJs = 0.5 * (0.75 * math.log(1.5) / math.log(2.0) - 0.25)
+    val out = jsRows(
+      Seq.fill(3)(("x", true)) ++ Seq(("y", true)) ++
+      Seq(("x", false)) ++ Seq.fill(3)(("y", false)))
+    val (ca, cb, js, lc) = out("x")
+    assert(ca == 3L && cb == 1L)
+    assert(math.abs(js - expJs) < 1e-9 && math.abs(lc - 0.125) < 1e-9)
+    assert(out("y")._3 == js && out("y")._4 == lc) // symmetric mix mirrors
+  }
+
+  test("identical category mix diverges zero; disjoint mixes sum to one " +
+      "in both divergences") {
+    val same = jsRows(Seq(("x", true), ("y", true), ("x", false), ("y", false)))
+    assert(same.values.forall(v => v._3 == 0.0 && v._4 == 0.0))
+    val dis = jsRows(
+      Seq(("x", true), ("x", true), ("y", true), ("z", false), ("w", false)))
+    assert(math.abs(dis.values.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(dis.values.map(_._4).sum - 1.0) < 1e-9)
+  }
 }

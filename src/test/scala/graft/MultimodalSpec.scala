@@ -75,4 +75,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r2.getAs[Int]("src_width") == -1)
     assert(r2.getAs[Int]("n_bytes") == 60)
   }
+
+  test("phash is exactly invariant under integer-factor upscaling and " +
+      "separates distinct images") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog " * 3,
+      "pack my box with five dozen liquor jugs " * 4,
+      "zzzz aaaa zzzz aaaa " * 7)
+    texts.foreach { t =>
+      val b = Multimodal.encodeBmp(t.getBytes("UTF-8"), t.length)
+      val h0 = Multimodal.pHash64(b)
+      val w = 4 + t.length % 29
+      val h = 4 + t.length % 17
+      for (k <- Seq(2, 3, 5)) {
+        val up = Multimodal.resizeBmp(b, w * k, h * k)
+        assert(Multimodal.pHash64(up) == h0, s"upscale x$k changed the hash")
+      }
+    }
+    val hashes = texts.map(t =>
+      Multimodal.pHash64(Multimodal.encodeBmp(t.getBytes("UTF-8"), t.length)))
+    assert(hashes.distinct.length == hashes.length,
+      "distinct images must not collide at radius 0")
+  }
+
+  test("phash multi-index Hamming join equals brute force on the " +
+      "original+re-encode corpus, finding every re-encode pair") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.asMedia(docs)
+    val corpus = media.select($"doc_id", $"payload")
+      .unionByName(Multimodal.upscaledMedia(spark, media, 2))
+    val ph = Multimodal.phashFeatures(spark, corpus)
+      .filter($"phash".isNotNull)
+    val got = graft.text.NearDup
+      .hammingDupPairs(ph, "doc_id", "phash", maxHamming = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val local = ph.select("doc_id", "phash").as[(Long, Long)].collect()
+    val want = (for {
+      (ia, ha) <- local; (ib, hb) <- local
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 4
+    } yield (ia, ib)).toSet
+    assert(got == want, "multi-index join diverges from brute-force Hamming")
+    // every original pairs with exactly its own re-encode: the oracle's
+    // closed form (and the radius separates everything else)
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    assert(want == ids.map(id => (id, id + Multimodal.UpscaleIdOffset)))
+  }
+
+  test("corrupt payloads get a null phash, valid ones a hash") {
+    val ok = Multimodal.encodeBmp("hello there friend".getBytes("UTF-8"), 18)
+    val rows = Multimodal.phashFeatures(spark,
+        Seq((1L, ok), (2L, Array[Byte](1, 2, 3)),
+          (3L, ok.take(60))).toDF("doc_id", "payload"))
+      .orderBy("doc_id").collect()
+    assert(!rows(0).isNullAt(1) && rows(1).isNullAt(1) && rows(2).isNullAt(1))
+  }
 }

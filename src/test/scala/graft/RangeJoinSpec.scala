@@ -43,6 +43,33 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.contains((8L, "e")))   // negative values bin correctly
   }
 
+  test("overlap join equals the theta join on random interval sets, " +
+      "each pair exactly once at every bin width") {
+    val rnd = new scala.util.Random(7)
+    def mkIntervals(n: Int, tag: String) = (0 until n).map { i =>
+      val lo = rnd.nextInt(200) - 20
+      // mix of empty, short, and bin-spanning intervals incl. exact
+      // bin-boundary endpoints
+      val span = rnd.nextInt(4) match {
+        case 0 => 0
+        case 1 => rnd.nextInt(5)
+        case 2 => rnd.nextInt(40)
+        case _ => (rnd.nextInt(5) + 1) * 16
+      }
+      (s"$tag$i", lo.toDouble, (lo + span).toDouble)
+    }
+    val a = mkIntervals(60, "a").toDF("aid", "alo", "ahi")
+    val b = mkIntervals(60, "b").toDF("bid", "blo", "bhi")
+    val want = a.join(b, $"alo" < $"bhi" && $"blo" < $"ahi")
+      .select("aid", "bid").as[(String, String)].collect().sorted.toSeq
+    for (w <- Seq(5.0, 16.0, 100.0, 1000.0)) {
+      val got = RangeJoin.overlapBinned(a, "alo", "ahi", b, "blo", "bhi", w)
+        .select("aid", "bid").as[(String, String)].collect()
+      assert(got.length == got.distinct.length, s"duplicate pairs at w=$w")
+      assert(got.sorted.toSeq == want, s"binWidth=$w")
+    }
+  }
+
   test("plans as a shuffled equi-join on the bin key, never a nested loop") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
