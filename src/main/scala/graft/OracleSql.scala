@@ -609,6 +609,17 @@ object OracleSql {
              ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
          WHERE rn = 1 ORDER BY event_id""",
 
+    // the streaming enrichment appends per-batch as-of results; the union
+    // over batches must equal the batch as-of join exactly
+    "stream_asof" ->
+      """SELECT event_id, o_orderkey, o_totalprice FROM (
+           SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+           FROM events e JOIN orders o
+             ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+         WHERE rn = 1 ORDER BY event_id""",
+
     "join_asof_nearest" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
                epoch_us(CAST(ts AS TIMESTAMP)) t FROM events),
@@ -899,6 +910,31 @@ object OracleSql {
          SELECT m.ks_stat, min(g.n_chars) AS at_value, g.n_a, g.n_b
          FROM g JOIN m ON g.gap = m.ks_stat
          GROUP BY m.ks_stat, g.n_a, g.n_b""",
+
+    "dq_anomaly" ->
+      """WITH ev AS (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) x
+           FROM events WHERE value IS NOT NULL),
+           st AS (SELECT event_type, CAST(count(*) AS HUGEINT) n,
+               sum(x) s1, sum(x * x) s2
+             FROM ev GROUP BY event_type)
+         SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN (n * x - s1) * (n * x - s1) >
+                 9 * (n * s2 - s1 * s1) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+         FROM ev e JOIN st USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
+
+    "agg_weighted_median" ->
+      """WITH d AS (SELECT lang, n_chars, CAST(sum(n_chars) AS BIGINT) w
+             FROM documents GROUP BY lang, n_chars),
+           c AS (SELECT lang, n_chars, w,
+               sum(w) OVER (PARTITION BY lang ORDER BY n_chars) cw,
+               sum(w) OVER (PARTITION BY lang) tw
+             FROM d)
+         SELECT lang, CAST(min(n_chars) AS BIGINT) AS weighted_median_chars,
+             CAST(min(tw) AS BIGINT) AS total_chars
+         FROM c WHERE cw * 2 >= tw GROUP BY lang ORDER BY lang""",
 
     "dq_drift_js" ->
       """WITH d AS (SELECT lang, doc_id % 2 = 0 AS in_a FROM documents),

@@ -1127,6 +1127,59 @@ object Queries {
         .select(col("n_chars"), (pmod(col("doc_id"), lit(2)) === 0).as("in_a")),
       "n_chars", "in_a")
 
+  /** X15d — exact-integer 3σ anomaly gate: per event type, how many
+    * values sit more than three standard deviations from their group
+    * mean. The entire threshold test runs in EXACT integer arithmetic —
+    * value in cents, `(n·x − Σx)² > 9·(n·Σx² − (Σx)²)` over DECIMAL(38,0)
+    * (HUGEINT in the oracle) — so no float σ is ever computed and the
+    * boundary cannot waver between engines or partitionings; the
+    * magnitudes stay under 10³⁸ even at 10¹² rows per group. One stats
+    * aggregate (few rows, broadcast back) + one narrow flagging pass +
+    * one count aggregate. */
+  def dqAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(DecimalType(38, 0)).as("x"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+      sum(col("x")).cast(DecimalType(38, 0)).as("s1"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 0)))
+        .cast(DecimalType(38, 0)).as("s2"))
+    val dev = col("n") * col("x") - col("s1")
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("is_outlier",
+        dev * dev > lit(9) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** X6c — distributed WEIGHTED median: per language, the document length
+    * holding the corpus's median CHARACTER (half of all text sits in
+    * shorter docs) — the size statistic a corpus datasheet wants, and a
+    * shape `percentile()` can't weight. Per-(lang, length) weight
+    * aggregate (bounded by distinct lengths), cumulative weight through
+    * the two-pass distributed scan ([[graft.ops.PrefixSum.cumSum]] — no
+    * single-task window even when one language dominates the corpus), a
+    * tiny per-language total broadcast back, and the first row crossing
+    * half: all exact integers. */
+  def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(sum(col("n_chars")).as("w"))
+    val cum = ops.PrefixSum.cumSum(d, Seq("lang"), Seq("n_chars"),
+      col("w"), "cw")
+    val tot = d.groupBy(col("lang")).agg(sum(col("w")).as("tw"))
+    cum.join(broadcast(tot), Seq("lang"))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("lang"))
+      .agg(min(col("n_chars")).as("weighted_median_chars"),
+        min(col("tw")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** X15c — categorical drift gate: per-language Jensen–Shannon and
     * Vincze–Le Cam divergence contributions between the two corpus
     * snapshot halves — the language-mix shift signal beside [[dqDrift]]'s

@@ -387,6 +387,43 @@ object StreamTwins {
       .orderBy(col("batch_id"))
   }
 
+  /** Stream-static POINT-IN-TIME enrichment: each arriving micro-batch of
+    * events is as-of joined (most recent order at or before the event
+    * time, [[graft.ops.AsOf.asofJoin]]) against the static orders table
+    * and appended to a silver output — the enrich-on-ingest pipeline. The
+    * as-of join is per-LEFT-row, so it is embarrassingly incremental on
+    * the stream side: each batch computes exactly its own rows and the
+    * union over all batches equals the batch twin (`join_asof`'s oracle,
+    * shared). The static side re-shuffles per batch here; at scale the
+    * orders side would be a bucketed table co-partitioned on the key —
+    * the same argument as the dedup signature index (and the checkpoint
+    * makes re-runs no-ops, so the output is stable across sessions). */
+  def streamAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val outDir = graft.ops.TempFiles.dir(s"stream_asof_out_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_asof_ck_$tag")
+    val orders = graft.ops.Tables.table(ss, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val q = eventsStream(ss, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.AsOf.asofJoin(batch.toDF(), orders, "user_id", "o_custkey",
+            col("ts"), col("o_orderdate"), col("o_orderkey"))
+          .filter(col("__match").isNotNull)
+          .select(col("event_id"),
+            col("__match.o_orderkey").as("o_orderkey"),
+            col("__match.o_totalprice").as("o_totalprice"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    ss.read.parquet(outDir).orderBy(col("event_id"))
+  }
+
   /** Run the drift stream to completion: per micro-batch, union the
     * arriving slice (in_a = false) with the baseline and collect the
     * one-row KS result into the returned (batch_id-keyed) frame. */

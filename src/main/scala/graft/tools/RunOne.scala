@@ -25,6 +25,9 @@ object RunOne {
     val n = df.count()
     println(s"RUNONE $name rows=$n")
     if (args.contains("--show")) df.show(20, truncate = false)
+    val outIdx = args.indexOf("--out")
+    if (outIdx >= 0)
+      df.coalesce(1).write.mode("overwrite").parquet(args(outIdx + 1))
     spark.stop()
   }
 }

@@ -95,7 +95,10 @@ class StressSpec extends AnyFunSuite {
       "dedup_boilerplate",
       // round-4 session additions that carry join/iteration structure:
       // cell-join kNN graph, iterative PageRank, prefix-filter containment
-      "knn_graph_ivf", "graph_pagerank", "dedup_containment")
+      "knn_graph_ivf", "graph_pagerank", "dedup_containment",
+      // seventh-wave additions with join/explode structure: gram-window
+      // dup audit, binned overlap join, phash Hamming join over 2n images
+      "text_dup_ngrams", "join_interval_overlap", "mm_phash_dedup")
     for (n <- names) {
       // min-of-2 per scale point: a single GC/JIT pause on either side of
       // the ratio can push a healthy query past the bound (it flaked once
