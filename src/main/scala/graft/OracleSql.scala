@@ -925,6 +925,17 @@ object OracleSql {
          FROM ev e JOIN st USING (event_type)
          GROUP BY e.event_type ORDER BY e.event_type""",
 
+    "agg_histogram" ->
+      """WITH s AS (SELECT min(o_totalprice) mn, max(o_totalprice) mx
+             FROM orders),
+           b AS (SELECT least(CAST(floor((o_totalprice - mn) /
+                   ((mx - mn) / 16)) AS BIGINT), 15) AS bin, mn, mx
+               FROM orders CROSS JOIN s)
+         SELECT bin, round(mn + bin * ((mx - mn) / 16), 4) AS lo,
+             round(mn + (bin + 1) * ((mx - mn) / 16), 4) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY bin, mn, mx ORDER BY bin""",
+
     "agg_weighted_median" ->
       """WITH d AS (SELECT lang, n_chars, CAST(sum(n_chars) AS BIGINT) w
              FROM documents GROUP BY lang, n_chars),
@@ -1131,6 +1142,11 @@ object OracleSql {
       """SELECT doc_id AS a_id, doc_id + 1048576 AS b_id,
              CAST(0 AS INTEGER) AS hamming
          FROM documents ORDER BY a_id""",
+
+    "mm_phash_incremental" ->
+      """SELECT doc_id + 1048576 AS new_id, doc_id AS base_id,
+             CAST(0 AS INTEGER) AS hamming
+         FROM documents ORDER BY new_id""",
 
     "mm_resize" ->
       """SELECT doc_id,

@@ -1127,6 +1127,29 @@ object Queries {
         .select(col("n_chars"), (pmod(col("doc_id"), lit(2)) === 0).as("in_a")),
       "n_chars", "in_a")
 
+  /** X18 — equal-width histogram profile (the ANALYZE companion to
+    * [[profileTable]]): order totals into 16 bins between the global
+    * min/max — one stats aggregate (a one-row broadcast, the
+    * scalar-subquery shape), one narrow bin assignment, one count
+    * aggregate; bin edges are re-derived from (min, max, bin) by one
+    * closed-form double expression token-matched to the oracle's. */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val nb = 16
+    val o = t(spark, dir, "orders").select(col("o_totalprice").as("x"))
+    val stats = o.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val width = (col("mx") - col("mn")) / nb
+    o.crossJoin(broadcast(stats))
+      .select(least(floor((col("x") - col("mn")) / width), lit(nb - 1))
+        .cast(LongType).as("bin"), col("mn"), col("mx"))
+      .groupBy(col("bin"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        round(col("mn") + col("bin") * width, 4).as("lo"),
+        round(col("mn") + (col("bin") + 1) * width, 4).as("hi"),
+        col("n"))
+      .orderBy(col("bin"))
+  }
+
   /** X15d — exact-integer 3σ anomaly gate: per event type, how many
     * values sit more than three standard deviations from their group
     * mean. The entire threshold test runs in EXACT integer arithmetic —
@@ -1632,10 +1655,34 @@ object Queries {
     val media = mm.Multimodal.asMedia(t(spark, dir, "documents"))
     val corpus = media.select(col("doc_id"), col("payload"))
       .unionByName(mm.Multimodal.upscaledMedia(spark, media, 2))
+    // materialize the signature table once: the multi-index join consumes
+    // it on both its probe and exact sides, and decode is the costly step
     val ph = mm.Multimodal.phashFeatures(spark, corpus)
       .filter(col("phash").isNotNull)
+      .persist()
     text.NearDup.hammingDupPairs(ph, "doc_id", "phash", maxHamming = 4)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** N12f — INCREMENTAL image near-dup: a delta batch of re-encoded
+    * arrivals (each original's 2× upscale) probes the corpus's phash
+    * signature index via [[text.NearDup.hammingDupPairsIncremental]] —
+    * the multimodal twin of `dedup_incremental`: candidate work scales
+    * with the delta, never the corpus, and the base index is the
+    * checkpointed signature table an image-ingest pipeline maintains.
+    * Every arrival must hit exactly its own original at hamming 0 at the
+    * gate scales (same separation argument as [[mmPhashDedup]]) → the
+    * oracle is the closed form. */
+  def mmPhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val media = mm.Multimodal.asMedia(t(spark, dir, "documents"))
+    val basePh = mm.Multimodal.phashFeatures(spark, media)
+      .filter(col("phash").isNotNull)
+    val deltaPh = mm.Multimodal.phashFeatures(spark,
+        mm.Multimodal.upscaledMedia(spark, media, 2))
+      .filter(col("phash").isNotNull)
+    text.NearDup.hammingDupPairsIncremental(basePh, deltaPh,
+        "doc_id", "phash", maxHamming = 4)
+      .orderBy(col("new_id"), col("base_id"))
   }
 
   /** Multimodal frame sampling: pixel rows as frames, keep every 4th. */

@@ -381,30 +381,46 @@ object NearDup {
       sig.select(col(idCol).as("id"), col(hashCol).as("sim")),
       maxHamming, maxBucket)
 
-  private def simhashPairsFromSim(sim: DataFrame, maxHamming: Int,
-                                  maxBucket: Int): DataFrame = {
+  private def hammingRadius(maxHamming: Int): Int = {
     val radius = maxHamming / SimBlocks
     require(radius <= 1,
       s"simhash block join supports maxHamming <= ${2 * SimBlocks - 1} " +
         s"(radius-1 ball over $SimBlocks blocks); got $maxHamming")
-    val bounds = (0 to SimBlocks).map(c => c * 64 / SimBlocks)
-    def blockVal(b: Int): Column = {
-      val width = bounds(b + 1) - bounds(b)
-      shiftright(col("sim"), bounds(b)).bitwiseAND(lit((1L << width) - 1L))
-    }
-    // block index and value packed into one long join key
-    def key(b: Int, v: Column): Column = lit(b.toLong << 32).bitwiseOR(v)
-    val exactKeys = (0 until SimBlocks).map(b => key(b, blockVal(b)))
-    val exact = sim.select(col("id"), col("sim"),
-      explode(array(exactKeys: _*)).as("k"))
-    val probe =
-      if (radius == 0) exact
-      else sim.select(col("id"), col("sim"),
-        explode(array((0 until SimBlocks).flatMap { b =>
-          val width = bounds(b + 1) - bounds(b)
-          key(b, blockVal(b)) +: (0 until width).map(bit =>
-            key(b, blockVal(b).bitwiseXOR(lit(1L << bit))))
-        }: _*)).as("k"))
+    radius
+  }
+
+  private val blockBounds = (0 to SimBlocks).map(c => c * 64 / SimBlocks)
+
+  private def blockVal(b: Int): Column = {
+    val width = blockBounds(b + 1) - blockBounds(b)
+    shiftright(col("sim"), blockBounds(b)).bitwiseAND(lit((1L << width) - 1L))
+  }
+
+  // block index and value packed into one long join key
+  private def blockKey(b: Int, v: Column): Column =
+    lit(b.toLong << 32).bitwiseOR(v)
+
+  /** (id, sim, k) with one row per EXACT block key. */
+  private def exactKeyed(sim: DataFrame): DataFrame =
+    sim.select(col("id"), col("sim"), explode(array(
+      (0 until SimBlocks).map(b => blockKey(b, blockVal(b))): _*)).as("k"))
+
+  /** (id, sim, k) with the radius-1 Hamming BALL of each block key (probe
+    * side); radius 0 degenerates to the exact keys. */
+  private def ballKeyed(sim: DataFrame, radius: Int): DataFrame =
+    if (radius == 0) exactKeyed(sim)
+    else sim.select(col("id"), col("sim"),
+      explode(array((0 until SimBlocks).flatMap { b =>
+        val width = blockBounds(b + 1) - blockBounds(b)
+        blockKey(b, blockVal(b)) +: (0 until width).map(bit =>
+          blockKey(b, blockVal(b).bitwiseXOR(lit(1L << bit))))
+      }: _*)).as("k"))
+
+  private def simhashPairsFromSim(sim: DataFrame, maxHamming: Int,
+                                  maxBucket: Int): DataFrame = {
+    val radius = hammingRadius(maxHamming)
+    val exact = exactKeyed(sim)
+    val probe = ballKeyed(sim, radius)
     val ok = exact.groupBy("k").count()
       .filter(col("count") <= maxBucket).drop("count")
     probe.join(ok, "k").as("a")
@@ -414,6 +430,33 @@ object NearDup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
       .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Incremental Hamming near-dup: the DELTA batch's signatures probe the
+    * BASE corpus's exact-keyed signature index — the image twin of
+    * [[minhashDupPairsIncremental]]. The ball explode rides the (small)
+    * delta side; the base index is exactly the checkpointed signature
+    * table an image-ingest pipeline maintains, and the spam-bucket cap
+    * applies to BASE bucket sizes (the side whose skew can explode the
+    * join). Candidate work scales with |delta| × bucket density, never
+    * |base|². Returns (new_id, base_id, hamming), each pair once. */
+  def hammingDupPairsIncremental(base: DataFrame, delta: DataFrame,
+                                 idCol: String, hashCol: String,
+                                 maxHamming: Int,
+                                 maxBucket: Int = 1000): DataFrame = {
+    val radius = hammingRadius(maxHamming)
+    val baseSim = base.select(col(idCol).as("id"), col(hashCol).as("sim"))
+    val deltaSim = delta.select(col(idCol).as("id"), col(hashCol).as("sim"))
+    val exact = exactKeyed(baseSim)
+    val ok = exact.groupBy("k").count()
+      .filter(col("count") <= maxBucket).drop("count")
+    ballKeyed(deltaSim, radius).as("a")
+      .join(exact.join(ok, "k").as("b"),
+        col("a.k") === col("b.k") &&
+          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= maxHamming)
+      .select(col("a.id").as("new_id"), col("b.id").as("base_id"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .dropDuplicates("new_id", "base_id")
   }
 
   /** SimHash candidates re-verified with exact Jaccard — same precision

@@ -121,6 +121,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(want == ids.map(id => (id, id + Multimodal.UpscaleIdOffset)))
   }
 
+  test("incremental phash probe: each delta re-encode hits exactly its " +
+      "own original") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.asMedia(docs)
+    val basePh = Multimodal.phashFeatures(spark, media)
+      .filter($"phash".isNotNull)
+    val deltaPh = Multimodal.phashFeatures(spark,
+        Multimodal.upscaledMedia(spark, media, 2))
+      .filter($"phash".isNotNull)
+    val got = graft.text.NearDup
+      .hammingDupPairsIncremental(basePh, deltaPh, "doc_id", "phash", 4)
+      .select("new_id", "base_id").as[(Long, Long)].collect().toSet
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    assert(got == ids.map(id => (id + Multimodal.UpscaleIdOffset, id)))
+  }
+
   test("corrupt payloads get a null phash, valid ones a hash") {
     val ok = Multimodal.encodeBmp("hello there friend".getBytes("UTF-8"), 18)
     val rows = Multimodal.phashFeatures(spark,
