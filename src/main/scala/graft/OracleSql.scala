@@ -825,6 +825,22 @@ object OracleSql {
          FROM x CROSS JOIN mx WHERE CAST(td AS DATE) <= max_d
          GROUP BY 1 ORDER BY 1""",
 
+    "window_rolling_median" ->
+      """WITH daily AS (SELECT
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) d,
+               CAST(count(*) AS BIGINT) n
+             FROM events GROUP BY 1),
+           mx AS (SELECT max(d) max_d FROM daily),
+           x AS (SELECT n,
+                 unnest(generate_series(d, d + INTERVAL 6 DAY,
+                   INTERVAL 1 DAY)) td
+               FROM daily)
+         SELECT strftime(CAST(td AS DATE), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_days,
+             round(quantile_cont(n, 0.5), 4) AS median_daily_events
+         FROM x CROSS JOIN mx WHERE CAST(td AS DATE) <= max_d
+         GROUP BY 1 ORDER BY 1""",
+
     "agg_moments" ->
       """WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) n,
                CAST(sum(n_chars) AS BIGINT) s1,
@@ -1290,6 +1306,22 @@ object OracleSql {
       """SELECT event_id, event_type FROM events
          WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '29'
          ORDER BY event_id""",
+
+    "sample_importance" ->
+      """WITH d AS (SELECT lang,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS p,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS u
+           FROM documents),
+           k AS (SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+               CAST(sum(CASE WHEN p >= 1 OR u < lpad(lower(hex(
+                   CAST(floor(p * 16777216) AS BIGINT))), 6, '0')
+                 THEN 1 ELSE 0 END) AS BIGINT) n_kept
+             FROM d GROUP BY lang)
+         SELECT lang, n_docs, n_kept,
+             round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+               AS kept_frac
+         FROM k ORDER BY lang""",
 
     "sample_stratified" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept FROM events

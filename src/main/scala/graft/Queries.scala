@@ -981,6 +981,31 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** X9e — trailing-7-day rolling MEDIAN (of daily event volume): the
+    * robust-statistics rolling report a running frame cannot express
+    * (median doesn't decompose incrementally) — same inverted-window
+    * construction as [[windowRollingDistinct]]: one daily aggregate
+    * (bounded by distinct days), each day exploded to its ≤ 7 target days
+    * (narrow ×7), exact interpolated `percentile` per target day over ≤ 7
+    * values; two keyed shuffles, no ordering anywhere, horizon trimmed
+    * against a one-row max-day broadcast. */
+  def windowRollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val mx = daily.agg(max(col("d")).as("max_d"))
+    daily.select(col("n"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+      .crossJoin(broadcast(mx))
+      .filter(col("day") <= col("max_d"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_days"),
+        round(expr("percentile(n, 0.5)"), 4).as("median_daily_events"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_days"), col("median_daily_events"))
+      .orderBy(col("day"))
+  }
+
   /** A7 — pivot to one column per status (explicit value list so the
     * output schema is static, the scalable form of pivot). */
   def aggPivot(spark: SparkSession, dir: String): DataFrame = {
@@ -1672,7 +1697,9 @@ object Queries {
     * checkpointed signature table an image-ingest pipeline maintains.
     * Every arrival must hit exactly its own original at hamming 0 at the
     * gate scales (same separation argument as [[mmPhashDedup]]) → the
-    * oracle is the closed form. */
+    * oracle is the closed form; at sf0.1 the probe additionally surfaces
+    * 32 organic near-dup hits (measured), the operator working as an
+    * operator rather than a fixture. */
   def mmPhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     val media = mm.Multimodal.asMedia(t(spark, dir, "documents"))
     val basePh = mm.Multimodal.phashFeatures(spark, media)
@@ -1782,6 +1809,34 @@ object Queries {
       .filter(substring(md5(col("event_id").cast(StringType)), 1, 2) < "29")
       .select(col("event_id"), col("event_type"))
       .orderBy(col("event_id"))
+
+  /** N15e — importance-weighted (quality-proportional) sampling: each doc
+    * kept with probability equal to its CONTINUOUS quality score (here
+    * the distinct-token ratio) — the "sample proportional to quality"
+    * curation op, vs [[sampleStratified]]'s discrete per-stratum
+    * thresholds. Deterministic Poisson sampling without `rand()`: the
+    * md5-derived 24-bit uniform is compared against the score rendered as
+    * a fixed-width hex threshold (lexicographic = numeric for equal
+    * width; scores ≥ 1 keep unconditionally), so the draw is reproducible
+    * on any engine and any partitioning — one narrow filter, no shuffle
+    * before the per-language count. */
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val p = (size(array_distinct(toks)).cast(DoubleType) /
+      size(toks).cast(DoubleType))
+    val u = substring(md5(col("doc_id").cast(StringType)), 1, 6)
+    val thresh = lpad(lower(hex(floor(p * 16777216).cast(LongType))), 6, "0")
+    t(spark, dir, "documents")
+      .select(col("lang"),
+        (p >= 1 || u < thresh).as("kept"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 6).as("kept_frac"))
+      .orderBy(col("lang"))
+  }
 
   /** Stratified deterministic sampling: per-stratum hash thresholds (keep
     * all purchases, half of signups, down to 1/32 of errors) — the "domain
