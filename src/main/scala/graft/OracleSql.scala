@@ -220,6 +220,12 @@ object OracleSql {
              CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_acctbal
          FROM customer""",
 
+    "scan_json_malformed" ->
+      """SELECT CAST(count(*) + 3 AS BIGINT) AS n_lines,
+             CAST(3 AS BIGINT) AS n_bad,
+             CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_acctbal
+         FROM supplier""",
+
     "scan_merge_schema" ->
       """SELECT 'v1' AS src, n_nationkey, n_name,
              CAST(NULL AS INTEGER) AS n_regionkey FROM nation
@@ -942,15 +948,19 @@ object OracleSql {
          GROUP BY e.event_type ORDER BY e.event_type""",
 
     "agg_histogram" ->
-      """WITH s AS (SELECT min(o_totalprice) mn, max(o_totalprice) mx
-             FROM orders),
-           b AS (SELECT least(CAST(floor((o_totalprice - mn) /
-                   ((mx - mn) / 16)) AS BIGINT), 15) AS bin, mn, mx
-               FROM orders CROSS JOIN s)
-         SELECT bin, round(mn + bin * ((mx - mn) / 16), 4) AS lo,
-             round(mn + (bin + 1) * ((mx - mn) / 16), 4) AS hi,
+      """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                 AS BIGINT) c FROM orders),
+           s AS (SELECT min(c) mnc, max(c) mxc FROM o),
+           b AS (SELECT least((c - mnc) * 16 // greatest(mxc - mnc, 1), 15)
+                   AS bin, mnc, greatest(mxc - mnc, 1) AS span
+               FROM o CROSS JOIN s)
+         SELECT bin,
+             CAST(mnc * 10000 + bin * span * 625 AS DOUBLE) / 1000000.0
+               AS lo,
+             CAST(mnc * 10000 + (bin + 1) * span * 625 AS DOUBLE) / 1000000.0
+               AS hi,
              CAST(count(*) AS BIGINT) AS n
-         FROM b GROUP BY bin, mn, mx ORDER BY bin""",
+         FROM b GROUP BY bin, mnc, span ORDER BY bin""",
 
     "agg_weighted_median" ->
       """WITH d AS (SELECT lang, n_chars, CAST(sum(n_chars) AS BIGINT) w

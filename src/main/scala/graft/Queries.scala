@@ -302,6 +302,29 @@ object Queries {
         Cleanse.dec2(col("c_acctbal"))))).as("sum_acctbal"))
   }
 
+  /** S9b — malformed-JSON quarantine (the NDJSON twin of
+    * [[scanCsvMalformed]]): supplier rows re-encoded as JSON lines plus
+    * three corrupt lines, parsed PERMISSIVE with `_corrupt_record` — bad
+    * payloads are quarantined as rows, never exceptions, and the clean
+    * aggregate is unaffected. */
+  def scanJsonMalformed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sup = t(spark, dir, "supplier")
+    val good = sup.select(to_json(struct(
+      sup.columns.map(col).toIndexedSeq: _*))).as[String]
+    val bad = Seq("{not json", "}{", ",,,").toDS()
+    val parsed = spark.read
+      .schema(sup.schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(good.union(bad))
+    parsed.agg(
+      count(lit(1)).as("n_lines"),
+      count(col("_corrupt_record")).as("n_bad"),
+      decOut(sum(when(col("_corrupt_record").isNull,
+        Cleanse.dec2(col("s_acctbal"))))).as("sum_acctbal"))
+  }
+
   /** S10 — schema-evolution scan: two parquet generations of the same
     * table (v1 carries `n_name`, v2 carries `n_regionkey`) read as ONE
     * dataset via `mergeSchema` — the lakehouse reality of a column added
@@ -1156,21 +1179,28 @@ object Queries {
     * [[profileTable]]): order totals into 16 bins between the global
     * min/max — one stats aggregate (a one-row broadcast, the
     * scalar-subquery shape), one narrow bin assignment, one count
-    * aggregate; bin edges are re-derived from (min, max, bin) by one
-    * closed-form double expression token-matched to the oracle's. */
+    * aggregate. EVERYTHING is exact integer cents: bins assigned by
+    * integer floor-division, edges re-derived as exact micro-dollar
+    * integers (span·625 = span·10⁴/16 is integral) divided once at the
+    * output boundary — no float `round()` whose .xxxx5 ties flip between
+    * engines (which is exactly what sf0.001 exposed with the double
+    * form). */
   def aggHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val nb = 16
-    val o = t(spark, dir, "orders").select(col("o_totalprice").as("x"))
-    val stats = o.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val width = (col("mx") - col("mn")) / nb
+    val o = t(spark, dir, "orders")
+      .select((Cleanse.dec2(col("o_totalprice")) * 100)
+        .cast(LongType).as("c"))
+    val stats = o.agg(min(col("c")).as("mnc"), max(col("c")).as("mxc"))
     o.crossJoin(broadcast(stats))
-      .select(least(floor((col("x") - col("mn")) / width), lit(nb - 1))
-        .cast(LongType).as("bin"), col("mn"), col("mx"))
-      .groupBy(col("bin"), col("mn"), col("mx"))
+      .withColumn("span", greatest(col("mxc") - col("mnc"), lit(1L)))
+      .select(least(expr("(c - mnc) * 16 div span"), lit(15L)).as("bin"),
+        col("mnc"), col("span"))
+      .groupBy(col("bin"), col("mnc"), col("span"))
       .agg(count(lit(1)).as("n"))
       .select(col("bin"),
-        round(col("mn") + col("bin") * width, 4).as("lo"),
-        round(col("mn") + (col("bin") + 1) * width, 4).as("hi"),
+        ((col("mnc") * 10000 + col("bin") * col("span") * 625) /
+          lit(1000000.0)).as("lo"),
+        ((col("mnc") * 10000 + (col("bin") + 1) * col("span") * 625) /
+          lit(1000000.0)).as("hi"),
         col("n"))
       .orderBy(col("bin"))
   }
