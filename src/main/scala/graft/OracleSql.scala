@@ -831,6 +831,36 @@ object OracleSql {
          FROM x CROSS JOIN mx WHERE CAST(td AS DATE) <= max_d
          GROUP BY 1 ORDER BY 1""",
 
+    "funnel_conversion_window" ->
+      """WITH s AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) st,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+             FROM events WHERE event_type = 'signup'),
+           p AS (SELECT user_id, CAST(ts AS TIMESTAMP) pt
+             FROM events WHERE event_type = 'purchase'),
+           conv AS (SELECT DISTINCT s.event_id, s.day
+             FROM s JOIN p USING (user_id)
+             WHERE pt >= st AND pt <= st + INTERVAL 7 DAY),
+           t1 AS (SELECT day, CAST(count(*) AS BIGINT) n_signups
+             FROM s GROUP BY day),
+           t2 AS (SELECT day, CAST(count(*) AS BIGINT) n_converted
+             FROM conv GROUP BY day)
+         SELECT strftime(t1.day, '%Y-%m-%d') AS day, n_signups,
+             coalesce(n_converted, 0) AS n_converted,
+             CAST(coalesce(n_converted, 0) AS DOUBLE) /
+               CAST(n_signups AS DOUBLE) AS conv_rate
+         FROM t1 LEFT JOIN t2 ON t1.day = t2.day ORDER BY day""",
+
+    "cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+             CAST(floor(datediff('day', DATE '2024-01-01',
+               CAST(CAST(ts AS TIMESTAMP) AS DATE)) / 7) AS BIGINT) wk
+           FROM events),
+           f AS (SELECT user_id, min(wk) cohort FROM ev GROUP BY user_id)
+         SELECT cohort, wk - cohort AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_users
+         FROM ev JOIN f USING (user_id)
+         GROUP BY cohort, wk - cohort ORDER BY cohort, week_offset""",
+
     "window_rolling_median" ->
       """WITH daily AS (SELECT
                CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) d,

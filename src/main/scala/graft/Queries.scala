@@ -1045,6 +1045,57 @@ object Queries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** X19 — windowed funnel conversion: per signup DAY, how many signup
+    * events converted to a purchase by the same user within 7 days — the
+    * time-bounded funnel metric (A4's flags are lifetime, this is the
+    * windowed rate). One user-keyed equi-join carries the time predicate
+    * (no range join needed — the key is equi), one distinct on the signup
+    * event, one per-day count; conversion rate is one closed-form double
+    * per row over exact counts. */
+  def funnelConversionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("st"), to_date(col("ts")).as("day"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pt"))
+    val conv = signups.join(purchases, Seq("user_id"))
+      .filter(col("pt") >= col("st") &&
+        col("pt") <= col("st") + expr("INTERVAL 7 DAYS"))
+      .select(col("event_id"), col("day")).distinct()
+    signups.groupBy(col("day")).agg(count(lit(1)).as("n_signups"))
+      .join(conv.groupBy(col("day")).agg(count(lit(1)).as("n_converted")),
+        Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_signups"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+        // raw quotient of identical exact integers — identical on any
+        // engine; a round() here could flip on an epsilon-near tie (the
+        // agg_histogram lesson)
+        (coalesce(col("n_converted"), lit(0L)).cast(DoubleType) /
+          col("n_signups").cast(DoubleType)).as("conv_rate"))
+      .orderBy(col("day"))
+  }
+
+  /** X19b — cohort retention matrix: users grouped by the WEEK of their
+    * first event (cohort), counted as retained in each later week they
+    * were active — the standard retention triangle. First-event week is
+    * one per-user aggregate; activity weeks one distinct; the matrix one
+    * count per (cohort, offset): all exact integers, every shuffle keyed
+    * on user or (cohort, offset). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")),
+          lit("2024-01-01").cast(DateType)) / 7).as("wk"))
+    val firstWk = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val active = ev.distinct()
+    active.join(firstWk, Seq("user_id"))
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
   /** W5 — running analytics: cumulative sum + lag delta per user. */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
