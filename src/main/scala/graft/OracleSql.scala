@@ -977,6 +977,24 @@ object OracleSql {
          FROM ev e JOIN st USING (event_type)
          GROUP BY e.event_type ORDER BY e.event_type""",
 
+    // the streaming gate scores the post-cutoff delta against FROZEN
+    // pre-cutoff stats; one-file landing → one batch → this batch form
+    "stream_anomaly" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) tts,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) x
+           FROM events WHERE value IS NOT NULL),
+           st AS (SELECT event_type, CAST(count(*) AS HUGEINT) n,
+               sum(x) s1, sum(x * x) s2
+             FROM ev WHERE tts < TIMESTAMP '2024-01-20'
+             GROUP BY event_type),
+           d AS (SELECT * FROM ev WHERE tts >= TIMESTAMP '2024-01-20')
+         SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN (n * x - s1) * (n * x - s1) >
+                 9 * (n * s2 - s1 * s1) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+         FROM d JOIN st USING (event_type)
+         GROUP BY d.event_type ORDER BY d.event_type""",
+
     "agg_histogram" ->
       """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
                  AS BIGINT) c FROM orders),

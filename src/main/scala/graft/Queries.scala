@@ -1270,18 +1270,8 @@ object Queries {
       .filter(col("value").isNotNull)
       .select(col("event_type"),
         (Cleanse.dec2(col("value")) * 100).cast(DecimalType(38, 0)).as("x"))
-    val stats = ev.groupBy(col("event_type")).agg(
-      count(lit(1)).cast(DecimalType(38, 0)).as("n"),
-      sum(col("x")).cast(DecimalType(38, 0)).as("s1"),
-      sum((col("x") * col("x")).cast(DecimalType(38, 0)))
-        .cast(DecimalType(38, 0)).as("s2"))
-    val dev = col("n") * col("x") - col("s1")
-    ev.join(broadcast(stats), Seq("event_type"))
-      .withColumn("is_outlier",
-        dev * dev > lit(9) * (col("n") * col("s2") - col("s1") * col("s1")))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+    Drift.sigmaOutlierCounts(ev, Drift.sigmaStats(ev, "event_type"),
+        "event_type")
       .orderBy(col("event_type"))
   }
 

@@ -21,6 +21,36 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Drift {
 
+  /** Per-group exact-integer moment stats (n, Σx, Σx²) over an integer
+    * measurement column `x` (e.g. cents) — DECIMAL(38,0) partials, exact
+    * and mergeable at any corpus size. The input to
+    * [[sigmaOutlierCounts]]. */
+  def sigmaStats(ev: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    ev.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+      sum(col("x")).cast(DecimalType(38, 0)).as("s1"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 0)))
+        .cast(DecimalType(38, 0)).as("s2"))
+  }
+
+  /** Count rows outside three standard deviations of their group mean,
+    * with the WHOLE threshold test in exact integers:
+    * `(n·x − Σx)² > 9·(n·Σx² − (Σx)²)` — no float σ is ever computed, so
+    * the boundary cannot waver between engines or partitionings.
+    * `stats` may come from the same slice (self-audit, `dq_anomaly`) or a
+    * frozen baseline (streaming gate, `stream_anomaly`). */
+  def sigmaOutlierCounts(ev: DataFrame, stats: DataFrame,
+                         groupCol: String): DataFrame = {
+    val dev = col("n") * col("x") - col("s1")
+    ev.join(broadcast(stats), Seq(groupCol))
+      .withColumn("is_outlier",
+        dev * dev > lit(9) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Categorical drift between the same two slices — the language-mix /
     * source-mix shift a KS-over-ordinals cannot express. Output is ONE row
     * per category with its Jensen–Shannon divergence contribution

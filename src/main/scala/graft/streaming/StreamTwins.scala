@@ -424,6 +424,52 @@ object StreamTwins {
     ss.read.parquet(outDir).orderBy(col("event_id"))
   }
 
+  /** Per-batch exact-integer 3σ anomaly gate: each arriving micro-batch of
+    * events is scored against FROZEN baseline stats (pre-cutoff
+    * `Drift.sigmaStats` — the production shape: the gate compares arrivals
+    * to history, it does not let arrivals move the threshold). The whole
+    * test is the integer cross-product form, so the boundary is identical
+    * on any engine at any batching; a one-file landing → one batch → the
+    * batch oracle over the same delta. */
+  def streamAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val cutoff = lit("2024-01-20").cast(TimestampType)
+    def cents(df: DataFrame): DataFrame = df
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), (Cleanse.dec2(col("value")) * 100)
+        .cast(DecimalType(38, 0)).as("x"))
+    val ev = graft.ops.Tables.table(ss, sfDir, "events")
+    val stats = graft.ops.Drift.sigmaStats(
+      cents(ev.filter(col("ts") < cutoff)), "event_type")
+    val landing = java.nio.file.Paths.get(graft.ops.TempFiles.dir(
+      s"stream_anomaly_delta_${graft.ops.TempFiles.tag(sfDir)}"))
+    val hasFiles = {
+      val s = java.nio.file.Files.list(landing)
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (!hasFiles)
+      ev.filter(col("ts") >= cutoff)
+        .repartition(1).write.mode("overwrite").parquet(landing.toString)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Long)]()
+    val q = ss.readStream.schema(ev.schema).parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Drift.sigmaOutlierCounts(cents(batch.toDF()), stats,
+            "event_type")
+          .collect().foreach { r =>
+            results.add((r.getString(0), r.getLong(1), r.getLong(2)))
+          }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    import ss.implicits._
+    results.asScala.toSeq.toDF("event_type", "n_rows", "n_outliers")
+      .orderBy(col("event_type"))
+  }
+
   /** Run the drift stream to completion: per micro-batch, union the
     * arriving slice (in_a = false) with the baseline and collect the
     * one-row KS result into the returned (batch_id-keyed) frame. */
