@@ -877,6 +877,34 @@ object OracleSql {
          FROM x CROSS JOIN mx WHERE CAST(td AS DATE) <= max_d
          GROUP BY 1 ORDER BY 1""",
 
+    "window_ewma" ->
+      """WITH daily AS (SELECT
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) d,
+               CAST(count(*) AS BIGINT) n
+             FROM events GROUP BY 1),
+           mx AS (SELECT max(d) max_d FROM daily),
+           x AS (SELECT n,
+                 datediff('day', d, CAST(td AS DATE)) lag_d, td
+               FROM (SELECT n, d,
+                   unnest(generate_series(d, d + INTERVAL 6 DAY,
+                     INTERVAL 1 DAY)) td
+                 FROM daily) q)
+         SELECT strftime(CAST(td AS DATE), '%Y-%m-%d') AS day,
+             CAST(sum(n * (1 << (6 - lag_d))) AS DOUBLE) /
+               CAST(sum(1 << (6 - lag_d)) AS DOUBLE) AS ewma_events
+         FROM x CROSS JOIN mx WHERE CAST(td AS DATE) <= max_d
+         GROUP BY 1 ORDER BY 1""",
+
+    "window_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) from_type
+           FROM events)
+         SELECT from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+         FROM e WHERE from_type IS NOT NULL
+         GROUP BY from_type, event_type ORDER BY from_type, to_type""",
+
     "agg_moments" ->
       """WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) n,
                CAST(sum(n_chars) AS BIGINT) s1,

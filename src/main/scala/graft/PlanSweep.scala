@@ -28,7 +28,7 @@ object PlanSweep {
     Set("dedup_ngram_jaccard", "dedup_embedding_cosine", "ann_cosine_topk",
       "ann_lsh_recall", "ann_ivf_recall", "text_tfidf", "text_lm_score",
       "vocab_pmi", "dq_drift", "dq_drift_js", "agg_histogram",
-      "window_rolling_distinct", "window_rolling_median")
+      "window_rolling_distinct", "window_rolling_median", "window_ewma")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

@@ -1029,6 +1029,49 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** X9f — trailing-7-day EXPONENTIALLY-weighted moving average of daily
+    * event volume (half-life one day). The weights are dyadic —
+    * `2^(6−lag)` — so numerator and denominator are EXACT integer sums
+    * (the decay normalization included: edge days with fewer terms
+    * normalize by the weights actually present) and the EWMA is one
+    * final division of identical integers: bit-identical on any engine at
+    * any partitioning, unlike a float-recurrence EWMA which cannot even
+    * be parallelized. Same inverted-window shape as
+    * [[windowRollingMedian]]. */
+  def windowEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val mx = daily.agg(max(col("d")).as("max_d"))
+    daily.select(col("n"), col("d"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+      .crossJoin(broadcast(mx))
+      .filter(col("day") <= col("max_d"))
+      .withColumn("w", expr("shiftleft(1L, 6 - datediff(day, d))"))
+      .groupBy(col("day"))
+      .agg(sum(col("n") * col("w")).as("num"), sum(col("w")).as("den"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("num").cast(DoubleType) / col("den").cast(DoubleType))
+          .as("ewma_events"))
+      .orderBy(col("day"))
+  }
+
+  /** X9g — event-transition matrix (the "user flow" / Sankey input): per
+    * user, consecutive event-type transitions counted over the whole
+    * corpus — ONE user-keyed lag window (ties broken by event id, so the
+    * sequence is deterministic) and one count aggregate. */
+  def windowTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** A7 — pivot to one column per status (explicit value list so the
     * output schema is static, the scalable form of pivot). */
   def aggPivot(spark: SparkSession, dir: String): DataFrame = {
