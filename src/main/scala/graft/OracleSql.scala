@@ -1180,6 +1180,22 @@ object OracleSql {
            FROM t a JOIN t b ON a.doc_id < b.doc_id)
          WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
 
+    "graph_triangles" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+         p AS (SELECT a_id, b_id FROM (
+           SELECT a.doc_id a_id, b.doc_id b_id,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jaccard
+           FROM t a JOIN t b ON a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.8)
+         SELECT p1.a_id AS a, p1.b_id AS b, p2.b_id AS c
+         FROM p p1 JOIN p p2 ON p2.a_id = p1.b_id
+           JOIN p p3 ON p3.a_id = p1.a_id AND p3.b_id = p2.b_id
+         ORDER BY a, b, c""",
+
     "dedup_simhash_verified" ->
       """WITH t AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
@@ -1424,6 +1440,19 @@ object OracleSql {
            FROM documents)
          WHERE rn <= 60 ORDER BY lang, doc_id""",
 
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) n FROM documents GROUP BY lang),
+           s AS (SELECT lang,
+               CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) sl FROM c),
+           q AS (SELECT lang,
+               (200 * sl) // (SELECT sum(sl) FROM s) AS quota FROM s),
+           r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             FROM documents)
+         SELECT r.lang, r.doc_id, q.quota
+         FROM r JOIN q ON r.lang = q.lang WHERE r.rn <= q.quota
+         ORDER BY r.lang, r.doc_id""",
+
     "vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -1611,6 +1640,23 @@ object OracleSql {
              lead(ts) OVER w IS NULL AS is_current
          FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, valid_from, status""",
+
+    "scd2_snapshot" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type AS status,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         c AS (SELECT user_id, ts, event_id, status FROM o
+           WHERE prev IS NULL OR prev <> status),
+         h AS (SELECT user_id, status, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_ts
+           FROM c)
+         SELECT user_id, status,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS valid_from
+         FROM h
+         WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00'
+           AND (end_ts IS NULL OR
+                CAST(end_ts AS TIMESTAMP) > TIMESTAMP '2024-01-15 00:00:00')
+         ORDER BY user_id""",
 
     "profile_table" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) n_rows,

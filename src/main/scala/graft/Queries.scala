@@ -913,6 +913,20 @@ object Queries {
       .orderBy(col("rank").desc, col("doc_id"))
   }
 
+  /** N14e — triangles of the verified near-dup pair graph
+    * ([[ops.Triangles]]): a banding whose components are cliques closes
+    * every wedge into a triangle; chains (a~b~c without a~c) mean the
+    * threshold is bleeding. Degree-oriented wedge join — out-degree
+    * O(√edges) on ANY graph, so the self-join survives power-law dup
+    * clusters — each triangle emitted exactly once, ids sorted. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = text.NearDup.minhashDupPairsCached(
+      t(spark, dir, "documents"), "doc_id", "text",
+      threshold = 0.8, cacheKey = dir)
+    ops.Triangles.enumerate(pairs, "a_id", "b_id")
+      .orderBy(col("a"), col("b"), col("c"))
+  }
+
   /** A8 — Pearson correlation with EXACT integer co-moments: built-in
     * `corr()` accumulates doubles, whose summation order makes the result
     * partitioning-dependent and engine-divergent; over integer columns the
@@ -1981,6 +1995,35 @@ object Queries {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** N15f — temperature-flattened language mixture (the mC4/XLM-R α-scaled
+    * resample): head languages are down-weighted by sampling each language
+    * proportional to n^α, α = 1/2 — and α = 1/2 is chosen deliberately,
+    * because √ is a correctly-rounded IEEE op, so `floor(sqrt(n))` is
+    * bit-identical on every engine where a pow(n, 0.3) would not be. The
+    * whole quota ladder stays exact integers: sᵤ = ⌊√nᵤ⌋, quota =
+    * (budget·sᵤ) div Σs — no float ever touches a comparison. Docs are
+    * ranked inside each language by md5(id) (deterministic, re-run-stable)
+    * and the literal `rn ≤ budget` prefilter lets WindowGroupLimit bound
+    * every language partition map-side BEFORE the data-dependent
+    * per-language quota applies; the tiny quota table broadcasts. */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 200L
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val scaled = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("sl", floor(sqrt(col("n").cast(DoubleType))).cast(LongType))
+    val quotas = scaled
+      .crossJoin(broadcast(scaled.agg(sum(col("sl")).as("stot"))))
+      .select(col("lang"), expr(s"($budget * sl) div stot").as("quota"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= budget)
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("lang"), col("doc_id"), col("quota"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** Deterministic stratified train/val/test split — the reproducible
     * 80/10/10 assignment a training pipeline needs: a document's split is a
     * pure function of its id (md5 first byte: < 0xcc train, < 0xe6 val,
@@ -2021,6 +2064,28 @@ object Queries {
         Cleanse.tsStr(col("end_ts")).as("valid_to"),
         col("end_ts").isNull.as("is_current"))
       .orderBy(col("user_id"), col("valid_from"), col("status"))
+  }
+
+  /** Point-in-time snapshot over the SCD2 history ([[scd2Build]]): each
+    * user's status AS OF a cutoff — the query the history exists to answer
+    * (valid_from ≤ t < valid_to, open intervals current). One keyed window
+    * to build the runs, one narrow interval filter; no join, no extra
+    * shuffle beyond the history build itself. */
+  def scd2Snapshot(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = lit("2024-01-15 00:00:00").cast(TimestampType)
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("status"))
+      .withColumn("prev", lag(col("status"), 1).over(byKey))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+      .withColumn("end_ts", lead(col("ts"), 1).over(byKey))
+      .filter(col("ts") <= asOf &&
+        (col("end_ts").isNull || col("end_ts") > asOf))
+      .select(col("user_id"), col("status"),
+        Cleanse.tsStr(col("ts")).as("valid_from"))
+      .orderBy(col("user_id"))
   }
 
   /** X9d — the full ranking-function surface in one keyed window: rank,
