@@ -320,6 +320,16 @@ object OracleSql {
              c_mktsegment
          FROM merged ORDER BY c_custkey""",
 
+    "stream_cdc_apply" ->
+      """WITH r AS (SELECT user_id, event_type AS status, ts,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, status,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS changed_at
+         FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""",
+
     "sink_overwrite" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_acctbal

@@ -470,6 +470,103 @@ object StreamTwins {
       .orderBy(col("event_type"))
   }
 
+  /** Fold one CDC micro-batch into the accumulated state: latest change
+    * per key wins (ts, then event id — deterministic at any batching),
+    * DELETE tombstones stay IN the state with their change time (they must
+    * out-rank the rows they kill and survive until compaction, exactly a
+    * log-structured merge); the read view filters them out. Because the
+    * winner is picked by change TIME, not arrival order, the fold is
+    * associative/commutative over batches — any file batching (1 file or
+    * 50) converges to the same state, spec-asserted. */
+  private[graft] def cdcMerge(state: DataFrame, batch: DataFrame): DataFrame =
+    graft.ops.Dedup.dedupLatest(state.unionByName(batch),
+      Seq("user_id"), col("ts"), col("event_id"))
+
+  /** STREAMING CDC apply: a keyed change feed (op ∈ U/D, payload, change
+    * ts) folded across micro-batches into a materialized state table — the
+    * continuously-maintained silver "current state" a CDC tap (Debezium
+    * shape) feeds. Each micro-batch [[cdcMerge]]s into a NEW state
+    * version dir keyed by batchId (the foreachBatch seam; versioned dirs +
+    * the checkpoint give idempotent re-runs — a replayed batch rewrites
+    * the same version, never double-applies: exactly-once state). At scale
+    * each version is a MERGE INTO on a key-bucketed table (one keyed
+    * shuffle per batch, state never rewritten wholesale); tombstone
+    * retention/compaction is the table-maintenance job. The feed fixture
+    * derives from events ('error' → D tombstone, else upsert of the event
+    * type) split into three time-ordered files, maxFilesPerTrigger=1 →
+    * three real multi-key batches. */
+  def streamCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_cdc_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_cdc_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_cdc_ck_$tag")
+
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("op", StringType),
+      StructField("status", StringType)))
+
+    val hasFiles = {
+      val s = java.nio.file.Files.list(landing)
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (!hasFiles) {
+      val feed = graft.ops.Tables.table(ss, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+            .as("op"),
+          col("event_type").as("status"))
+      Seq(("2024-01-01", "2024-01-11", "b0"),
+          ("2024-01-11", "2024-01-21", "b1"),
+          ("2024-01-21", "2024-02-01", "b2")).foreach { case (lo, hi, name) =>
+        val part = java.nio.file.Paths.get(
+          graft.ops.TempFiles.dir(s"stream_cdc_feed_build_$tag/$name"))
+        feed.filter(col("ts") >= lit(lo).cast(TimestampType) &&
+            col("ts") < lit(hi).cast(TimestampType))
+          .repartition(1).write.mode("overwrite").parquet(part.toString)
+        val src = java.nio.file.Files.list(part)
+        val f = try src.filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get() finally src.close()
+        java.nio.file.Files.move(f, landing.resolve(s"$name.parquet"))
+      }
+    }
+
+    def stateVersions: Seq[Long] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(stateRoot))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("v")).map(_.drop(1).toLong).toSeq
+      } finally s.close()
+    }
+
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = stateVersions.filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession
+            .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              feedSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        cdcMerge(state, batch.toDF())
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    ss.read.parquet(s"$stateRoot/v${stateVersions.max}")
+      .filter(col("op") =!= "D")
+      .select(col("user_id"), col("status"),
+        Cleanse.tsStr(col("ts")).as("changed_at"))
+      .orderBy(col("user_id"))
+  }
+
   /** Run the drift stream to completion: per micro-batch, union the
     * arriving slice (in_a = false) with the baseline and collect the
     * one-row KS result into the returned (batch_id-keyed) frame. */

@@ -203,6 +203,46 @@ class StreamingSpec extends AnyFunSuite {
       expected.select("new_id", "base_id")).isEmpty)
   }
 
+  test("cdcMerge converges to the same state under any batching, and " +
+    "tombstones out-rank the rows they kill") {
+    // the fold picks winners by change TIME, not arrival order, so it is
+    // associative/commutative over batches: 1-batch and 3-batch folds of
+    // the same feed must be bit-identical (the replay-safety property the
+    // streaming CDC apply leans on)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val feed = Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "U", "signup"),
+      (1L, "2024-01-03 00:00:00", 30L, "U", "click"),
+      (1L, "2024-01-02 00:00:00", 20L, "U", "view"),     // late arrival
+      (2L, "2024-01-01 00:00:00", 11L, "U", "signup"),
+      (2L, "2024-01-05 00:00:00", 50L, "D", "error"),    // tombstone wins
+      (2L, "2024-01-04 00:00:00", 40L, "U", "purchase"), // late, pre-delete
+      (3L, "2024-01-01 00:00:00", 12L, "D", "error"),
+      (3L, "2024-01-02 00:00:00", 22L, "U", "signup"),   // resurrect after D
+      (4L, "2024-01-01 00:00:00", 13L, "U", "view"),
+      (4L, "2024-01-01 00:00:00", 14L, "U", "click"))    // ts tie → max id
+      .toDF("user_id", "ts_s", "event_id", "op", "status")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("event_id"), col("op"), col("status"))
+    val empty = feed.limit(0)
+    val oneShot = StreamTwins.cdcMerge(empty, feed)
+    val batched = feed.filter(col("event_id") % 3 === 0)
+    val b2 = feed.filter(col("event_id") % 3 === 1)
+    val b3 = feed.filter(col("event_id") % 3 === 2)
+    val folded = StreamTwins.cdcMerge(StreamTwins.cdcMerge(
+      StreamTwins.cdcMerge(empty, batched), b2), b3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(rows(oneShot) == rows(folded))
+    // read view: tombstoned key 2 is gone, resurrected key 3 survives,
+    // tie on key 4 resolved by event_id
+    val live = oneShot.filter(col("op") =!= "D")
+      .select("user_id", "status").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(live == Seq((1L, "click"), (3L, "signup"), (4L, "click")))
+  }
+
   test("a bucketed signature index joins the delta with no static-side " +
     "shuffle (the 100 TB deployment shape)") {
     // the scale story for the incremental dedup is an index TABLE bucketed
