@@ -330,6 +330,32 @@ object OracleSql {
              strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS changed_at
          FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""",
 
+    "stream_stream_left" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id,
+             CAST(ts AS TIMESTAMP) AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id AS v_user, event_id AS v_id,
+             CAST(ts AS TIMESTAMP) AS v_ts
+           FROM events WHERE event_type = 'view'),
+         wm AS (SELECT least((SELECT max(p_ts) FROM p),
+             (SELECT max(v_ts) FROM v)) - INTERVAL 1 HOUR AS cut),
+         m AS (SELECT p.user_id, p.p_id, v.v_id
+           FROM p JOIN v ON v.v_user = p.user_id
+             AND v.v_ts >= p.p_ts - INTERVAL 24 HOUR
+             AND v.v_ts <= p.p_ts),
+         um AS (SELECT p.user_id, p.p_id, NULL AS v_id
+           FROM p, wm WHERE p.p_ts <= wm.cut AND NOT EXISTS (
+             SELECT 1 FROM v WHERE v.v_user = p.user_id
+               AND v.v_ts >= p.p_ts - INTERVAL 24 HOUR
+               AND v.v_ts <= p.p_ts)),
+         a AS (SELECT * FROM m UNION ALL SELECT * FROM um)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(v_id) AS BIGINT) AS n_matched,
+             CAST(sum(CASE WHEN v_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched,
+             max(p_id) AS max_purchase
+         FROM a GROUP BY user_id ORDER BY user_id""",
+
     "sink_overwrite" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_acctbal
@@ -1692,6 +1718,168 @@ object OracleSql {
            SELECT 'event_type', n_rows, t_nn, t_nd, t_mn, t_mx FROM a
            UNION ALL
            SELECT 'props', n_rows, p_nn, p_nd, p_mn, p_mx FROM a)
-         ORDER BY col_name"""
+         ORDER BY col_name""",
+
+    "search_bm25" ->
+      """WITH q(query_id, term_idx, term) AS (VALUES
+             (1,1,'spark'),(1,2,'join'),(2,1,'hash'),(2,2,'merge'),
+             (2,3,'batch'),(3,1,'vector'),(3,2,'scan')),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1,2),
+         dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+         dfv AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs, sum(len) AS total_len FROM dl),
+         term AS (SELECT qq.query_id, qq.term_idx, f.doc_id,
+             ((22e0 * f.tf * t.total_len) /
+              (10 * f.tf * t.total_len + 3 * t.total_len + 9 * d.len * t.n_docs)) *
+             ((2 * t.n_docs - 2 * v.df + 1) / (2 * v.df + 1)) AS s
+           FROM tf f JOIN q qq ON f.tok = qq.term
+           JOIN dl d ON f.doc_id = d.doc_id
+           JOIN dfv v ON f.tok = v.tok CROSS JOIN tot t),
+         sc AS (SELECT query_id, doc_id,
+             coalesce(max(CASE WHEN term_idx=1 THEN s END), 0e0)
+             + coalesce(max(CASE WHEN term_idx=2 THEN s END), 0e0)
+             + coalesce(max(CASE WHEN term_idx=3 THEN s END), 0e0) AS score
+           FROM term GROUP BY 1,2),
+         r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rnk
+           FROM sc)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(rnk AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rank""",
+
+    "chunk_documents" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id, toks,
+               unnest(range(0, CAST(greatest(len(toks), 1) AS BIGINT), 24))
+                 AS start_tok
+               FROM d)
+         SELECT doc_id, CAST(start_tok // 24 AS BIGINT) AS chunk_idx,
+             CAST(start_tok AS BIGINT) AS start_tok,
+             CAST(least(32, len(toks) - start_tok) AS BIGINT) AS n_tok,
+             array_to_string(toks[start_tok + 1 : start_tok + 32], ' ')
+               AS chunk_text
+         FROM s ORDER BY doc_id, chunk_idx""",
+
+    "dq_skew" ->
+      """WITH k1 AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt
+             FROM events GROUP BY 1),
+         p1 AS (SELECT 'user_id' AS col_name, sum(cnt) AS n_rows,
+             count(*) AS n_keys,
+             max(lpad(CAST(cnt AS VARCHAR), 12, '0') || '|' || k) AS mx,
+             sum(cnt*cnt) AS sum_sq FROM k1),
+         k2 AS (SELECT event_type AS k, count(*) AS cnt
+             FROM events GROUP BY 1),
+         p2 AS (SELECT 'event_type', sum(cnt), count(*),
+             max(lpad(CAST(cnt AS VARCHAR), 12, '0') || '|' || k),
+             sum(cnt*cnt) FROM k2),
+         u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(n_keys AS BIGINT) AS n_keys,
+             CAST(substring(mx, 1, 12) AS BIGINT) AS max_cnt,
+             substring(mx, 14) AS hot_key,
+             CAST((1000000 * CAST(substring(mx, 1, 12) AS BIGINT)) // n_rows
+               AS BIGINT) AS max_share_ppm,
+             CAST((1000000 * (n_rows*n_rows - sum_sq)) // (n_rows*n_rows)
+               AS BIGINT) AS gini_ppm
+         FROM u ORDER BY col_name""",
+
+    // incremental SCD2 merge must be BIT-EQUAL to the full rebuild: the
+    // oracle is scd2_build's SQL verbatim — that equality IS the contract.
+    "merge_scd2_incremental" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type AS status,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         c AS (SELECT user_id, ts, event_id, status FROM o
+           WHERE prev IS NULL OR prev <> status)
+         SELECT user_id, status,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             strftime(CAST(lead(ts) OVER w AS TIMESTAMP),
+                      '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+             lead(ts) OVER w IS NULL AS is_current
+         FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, valid_from, status""",
+
+    "dq_mad" ->
+      """WITH c AS (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+           FROM c GROUP BY 1),
+         dev AS (SELECT c.event_type, abs(c.cents - m.med) AS d
+           FROM c JOIN med m USING (event_type)),
+         mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad
+           FROM dev GROUP BY 1)
+         SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN d.d > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers,
+             m.mad AS mad
+         FROM dev d JOIN mad m USING (event_type)
+         GROUP BY 1, m.mad ORDER BY 1""",
+
+    "scan_manifest_pruned" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events
+         WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-09 00:00:00'
+           AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-18 00:00:00'
+         GROUP BY event_type ORDER BY event_type""",
+
+    // the streaming SCD2 maintainer must converge to the batch rebuild:
+    // scd2_build's oracle verbatim — that equality IS the contract.
+    "stream_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type AS status,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         c AS (SELECT user_id, ts, event_id, status FROM o
+           WHERE prev IS NULL OR prev <> status)
+         SELECT user_id, status,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             strftime(CAST(lead(ts) OVER w AS TIMESTAMP),
+                      '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+             lead(ts) OVER w IS NULL AS is_current
+         FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, valid_from, status""",
+
+    "sink_backfill" ->
+      """WITH e AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+                 BETWEEN '2024-01-10' AND '2024-01-12'
+               THEN value * 2 ELSE value END AS value
+           FROM events)
+         SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,4))
+               AS DOUBLE) AS sum_value
+         FROM e GROUP BY day ORDER BY day""",
+
+    "attribution_touch" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id,
+             CAST(ts AS TIMESTAMP) AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+         tch AS (SELECT user_id, event_id AS t_id,
+             CAST(ts AS TIMESTAMP) AS t_ts, event_type AS channel
+           FROM events WHERE event_type IN ('view', 'click', 'signup')),
+         j AS (SELECT p.p_id, tch.t_id, tch.t_ts, tch.channel
+           FROM p JOIN tch ON p.user_id = tch.user_id
+             AND tch.t_ts < p.p_ts
+             AND tch.t_ts >= p.p_ts - INTERVAL 7 DAY),
+         o AS (SELECT channel,
+             row_number() OVER (PARTITION BY p_id
+               ORDER BY t_ts, t_id) AS rn_f,
+             row_number() OVER (PARTITION BY p_id
+               ORDER BY t_ts DESC, t_id DESC) AS rn_l,
+             count(*) OVER (PARTITION BY p_id) AS k
+           FROM j)
+         SELECT channel,
+             CAST(sum(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first,
+             CAST(sum(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_last,
+             CAST(sum(CAST(floor(1000000 / k) AS BIGINT)) AS BIGINT)
+               AS linear_micro
+         FROM o GROUP BY channel ORDER BY channel"""
   )
 }

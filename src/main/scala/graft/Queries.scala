@@ -2396,4 +2396,320 @@ object Queries {
       .select(col("s.*"))
       .orderBy(col("col_name"))
   }
+
+  // ── Retrieval over the corpus ────────────────────────────────────────
+
+  /** N24 — BM25 retrieval: top-5 docs per keyword query. The classic
+    * inverted-index ranking (tf · idf with document-length normalization,
+    * k1 = 1.2, b = 0.75), run as three corpus-wide aggregates (tf, doc
+    * length, document frequency) + one broadcast probe of the (tiny)
+    * query-term table — the corpus shuffles ONCE (the tf groupBy); df for
+    * the ≤7 query terms and the 1-row corpus totals ride broadcasts.
+    * Determinism across engines follows the tfidf pattern: every score
+    * component stays an exact integer until exactly two divisions —
+    * with k1 = 6/5 and b = 3/4, tf_norm = 22·tf·L / (10·tf·L + 3·L +
+    * 9·len·N) and the Robertson idf core (N−df+½)/(df+½) =
+    * (2N−2df+1)/(2df+1), both ratios of exact longs; the usual ln(·) on
+    * idf is a monotone per-term transform dropped here so both engines
+    * compute bit-identical doubles (production swaps it in one line —
+    * ranking at these df ranges is unchanged). Per-query term scores sum
+    * in FIXED term order (pivot on term_idx, then s1+s2+s3) — never a
+    * float sum in partition order. The top-5 row_number partitions by
+    * query_id, which Spark 4's WindowGroupLimit caps per-partition below
+    * the exchange, so a query matching millions of docs never funnels
+    * them through one task. */
+  def searchBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qt = Seq((1L, 1, "spark"), (1L, 2, "join"),
+        (2L, 1, "hash"), (2L, 2, "merge"), (2L, 3, "batch"),
+        (3L, 1, "vector"), (3L, 2, "scan"))
+      .toDF("query_id", "term_idx", "term")
+    val tokens = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = tokens.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val docLen = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val dfTab = tf.join(broadcast(qt.select(col("term")).distinct()),
+        col("tok") === col("term"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val totals = docLen.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("total_len"))
+    val L = col("total_len"); val nD = col("n_docs")
+    val s = ((lit(22.0) * col("tf") * L) /
+        (lit(10) * col("tf") * L + lit(3) * L + lit(9) * col("len") * nD)) *
+      ((lit(2) * nD - lit(2) * col("df") + lit(1)) /
+        (lit(2) * col("df") + lit(1)))
+    val scored = tf.join(broadcast(qt), col("tok") === col("term"))
+      .join(docLen, "doc_id")
+      .join(broadcast(dfTab.withColumnRenamed("tok", "dtok")),
+        col("tok") === col("dtok"))
+      .crossJoin(broadcast(totals))
+      .select(col("query_id"), col("doc_id"), col("term_idx"), s.as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(when(col("term_idx") === 1, col("s"))).as("s1"),
+        max(when(col("term_idx") === 2, col("s"))).as("s2"),
+        max(when(col("term_idx") === 3, col("s"))).as("s3"))
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)) +
+          coalesce(col("s3"), lit(0.0))).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** X20 — backfill/restatement via DYNAMIC partition overwrite: the
+    * day-partitioned silver table gets days 10–12 re-landed with corrected
+    * values; `partitionOverwriteMode=dynamic` replaces exactly the
+    * partitions present in the restated frame and leaves every other day's
+    * files physically untouched (spec-asserted on file identity) — the
+    * idempotent backfill primitive. At 100 TB this is the difference
+    * between rewriting a table and rewriting three directories; the
+    * restated write shuffles nothing (filter + narrow map, fanout only at
+    * the sink). Money math lands through exact cents on both engines. */
+  def sinkBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val out = TempFiles.dir(s"backfill_${TempFiles.tag(dir)}")
+    val ev = t(spark, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    ev.filter(col("day").between("2024-01-10", "2024-01-12"))
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(out)
+    spark.read.parquet(out)
+      // partition-value inference types day= dirs as DATE; the silver
+      // contract is the string day key
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        decOut(sum(Cleanse.dec2(col("value")))).as("sum_value"))
+      .orderBy(col("day"))
+  }
+
+  /** X21 — multi-touch attribution: per purchase, the journey is the
+    * user's view/click/signup touches in the preceding 7 days; channels
+    * earn (a) first-touch and (b) last-touch counts — pure integers — and
+    * (c) linear credit, each touch worth ⌊1e6/k⌋ micro-credits of its
+    * journey (k = journey length), so the fractional split stays EXACT
+    * integer arithmetic on both engines (the pack_tokens determinism
+    * rule: never accumulate floats across rows). The touch×purchase join
+    * shuffles once on user_id and is bounded by the 7-day window; journey
+    * ordinals come from a per-purchase window over those bounded journeys
+    * (hot-user skew → the join_salted path). */
+  def attributionTouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val touches = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("ts").as("t_ts"), col("event_type").as("channel"))
+    val journeys = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))
+    val ordered = journeys
+      .withColumn("rn_first", row_number().over(
+        w.orderBy(col("t_ts"), col("t_id"))))
+      .withColumn("rn_last", row_number().over(
+        w.orderBy(col("t_ts").desc, col("t_id").desc)))
+      .withColumn("k", count(lit(1)).over(w))
+    ordered
+      .groupBy(col("channel"))
+      .agg(sum(when(col("rn_first") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("rn_last") === 1, 1L).otherwise(0L)).as("n_last"),
+        sum(floor(lit(1000000) / col("k")).cast(LongType))
+          .as("linear_micro"))
+      .orderBy(col("channel"))
+  }
+
+  /** X15e — join-key skew audit: per candidate key column, the hot-key
+    * share and the Simpson/Gini concentration — the numbers that decide
+    * whether a join needs salting BEFORE it runs (the diagnosis
+    * `join_salted` is the cure for). One groupBy per profiled column (the
+    * natural key-cardinality shuffle), then an all-reduce; the hot key
+    * rides a sortable `lpad(cnt)|key` string through a plain max() — no
+    * unpartitioned window, no argmax tie ambiguity (count, then key,
+    * lexicographic in both engines). All ratios are exact integer ppm
+    * (Long `div`) — at >2^53-row tables the ppm products outgrow doubles,
+    * so no float ever appears. */
+  def dqSkew(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    def prof(c: String): DataFrame =
+      ev.groupBy(col(c).cast(StringType).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(concat(lpad(col("cnt").cast(StringType), 12, "0"),
+            lit("|"), col("k"))).as("mx"),
+          sum(col("cnt") * col("cnt")).as("sum_sq"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_keys"),
+          substring(col("mx"), 1, 12).cast(LongType).as("max_cnt"),
+          expr("substring(mx, 14)").as("hot_key"),
+          expr("(1000000 * CAST(substring(mx, 1, 12) AS LONG)) div n_rows")
+            .as("max_share_ppm"),
+          expr("(1000000 * (n_rows * n_rows - sum_sq)) div (n_rows * n_rows)")
+            .as("gini_ppm"))
+    prof("user_id").unionByName(prof("event_type"))
+      .orderBy(col("col_name"))
+  }
+
+  /** X22 — INCREMENTAL SCD2 maintenance: the nightly merge that keeps a
+    * type-2 history table current without rescanning the event log. The
+    * base history (change-rows for events before the cutoff) is a stored
+    * table (written + read back here — the deployment shape); the delta
+    * scans ONLY the new events, compresses its own runs, and the union
+    * re-compresses per key — which resolves the one subtle boundary case
+    * (delta opens with the same status the base's open row carries → the
+    * spurious row vanishes, the open row extends). Cost: delta-sized scan
+    * + a window over CHANGE rows (≪ events — histories compress ~10×
+    * here). Correctness contract: bit-equal to the full
+    * [[scd2Build]] rebuild, which is exactly what the oracle asserts. */
+  def mergeScd2Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast(TimestampType)
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    def changes(df: DataFrame): DataFrame = df
+      .withColumn("prev", lag(col("status"), 1).over(byKey))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+      .drop("prev")
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("status"))
+    val baseDir = TempFiles.dir(s"scd2_base_${TempFiles.tag(dir)}")
+    changes(ev.filter(col("ts") < cut))
+      .write.mode("overwrite").parquet(baseDir)
+    val base = spark.read.parquet(baseDir)
+    val delta = changes(ev.filter(col("ts") >= cut))
+    changes(base.unionByName(delta))
+      .withColumn("end_ts", lead(col("ts"), 1).over(byKey))
+      .select(col("user_id"), col("status"),
+        Cleanse.tsStr(col("ts")).as("valid_from"),
+        Cleanse.tsStr(col("end_ts")).as("valid_to"),
+        col("end_ts").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("status"))
+  }
+
+  /** X15f — robust outlier gate via MAD (median absolute deviation): the
+    * 3σ gate's ([[dqAnomaly]]) breakdown-resistant sibling — σ itself is
+    * dragged by the outliers it hunts; the median/MAD pair has breakdown
+    * point 0.5. Values as exact integer cents; both medians are exact
+    * interpolated `percentile` over longs (midpoints are .0/.5 exactly —
+    * deterministic cross-engine, the agg_percentiles precedent), and the
+    * 3·1.4826·MAD threshold is ONE closed-form double comparison per row.
+    * Two passes over the (event_type-keyed) cents: group median, then
+    * deviation median + count — each a partial-agg shuffle bounded by
+    * groups; no window anywhere. */
+  def dqMad(spark: SparkSession, dir: String): DataFrame = {
+    val cents = t(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+    val med = cents.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = cents.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("cents") - col("med")).as("d"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(d, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > lit(3) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("n_outliers"), col("mad"))
+      .orderBy(col("event_type"))
+  }
+
+  /** S11 — manifest-pruned scan (the Iceberg/Delta zone-map shape): the
+    * table is a set of weekly data files plus a MANIFEST recording each
+    * file's min/max event time; a time-bounded query reads the manifest
+    * (tiny, driver-side — exactly an Iceberg planning step), prunes every
+    * file whose [min, max] misses the predicate, and scans ONLY the
+    * survivors — at 100 TB the difference between touching 3 files and
+    * 5 000. The in-file residual filter stays (file granularity is
+    * coarse); pruning is spec-asserted both ways (file count < total, and
+    * result equality vs the unpruned scan). */
+  def scanManifestPruned(spark: SparkSession, dir: String): DataFrame = {
+    val root = TempFiles.dir(s"manifest_tbl_${TempFiles.tag(dir)}")
+    val manifest = java.nio.file.Paths.get(root, "manifest.json")
+    if (!java.nio.file.Files.exists(manifest)) {
+      val weeks = Seq(("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15"),
+        ("2024-01-15", "2024-01-22"), ("2024-01-22", "2024-02-01"))
+      val entries = weeks.zipWithIndex.map { case ((lo, hi), i) =>
+        val part = java.nio.file.Paths.get(
+          TempFiles.dir(s"manifest_build_${TempFiles.tag(dir)}/w$i"))
+        val slice = t(spark, dir, "events")
+          .filter(col("ts") >= lit(lo).cast(TimestampType) &&
+            col("ts") < lit(hi).cast(TimestampType))
+        slice.repartition(1).write.mode("overwrite").parquet(part.toString)
+        val s = java.nio.file.Files.list(part)
+        val f = try s.filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get() finally s.close()
+        val dst = java.nio.file.Paths.get(root, s"w$i.parquet")
+        java.nio.file.Files.move(f, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val mm = slice.agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx")).collect()(0)
+        s"""{"path":"$dst","min_us":${mm.getLong(0)},"max_us":${mm.getLong(1)}}"""
+      }
+      java.nio.file.Files.write(manifest,
+        entries.mkString("\n").getBytes("UTF-8"))
+    }
+    // planning step: read the manifest, keep files overlapping the window
+    val lo = lit("2024-01-09 00:00:00").cast(TimestampType)
+    val hi = lit("2024-01-18 00:00:00").cast(TimestampType)
+    val (loUs, hiUs) = {
+      val r = spark.range(1).select(unix_micros(lo), unix_micros(hi)).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val files = spark.read.json(manifest.toString)
+      .filter(col("max_us") >= loUs && col("min_us") < hiUs)
+      .select(col("path")).collect().map(_.getString(0)).sorted
+    spark.read.parquet(files: _*) // data files carry µs timestamps already
+      .filter(col("ts") >= lo && col("ts") < hi)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Exposed for the pruning spec: the manifest's surviving file list for
+    * the declared query's window. */
+  private[graft] def manifestSurvivors(spark: SparkSession, dir: String): Seq[String] = {
+    scanManifestPruned(spark, dir) // ensure the table + manifest exist
+    val root = TempFiles.dir(s"manifest_tbl_${TempFiles.tag(dir)}")
+    val r = spark.range(1).select(
+      unix_micros(lit("2024-01-09 00:00:00").cast(TimestampType)),
+      unix_micros(lit("2024-01-18 00:00:00").cast(TimestampType))).collect()(0)
+    spark.read.json(s"$root/manifest.json")
+      .filter(col("max_us") >= r.getLong(0) && col("min_us") < r.getLong(1))
+      .select(col("path")).collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** N25 — RAG chunking: overlapping token windows (32 tokens, stride 24 —
+    * 8-token overlap so no sentence straddles a hard cut) per document, the
+    * context-window prep every retrieval/training pipeline runs. Entirely
+    * NARROW — `split` → `posexplode(sequence(...))` → `slice` happen
+    * per-row with zero shuffles (the ORDER BY is the gate's determinism,
+    * dropped in production); 100 TB chunks at scan speed. A doc belongs to
+    * chunk ⌈(n−W)/S⌉+1 windows; the last window is partial by design
+    * (training packs it; see `pack_tokens` for the bin-packing twin). */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val W = 32; val S = 24
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(S)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("start_tok").cast(LongType).as("start_tok"),
+        least(lit(W), size(col("toks")) - col("start_tok"))
+          .cast(LongType).as("n_tok"),
+        concat_ws(" ", slice(col("toks"), col("start_tok") + 1, lit(W)))
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

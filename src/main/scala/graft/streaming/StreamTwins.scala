@@ -215,6 +215,46 @@ object StreamTwins {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: purchases left-joined to the
+    * user's views in the preceding 24 h. The outer side exercises the
+    * semantics the inner join can't: a purchase with no qualifying view is
+    * HELD in the join state until the watermark proves no matching view
+    * can still arrive (global watermark > its event time, both sides
+    * watermarked 1 h), then emits exactly one null-padded row — so
+    * null-emission timing is a watermark fact, not an arrival accident.
+    * The final no-data micro-batch flushes rows whose expiry the last
+    * data batch proved; purchases inside the terminal 1 h hold-back stay
+    * in state (checkpointed for the next run) and are excluded from the
+    * oracle by the same cutoff. State is interval-bounded on both sides —
+    * the 100 TB shape (state ∝ 25 h of keys, not corpus). */
+  def streamStreamLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val purchases = eventsStream(ss, sfDir)
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val views = eventsStream(ss, sfDir)
+      .filter(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val joined = purchases.join(views,
+      col("v_user") === col("user_id") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+        col("v_ts") <= col("p_ts"),
+      "leftOuter")
+    runToMemory(joined,
+      s"stream_left_sink_${graft.ops.TempFiles.tag(sfDir).replace(".", "_")}",
+      "append")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("v_id")).as("n_matched"),
+        sum(when(col("v_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        max(col("p_id")).as("max_purchase"))
+      .orderBy(col("user_id"))
+  }
+
   /** Streaming gap-sessionization with CUSTOM STATE — the
     * `flatMapGroupsWithState` form of [[graft.ops.Sessionize]]: per user,
     * sessions closed by a later in-batch event are emitted immediately; the
@@ -470,6 +510,45 @@ object StreamTwins {
       .orderBy(col("event_type"))
   }
 
+  /** Land a 3-file date-sliced feed (one file per ~10-day slice of the
+    * frame's `ts`) into `landing` if empty — with `maxFilesPerTrigger=1`
+    * this yields three REAL multi-key micro-batches from static testdata.
+    * Idempotent: an already-populated landing dir is left alone. */
+  private[graft] def buildDateSlicedFeed(landing: java.nio.file.Path,
+                                         feed: DataFrame,
+                                         buildTag: String): Unit = {
+    val hasFiles = {
+      val s = java.nio.file.Files.list(landing)
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (hasFiles) return
+    Seq(("2024-01-01", "2024-01-11", "b0"),
+        ("2024-01-11", "2024-01-21", "b1"),
+        ("2024-01-21", "2024-02-01", "b2")).foreach { case (lo, hi, name) =>
+      val part = java.nio.file.Paths.get(
+        graft.ops.TempFiles.dir(s"$buildTag/$name"))
+      feed.filter(col("ts") >= lit(lo).cast(TimestampType) &&
+          col("ts") < lit(hi).cast(TimestampType))
+        .repartition(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part)
+      val f = try src.filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get() finally src.close()
+      java.nio.file.Files.move(f, landing.resolve(s"$name.parquet"))
+    }
+  }
+
+  /** batchId-versioned state dirs present under `root` (the
+    * exactly-once-state seam shared by the CDC and SCD2 streaming
+    * maintainers). */
+  private[graft] def listStateVersions(root: String): Seq[Long] = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong).toSeq
+    } finally s.close()
+  }
+
   /** Fold one CDC micro-batch into the accumulated state: latest change
     * per key wins (ts, then event id — deterministic at any batching),
     * DELETE tombstones stay IN the state with their change time (they must
@@ -508,39 +587,14 @@ object StreamTwins {
       StructField("event_id", LongType), StructField("op", StringType),
       StructField("status", StringType)))
 
-    val hasFiles = {
-      val s = java.nio.file.Files.list(landing)
-      try s.findFirst().isPresent finally s.close()
-    }
-    if (!hasFiles) {
-      val feed = graft.ops.Tables.table(ss, sfDir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
-            .as("op"),
-          col("event_type").as("status"))
-      Seq(("2024-01-01", "2024-01-11", "b0"),
-          ("2024-01-11", "2024-01-21", "b1"),
-          ("2024-01-21", "2024-02-01", "b2")).foreach { case (lo, hi, name) =>
-        val part = java.nio.file.Paths.get(
-          graft.ops.TempFiles.dir(s"stream_cdc_feed_build_$tag/$name"))
-        feed.filter(col("ts") >= lit(lo).cast(TimestampType) &&
-            col("ts") < lit(hi).cast(TimestampType))
-          .repartition(1).write.mode("overwrite").parquet(part.toString)
-        val src = java.nio.file.Files.list(part)
-        val f = try src.filter(p => p.toString.endsWith(".parquet"))
-          .findFirst().get() finally src.close()
-        java.nio.file.Files.move(f, landing.resolve(s"$name.parquet"))
-      }
-    }
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("event_type").as("status")),
+      s"stream_cdc_feed_build_$tag")
 
-    def stateVersions: Seq[Long] = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(stateRoot))
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("v")).map(_.drop(1).toLong).toSeq
-      } finally s.close()
-    }
+    def stateVersions: Seq[Long] = listStateVersions(stateRoot)
 
     val q = ss.readStream.schema(feedSchema)
       .option("maxFilesPerTrigger", "1").parquet(landing.toString)
@@ -565,6 +619,65 @@ object StreamTwins {
       .select(col("user_id"), col("status"),
         Cleanse.tsStr(col("ts")).as("changed_at"))
       .orderBy(col("user_id"))
+  }
+
+  /** STREAMING SCD2 maintenance: the type-2 history table kept current by
+    * the stream — each micro-batch compresses its own runs and
+    * re-compresses the union with the stored history
+    * ([[graft.Queries.mergeScd2Incremental]]'s algebra at the
+    * `foreachBatch` seam; the window runs over CHANGE rows, ≪ events).
+    * State is batchId-versioned like [[streamCdcApply]] (replay rewrites
+    * the same version — exactly-once); at scale each version is a MERGE
+    * INTO on the user-bucketed history. The contract survives ANY
+    * batching: the composed fold equals the batch [[graft.Queries
+    * .scd2Build]] rebuild verbatim — which is exactly the oracle. */
+  def streamScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_scd2_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_scd2_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_scd2_ck_$tag")
+
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("status", StringType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("status")),
+      s"stream_scd2_feed_build_$tag")
+
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    def changes(df: DataFrame): DataFrame = df
+      .withColumn("prev", lag(col("status"), 1).over(byKey))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+      .drop("prev")
+
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val base =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), feedSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        changes(base.unionByName(changes(batch.toDF())))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
+      .withColumn("end_ts", lead(col("ts"), 1).over(byKey))
+      .select(col("user_id"), col("status"),
+        Cleanse.tsStr(col("ts")).as("valid_from"),
+        Cleanse.tsStr(col("end_ts")).as("valid_to"),
+        col("end_ts").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("status"))
   }
 
   /** Run the drift stream to completion: per micro-batch, union the

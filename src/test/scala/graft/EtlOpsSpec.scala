@@ -13,6 +13,134 @@ class EtlOpsSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
+  test("sink_backfill's dynamic overwrite rewrites ONLY the restated " +
+    "day partitions — every other day's files are physically untouched") {
+    val out = ops.TempFiles.dir(s"backfill_${ops.TempFiles.tag(sf)}")
+    Queries.sinkBackfill(spark, sf).collect() // first run: seeds + restates
+    def fileSet(): Map[String, Set[String]] = {
+      val root = new java.io.File(out)
+      root.listFiles().filter(_.getName.startsWith("day=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${f.getName}:${f.lastModified}").toSet
+      }.toMap
+    }
+    val before = fileSet()
+    // second run: full seed write rewrites everything, then the dynamic
+    // overwrite again touches only days 10-12 — so comparing a THIRD run's
+    // restated write against the second run isolates the dynamic step
+    val ev = ops.Tables.table(spark, sf, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.filter(col("day").between("2024-01-10", "2024-01-12"))
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(out)
+    val after = fileSet()
+    val restated = Set("day=2024-01-10", "day=2024-01-11", "day=2024-01-12")
+    assert(before.keySet == after.keySet)
+    before.keySet.foreach { day =>
+      if (restated(day)) assert(before(day) != after(day),
+        s"$day should have been rewritten")
+      else assert(before(day) == after(day),
+        s"$day must be physically untouched by the dynamic overwrite")
+    }
+  }
+
+  test("attribution credit conserves mass: each journey pays out " +
+    "~1e6 micro-credits and first/last counts equal the purchase count") {
+    val ev = ops.Tables.table(spark, sf, "events")
+    val out = Queries.attributionTouch(spark, sf).collect()
+    // journeys = purchases with >= 1 qualifying touch in the prior 7 days
+    val nJourneys = ev.as("p").filter(col("p.event_type") === "purchase")
+      .join(ev.as("t"),
+        col("t.user_id") === col("p.user_id") &&
+          col("t.event_type").isin("view", "click", "signup") &&
+          col("t.ts") < col("p.ts") &&
+          col("t.ts") >= col("p.ts") - expr("INTERVAL 7 DAYS"),
+        "leftsemi")
+      .count()
+    assert(out.map(_.getLong(1)).sum == nJourneys) // n_first sums to journeys
+    assert(out.map(_.getLong(2)).sum == nJourneys) // n_last too
+    // linear credit: each journey pays k·⌊1e6/k⌋ ∈ (1e6 − k, 1e6]
+    val micro = out.map(_.getLong(3)).sum
+    assert(micro <= 1000000L * nJourneys)
+    assert(micro > 1000000L * nJourneys - 1000L * nJourneys,
+      "floor loss must stay below k per journey")
+  }
+
+  test("attribution on a hand-built journey: U-positions credited to the " +
+    "right channels with exact micro split") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-02 00:00:00", 2L, "click"),
+      (1L, "2024-01-03 00:00:00", 3L, "signup"),
+      (1L, "2024-01-04 00:00:00", 4L, "purchase"))
+      .toDF("user_id", "ts_s", "event_id", "event_type")
+      .select(col("user_id"),
+        // Tables.table expects events.ts as raw nanos (the lake layout)
+        (unix_micros(col("ts_s").cast("timestamp")) * 1000L).as("ts"),
+        col("event_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+    val dir = ops.TempFiles.dir("attr_fixture")
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Queries.attributionTouch(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("view") == ((1L, 0L, 333333L)))   // first touch
+    assert(out("click") == ((0L, 0L, 333333L)))  // middle
+    assert(out("signup") == ((0L, 1L, 333333L))) // last touch
+  }
+
+  test("incremental SCD2 merge is bit-equal to the full rebuild, " +
+    "including the open-row boundary case") {
+    val inc = Queries.mergeScd2Incremental(spark, sf).collect().map(_.toSeq)
+    val full = Queries.scd2Build(spark, sf).collect().map(_.toSeq)
+    assert(inc.nonEmpty && inc.toSeq == full.toSeq)
+    // the subtle case pinned explicitly: delta's first status equals the
+    // base open row's status → re-compression must keep ONE row spanning
+    // the cutoff (base cut is 2024-01-16 in the query)
+    val fx = Seq(
+      (1L, "2024-01-10 00:00:00", 1L, "view"),   // base: open row 'view'
+      (1L, "2024-01-20 00:00:00", 2L, "view"),   // delta: same status
+      (1L, "2024-01-25 00:00:00", 3L, "click"))  // delta: real change
+      .toDF("user_id", "ts_s", "event_id", "event_type")
+      .select(col("user_id"),
+        (unix_micros(col("ts_s").cast("timestamp")) * 1000L).as("ts"),
+        col("event_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+    val dir = ops.TempFiles.dir("scd2_boundary_fixture")
+    fx.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Queries.mergeScd2Incremental(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getBoolean(4)))
+    assert(rows.toSeq == Seq(
+      ("view", "2024-01-10 00:00:00.000000", false),
+      ("click", "2024-01-25 00:00:00.000000", true)),
+      s"boundary run must not split: ${rows.toSeq}")
+  }
+
+  test("dq_skew: hot key and shares recompute exactly; lexicographic " +
+    "max breaks count ties deterministically") {
+    val out = Queries.dqSkew(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ev = ops.Tables.table(spark, sf, "events")
+    Seq("user_id" -> out("user_id"), "event_type" -> out("event_type"))
+      .foreach { case (c, r) =>
+        val counts = ev.groupBy(col(c).cast("string").as("k"))
+          .agg(count(lit(1)).as("cnt")).collect()
+          .map(x => x.getString(0) -> x.getLong(1))
+        val maxCnt = counts.map(_._2).max
+        val hot = counts.filter(_._2 == maxCnt).map(_._1).max // tie → max key
+        assert(r.getLong(1) == counts.map(_._2).sum)
+        assert(r.getLong(2) == counts.length)
+        assert(r.getLong(3) == maxCnt)
+        assert(r.getString(4) == hot)
+        assert(r.getLong(5) == 1000000L * maxCnt / counts.map(_._2).sum)
+        val n = counts.map(_._2).sum
+        val sq = counts.map(x => x._2 * x._2).sum
+        assert(r.getLong(6) == 1000000L * (n * n - sq) / (n * n))
+        assert(r.getLong(6) >= 0 && r.getLong(6) <= 1000000L)
+      }
+  }
+
   test("split_train partitions the corpus with ~80/10/10 mass") {
     val out = Queries.splitTrain(spark, sf).collect()
     val total = ops.Tables.table(spark, sf, "documents").count()

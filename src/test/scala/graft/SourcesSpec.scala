@@ -87,4 +87,52 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"),
       s"missing pushdown:\n$plan")
   }
+
+  test("manifest-pruned scan plans only the overlapping files and still " +
+    "equals the full-table filter") {
+    val sf = "/root/testdata/sf0.001"
+    val pruned = Queries.scanManifestPruned(spark, sf).collect().map(_.toSeq)
+    val survivors = Queries.manifestSurvivors(spark, sf)
+    // the 9d window [01-09, 01-18) overlaps exactly weeks w1 and w2 of 4
+    assert(survivors.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+      Set("w1.parquet", "w2.parquet"),
+      s"pruning should keep exactly 2 of 4 files: $survivors")
+    // equality vs the unpruned scan — pruning must be invisible to results
+    import org.apache.spark.sql.functions._
+    val full = ops.Tables.table(spark, sf, "events")
+      .filter(col("ts") >= lit("2024-01-09 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-18 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type")).collect().map(_.toSeq)
+    assert(pruned.toSeq == full.toSeq)
+  }
+
+  test("dq_mad matches a driver-side exact median/MAD recomputation " +
+    "per group") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val out = Queries.dqMad(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val cents = ops.Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    cents.groupBy(_._1).foreach { case (et, vs) =>
+      val xs = vs.map(_._2.toDouble).toSeq
+      val m = med(xs)
+      val mad = med(xs.map(x => math.abs(x - m))) // deviations keep .5s
+      val outliers = xs.count(x => math.abs(x - m) > 3 * 1.4826 * mad)
+      val (n, nOut, madOut) = out(et)
+      assert(n == xs.length && madOut == mad && nOut == outliers,
+        s"$et: got ${out(et)}, expected (${xs.length}, $outliers, $mad)")
+    }
+  }
 }

@@ -243,6 +243,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(live == Seq((1L, "click"), (3L, "signup"), (4L, "click")))
   }
 
+  test("stream-stream left outer: matched rows equal the batch inner " +
+    "join; null rows emit exactly for watermark-expired unmatched " +
+    "purchases") {
+    import org.apache.spark.sql.functions._
+    val out = StreamTwins.streamStreamLeftOuter(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.values.map(_._3).sum > 0, "some purchases must be unmatched")
+    // matched side must equal the batch interval inner join
+    val ev = ops.Tables.table(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+        col("ts").as("v_ts"))
+    val inner = p.join(v, col("v_user") === col("user_id") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+        col("v_ts") <= col("p_ts"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (u, (_, nMatched, _)) =>
+      assert(inner.getOrElse(u, 0L) == nMatched,
+        s"user $u matched-count drift vs batch inner join")
+    }
+  }
+
+  test("streaming SCD2 maintenance converges to the batch rebuild " +
+    "across three real micro-batches") {
+    val streamed = StreamTwins.streamScd2(spark, sf).collect().map(_.toSeq)
+    val batch = Queries.scd2Build(spark, sf).collect().map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("a bucketed signature index joins the delta with no static-side " +
     "shuffle (the 100 TB deployment shape)") {
     // the scale story for the incremental dedup is an index TABLE bucketed
