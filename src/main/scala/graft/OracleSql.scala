@@ -1880,6 +1880,77 @@ object OracleSql {
                AS n_last,
              CAST(sum(CAST(floor(1000000 / k) AS BIGINT)) AS BIGINT)
                AS linear_micro
-         FROM o GROUP BY channel ORDER BY channel"""
+         FROM o GROUP BY channel ORDER BY channel""",
+
+    "window_gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+         isl AS (SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS INTEGER) AS grp
+           FROM days)
+         SELECT user_id, strftime(MIN(d), '%Y-%m-%d') AS streak_start,
+             strftime(MAX(d), '%Y-%m-%d') AS streak_end,
+             CAST(count(*) AS BIGINT) AS streak_days
+         FROM isl GROUP BY user_id, grp HAVING count(*) >= 3
+         ORDER BY user_id, streak_start""",
+
+    "dq_freshness" ->
+      """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+           FROM events GROUP BY 1),
+         bounds AS (SELECT MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0,
+             MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d1,
+             CAST(count(*) AS BIGINT) AS total FROM events),
+         spine AS (SELECT
+             CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d,
+             CAST(d1 - d0 + 1 AS BIGINT) AS n_days, total FROM bounds)
+         SELECT strftime(s.d, '%Y-%m-%d') AS d, COALESCE(n_rows, 0) AS n_rows,
+             strftime(last_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+             CASE WHEN n_rows IS NULL THEN 'missing'
+                  WHEN 2 * n_rows * s.n_days < s.total THEN 'low'
+                  ELSE 'ok' END AS status
+         FROM spine s LEFT JOIN daily USING (d) ORDER BY d""",
+
+    "funnel_time_to_convert" ->
+      """WITH s AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS signup_ts
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+         p AS (SELECT e.user_id,
+             MIN(CAST(e.ts AS TIMESTAMP)) AS first_purchase,
+             MIN(s.signup_ts) AS signup_ts
+           FROM events e JOIN s USING (user_id)
+           WHERE e.event_type = 'purchase'
+             AND CAST(e.ts AS TIMESTAMP) > s.signup_ts GROUP BY 1),
+         lat AS (SELECT CAST(signup_ts AS DATE) AS cohort_day,
+             epoch_us(first_purchase) - epoch_us(signup_ts) AS us FROM p),
+         coh AS (SELECT CAST(signup_ts AS DATE) AS cohort_day,
+             CAST(count(*) AS BIGINT) AS n_signups FROM s GROUP BY 1)
+         SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day, n_signups,
+             CAST(count(us) AS BIGINT) AS n_converted,
+             CAST(COALESCE(sum(CASE WHEN us < 86400000000 THEN 1 END), 0)
+               AS BIGINT) AS lt_1d,
+             CAST(COALESCE(sum(CASE WHEN us >= 86400000000
+               AND us < 259200000000 THEN 1 END), 0) AS BIGINT) AS d1_3,
+             CAST(COALESCE(sum(CASE WHEN us >= 259200000000 THEN 1 END), 0)
+               AS BIGINT) AS ge_3d,
+             CAST(MIN(us) AS BIGINT) AS min_us,
+             CAST(MAX(us) AS BIGINT) AS max_us
+         FROM coh c LEFT JOIN lat USING (cohort_day)
+         GROUP BY 1, 2 ORDER BY 1""",
+
+    // the streaming leaderboard must converge to the batch aggregate over
+    // the whole feed at any batching — mergeable-partial algebra.
+    "stream_topk" ->
+      """WITH agg AS (SELECT event_type, user_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY total_cents DESC, user_id) AS rk FROM agg)
+         SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, total_cents,
+             n_events
+         FROM rk WHERE rk <= 3 ORDER BY event_type, rk"""
   )
 }

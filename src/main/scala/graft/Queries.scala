@@ -2712,4 +2712,100 @@ object Queries {
           .as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  /** X23 — gaps-and-islands: per-user streaks of CONSECUTIVE active days,
+    * the classic retention/engagement kernel (login streaks, SLA windows,
+    * sensor uptime). The island key is `days_since_epoch − row_number` —
+    * constant exactly while days are consecutive — so the whole op is one
+    * keyed window + one keyed aggregate: shuffles only on user_id, no
+    * global window, and the per-user day count is bounded by the calendar
+    * (≤ tens of thousands of rows per key at any corpus size). */
+  def windowGapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("d"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast(DateType).as("d")).distinct()
+      .withColumn("grp",
+        datediff(col("d"), lit("1970-01-01").cast(DateType)) -
+          row_number().over(byUser))
+    .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("d")).as("streak_start"), max(col("d")).as("streak_end"),
+        count(lit(1)).as("streak_days"))
+      .filter(col("streak_days") >= 3)
+      .select(col("user_id"),
+        date_format(col("streak_start"), "yyyy-MM-dd").as("streak_start"),
+        date_format(col("streak_end"), "yyyy-MM-dd").as("streak_end"),
+        col("streak_days"))
+      .orderBy(col("user_id"), col("streak_start"))
+  }
+
+  /** X24 — freshness / completeness audit: the landing-zone health check
+    * every scheduled pipeline runs before trusting a partition (the
+    * reference schedules daily imports, `emails_import_mailgun.py:66-70` —
+    * this is the "did yesterday actually land?" gate). A calendar spine is
+    * EXPLODED from the 1-row min/max aggregate (no driver-side date math),
+    * left-joined to per-day counts; `missing` = no rows at all, `low` =
+    * under half the per-day average by the exact integer cross-product
+    * test `2·n·days < total` (no float ratio). Two partial-agg shuffles
+    * + a ~calendar-sized broadcast join — free at any scale. */
+  def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val daily = ev.groupBy(col("ts").cast(DateType).as("d"))
+      .agg(count(lit(1)).as("n_rows"), max(col("ts")).as("last_ts"))
+    val spine = ev
+      .agg(min(col("ts").cast(DateType)).as("d0"),
+        max(col("ts").cast(DateType)).as("d1"),
+        count(lit(1)).as("total"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"),
+        (datediff(col("d1"), col("d0")) + 1).cast(LongType).as("n_days"),
+        col("total"))
+    spine.join(daily, Seq("d"), "left")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        Cleanse.tsStr(col("last_ts")).as("last_ts"),
+        when(col("n_rows").isNull, lit("missing"))
+          .when(lit(2L) * col("n_rows") * col("n_days") < col("total"),
+            lit("low"))
+          .otherwise(lit("ok")).as("status"))
+      .orderBy(col("d"))
+  }
+
+  /** X25 — conversion-latency distribution: signup → first-purchase time
+    * per signup-day cohort, the funnel-velocity readout next to
+    * `funnel_conversion_window`'s rate. Latencies stay exact integer
+    * MICROSECONDS end-to-end (`unix_micros` difference — no date_diff
+    * boundary semantics to disagree on) and the distribution is reported
+    * as exact bucket counts (<1 d, 1–3 d, ≥3 d) + min/max, not
+    * interpolated percentiles — cross-engine bit-equal. Two keyed
+    * aggregates + one user-keyed join; cohort cardinality = calendar. */
+  def funnelTimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("ts") > col("signup_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_purchase"),
+        min(col("signup_ts")).as("signup_ts"))
+      .select(col("signup_ts").cast(DateType).as("cohort_day"),
+        (unix_micros(col("first_purchase")) - unix_micros(col("signup_ts")))
+          .as("us"))
+    val cohorts = signup
+      .groupBy(col("signup_ts").cast(DateType).as("cohort_day"))
+      .agg(count(lit(1)).as("n_signups"))
+    val d1 = 86400000000L; val d3 = 259200000000L
+    cohorts.join(conv, Seq("cohort_day"), "left")
+      .groupBy(col("cohort_day"), col("n_signups"))
+      .agg(count(col("us")).as("n_converted"),
+        coalesce(sum(when(col("us") < d1, 1L)), lit(0L)).as("lt_1d"),
+        coalesce(sum(when(col("us") >= d1 && col("us") < d3, 1L)), lit(0L))
+          .as("d1_3"),
+        coalesce(sum(when(col("us") >= d3, 1L)), lit(0L)).as("ge_3d"),
+        min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("n_signups"), col("n_converted"), col("lt_1d"), col("d1_3"),
+        col("ge_3d"), col("min_us"), col("max_us"))
+      .orderBy(col("cohort_day"))
+  }
 }

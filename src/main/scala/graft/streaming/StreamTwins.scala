@@ -680,6 +680,73 @@ object StreamTwins {
       .orderBy(col("user_id"), col("valid_from"), col("status"))
   }
 
+  /** STREAMING maintained top-k: the continuously-updated leaderboard
+    * (top spenders per event type) kept current by MERGEABLE partial
+    * aggregates — each micro-batch aggregates ITSELF to (event_type,
+    * user_id) partials (exact integer cents — sums and counts add
+    * associatively at any batching) and folds them into a batchId-versioned
+    * state table, [[streamCdcApply]]'s exactly-once seam. The top-k itself
+    * is computed ON READ from the compact state (keys-sized, not
+    * events-sized) with a keyed window Spark caps below the exchange
+    * (WindowGroupLimit) — the heavy stream never sorts. At scale the state
+    * fold is a MERGE INTO on a (event_type, user_id)-bucketed table; the
+    * read is a dashboard query over it. Oracle: the batch leaderboard over
+    * the whole feed, which any batching must converge to. */
+  def streamTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_topk_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_topk_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_topk_ck_$tag")
+
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("cents", LongType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents")),
+      s"stream_topk_feed_build_$tag")
+
+    val stateSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("user_id", LongType),
+      StructField("total_cents", LongType), StructField("n_events", LongType)))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cents")).as("total_cents"), count(lit(1)).as("n_events"))
+
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(partials(batch.toDF()))
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(col("total_cents")).as("total_cents"),
+            sum(col("n_events")).as("n_events"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("total_cents").desc, col("user_id"))
+    ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
+      .withColumn("rk", row_number().over(byType).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk"), col("user_id"),
+        col("total_cents"), col("n_events"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   /** Run the drift stream to completion: per micro-batch, union the
     * arriving slice (in_a = false) with the baseline and collect the
     * one-row KS result into the returned (batch_id-keyed) frame. */

@@ -229,4 +229,65 @@ class EtlOpsSpec extends AnyFunSuite {
       .count()
     assert(Queries.scd2Build(spark, sf).count() == expected)
   }
+
+  test("gaps-and-islands streaks match a driver-side recomputation and " +
+    "are maximal (no streak borders another active day)") {
+    val active = ops.Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("ts").cast("date").cast("string").as("d"))
+      .distinct().collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(r => java.time.LocalDate
+        .parse(r.getString(1)).toEpochDay).sorted.toVector }
+    val expected = active.flatMap { case (u, days) =>
+      // split the sorted day list where the gap exceeds 1
+      val runs = days.foldLeft(Vector.empty[Vector[Long]]) { (acc, d) =>
+        if (acc.nonEmpty && d == acc.last.last + 1)
+          acc.init :+ (acc.last :+ d)
+        else acc :+ Vector(d)
+      }
+      runs.filter(_.size >= 3).map(r => (u, r.head, r.last, r.size.toLong))
+    }.toSet
+    val got = Queries.windowGapsIslands(spark, sf).collect().map { r =>
+      (r.getLong(0), java.time.LocalDate.parse(r.getString(1)).toEpochDay,
+        java.time.LocalDate.parse(r.getString(2)).toEpochDay, r.getLong(3))
+    }.toSet
+    assert(got == expected)
+    // maximality: the day before each start / after each end is inactive
+    got.foreach { case (u, s, e, _) =>
+      assert(!active(u).contains(s - 1) && !active(u).contains(e + 1))
+    }
+  }
+
+  test("dq_freshness spine is gapless min..max and every status obeys " +
+    "the exact integer volume rule") {
+    val rows = Queries.dqFreshness(spark, sf).collect()
+    val days = rows.map(r => java.time.LocalDate.parse(r.getString(0)).toEpochDay)
+    assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 },
+      "calendar spine must have no holes")
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == ops.Tables.table(spark, sf, "events").count())
+    val nDays = rows.length.toLong
+    rows.foreach { r =>
+      val (n, status) = (r.getLong(1), r.getString(3))
+      val expected = if (n == 0) "missing"
+        else if (2 * n * nDays < total) "low" else "ok"
+      assert(status == expected, s"day ${r.getString(0)}: $n rows -> $status")
+    }
+  }
+
+  test("time-to-convert buckets partition the conversions and cohorts " +
+    "account for every signup user") {
+    val rows = Queries.funnelTimeToConvert(spark, sf).collect()
+    rows.foreach { r =>
+      val (conv, lt1, d13, ge3) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(lt1 + d13 + ge3 == conv, s"${r.getString(0)}: buckets != total")
+      assert(conv <= r.getLong(1), "conversions cannot exceed signups")
+      if (conv > 0) assert(r.getLong(6) > 0, "latency must be positive")
+    }
+    val signupUsers = ops.Tables.table(spark, sf, "events")
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == signupUsers)
+  }
 }

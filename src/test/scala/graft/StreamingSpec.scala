@@ -308,4 +308,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(bandShuffles(viaBucketed) == 1,
       "bucketed index must join pre-partitioned (delta-side shuffle only)")
   }
+
+  test("streaming top-k leaderboard equals the batch aggregate over the " +
+    "whole feed, folded through 3 mergeable-partial state versions") {
+    import org.apache.spark.sql.functions._
+    val got = StreamTwins.streamTopK(spark, sf).collect().map(_.toSeq)
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("total_cents").desc, col("user_id"))
+    val expected = ops.Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum((ops.Cleanse.dec2(col("value")) * 100).cast("long"))
+        .as("total_cents"), count(lit(1)).as("n_events"))
+      .withColumn("rk", row_number().over(byType).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk"), col("user_id"),
+        col("total_cents"), col("n_events"))
+      .orderBy(col("event_type"), col("rk"))
+      .collect().map(_.toSeq)
+    assert(got.toSeq == expected.toSeq)
+    // the fold really crossed 3 micro-batches (one per feed file)
+    val stateRoot = ops.TempFiles.dir(
+      s"stream_topk_state_${ops.TempFiles.tag(sf)}")
+    assert(StreamTwins.listStateVersions(stateRoot).size == 3)
+  }
 }
