@@ -1951,6 +1951,35 @@ object OracleSql {
                ORDER BY total_cents DESC, user_id) AS rk FROM agg)
          SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, total_cents,
              n_events
-         FROM rk WHERE rk <= 3 ORDER BY event_type, rk"""
+         FROM rk WHERE rk <= 3 ORDER BY event_type, rk""",
+
+    // the oracle may use the global window the Spark side must not: DuckDB
+    // is single-node, the engine ranks via the two-pass distributed scan.
+    "window_allocation" ->
+      """WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+         sh AS (SELECT event_type, user_id, n,
+             CAST((999983 * n) // total AS BIGINT) AS fl,
+             (999983 * n) % total AS rem FROM c CROSS JOIN t),
+         rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, event_type,
+               user_id) AS rr,
+             CAST(999983 - sum(fl) OVER () AS BIGINT) AS leftover FROM sh)
+         SELECT event_type, user_id, n,
+             CAST(fl + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc
+         FROM rk ORDER BY event_type, user_id""",
+
+    // n_files = 1 is part of the CONTRACT (hash repartition on the week
+    // key → one file per hive partition), not an accident of layout.
+    "sink_manifest" ->
+      """WITH e AS (SELECT CAST(FLOOR((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+               - DATE '2024-01-01') / 7) AS BIGINT) AS wk,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+         SELECT wk, CAST(1 AS BIGINT) AS n_files,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(MIN(us) AS BIGINT) AS min_us,
+             CAST(MAX(us) AS BIGINT) AS max_us
+         FROM e GROUP BY wk ORDER BY wk"""
   )
 }

@@ -2808,4 +2808,67 @@ object Queries {
         col("ge_3d"), col("min_us"), col("max_us"))
       .orderBy(col("cohort_day"))
   }
+
+  /** X26 — largest-remainder apportionment: a fixed integer budget (here a
+    * prime 999 983, so remainders actually flow) split across (event_type,
+    * user) cells proportional to exact counts — the sampling-quota /
+    * budget-split primitive (`sample_mix_quota` consumes quotas like
+    * these). Pure integer algebra: floor shares by Long `div`, the
+    * leftover `B − Σfloor` handed out one unit each to the largest
+    * remainders, ties broken by key — deterministic on any engine. The
+    * remainder ranking is [[ops.PrefixSum.globalRank]] (the two-pass
+    * distributed scan), NOT a global window — cells scale with users, and
+    * a billion-cell apportionment must not funnel through one task. The
+    * two 1-row scalars (total, leftover) ride broadcasts. */
+  def windowAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val B = 999983L
+    val counts = t(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    val shares = counts.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("user_id"), col("n"),
+        expr(s"($B * n) div total").as("fl"),
+        expr(s"($B * n) % total").as("rem"))
+    val leftover = shares.agg((lit(B) - sum(col("fl"))).as("leftover"))
+    PrefixSum.globalRank(shares.withColumn("neg_rem", -col("rem")),
+        Seq("neg_rem", "event_type", "user_id"), "rr", "k_cells")
+      .crossJoin(broadcast(leftover))
+      .select(col("event_type"), col("user_id"), col("n"),
+        (col("fl") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("event_type"), col("user_id"))
+  }
+
+  /** K9 — write-side manifest / zone-map GENERATION: the producer half of
+    * [[scanManifestPruned]] (S11 consumes a manifest; real tables need one
+    * written). The table is laid out one file per week (hash repartition
+    * on the week key puts each week's rows in exactly one task, so each
+    * hive partition dir gets exactly one file — spec-asserted), then ONE
+    * pass over the written files aggregates per-file stats via
+    * `input_file_name()` and rolls them up per week: rows, file count,
+    * min/max event micros — exactly the zone map an Iceberg/Delta commit
+    * records, computed distributed, never driver-side. At 100 TB the
+    * per-file stats agg is a narrow scan + one keyed shuffle of
+    * files-count rows. */
+  def sinkManifest(spark: SparkSession, dir: String): DataFrame = {
+    val root = TempFiles.dir(s"manifest_sink_${TempFiles.tag(dir)}") + "/tbl"
+    t(spark, dir, "events")
+      .withColumn("wk",
+        expr("datediff(cast(ts as date), date'2024-01-01') div 7"))
+      .repartition(col("wk"))
+      .write.mode("overwrite").partitionBy("wk").parquet(root)
+    spark.read.parquet(root)
+      .select(col("wk"), input_file_name().as("f"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("wk"), col("f"))
+      .agg(count(lit(1)).as("n"), min(col("us")).as("mn"),
+        max(col("us")).as("mx"))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"),
+        min(col("mn")).as("min_us"), max(col("mx")).as("max_us"))
+      .select(col("wk").cast(LongType).as("wk"), col("n_files"),
+        col("n_rows"), col("min_us"), col("max_us"))
+      .orderBy(col("wk"))
+  }
 }

@@ -290,4 +290,44 @@ class EtlOpsSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(rows.map(_.getLong(1)).sum == signupUsers)
   }
+
+  test("largest-remainder allocation conserves the budget exactly and " +
+    "pays the +1s to the largest remainders") {
+    val B = 999983L
+    val rows = Queries.windowAllocation(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).sum == B, "allocation must sum to budget")
+    val total = rows.map(_.getLong(2)).sum
+    // every cell gets floor or floor+1, and the +1 set is exactly the
+    // top-leftover cells by (remainder, key) order
+    val cells = rows.map { r =>
+      val n = r.getLong(2)
+      val fl = B * n / total; val rem = B * n % total
+      (r.getString(0), r.getLong(1), fl, rem, r.getLong(3))
+    }
+    assert(cells.forall { case (_, _, fl, _, a) => a == fl || a == fl + 1 })
+    val leftover = B - cells.map(_._3).sum
+    val paid = cells.filter { case (_, _, fl, _, a) => a == fl + 1 }
+    assert(paid.length == leftover)
+    val order = cells.sortBy { case (et, u, _, rem, _) => (-rem, et, u) }
+    assert(order.take(leftover.toInt).forall {
+      case (_, _, fl, _, a) => a == fl + 1 })
+  }
+
+  test("sink_manifest lays out one file per week and its zone map equals " +
+    "a direct aggregation of the data") {
+    val rows = Queries.sinkManifest(spark, sf).collect()
+    assert(rows.forall(_.getLong(1) == 1), "one file per week partition")
+    val direct = ops.Tables.table(spark, sf, "events")
+      .groupBy(expr("datediff(cast(ts as date), date'2024-01-01') div 7")
+        .as("wk"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(unix_micros(col("ts"))).as("min_us"),
+        max(unix_micros(col("ts"))).as("max_us"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { r =>
+      val (n, mn, mx) = direct(r.getLong(0))
+      assert(r.getLong(2) == n && r.getLong(3) == mn && r.getLong(4) == mx)
+    }
+  }
 }
