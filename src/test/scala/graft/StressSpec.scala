@@ -98,7 +98,12 @@ class StressSpec extends AnyFunSuite {
       "knn_graph_ivf", "graph_pagerank", "dedup_containment",
       // seventh-wave additions with join/explode structure: gram-window
       // dup audit, binned overlap join, phash Hamming join over 2n images
-      "text_dup_ngrams", "join_interval_overlap", "mm_phash_dedup")
+      "text_dup_ngrams", "join_interval_overlap", "mm_phash_dedup",
+      // retrieval/warehouse waves: corpus-shuffling BM25, the 7-day
+      // journey join, delta-scan SCD2 maintenance, the two-pass
+      // apportionment rank, and the versioned CDC state fold
+      "search_bm25", "attribution_touch", "merge_scd2_incremental",
+      "window_allocation", "stream_cdc_apply")
     for (n <- names) {
       // min-of-2 per scale point: a single GC/JIT pause on either side of
       // the ratio can push a healthy query past the bound (it flaked once
