@@ -2871,4 +2871,20 @@ object Queries {
         col("n_rows"), col("min_us"), col("max_us"))
       .orderBy(col("wk"))
   }
+
+  /** N12g — AUDIO feature extraction: the third modality (image decode /
+    * resize / phash and frame sampling are N12/N12b-f). Documents present
+    * as RIFF/WAVE PCM-16 payloads ([[mm.Multimodal.asAudio]] — a
+    * deterministic fixture with a genuinely parseable header); extraction
+    * is a real binary parse + one pass over the samples computing the
+    * silence/clipping gates an audio-ingest pipeline runs before paying
+    * for a codec: zero crossings, peak |sample|, Σ sample² — ALL exact
+    * integers. `mapPartitions` codec seam, narrow end-to-end; invalid
+    * payloads surface as −1 sentinels. Rows-only at the driver gate (the
+    * oracle cannot byte-address UTF-8 in SQL); the spec recomputes every
+    * feature driver-side from the raw text and matches exactly. */
+  def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.audioFeatures(spark,
+        mm.Multimodal.asAudio(t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
 }

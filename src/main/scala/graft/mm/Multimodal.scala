@@ -20,6 +20,13 @@ case class ResizeFeature(doc_id: Long, src_width: Int, src_height: Int,
 case class FrameSample(doc_id: Long, n_frames: Int, n_sampled: Int,
                        frame_bytes: Int)
 
+/** Output of the audio feature stage: every field re-derivable from the
+  * payload bytes — header fields parsed, signal stats computed in exact
+  * integer arithmetic (zero-crossing count, peak |sample|, Σ sample² in
+  * Long — no floats, so any engine reproduces them bit-for-bit). */
+case class AudioFeature(doc_id: Long, sample_rate: Int, n_samples: Long,
+                        zero_crossings: Long, peak: Int, energy: Long)
+
 /** Multimodal column plumbing: media as opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted partition-wise.
   *
@@ -329,6 +336,108 @@ object Multimodal {
         if (b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
           MediaFeature(id, le32(b, 2), le32(b, 18), le32(b, 22), le16(b, 28))
         else MediaFeature(id, b.length, -1, -1, -1)
+      }
+    }.toDF()
+  }
+
+  /** Audio sample rate used by the WAV fixture (8 kHz mono PCM-16). */
+  val WavRate = 8000
+
+  /** A valid RIFF/WAVE PCM-16 mono payload whose samples derive from the
+    * text bytes — the audio twin of [[encodeBmp]]: 44-byte canonical header
+    * (RIFF size, fmt chunk, data chunk) + little-endian 16-bit samples
+    * `(b[i] − b[i+1]) << 6` over the cycled text (ADJACENT-byte
+    * differences, which oscillate around zero like a real signal — raw
+    * byte levels would sit entirely below the midline and degenerate the
+    * zero-crossing stat). Deterministic stand-in for a real recording; the
+    * header is genuinely parseable by any WAV reader. */
+  def encodeWav(textBytes: Array[Byte], nChars: Int): Array[Byte] = {
+    val nSamples = 64 + nChars % 193
+    val dataSize = nSamples * 2
+    val out = new Array[Byte](44 + dataSize)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putLe32(out, 4, 36 + dataSize)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    putLe32(out, 16, 16)            // fmt chunk size
+    putLe16(out, 20, 1)             // PCM
+    putLe16(out, 22, 1)             // mono
+    putLe32(out, 24, WavRate)       // sample rate
+    putLe32(out, 28, WavRate * 2)   // byte rate
+    putLe16(out, 32, 2)             // block align
+    putLe16(out, 34, 16)            // bits per sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    putLe32(out, 40, dataSize)
+    var i = 0
+    val L = textBytes.length
+    while (i < nSamples) {
+      val s = if (L == 0) 0
+        else (((textBytes(i % L) & 0xFF) -
+          (textBytes((i + 1) % L) & 0xFF)) << 6)
+      putLe16(out, 44 + 2 * i, s & 0xFFFF)
+      i += 1
+    }
+    out
+  }
+
+  /** Present documents as an audio table: opaque WAV payload + typed
+    * metadata struct — the audio twin of [[asMedia]]. */
+  def asAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"),
+        col("n_chars").cast(IntegerType).as("n_chars"), col("lang"))
+      .as[(Long, String, Int, String)]
+      .map { case (id, text, nChars, lang) =>
+        (id, encodeWav(text.getBytes("UTF-8"), nChars), "audio/wav",
+          nChars, lang)
+      }
+      .toDF("doc_id", "payload", "mime", "n_chars", "lang")
+      .select(col("doc_id"), col("payload"),
+        struct(col("mime"), col("n_chars"), col("lang")).as("meta"))
+  }
+
+  /** Partition-wise audio feature extraction: verify the RIFF/WAVE magic,
+    * parse sample rate and data size from the header, then one pass over
+    * the PCM-16 samples computing zero crossings (sign changes, 0 counted
+    * non-negative), peak |sample|, and Σ sample² — all exact integers, the
+    * stats an ingest pipeline gates on (silence/clipping detection) before
+    * paying for a real codec. Invalid payloads surface as a −1 sentinel
+    * row, never an exception: one bad blob must not kill a 100 TB scan.
+    * Size math in Long so a corrupt header cannot overflow the bounds
+    * check. */
+  def audioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      def le32(b: Array[Byte], off: Int): Int =
+        (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+          ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+      def le16s(b: Array[Byte], off: Int): Int =
+        (((b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)) << 16) >> 16
+      it.map { case (id, b) =>
+        val ok = b.length >= 44 &&
+          b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+          le32(b, 40) >= 0 && 44L + le32(b, 40).toLong <= b.length.toLong
+        if (!ok) AudioFeature(id, -1, -1L, -1L, -1, -1L)
+        else {
+          val n = le32(b, 40) / 2
+          var i = 0; var zc = 0L; var peak = 0; var energy = 0L
+          var prevNeg = false
+          while (i < n) {
+            val s = le16s(b, 44 + 2 * i)
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            energy += s.toLong * s.toLong
+            i += 1
+          }
+          AudioFeature(id, le32(b, 24), n.toLong, zc, peak, energy)
+        }
       }
     }.toDF()
   }

@@ -146,4 +146,46 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy("doc_id").collect()
     assert(!rows(0).isNullAt(1) && rows(1).isNullAt(1) && rows(2).isNullAt(1))
   }
+
+  test("audio features match an exact driver-side recomputation from the " +
+    "raw text for every document") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = ops.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2).toInt)).toMap
+    val got = Queries.mmAudioFeatures(spark, sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val (text, nChars) = docs(r.getLong(0))
+      val bytes = text.getBytes("UTF-8")
+      val n = 64 + nChars % 193
+      val L = bytes.length
+      val samples = (0 until n).map { i =>
+        if (L == 0) 0
+        else ((bytes(i % L) & 0xFF) - (bytes((i + 1) % L) & 0xFF)) << 6
+      }
+      val zc = samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      val energy = samples.map(s => s.toLong * s).sum
+      assert(r.getInt(1) == Multimodal.WavRate &&
+        r.getLong(2) == n.toLong && r.getLong(3) == zc.toLong &&
+        r.getInt(4) == samples.map(math.abs).max &&
+        r.getLong(5) == energy,
+        s"doc ${r.getLong(0)}: $r")
+    }
+  }
+
+  test("corrupt audio payloads surface as -1 sentinels, not exceptions") {
+    val ok = Multimodal.encodeWav("some speech here".getBytes("UTF-8"), 16)
+    val rows = Multimodal.audioFeatures(spark,
+        Seq((1L, ok), (2L, Array[Byte](1, 2, 3)),
+          (3L, "RIFFxxxxWAVE".getBytes("UTF-8")),
+          (4L, { val bad = ok.clone(); bad(40) = -1; bad(41) = -1;
+                 bad(42) = -1; bad(43) = 0x7F; bad })) // data size > payload
+          .toDF("doc_id", "payload"))
+      .orderBy("doc_id").collect()
+    assert(rows(0).getLong(2) > 0)
+    Seq(1, 2, 3).foreach { i =>
+      assert(rows(i).getLong(2) == -1L && rows(i).getLong(5) == -1L)
+    }
+  }
 }
