@@ -1980,6 +1980,14 @@ object OracleSql {
              CAST(count(*) AS BIGINT) AS n_rows,
              CAST(MIN(us) AS BIGINT) AS min_us,
              CAST(MAX(us) AS BIGINT) AS max_us
-         FROM e GROUP BY wk ORDER BY wk"""
+         FROM e GROUP BY wk ORDER BY wk""",
+
+    "scan_partition_pruned" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             event_type, CAST(count(*) AS BIGINT) AS n
+         FROM events
+         WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+           BETWEEN '2024-01-05' AND '2024-01-07'
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -2872,6 +2872,32 @@ object Queries {
       .orderBy(col("wk"))
   }
 
+  /** S12 — hive-partition-PRUNED read: the fundamental 100 TB scan idiom —
+    * a day-partitioned table queried with a day predicate must touch ONLY
+    * the matching partition directories (static partition pruning; the
+    * planner resolves it from directory names, zero data I/O for excluded
+    * days). The spec asserts `selectedPartitions == 3` on the scan node,
+    * not just result correctness — the part a correctness gate cannot see.
+    * Complements S6 (glob/mtime pruning), S11 (manifest min/max pruning)
+    * and the DPP spec (runtime pruning via a dim filter). */
+  def scanPartitionPruned(spark: SparkSession, dir: String): DataFrame = {
+    val root = TempFiles.dir(s"day_tbl_${TempFiles.tag(dir)}") + "/tbl"
+    if (!new java.io.File(root).exists()) {
+      t(spark, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(root)
+    }
+    spark.read.parquet(root)
+      .filter(col("day").between("2024-01-05", "2024-01-07"))
+      // partition-column type inference reads `day` back as DATE;
+      // re-emit the canonical string for the cross-engine hash
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** N12g — AUDIO feature extraction: the third modality (image decode /
     * resize / phash and frame sampling are N12/N12b-f). Documents present
     * as RIFF/WAVE PCM-16 payloads ([[mm.Multimodal.asAudio]] — a

@@ -135,4 +135,26 @@ class SourcesSpec extends AnyFunSuite {
         s"$et: got ${out(et)}, expected (${xs.length}, $outliers, $mad)")
     }
   }
+
+  test("partition-pruned read touches exactly the 3 matching day " +
+    "directories (static pruning on the scan node)") {
+    val sf = "/root/testdata/sf0.001"
+    val q = Queries.scanPartitionPruned(spark, sf)
+    q.collect() // force execution so the AQE plan is final
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val fs = scans(q.queryExecution.executedPlan)
+    assert(fs.nonEmpty, "expected a FileSourceScanExec in the plan")
+    val selected = fs.map(_.selectedPartitions.partitionCount).sum
+    assert(selected == 3,
+      s"pruning must touch 3 day partitions, touched $selected")
+    assert(fs.exists(_.partitionFilters.nonEmpty),
+      "scan must carry partition filters")
+  }
 }
