@@ -1988,6 +1988,49 @@ object OracleSql {
          FROM events
          WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
            BETWEEN '2024-01-05' AND '2024-01-07'
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the oracle's single-node NTILE windows are exactly what the engine
+    // computes distributed via the two-pass scan (standard tie-splitting).
+    "customer_rfm" ->
+      """WITH rfm AS (
+           SELECT o_custkey AS custkey,
+             CAST((SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+               - MAX(CAST(o_orderdate AS DATE)) AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+               AS DECIMAL(18,4)) AS DOUBLE) AS monetary
+           FROM orders GROUP BY 1)
+         SELECT custkey, recency_days, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days, custkey) AS BIGINT)
+             AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS BIGINT)
+             AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS BIGINT)
+             AS m_score
+         FROM rfm ORDER BY custkey""",
+
+    "dq_referential" ->
+      """SELECT 'customer.c_nationkey->nation' AS edge,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_orphans
+         FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         UNION ALL
+         SELECT 'lineitem.l_orderkey->orders', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+         UNION ALL
+         SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         UNION ALL
+         SELECT 'supplier.s_nationkey->nation', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+         FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+         ORDER BY edge"""
   )
 }

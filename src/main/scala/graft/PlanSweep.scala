@@ -32,7 +32,8 @@ object PlanSweep {
       "ann_lsh_recall", "ann_ivf_recall", "text_tfidf", "text_lm_score",
       "vocab_pmi", "dq_drift", "dq_drift_js", "agg_histogram",
       "window_rolling_distinct", "window_rolling_median", "window_ewma",
-      "sample_temperature", "search_bm25", "window_allocation")
+      "sample_temperature", "search_bm25", "window_allocation",
+      "customer_rfm")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

@@ -2898,6 +2898,81 @@ object Queries {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** X27 — RFM segmentation: the classic customer-value cube (recency /
+    * frequency / monetary quintiles), the marketing-warehouse op every
+    * retention team runs. R/F/M base stats are one keyed aggregate (exact
+    * decimal money, day-granular recency vs the corpus max date — a 1-row
+    * broadcast); each 1–5 score is an EXACT global ntile over a total
+    * order (tie-broken by custkey) computed with
+    * [[ops.PrefixSum.ntileGlobal]] — the two-pass distributed scan, so a
+    * billion-customer segmentation never funnels through one task, while
+    * matching the SQL-standard NTILE (position-split ties) bit-for-bit. */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val mx = o.agg(max(col("o_orderdate").cast(DateType)).as("mx_date"))
+    val rfm = o.groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate").cast(DateType)).as("last_order"),
+        count(lit(1)).as("frequency"),
+        decOut(sum(Cleanse.dec2(col("o_totalprice")))).as("monetary"))
+      .crossJoin(broadcast(mx))
+      .select(col("custkey"),
+        datediff(col("mx_date"), col("last_order")).cast(LongType)
+          .as("recency_days"),
+        col("frequency"), col("monetary"))
+      .withColumn("neg_f", -col("frequency"))
+      .withColumn("neg_m", -col("monetary"))
+    val scored = Seq(
+      (Seq("recency_days", "custkey"), "r_score"),
+      (Seq("neg_f", "custkey"), "f_score"),
+      (Seq("neg_m", "custkey"), "m_score"))
+      .foldLeft(rfm) { case (df, (order, out)) =>
+        PrefixSum.ntileGlobal(df, order, 5, out)
+      }
+    scored
+      .select(col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"))
+      .orderBy(col("custkey"))
+  }
+
+  /** X28 — referential-integrity audit: orphan counts for every FK edge of
+    * the star schema in one declared query — the generic form of the
+    * gold-build reconciliation (X14 checks the tables it built; this
+    * checks the SOURCE tables a build would trust). Each edge is a left
+    * join on the key + one aggregate: parent side broadcast when
+    * dimension-sized (nation), shuffled when fact-sized (orders) — the
+    * join strategy IS the audit's scale story; a 100 TB fact's orphan
+    * check is one key-shuffle, never a collect. */
+  /** One FK edge's orphan count (exposed for the injected-orphan spec). */
+  private[graft] def fkOrphans(name: String, child: DataFrame, ck: String,
+                               parent: DataFrame, pk: String,
+                               bcast: Boolean): DataFrame = {
+    val p0 = parent.select(col(pk)).distinct()
+    val p = if (bcast) broadcast(p0) else p0
+    child.select(col(ck))
+      .join(p, col(ck) === col(pk), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+  }
+
+  def dqReferential(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String, bcast: Boolean): DataFrame =
+      fkOrphans(name, child, ck, parent, pk, bcast)
+    edge("customer.c_nationkey->nation", t(spark, dir, "customer"),
+        "c_nationkey", t(spark, dir, "nation"), "n_nationkey", bcast = true)
+      .unionByName(edge("lineitem.l_orderkey->orders",
+        t(spark, dir, "lineitem"), "l_orderkey",
+        t(spark, dir, "orders"), "o_orderkey", bcast = false))
+      .unionByName(edge("orders.o_custkey->customer",
+        t(spark, dir, "orders"), "o_custkey",
+        t(spark, dir, "customer"), "c_custkey", bcast = false))
+      .unionByName(edge("supplier.s_nationkey->nation",
+        t(spark, dir, "supplier"), "s_nationkey",
+        t(spark, dir, "nation"), "n_nationkey", bcast = true))
+      .orderBy(col("edge"))
+  }
+
   /** N12g — AUDIO feature extraction: the third modality (image decode /
     * resize / phash and frame sampling are N12/N12b-f). Documents present
     * as RIFF/WAVE PCM-16 payloads ([[mm.Multimodal.asAudio]] — a

@@ -313,6 +313,38 @@ class EtlOpsSpec extends AnyFunSuite {
       case (_, _, fl, _, a) => a == fl + 1 })
   }
 
+  test("customer_rfm quintiles are balanced (±1), complete (1..5), and " +
+    "consistent with each dimension's order") {
+    val rows = Queries.customerRfm(spark, sf).collect()
+    for (i <- Seq(4, 5, 6)) {
+      val sizes = rows.groupBy(_.getLong(i)).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1, s"col $i buckets unbalanced: $sizes")
+      assert(rows.map(_.getLong(i)).toSet == (1L to 5L).toSet)
+    }
+    def monotone(key: org.apache.spark.sql.Row => (Double, Long), score: Int) = {
+      val ordered = rows.sortBy(key)
+      assert(ordered.map(_.getLong(score)).sliding(2)
+        .forall(p => p.head <= p.last), s"score $score breaks order")
+    }
+    monotone(r => (r.getLong(1).toDouble, r.getLong(0)), 4)  // recency asc
+    monotone(r => (-r.getLong(2).toDouble, r.getLong(0)), 5) // frequency desc
+    monotone(r => (-r.getDouble(3), r.getLong(0)), 6)        // monetary desc
+  }
+
+  test("fkOrphans counts an injected orphan exactly once and zero on " +
+    "clean edges") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val clean = Seq(1L, 2L, 2L, 3L).toDF("ck")
+    val dirty = Seq(1L, 2L, 99L, 3L, 99L).toDF("ck")
+    val ok = Queries.fkOrphans("clean", clean, "ck", parent, "pk",
+      bcast = true).collect()(0)
+    assert(ok.getLong(1) == 4 && ok.getLong(2) == 0)
+    val bad = Queries.fkOrphans("dirty", dirty, "ck", parent, "pk",
+      bcast = false).collect()(0)
+    assert(bad.getLong(1) == 5 && bad.getLong(2) == 2)
+  }
+
   test("sink_manifest lays out one file per week and its zone map equals " +
     "a direct aggregation of the data") {
     val rows = Queries.sinkManifest(spark, sf).collect()
