@@ -2031,6 +2031,24 @@ object OracleSql {
              CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
                AS BIGINT)
          FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
-         ORDER BY edge"""
+         ORDER BY edge""",
+
+    // DuckDB's // and Spark's div both truncate integral division toward
+    // zero (verified on negative deltas) — the ppm rates hash-match.
+    "window_period_over_period" ->
+      """WITH w AS (
+           SELECT event_type,
+             CAST(FLOOR((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+               - DATE '2024-01-01') / 7) AS BIGINT) AS wk,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, wk, n,
+           lag(n) OVER tw AS prev_n,
+           n - lag(n) OVER tw AS delta,
+           CASE WHEN lag(n) OVER tw IS NULL THEN NULL
+                ELSE (1000000 * (n - lag(n) OVER tw)) // lag(n) OVER tw
+           END AS change_ppm
+         FROM w WINDOW tw AS (PARTITION BY event_type ORDER BY wk)
+         ORDER BY event_type, wk"""
   )
 }

@@ -2973,6 +2973,26 @@ object Queries {
       .orderBy(col("edge"))
   }
 
+  /** X29 — period-over-period report: week-over-week volume change per
+    * event type — the default executive dashboard cut. One keyed aggregate
+    * to (type, week) cells, then `lag` over a window partitioned by TYPE
+    * (cells per key = calendar-bounded; never a global window); the change
+    * rate is exact integer ppm via Long `div` (both engines truncate
+    * integral division toward zero — verified, not assumed). First week's
+    * prev/delta/ppm are NULL by construction, hash-matched. */
+  def windowPeriodOverPeriod(spark: SparkSession, dir: String): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("wk"))
+    t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("datediff(cast(ts as date), date'2024-01-01') div 7").as("wk"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(byType))
+      .withColumn("delta", col("n") - col("prev_n"))
+      .withColumn("change_ppm", expr("(1000000 * delta) div prev_n"))
+      .orderBy(col("event_type"), col("wk"))
+  }
+
   /** N12g — AUDIO feature extraction: the third modality (image decode /
     * resize / phash and frame sampling are N12/N12b-f). Documents present
     * as RIFF/WAVE PCM-16 payloads ([[mm.Multimodal.asAudio]] — a

@@ -36,6 +36,9 @@ class EndToEndSpec extends AnyFunSuite {
       // approx_percentile cut points are engine-internal (G-K sketch);
       // agreement with the exact decile scan is spec-floored
       "quality_deciles_approx",
+      // SQL cannot byte-address UTF-8 text to recompute PCM-derived
+      // stats; exact driver-side recompute spec in MultimodalSpec
+      "mm_audio_features",
       // iterative floating-point fixpoint: last-ulp bits vary with
       // partitioning; invariants are property-spec'd (PageRankSpec)
       "graph_pagerank")
