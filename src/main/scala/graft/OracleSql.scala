@@ -2049,6 +2049,35 @@ object OracleSql {
                 ELSE (1000000 * (n - lag(n) OVER tw)) // lag(n) OVER tw
            END AS change_ppm
          FROM w WINDOW tw AS (PARTITION BY event_type ORDER BY wk)
-         ORDER BY event_type, wk"""
+         ORDER BY event_type, wk""",
+
+    "scd2_point_in_time" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type AS status,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts,
+               event_id) AS prev
+           FROM events),
+         c AS (SELECT user_id, ts, event_id, status FROM o
+           WHERE prev IS NULL OR prev <> status),
+         h AS (SELECT user_id, status,
+             strftime(CAST(ts AS TIMESTAMP),
+               '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             strftime(CAST(lead(ts) OVER w AS TIMESTAMP),
+               '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+           FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, status, valid_from FROM h
+         WHERE valid_from <= '2024-01-16 00:00:00'
+           AND (valid_to IS NULL OR valid_to > '2024-01-16 00:00:00')
+         ORDER BY user_id""",
+
+    "funnel_paths" ->
+      """WITH o AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+           FROM events),
+         p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+               AS path
+           FROM o WHERE rn <= 3 GROUP BY 1)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p
+         GROUP BY 1 ORDER BY n_users DESC, path"""
   )
 }

@@ -2993,6 +2993,41 @@ object Queries {
       .orderBy(col("event_type"), col("wk"))
   }
 
+  /** X30 — SCD2 point-in-time query: "the state of every key at time T" —
+    * the read side every SCD2 history exists for (auditors and ML feature
+    * backfills both ask it; a training pipeline joins features AS OF the
+    * label date to avoid leakage). One filter over the history's validity
+    * intervals — ISO-string interval bounds compare lexicographically, so
+    * the predicate is sargable and pushes into the history scan; no join,
+    * no window. Reuses [[scd2Build]] verbatim as the history source. */
+  def scd2PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val T = "2024-01-16 00:00:00"
+    scd2Build(spark, dir)
+      .filter(col("valid_from") <= T &&
+        (col("valid_to").isNull || col("valid_to") > T))
+      .select(col("user_id"), col("status"), col("valid_from"))
+      .orderBy(col("user_id"))
+  }
+
+  /** X31 — path mining: the distribution of each user's FIRST-3-events
+    * path (onboarding flow analysis — "what do users actually do first").
+    * Per-user sequence via `array_sort(collect_list(struct(ts, id,
+    * type)))` — the sort happens INSIDE the aggregate's array, so ordering
+    * needs no window and the heavy table shuffles once on user_id;
+    * path-count agg is group-bounded. Ties impossible ((ts, event_id)
+    * unique). Top paths ordered (count desc, path) — deterministic. */
+  def funnelPaths(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("seq"))
+      .select(concat_ws(">",
+        transform(slice(col("seq"), 1, 3), x => x.getField("event_type")))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
   /** N12g — AUDIO feature extraction: the third modality (image decode /
     * resize / phash and frame sampling are N12/N12b-f). Documents present
     * as RIFF/WAVE PCM-16 payloads ([[mm.Multimodal.asAudio]] — a

@@ -345,6 +345,29 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(bad.getLong(1) == 5 && bad.getLong(2) == 2)
   }
 
+  test("scd2 point-in-time returns exactly one open interval per user " +
+    "active before the cutoff") {
+    val T = "2024-01-16 00:00:00"
+    val rows = Queries.scd2PointInTime(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "one state row per user")
+    val expected = ops.Tables.table(spark, sf, "events")
+      .filter(col("ts") < lit(T).cast("timestamp"))
+      .select("user_id").distinct().count()
+    assert(rows.length == expected,
+      s"every user with pre-cutoff history must have a state: " +
+        s"${rows.length} != $expected")
+    rows.foreach(r => assert(r.getString(2) <= T))
+  }
+
+  test("funnel_paths conserves users and caps paths at 3 segments") {
+    val rows = Queries.funnelPaths(spark, sf).collect()
+    val users = ops.Tables.table(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users)
+    assert(rows.forall(_.getString(0).split(">").length <= 3))
+  }
+
   test("sink_manifest lays out one file per week and its zone map equals " +
     "a direct aggregation of the data") {
     val rows = Queries.sinkManifest(spark, sf).collect()
