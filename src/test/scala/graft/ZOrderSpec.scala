@@ -77,7 +77,11 @@ class ZOrderSpec extends AnyFunSuite {
       pts.repartitionByRange(16, $"z").sortWithinPartitions($"z"))
     val yTouched = filesTouched(
       pts.repartitionByRange(16, $"y").sortWithinPartitions($"y"))
-    assert(zTouched <= 8, s"z-order should skip most files, touched $zTouched/16")
+    // ideal alignment touches ~4-8 of 16; repartitionByRange SAMPLES its
+    // boundaries (nondeterministic per run), so a boundary straddling a
+    // z-box edge can add a file or two — 10 keeps the claim strong (the
+    // y-sort control below touches ALL 16) without flaking on sampling
+    assert(zTouched <= 10, s"z-order should skip most files, touched $zTouched/16")
     assert(yTouched == 16, s"y-sort can never skip on x, touched $yTouched/16")
   }
 }
