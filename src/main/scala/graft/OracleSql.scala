@@ -2078,6 +2078,77 @@ object OracleSql {
                AS path
            FROM o WHERE rn <= 3 GROUP BY 1)
          SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p
-         GROUP BY 1 ORDER BY n_users DESC, path"""
+         GROUP BY 1 ORDER BY n_users DESC, path""",
+
+    "vocab_bpe_merges" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+             FROM documents),
+         wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM w
+             WHERE length(w) >= 2 GROUP BY w),
+         p AS (SELECT unnest(list_transform(range(1, length(w)),
+               i -> substr(w, i, 2))) AS pair, wc
+             FROM wc)
+         SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p
+         GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+
+    "dq_cusum" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, day,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS sx,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS cx,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS k
+           FROM d),
+         u AS (SELECT event_type, day, n, n * cx - k * sx AS cusum FROM c),
+         r AS (SELECT event_type, day, n, abs(cusum) AS a,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, day) AS rn
+           FROM u)
+         SELECT event_type, n AS n_days, a AS max_dev,
+             strftime(day, '%Y-%m-%d') AS cusum_day
+         FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    "sample_reservoir" ->
+      """SELECT event_id, event_type FROM (
+           SELECT event_id, event_type
+           FROM events
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 100)
+         ORDER BY event_id""",
+
+    "window_hopping" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             FROM events),
+         h AS (SELECT event_type, t,
+             (t // 43200000000) * 43200000000 AS h0 FROM e),
+         x AS (SELECT event_type, h0 AS ws FROM h
+               UNION ALL
+               SELECT event_type, h0 - 43200000000 AS ws FROM h)
+         SELECT event_type,
+             strftime(make_timestamp(ws),
+               '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+             strftime(make_timestamp(ws + 86400000000),
+               '%Y-%m-%d %H:%M:%S.%f') AS w_end,
+             CAST(count(*) AS BIGINT) AS n
+         FROM x GROUP BY 1, 2, 3 ORDER BY event_type, w_start""",
+
+    "dq_benford" ->
+      """WITH c AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100
+               AS BIGINT) AS cents FROM events),
+         d AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+           FROM c GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d),
+         e AS (SELECT * FROM (VALUES
+             ('1', 301029), ('2', 176091), ('3', 124938), ('4', 96910),
+             ('5', 79181), ('6', 66946), ('7', 57991), ('8', 51152),
+             ('9', 45757)) AS v(digit, exp_ppm))
+         SELECT d.digit, n, (1000000 * n) // tot AS obs_ppm,
+             CAST(exp_ppm AS BIGINT) AS exp_ppm,
+             (1000000 * n) // tot - exp_ppm AS delta_ppm
+         FROM d JOIN e USING (digit) CROSS JOIN t ORDER BY digit"""
   )
 }

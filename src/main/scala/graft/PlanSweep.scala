@@ -24,16 +24,16 @@ object PlanSweep {
     *    search_bm25 / window_allocation:
     *    ONE-row broadcasts (corpus totals, the max-gap scalar, min/max
     *    stats, the horizon day, the Σ⌊√n⌋ quota normalizer, BM25's
-    *    (N, total_len) pair, apportionment's total + leftover scalars)
-    *    cross-joined onto the expression — the scalar-subquery plan
-    *    shape, effectively free at any scale. */
+    *    (N, total_len) pair, apportionment's total + leftover scalars,
+    *    Benford's digit-count total) cross-joined onto the expression —
+    *    the scalar-subquery plan shape, effectively free at any scale. */
   val Allowlist: Set[String] =
     Set("dedup_ngram_jaccard", "dedup_embedding_cosine", "ann_cosine_topk",
       "ann_lsh_recall", "ann_ivf_recall", "text_tfidf", "text_lm_score",
       "vocab_pmi", "dq_drift", "dq_drift_js", "agg_histogram",
       "window_rolling_distinct", "window_rolling_median", "window_ewma",
       "sample_temperature", "search_bm25", "window_allocation",
-      "customer_rfm")
+      "customer_rfm", "dq_benford")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

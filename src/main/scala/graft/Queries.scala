@@ -3043,4 +3043,153 @@ object Queries {
     mm.Multimodal.audioFeatures(spark,
         mm.Multimodal.asAudio(t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
+
+  /** N16d — BPE tokenizer training, round 1: the merge table a byte-pair
+    * encoder learns first — adjacent character-pair counts over the
+    * corpus, weighted by word frequency. The scale trick is the classic
+    * vocabulary reduction: the corpus explodes once into WORDS and
+    * aggregates to the (tiny) distinct vocabulary with counts — one
+    * partial-agg shuffle over the corpus — and only then do pairs explode,
+    * over the VOCAB (thousands of rows, not billions of tokens), so the
+    * quadratic-ish pair enumeration never touches corpus-sized data. Top
+    * 20 with a total order (weighted count desc, pair asc) via top-k, not
+    * a global sort. Every count is an exact integer. */
+  def vocabBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    vocab
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
+  /** X15g — CUSUM changepoint gate: for each event type's daily-volume
+    * series, the cumulative deviation from the series mean, maximized over
+    * prefixes — the classic "did the level shift, and when" monitor a
+    * pipeline runs over ingest volumes ([[Drift.cusum]]: exact-integer
+    * `n·Σ_{i≤k}x − k·Σx`, windows keyed by type and bounded by the
+    * calendar, argmax-day ties to the earliest in one max(struct)
+    * aggregate). The heavy step is the daily-count aggregation — one
+    * partial-agg shuffle over the corpus; everything after runs on the
+    * types×days series table. */
+  def dqCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    Drift.cusum(daily, "event_type", "day", "x")
+      .select(col("event_type"), col("n_points").as("n_days"),
+        col("max_dev"),
+        date_format(col("at"), "yyyy-MM-dd").as("cusum_day"))
+      .orderBy(col("event_type"))
+  }
+
+  /** N15h — exact-size deterministic reservoir: EXACTLY 100 events, chosen
+    * uniformly by content-hash order — the "give me a fixed-size eval
+    * split" request [[sampleHash]]'s rate-based filter cannot answer
+    * (a rate keeps ~16%, never exactly N). `ORDER BY md5 LIMIT n` plans as
+    * TakeOrderedAndProject — per-partition top-k then a single merge of
+    * k-sized heaps, NO global sort and no single-task exchange (the spec
+    * pins the plan) — and the hash order makes the draw stable across
+    * runs, engines, and partitionings, unlike reservoir algorithms seeded
+    * per-partition. */
+  def sampleReservoir(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        md5(col("event_id").cast(StringType)).as("h"))
+      .orderBy(col("h"), col("event_id"))
+      .limit(100)
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** N12h — shot-boundary detection over the frame sequence
+    * ([[mm.Multimodal.sceneCutFeatures]]): per item, integer luma sums per
+    * frame and a cross-product mean-relative cut test — exact integers end
+    * to end, `mapPartitions` codec seam, narrow plan. The video-pipeline
+    * stage before frame dedup: sample one frame per SHOT, not per stride
+    * (`mm_frame_sample` is the stride form). Rows-only at the driver gate
+    * (SQL cannot byte-address the payload); MultimodalSpec recomputes
+    * every field driver-side from the same bytes and matches exactly. */
+  def mmSceneCut(spark: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.sceneCutFeatures(spark,
+        mm.Multimodal.asMedia(t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
+  /** X9f — HOPPING (sliding) window aggregation in batch: per event type,
+    * counts over 1-day windows sliding every 12 h — the overlapping-window
+    * report (peak-detection, rolling dashboards) that `window()` expresses
+    * directly: each row expands to exactly window/slide = 2 window
+    * assignments (a narrow Expand, no self-join), then one partial-agg
+    * shuffle on (type, window) — the same plan at any corpus size.
+    * Windows align to the 1970 epoch in UTC on both engines; bounds leave
+    * as formatted strings. */
+  def windowHopping(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        window(col("ts"), "1 day", "12 hours").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        Cleanse.tsStr(col("w.start")).as("w_start"),
+        Cleanse.tsStr(col("w.end")).as("w_end"), col("n"))
+      .orderBy(col("event_type"), col("w_start"))
+
+  /** A8b — mergeable-sketch reaggregation: daily HLL sketches of distinct
+    * users per event type (the stored materialized view — a few KB per
+    * cell), UNIONED upward to weekly estimates without ever rescanning
+    * raw data — the Datasketches pattern that makes 100 TB distinct-count
+    * dashboards incremental: any rollup window is a union of tiny daily
+    * states, where exact distinct counts would re-shuffle the raw corpus
+    * per window asked. The exact weekly count rides beside the estimate
+    * as the measured-error audit column. Rows-only (sketch registers are
+    * engine-internal, the [[aggHllSketch]] precedent); the spec floors
+    * the estimate at ±5% of exact and pins merge-consistency: unioning
+    * daily sketches equals sketching the week directly. */
+  def aggHllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val wk = expr("datediff(day, date'2024-01-01') div 7")
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val weekly = daily
+      .groupBy(col("event_type"), wk.as("wk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_users"))
+    val exact = t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("datediff(cast(ts as date), date'2024-01-01') div 7").as("wk"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    weekly.join(exact, Seq("event_type", "wk"))
+      .orderBy(col("event_type"), col("wk"))
+  }
+
+  /** X15h — Benford first-digit audit: the distribution of the first
+    * significant digit of the money column vs Benford's law — the
+    * fabricated-data / unit-mixup screen auditors run on transaction
+    * amounts. First digit comes from exact cents (DECIMAL → ×100 →
+    * BIGINT → leading character: the first digit of the cents integer IS
+    * the first significant digit of the amount, no float log10 anywhere);
+    * observed shares are exact integer ppm against the corpus total
+    * carried on a one-row broadcast (the [[aggHistogram]] stats-broadcast
+    * pattern); expected Benford ppm are integer literals of
+    * ⌊10⁶·log10(1+1/d)⌋. One scan, one tiny agg, no data shuffle. */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame = {
+    val expected = typedLit(Map(
+      "1" -> 301029L, "2" -> 176091L, "3" -> 124938L,
+      "4" -> 96910L, "5" -> 79181L, "6" -> 66946L,
+      "7" -> 57991L, "8" -> 51152L, "9" -> 45757L))
+    val cents = (Cleanse.dec2(col("value")) * 100).cast(LongType)
+    val digits = t(spark, dir, "events")
+      .select(substring(cents.cast(StringType), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    digits
+      .crossJoin(broadcast(digits.agg(sum(col("n")).as("tot"))))
+      .select(col("digit"), col("n"),
+        expr("(1000000 * n) div tot").as("obs_ppm"),
+        element_at(expected, col("digit")).as("exp_ppm"))
+      .withColumn("delta_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy(col("digit"))
+  }
 }

@@ -27,6 +27,13 @@ case class FrameSample(doc_id: Long, n_frames: Int, n_sampled: Int,
 case class AudioFeature(doc_id: Long, sample_rate: Int, n_samples: Long,
                         zero_crossings: Long, peak: Int, energy: Long)
 
+/** Output of the scene-cut stage: per item, how many "frames" (pixel rows
+  * as the frame sequence, the [[FrameSample]] convention), how many shot
+  * boundaries fired, the first boundary's frame index (−1 when none), and
+  * the largest inter-frame luma delta — all exact integers. */
+case class SceneCut(doc_id: Long, n_frames: Int, n_cuts: Int,
+                    first_cut: Int, max_delta: Long)
+
 /** Multimodal column plumbing: media as opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted partition-wise.
   *
@@ -224,6 +231,60 @@ object Multimodal {
             val rowBytes = (le32(b, 18) * 3 + 3) / 4 * 4
             FrameSample(id, h, (h + stride - 1) / stride, rowBytes)
           } else FrameSample(id, -1, -1, -1)
+        }
+      }.toDF()
+  }
+
+  /** Partition-wise shot-boundary detection: per frame (pixel row, the
+    * [[frameSampleFeatures]] convention) an integer luma sum; a CUT fires
+    * between consecutive frames when the delta is large relative to the
+    * item's mean frame luma, tested in cross-product form
+    * (`thresholdNum·|Δ|·n_frames > thresholdDen·Σ luma` — the mean is
+    * never divided, so the detector is exact integer arithmetic end to
+    * end and any engine reproduces it bit-for-bit). This is the step a
+    * video pipeline runs BEFORE frame dedup/captioning: sample one frame
+    * per shot, not per stride. Invalid payloads surface as −1 sentinels —
+    * one bad blob must not kill a 100 TB scan. */
+  def sceneCutFeatures(spark: SparkSession, media: DataFrame,
+                       thresholdNum: Long = 3, thresholdDen: Long = 2): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          val whole = isBmp(b) && {
+            val w = le32(b, 18); val h = le32(b, 22)
+            w > 0 && h > 0 && w <= MaxDim && h <= MaxDim &&
+              b.length >= 54L + (w.toLong * 3 + 3) / 4 * 4 * h.toLong
+          }
+          if (whole) {
+            val w = le32(b, 18); val h = le32(b, 22)
+            val stride = (w.toLong * 3 + 3) / 4 * 4
+            val sums = new Array[Long](h)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              var s = 0L
+              var x = 0
+              val base = 54L + y * stride
+              while (x < w * 3) {
+                s += (b((base + x).toInt) & 0xFF)
+                x += 1
+              }
+              sums(y) = s; total += s; y += 1
+            }
+            var cuts = 0; var first = -1; var maxD = 0L
+            var i = 1
+            while (i < h) {
+              val d = math.abs(sums(i) - sums(i - 1))
+              if (d > maxD) maxD = d
+              if (thresholdNum * d * h > thresholdDen * total) {
+                cuts += 1
+                if (first < 0) first = i
+              }
+              i += 1
+            }
+            SceneCut(id, h, cuts, first, maxD)
+          } else SceneCut(id, -1, -1, -1, -1L)
         }
       }.toDF()
   }

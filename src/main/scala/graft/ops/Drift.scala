@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -115,5 +116,31 @@ object Drift {
       .groupBy(col("ks_stat"), col("n_a"), col("n_b"))
       .agg(min(col(valueCol)).as("at_value"))
       .select(col("ks_stat"), col("at_value"), col("n_a"), col("n_b"))
+  }
+
+  /** CUSUM changepoint per key: the cumulative deviation of `valCol` from
+    * its per-key series mean, maximized over prefixes — "did the level
+    * shift, and when". The statistic stays in exact integer arithmetic by
+    * scaling out the mean's division: `cusum_k = n·Σ_{i≤k}x − k·Σx`
+    * (×n of the textbook definition — same argmax, no float anywhere).
+    * Returns one row per key: (keyCol, n_points, max_dev = max |cusum_k|,
+    * at = the `ordCol` value attaining it, earliest on ties). The running
+    * sums ride windows KEYED by `keyCol`; partitions are series-length
+    * bounded (e.g. calendar days), never corpus-sized. */
+  def cusum(series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+    series
+      .withColumn("k", row_number().over(byKey.orderBy(col(ordCol))))
+      .withColumn("cx", sum(col(valCol)).over(byKey.orderBy(col(ordCol))))
+      .withColumn("n", count(lit(1)).over(byKey))
+      .withColumn("sx", sum(col(valCol)).over(byKey))
+      .withColumn("cusum", col("n") * col("cx") - col("k") * col("sx"))
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n_points"),
+        max(struct(abs(col("cusum")).as("d"), (-col("k")).as("nk"),
+          col(ordCol).as("at"))).as("m"))
+      .select(col(keyCol), col("n_points"),
+        col("m.d").as("max_dev"), col("m.at").as("at"))
   }
 }

@@ -747,6 +747,65 @@ object StreamTwins {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** STREAMING maintained distinct-count MV: the streaming twin of
+    * [[graft.Queries.aggHllMerge]] — per micro-batch, daily HLL sketch
+    * states per event type (`hll_sketch_agg`) fold into a
+    * batchId-versioned state table via `hll_union_agg` of the BINARY
+    * state column ([[streamCdcApply]]'s exactly-once seam). The state is
+    * (types × days)-sized sketches, never events-sized; the weekly
+    * estimate is computed ON READ by unioning the daily states upward.
+    * HLL register merges are associative, commutative and idempotent, so
+    * any batching produces identical registers — the spec asserts the
+    * stream's weekly estimates EQUAL the batch query's, exactly. */
+  def streamHllMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_hll_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_hll_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_hll_ck_$tag")
+
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_type")),
+      s"stream_hll_feed_build_$tag")
+
+    val stateSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("day", DateType),
+      StructField("sk", BinaryType)))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(partials(batch.toDF()))
+          .groupBy(col("event_type"), col("day"))
+          .agg(hll_union_agg(col("sk")).as("sk"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
+      .groupBy(col("event_type"),
+        expr("datediff(day, date'2024-01-01') div 7").as("wk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_users"))
+      .orderBy(col("event_type"), col("wk"))
+  }
+
   /** Run the drift stream to completion: per micro-batch, union the
     * arriving slice (in_a = false) with the baseline and collect the
     * one-row KS result into the returned (batch_id-keyed) frame. */

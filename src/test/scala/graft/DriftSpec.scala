@@ -75,4 +75,28 @@ class DriftSpec extends AnyFunSuite {
     assert(math.abs(dis.values.map(_._3).sum - 1.0) < 1e-9)
     assert(math.abs(dis.values.map(_._4).sum - 1.0) < 1e-9)
   }
+
+  test("cusum: hand-computed level shift — max deviation lands on the " +
+      "last point before the shift") {
+    // series 1,1,1,5,5,5 (n=6, Σx=18); cusum_k = 6·cx − k·18:
+    // k=1:−12 k=2:−24 k=3:−36 k=4:−24 k=5:−12 k=6:0 → max |·| 36 at k=3
+    val s = Seq(("a", 1, 1L), ("a", 2, 1L), ("a", 3, 1L),
+      ("a", 4, 5L), ("a", 5, 5L), ("a", 6, 5L)).toDF("g", "t", "x")
+    val r = Drift.cusum(s, "g", "t", "x").collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 6L && r.head.getLong(2) == 36L &&
+      r.head.getInt(3) == 3)
+  }
+
+  test("cusum: constant series deviates zero, argmax ties to the " +
+      "earliest point; keys stay independent") {
+    val s = Seq(("flat", 10, 7L), ("flat", 20, 7L), ("flat", 30, 7L),
+      ("step", 1, 0L), ("step", 2, 100L)).toDF("g", "t", "x")
+    val out = Drift.cusum(s, "g", "t", "x").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toMap
+    assert(out("flat") == ((3L, 0L, 10)))
+    // step: n=2 Σx=100; k=1: 2·0−100=−100 → max dev 100 at t=1
+    assert(out("step") == ((2L, 100L, 1)))
+  }
 }

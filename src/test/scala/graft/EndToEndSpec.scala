@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Smoke over the real sf0.001 testdata: entry + every declared query
@@ -41,7 +42,16 @@ class EndToEndSpec extends AnyFunSuite {
       "mm_audio_features",
       // iterative floating-point fixpoint: last-ulp bits vary with
       // partitioning; invariants are property-spec'd (PageRankSpec)
-      "graph_pagerank")
+      "graph_pagerank",
+      // HLL sketch registers are engine-internal; ±5% floor and
+      // merge-consistency (union-of-daily == direct weekly) spec'd
+      "agg_hll_merge",
+      // SQL cannot byte-address the BMP payload; independent driver-side
+      // parse spec in MultimodalSpec
+      "mm_scene_cut",
+      // streaming twin of agg_hll_merge: sketch-internal estimates;
+      // exact equality to the batch query spec'd in StreamingSpec
+      "stream_hll_merge")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }
@@ -73,6 +83,31 @@ class EndToEndSpec extends AnyFunSuite {
       val exact = r.getAs[Long]("exact_orders").toDouble
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("merged daily HLL sketches estimate weekly distincts within 5% " +
+    "AND equal sketching the week directly (merge consistency)") {
+    val out = Queries.aggHllMerge(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx=$approx exact=$exact")
+    }
+    // re-aggregation soundness: union-of-daily-states == one-shot weekly
+    val direct = ops.Tables.table(spark, sf, "events")
+      .groupBy(col("event_type"),
+        expr("datediff(cast(ts as date), date'2024-01-01') div 7").as("wk"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+        .as("direct_users"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("approx_users") ==
+        direct((r.getString(0), r.getLong(1))),
+        s"merged sketch must equal direct weekly sketch for ${r.getString(0)}")
     }
   }
 

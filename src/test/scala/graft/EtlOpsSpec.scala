@@ -385,4 +385,43 @@ class EtlOpsSpec extends AnyFunSuite {
       assert(r.getLong(2) == n && r.getLong(3) == mn && r.getLong(4) == mx)
     }
   }
+
+  test("sample_reservoir: exactly 100 rows, equal to the driver-side " +
+    "md5-order prefix, and planned as top-k (no global sort)") {
+    val q = Queries.sampleReservoir(spark, sf)
+    assert(q.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+      "exact-N sampling must plan per-partition top-k, not a global sort")
+    val ids = q.collect().map(_.getLong(0))
+    assert(ids.length == 100 && ids.distinct.length == 100)
+    def md5hex(s: String): String = String.format("%032x",
+      new java.math.BigInteger(1, java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))))
+    val expect = ops.Tables.table(spark, sf, "events")
+      .select(col("event_id")).collect().map(_.getLong(0))
+      .sortBy(id => (md5hex(id.toString), id)).take(100).sorted
+    assert(ids.toSeq == expect.toSeq)
+  }
+
+  test("dq_benford: digit counts partition the table, ppm are exact floor " +
+    "divisions, and the observed shares sum to ~1e6") {
+    val out = Queries.dqBenford(spark, sf).collect()
+    val ev = ops.Tables.table(spark, sf, "events")
+    val total = ev.count()
+    assert(out.map(_.getLong(1)).sum == total,
+      "every event lands in exactly one digit bucket")
+    val driverDigits = ev.select(col("value")).collect().map(_.getDouble(0))
+      .groupBy(v => (BigDecimal(v)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+        .toLong.toString.take(1))
+      .view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == driverDigits(r.getString(0)))
+      assert(r.getLong(2) == 1000000L * r.getLong(1) / total)
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+    }
+    val ppmSum = out.map(_.getLong(2)).sum
+    assert(ppmSum <= 1000000L && ppmSum >= 1000000L - 9,
+      s"floor division loses under 1 ppm per digit, got $ppmSum")
+  }
 }

@@ -174,6 +174,66 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("scene cut fires exactly at a hand-built shot boundary") {
+    // 2×4 BMP, rows (bottom-up irrelevant — detection is sequential):
+    // 0, 0, 255×6, 255×6 → luma sums 0,0,1530,1530, one cut at frame 2
+    val w = 2; val h = 4; val stride = (w * 3 + 3) / 4 * 4
+    val b = new Array[Byte](54 + stride * h)
+    b(0) = 'B'; b(1) = 'M'
+    def put(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >>> 8) & 0xFF).toByte
+      b(off + 2) = ((v >>> 16) & 0xFF).toByte
+      b(off + 3) = ((v >>> 24) & 0xFF).toByte
+    }
+    put(2, b.length); put(10, 54); put(14, 40); put(18, w); put(22, h)
+    (0 until w * 3).foreach { x =>
+      b(54 + 2 * stride + x) = 0xFF.toByte
+      b(54 + 3 * stride + x) = 0xFF.toByte
+    }
+    val r = Multimodal.sceneCutFeatures(spark,
+      Seq((1L, b)).toDF("doc_id", "payload")).collect().head
+    assert(r.getAs[Int]("n_frames") == 4 && r.getAs[Int]("n_cuts") == 1 &&
+      r.getAs[Int]("first_cut") == 2 && r.getAs[Long]("max_delta") == 1530L)
+    // corrupt payload → sentinels
+    val bad = Multimodal.sceneCutFeatures(spark,
+      Seq((2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"))
+      .collect().head
+    assert(bad.getAs[Int]("n_frames") == -1 &&
+      bad.getAs[Long]("max_delta") == -1L)
+  }
+
+  test("scene-cut features match an independent driver-side parse of " +
+    "every fixture payload") {
+    val sf = "/root/testdata/sf0.001"
+    val payloads = Multimodal.asMedia(
+        ops.Tables.table(spark, sf, "documents"))
+      .select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val got = Queries.mmSceneCut(spark, sf).collect()
+    assert(got.length == payloads.size)
+    def le(b: Array[Byte], o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    got.foreach { r =>
+      val b = payloads(r.getLong(0))
+      val w = le(b, 18); val h = le(b, 22)
+      val stride = (w * 3 + 3) / 4 * 4
+      val sums = (0 until h).map { y =>
+        (0 until w * 3).map(x => (b(54 + y * stride + x) & 0xFF).toLong).sum
+      }
+      val total = sums.sum
+      val deltas = sums.sliding(2).map(p => math.abs(p(1) - p(0))).toSeq
+      val cuts = deltas.count(d => 3L * d * h > 2L * total)
+      val first = deltas.indexWhere(d => 3L * d * h > 2L * total) match {
+        case -1 => -1; case i => i + 1
+      }
+      assert(r.getAs[Int]("n_frames") == h &&
+        r.getAs[Int]("n_cuts") == cuts &&
+        r.getAs[Int]("first_cut") == first &&
+        r.getAs[Long]("max_delta") == (if (deltas.isEmpty) 0L else deltas.max),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("corrupt audio payloads surface as -1 sentinels, not exceptions") {
     val ok = Multimodal.encodeWav("some speech here".getBytes("UTF-8"), 16)
     val rows = Multimodal.audioFeatures(spark,

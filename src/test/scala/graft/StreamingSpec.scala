@@ -333,4 +333,19 @@ class StreamingSpec extends AnyFunSuite {
       s"stream_topk_state_${ops.TempFiles.tag(sf)}")
     assert(StreamTwins.listStateVersions(stateRoot).size == 3)
   }
+
+  test("streaming HLL merge equals the batch mergeable-sketch estimates " +
+    "exactly (register merges are batching-invariant)") {
+    import org.apache.spark.sql.functions._
+    val got = StreamTwins.streamHllMerge(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Queries.aggHllMerge(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("approx_users"))
+      .toMap
+    assert(got == batch,
+      "stream state estimates must equal the batch sketch estimates")
+    val stateRoot = ops.TempFiles.dir(
+      s"stream_hll_state_${ops.TempFiles.tag(sf)}")
+    assert(StreamTwins.listStateVersions(stateRoot).size == 3)
+  }
 }

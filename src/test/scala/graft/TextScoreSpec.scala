@@ -51,4 +51,25 @@ class TextScoreSpec extends AnyFunSuite {
     // bigrams of doc2: (x,y)×3 (y,x)×2 — only (x,y) survives minCount
     assert(out.map(r => (r.getString(0), r.getString(1))).toSet == Set(("x", "y")))
   }
+
+  test("vocab_bpe_merges equals a driver-side BPE round-1 recomputation " +
+      "(word-frequency-weighted pair counts, total order)") {
+    val sf = "/root/testdata/sf0.001"
+    val texts = graft.ops.Tables.table(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    texts.iterator.flatMap(_.split(" ")).filter(_.length >= 2)
+      .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1L)
+    val pc = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pc(p) = pc.getOrElse(p, 0L) + c
+      }
+    }
+    val top = pc.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val out = Queries.vocabBpeMerges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == top)
+  }
 }
