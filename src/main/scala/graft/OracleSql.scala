@@ -2119,6 +2119,16 @@ object OracleSql {
            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 100)
          ORDER BY event_id""",
 
+    "scan_jdbc_partitioned" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS BIGINT) AS sum_cents
+         FROM events
+         WHERE event_type = 'purchase'
+           AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+         GROUP BY 1 ORDER BY day""",
+
     "window_hopping" ->
       """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
              FROM events),

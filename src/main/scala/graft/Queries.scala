@@ -3119,6 +3119,38 @@ object Queries {
         mm.Multimodal.asMedia(t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** S13 — PARTITIONED JDBC source scan: the relational-ingest shape — the
+    * table is read as `numPartitions` parallel range queries on
+    * `partitionColumn` (each task issues its own bounded SELECT, so a
+    * 100 TB-adjacent warehouse extract streams through every executor,
+    * never the driver), and the row filter PUSHES DOWN into each remote
+    * query (spec asserts both the 4-way split and the pushed predicate).
+    * Derby stands in for the warehouse exactly as in the sink rows; the
+    * seed write is fixture plumbing, the declared operator is the read.
+    * Partition bounds come from one tiny driver aggregate over the seed —
+    * the model-parameter pattern, not a data collect. */
+  def scanJdbcPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:memory:graftsrc_${TempFiles.tag(dir)};create=true"
+    val props = new java.util.Properties
+    val seed = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+    SinkDdl.writeJdbc(seed, url, "events_src", props)
+    val bounds = seed.agg(min(col("event_id")), max(col("event_id"))).head()
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "events_src")
+      .option("partitionColumn", "event_id")
+      .option("lowerBound", bounds.getLong(0))
+      .option("upperBound", bounds.getLong(1) + 1)
+      .option("numPartitions", "4")
+      .load()
+      .filter(col("ts") >= lit("2024-01-15").cast(TimestampType))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("day"))
+  }
+
   /** X9f — HOPPING (sliding) window aggregation in batch: per event type,
     * counts over 1-day windows sliding every 12 h — the overlapping-window
     * report (peak-detection, rolling dashboards) that `window()` expresses

@@ -55,6 +55,36 @@ class SinkDdlSpec extends AnyFunSuite {
     assert(spark.read.jdbc(url, "t_jdbc_sink", props).count() == 10)
   }
 
+  test("partitioned JDBC scan reads 4 parallel ranges with the row " +
+    "filter pushed into the remote queries") {
+    val sf = "/root/testdata/sf0.001"
+    val q = Queries.scanJdbcPartitioned(spark, sf)
+    // the scan itself (pre-aggregation): re-build to inspect the relation
+    val url = s"jdbc:derby:memory:graftsrc_${ops.TempFiles.tag(sf)};create=true"
+    val scan = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "events_src")
+      .option("partitionColumn", "event_id")
+      .option("lowerBound", "0").option("upperBound", "1000000")
+      .option("numPartitions", "4").load()
+      .filter(org.apache.spark.sql.functions.col("ts") >=
+        org.apache.spark.sql.functions.lit("2024-01-15")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    assert(scan.rdd.getNumPartitions == 4,
+      "partitioned read must split into numPartitions range queries")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("ts"),
+      s"predicate must push into the remote query: $plan")
+    // and the declared aggregate equals the straight-from-parquet result
+    val direct = ops.Tables.table(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase" &&
+        org.apache.spark.sql.functions.col("ts") >=
+          org.apache.spark.sql.functions.lit("2024-01-15")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      .count()
+    assert(q.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+      == direct)
+  }
+
   test("runSqlScript splits on ; and substitutes {} templates " +
     "(create_card_funnel_schema.py:12-21)") {
     val script =
