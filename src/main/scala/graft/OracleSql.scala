@@ -2119,6 +2119,17 @@ object OracleSql {
            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 100)
          ORDER BY event_id""",
 
+    // the native as-of plan node must produce exactly the composed form's
+    // result — same oracle as join_asof, verbatim
+    "join_asof_native" ->
+      """SELECT event_id, o_orderkey, o_totalprice FROM (
+           SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+           FROM events e JOIN orders o
+             ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+         WHERE rn = 1 ORDER BY event_id""",
+
     "scan_jdbc_partitioned" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
              CAST(count(*) AS BIGINT) AS n,

@@ -3119,6 +3119,27 @@ object Queries {
         mm.Multimodal.asMedia(t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** J5c — NATIVE as-of join: the same backward-inclusive pandas
+    * `merge_asof` semantics as [[joinAsof]], but as a first-class plan
+    * node ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]],
+    * injected via `GraftExtensions.injectPlannerStrategy`): both sides
+    * hash-clustered on the key and sorted (key, time[, tie]) — the same
+    * exchanges a sort-merge join pays — then ONE forward merge pass per
+    * partition, right cursor never rewinding, no window state, no union
+    * column-widening. Shares [[joinAsof]]'s oracle verbatim; the
+    * differential spec pins row-for-row equality with the composed form
+    * and the plan spec pins the AsOfJoinExec node. */
+  def joinAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").select("event_id", "user_id", "ts")
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    plans.AsOfNative.join(e, o, "user_id", "o_custkey",
+        "ts", "o_orderdate", "o_orderkey")
+      .filter(col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   /** S13 — PARTITIONED JDBC source scan: the relational-ingest shape — the
     * table is read as `numPartitions` parallel range queries on
     * `partitionColumn` (each task issues its own bounded SELECT, so a

@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * paths consume [[GraftFunctions.builders]], so a kernel parameter can
   * never differ between them. Also injects the
   * [[SimilarityFilterPruning]] optimizer rule (length-filter pre-pruning
-  * for Jaccard predicates). */
+  * for Jaccard predicates) and the [[graft.plans.AsOfJoinStrategy]]
+  * planner strategy (native as-of join). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
@@ -23,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
     ext.injectOptimizerRule(_ => SimilarityFilterPruning)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -75,6 +75,11 @@ object GraftFunctions {
     builders.foreach { case (name, _, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // the imperative twin of GraftExtensions' injectPlannerStrategy, for
+    // sessions created without the extensions conf (idempotent)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }
 

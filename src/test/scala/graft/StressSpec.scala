@@ -103,7 +103,10 @@ class StressSpec extends AnyFunSuite {
       // journey join, delta-scan SCD2 maintenance, the two-pass
       // apportionment rank, and the versioned CDC state fold
       "search_bm25", "attribution_touch", "merge_scd2_incremental",
-      "window_allocation", "stream_cdc_apply")
+      "window_allocation", "stream_cdc_apply",
+      // the native as-of plan node: its merge pass must stay linear in
+      // the shuffled partitions like the sort-merge join it mirrors
+      "join_asof_native")
     for (n <- names) {
       // min-of-2 per scale point: a single GC/JIT pause on either side of
       // the ratio can push a healthy query past the bound (it flaked once
