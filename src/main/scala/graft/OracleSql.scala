@@ -2119,6 +2119,28 @@ object OracleSql {
            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 100)
          ORDER BY event_id""",
 
+    // the streaming reservoir folds per-batch top-k into k-row state;
+    // top-k by a total order is mergeable, so any batching converges to
+    // the batch draw — same oracle as sample_reservoir, verbatim
+    "stream_sample" ->
+      """SELECT event_id, event_type FROM (
+           SELECT event_id, event_type
+           FROM events
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 100)
+         ORDER BY event_id""",
+
+    "sample_balanced" ->
+      """WITH c AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+             FROM embeddings GROUP BY 1),
+         m AS (SELECT min(n) AS mn FROM c),
+         r AS (SELECT label, vec_id, row_number() OVER (PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM embeddings)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         FROM r CROSS JOIN m WHERE rn <= mn
+         GROUP BY label ORDER BY label""",
+
     // the native as-of plan node must produce exactly the composed form's
     // result — same oracle as join_asof, verbatim
     "join_asof_native" ->

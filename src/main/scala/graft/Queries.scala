@@ -3119,6 +3119,30 @@ object Queries {
         mm.Multimodal.asMedia(t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** N15i — class-balanced downsampling: every label kept at exactly the
+    * MINORITY class's size (the classifier-training balance op), members
+    * chosen per label by content-hash rank — deterministic across
+    * runs/engines/partitionings like every sampler here. The cap is
+    * DATA-DEPENDENT (min per-label count, a one-row broadcast — the
+    * stats-broadcast pattern), which is what separates it from
+    * [[sampleMixQuota]]'s literal cap: the quota follows the data as the
+    * corpus grows. One keyed window + two tiny aggregates; the result
+    * reports each label's kept count (all equal by construction) and the
+    * exact id-sum checksum of the kept set. */
+  def sampleBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val minN = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("min_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+      .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+    emb.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(minN))
+      .filter(col("rn") <= col("min_n"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_ids"))
+      .orderBy(col("label"))
+  }
+
   /** J5c — NATIVE as-of join: the same backward-inclusive pandas
     * `merge_asof` semantics as [[joinAsof]], but as a first-class plan
     * node ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]],

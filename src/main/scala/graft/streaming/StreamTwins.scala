@@ -806,6 +806,60 @@ object StreamTwins {
       .orderBy(col("event_type"), col("wk"))
   }
 
+  /** STREAMING exact-size reservoir: the streaming twin of
+    * [[graft.Queries.sampleReservoir]] — "keep exactly the 100
+    * hash-smallest events seen so far". Top-k by a deterministic total
+    * order is a MERGEABLE fold (top-k of a union = top-k of per-side
+    * top-ks), so each micro-batch reduces ITSELF to ≤ k rows and folds
+    * into the batchId-versioned k-row state; any batching converges to
+    * the batch draw exactly, which is why this query shares
+    * `sample_reservoir`'s oracle verbatim. State is k-sized forever —
+    * the stream never accumulates. */
+  def streamSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_sample_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_sample_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_sample_ck_$tag")
+
+    val feedSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("event_type")),
+      s"stream_sample_feed_build_$tag")
+
+    val stateSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("h", StringType)))
+    def topK(df: DataFrame): DataFrame = df
+      .orderBy(col("h"), col("event_id")).limit(100)
+
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        val arrived = batch.toDF().select(col("event_id"), col("event_type"),
+          md5(col("event_id").cast(StringType)).as("h"))
+        topK(state.unionByName(topK(arrived)))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
   /** Run the drift stream to completion: per micro-batch, union the
     * arriving slice (in_a = false) with the baseline and collect the
     * one-row KS result into the returned (batch_id-keyed) frame. */

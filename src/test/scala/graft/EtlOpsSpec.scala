@@ -403,6 +403,27 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(ids.toSeq == expect.toSeq)
   }
 
+  test("sample_balanced keeps every label at exactly the minority size, " +
+    "members chosen by hash rank (driver recompute)") {
+    val out = Queries.sampleBalanced(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = ops.Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val byLabel = rows.groupBy(_._2)
+    val minN = byLabel.values.map(_.length).min
+    def md5hex(s: String): String = String.format("%032x",
+      new java.math.BigInteger(1, java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))))
+    byLabel.foreach { case (label, members) =>
+      val kept = members.map(_._1)
+        .sortBy(id => (md5hex(id.toString), id)).take(minN)
+      val (nKept, sumIds) = out(label)
+      assert(nKept == minN.toLong, s"label $label must hold the cap")
+      assert(sumIds == kept.sum, s"label $label kept-set checksum")
+    }
+  }
+
   test("dq_benford: digit counts partition the table, ppm are exact floor " +
     "divisions, and the observed shares sum to ~1e6") {
     val out = Queries.dqBenford(spark, sf).collect()

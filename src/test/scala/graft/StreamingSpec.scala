@@ -334,6 +334,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamTwins.listStateVersions(stateRoot).size == 3)
   }
 
+  test("streaming reservoir converges to the batch draw exactly through " +
+    "3 k-row state versions (top-k folds are mergeable)") {
+    val got = StreamTwins.streamSample(spark, sf).collect().map(_.toSeq)
+    val batch = Queries.sampleReservoir(spark, sf).collect().map(_.toSeq)
+    assert(got.toSeq == batch.toSeq)
+    val stateRoot = ops.TempFiles.dir(
+      s"stream_sample_state_${ops.TempFiles.tag(sf)}")
+    assert(StreamTwins.listStateVersions(stateRoot).size == 3)
+    // the state never outgrows k rows
+    assert(spark.read.parquet(
+      s"$stateRoot/v${StreamTwins.listStateVersions(stateRoot).max}")
+      .count() == 100)
+  }
+
   test("streaming HLL merge equals the batch mergeable-sketch estimates " +
     "exactly (register merges are batching-invariant)") {
     import org.apache.spark.sql.functions._
