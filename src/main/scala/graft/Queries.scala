@@ -3119,6 +3119,22 @@ object Queries {
         mm.Multimodal.asMedia(t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** N8d — compression-ratio quality signal (the Gopher/MassiveText
+    * screen the repetition stats complement): per document, raw deflate
+    * byte length at a pinned level vs UTF-8 byte length, the ratio in
+    * exact integer ppm — templated/repetitive docs land far below prose.
+    * One narrow pass, zero shuffle ([[graft.functions.DeflateLen]]
+    * kernel); rows-only at the driver gate (SQL engines carry no
+    * deflate) — the spec recomputes every document with the same JDK
+    * Deflater and pins the separation invariant. */
+  def textCompression(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"),
+        call_function("graft_deflate_len", col("text")).as("n_deflate"))
+      .withColumn("ratio_ppm", expr("(1000000 * n_deflate) div n_bytes"))
+      .orderBy(col("doc_id"))
+
   /** N15i — class-balanced downsampling: every label kept at exactly the
     * MINORITY class's size (the classifier-training balance op), members
     * chosen per label by content-hash rank — deterministic across

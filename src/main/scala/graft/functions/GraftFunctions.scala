@@ -59,6 +59,8 @@ object GraftFunctions {
         foldableInt("graft_winnow", "w", es(2)))),
     ("graft_repstats", "per-document trigram repetition stats",
       es => RepetitionStats(es.head, 3)),
+    ("graft_deflate_len", "deflate byte length of the UTF-8 text (level 6)",
+      es => DeflateLen(es.head, 6)),
     ("graft_morton", "64-bit Morton (Z-order) code of two 32-bit dimensions",
       es => MortonCode(es.head, es(1))),
     ("graft_cms_estimate", "count-min-sketch point frequency estimate",
@@ -423,6 +425,33 @@ case class RepetitionStats(child: Expression, n: Int)
     while (it.hasNext) { val c = it.next(); if (c >= 2) rep += c }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](total, counts.size.toLong, rep.toDouble / total))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Deflate byte length of the UTF-8 text at a pinned level (raw/nowrap
+  * stream) — the compression-ratio quality signal (Gopher/MassiveText):
+  * templated or repetitive documents compress far below natural prose, so
+  * `deflate_len / byte_len` screens them in one narrow pass. The raw byte
+  * COUNT surfaces (not a ratio), so callers form exact integer ppm ratios;
+  * the value is a property of the zlib algorithm at the pinned level —
+  * deterministic per JVM, rows-only at the cross-engine gate (SQL engines
+  * carry no deflate). One Deflater per evaluation, buffer reused; the
+  * codec cost is the point of the measurement, as at the multimodal
+  * seam. */
+case class DeflateLen(child: Expression, level: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](4096)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -51,7 +51,10 @@ class EndToEndSpec extends AnyFunSuite {
       "mm_scene_cut",
       // streaming twin of agg_hll_merge: sketch-internal estimates;
       // exact equality to the batch query spec'd in StreamingSpec
-      "stream_hll_merge")
+      "stream_hll_merge",
+      // deflate length is a zlib-algorithm property no SQL engine
+      // reproduces; exact driver-side Deflater recompute spec'd
+      "text_compression")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }

@@ -52,6 +52,40 @@ class TextScoreSpec extends AnyFunSuite {
     assert(out.map(r => (r.getString(0), r.getString(1))).toSet == Set(("x", "y")))
   }
 
+  test("text_compression matches an exact driver-side Deflater recompute " +
+      "and separates templated text from prose") {
+    val sf = "/root/testdata/sf0.001"
+    def deflateLen(s: String): Long = {
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](4096)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        n
+      } finally d.end()
+    }
+    val texts = graft.ops.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Queries.textCompression(spark, sf).collect()
+    assert(out.length == texts.size)
+    out.foreach { r =>
+      val t = texts(r.getLong(0))
+      val bytes = t.getBytes("UTF-8").length.toLong
+      val dl = deflateLen(t)
+      assert(r.getLong(1) == bytes && r.getLong(2) == dl &&
+        r.getLong(3) == 1000000L * dl / bytes, s"doc ${r.getLong(0)}")
+    }
+    // the signal separates: pure repetition compresses >10x below prose
+    val spam = ("spam " * 400).trim
+    val prose = texts.values.maxBy(_.length)
+    assert(deflateLen(spam) * 10 < deflateLen(prose) ||
+      1000000L * deflateLen(spam) / spam.getBytes("UTF-8").length <
+        1000000L * deflateLen(prose) / prose.getBytes("UTF-8").length / 5,
+      "templated text must compress far below prose")
+  }
+
   test("vocab_bpe_merges equals a driver-side BPE round-1 recomputation " +
       "(word-frequency-weighted pair counts, total order)") {
     val sf = "/root/testdata/sf0.001"
