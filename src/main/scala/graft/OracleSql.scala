@@ -2129,6 +2129,15 @@ object OracleSql {
            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 100)
          ORDER BY event_id""",
 
+    "feature_hash_buckets" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+             FROM documents)
+         SELECT substr(md5(token), 1, 2) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+         FROM tok WHERE length(token) > 0
+         GROUP BY 1 ORDER BY bucket""",
+
     "sample_balanced" ->
       """WITH c AS (SELECT label, CAST(count(*) AS BIGINT) AS n
              FROM embeddings GROUP BY 1),

@@ -3135,6 +3135,26 @@ object Queries {
       .withColumn("ratio_ppm", expr("(1000000 * n_deflate) div n_bytes"))
       .orderBy(col("doc_id"))
 
+  /** N26 — feature hashing (the hashing-trick featurizer): every token
+    * maps to one of 256 buckets by content hash (first md5 byte — the
+    * same deterministic, engine-portable hash family as the samplers), and
+    * the corpus-level bucket table reports each bucket's occurrence load
+    * and distinct-token count — the COLLISION AUDIT a hashed featurizer
+    * ships with (collisions are the accuracy cost of the fixed dimension;
+    * the load distribution shows whether the hash spreads). The bucket
+    * assignment is a narrow map over exploded tokens; the audit is one
+    * partial-agg shuffle bounded by the 256-bucket dimension — at 100 TB
+    * the result is still 256 rows. */
+  def featureHashBuckets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(substring(md5(col("token")), 1, 2).as("bucket"), col("token"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("token")).as("n_distinct_tokens"))
+      .orderBy(col("bucket"))
+
   /** N15i — class-balanced downsampling: every label kept at exactly the
     * MINORITY class's size (the classifier-training balance op), members
     * chosen per label by content-hash rank — deterministic across

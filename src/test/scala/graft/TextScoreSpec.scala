@@ -86,6 +86,22 @@ class TextScoreSpec extends AnyFunSuite {
       "templated text must compress far below prose")
   }
 
+  test("feature hashing partitions every token occurrence into exactly " +
+      "one bucket (conservation across the audit)") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Queries.featureHashBuckets(spark, sf).collect()
+    val total = graft.ops.Tables.table(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("t"))
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("t")) > 0)
+      .count()
+    assert(out.map(_.getLong(1)).sum == total)
+    assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1)))
+    assert(out.map(_.getString(0)).distinct.length == out.length)
+  }
+
   test("vocab_bpe_merges equals a driver-side BPE round-1 recomputation " +
       "(word-frequency-weighted pair counts, total order)") {
     val sf = "/root/testdata/sf0.001"
