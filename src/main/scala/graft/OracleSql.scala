@@ -2129,6 +2129,31 @@ object OracleSql {
            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 100)
          ORDER BY event_id""",
 
+    "session_concurrency" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+                         epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+         sess_rows AS (
+           SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM flagged),
+         s AS (SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+           FROM sess_rows GROUP BY user_id, session_idx),
+         d AS (SELECT session_start AS ts, CAST(1 AS BIGINT) AS d, -1 AS o FROM s
+               UNION ALL
+               SELECT session_end AS ts, CAST(-1 AS BIGINT) AS d, 1 AS o FROM s),
+         c AS (SELECT ts, sum(d) OVER (ORDER BY ts, o) AS cum FROM d),
+         m AS (SELECT max(cum) AS mx FROM c)
+         SELECT CAST(max(mx) AS BIGINT) AS max_concurrent, min(ts) AS at_ts
+         FROM c CROSS JOIN m WHERE cum = mx""",
+
     "feature_hash_buckets" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
              FROM documents)

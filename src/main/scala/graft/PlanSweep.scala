@@ -33,7 +33,8 @@ object PlanSweep {
       "vocab_pmi", "dq_drift", "dq_drift_js", "agg_histogram",
       "window_rolling_distinct", "window_rolling_median", "window_ewma",
       "sample_temperature", "search_bm25", "window_allocation",
-      "customer_rfm", "dq_benford", "sample_balanced")
+      "customer_rfm", "dq_benford", "sample_balanced",
+      "session_concurrency")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

@@ -3135,6 +3135,29 @@ object Queries {
       .withColumn("ratio_ppm", expr("(1000000 * n_deflate) div n_bytes"))
       .orderBy(col("doc_id"))
 
+  /** X32 — peak concurrency via a distributed SWEEP LINE: the maximum
+    * number of simultaneously-open sessions and the earliest instant it is
+    * reached — capacity planning's canonical question (peak logged-in
+    * users, max open connections, busiest overlap of trips). Each session
+    * contributes a +1 at start and a −1 at end; the running sum over the
+    * GLOBAL (ts, start-before-end) order is the live count. The global
+    * running sum is exactly the shape that naively plans a single-task
+    * window — it runs through [[ops.PrefixSum.cumSum]] instead (range
+    * shuffle of ±1 deltas, two tiny passes); the argmax resolves via a
+    * one-row max broadcast. Interval bounds are ISO strings (lexicographic
+    * = chronological), starts sort before ends at the same instant so
+    * touching sessions count as overlapping (closed intervals). */
+  def sessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val s = Sessionize.sessionsByWindow(t(spark, dir, "events"), 30)
+    val deltas = s.select(col("session_start").as("ts"), lit(1L).as("d"))
+      .unionByName(s.select(col("session_end").as("ts"), lit(-1L).as("d")))
+      .withColumn("o", -col("d"))
+    val cum = PrefixSum.cumSum(deltas, Nil, Seq("ts", "o"), col("d"), "cum")
+    cum.crossJoin(broadcast(cum.agg(max(col("cum")).as("mx"))))
+      .filter(col("cum") === col("mx"))
+      .agg(max(col("mx")).as("max_concurrent"), min(col("ts")).as("at_ts"))
+  }
+
   /** N26 — feature hashing (the hashing-trick featurizer): every token
     * maps to one of 256 buckets by content hash (first md5 byte — the
     * same deterministic, engine-portable hash family as the samplers), and
