@@ -2129,6 +2129,16 @@ object OracleSql {
            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 100)
          ORDER BY event_id""",
 
+    "sample_negatives" ->
+      """WITH r AS (SELECT doc_id, row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             FROM documents),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         a AS (SELECT doc_id, rk, unnest([1, 2, 3]) AS i FROM r)
+         SELECT a.doc_id, CAST(a.i AS BIGINT) AS i, b.doc_id AS neg_id
+         FROM a CROSS JOIN n JOIN r b ON b.rk = ((a.rk + a.i - 1) % n.n) + 1
+         ORDER BY a.doc_id, i""",
+
     "session_concurrency" ->
       """WITH flagged AS (
            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -3135,6 +3135,30 @@ object Queries {
       .withColumn("ratio_ppm", expr("(1000000 * n_deflate) div n_bytes"))
       .orderBy(col("doc_id"))
 
+  /** N27 — deterministic negative sampling (contrastive-training pairs):
+    * each anchor document takes its k = 3 SUCCESSORS on the content-hash
+    * ring as negatives — ring position is md5(id), so successors are
+    * pseudo-random with respect to content yet the draw is exactly
+    * reproducible on any engine or partitioning, and every doc serves as a
+    * negative exactly k times (balanced usage, no coupon-collector skew).
+    * The ring position is the GLOBAL rank — computed by the two-pass
+    * distributed scan ([[ops.PrefixSum.globalRank]]), never a single-task
+    * window — and successor lookup is one modular-rank EQUI-join (no self
+    * cross join anywhere). */
+  def sampleNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast(StringType)).as("h"))
+    val ranked = PrefixSum.globalRank(docs, Seq("h", "doc_id"), "rk", "n")
+    val ring = ranked.select(col("rk").as("nrk"), col("doc_id").as("neg_id"))
+    ranked
+      .select(col("doc_id"), col("rk"), col("n"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("i"))
+      .withColumn("nrk", (col("rk") + col("i") - 1) % col("n") + 1)
+      .join(ring, Seq("nrk"))
+      .select(col("doc_id"), col("i"), col("neg_id"))
+      .orderBy(col("doc_id"), col("i"))
+  }
+
   /** X32 — peak concurrency via a distributed SWEEP LINE: the maximum
     * number of simultaneously-open sessions and the earliest instant it is
     * reached — capacity planning's canonical question (peak logged-in
