@@ -22,10 +22,21 @@ object Tables {
     // truncation an ANSI engine applies casting TIMESTAMP_NS → TIMESTAMP.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      // the lake has shipped events.ts both as TIMESTAMP(NANOS) (lands as
+      // raw Long under the legacy conf) and as plain µs timestamps (lands
+      // as TIMESTAMP_NTZ under inferTimestampNTZ) — normalize either to
+      // the session-zone TIMESTAMP every downstream query was built on
+      // (session tz is pinned UTC, so NTZ→LTZ relabeling changes no value)
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+    } else df
   }
 }

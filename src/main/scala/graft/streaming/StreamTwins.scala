@@ -33,6 +33,10 @@ object StreamTwins {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  private def eventsSchemaWith(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+
   /** File-source stream over the events table (ns timestamps normalized to
     * µs exactly like the batch path in [[graft.ops.Tables]]). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -45,8 +49,18 @@ object StreamTwins {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    spark.readStream.schema(eventsSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // the lake has shipped events.ts both as TIMESTAMP(NANOS) (raw Long
+    // under the legacy conf) and as plain µs timestamps — probe the file's
+    // actual schema once (file sources need a declared schema up front)
+    // and normalize either form to session-zone TIMESTAMP, exactly like
+    // the batch path in [[graft.ops.Tables]]
+    val physical = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    if (physical == LongType)
+      spark.readStream.schema(eventsSchema).parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream.schema(eventsSchemaWith(physical)).parquet(dir.toString)
+        .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
 
   /** Stateful streaming operators bind one state store per shuffle

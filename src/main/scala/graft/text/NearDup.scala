@@ -416,6 +416,20 @@ object NearDup {
           blockKey(b, blockVal(b).bitwiseXOR(lit(1L << bit))))
       }: _*)).as("k"))
 
+  /** Diagnostics seams for `tools.Probe` (not part of the query surface). */
+  private[graft] def exactKeyedDiag(sim: DataFrame): DataFrame = exactKeyed(sim)
+  private[graft] def simhashCandDiag(sim: DataFrame, maxHamming: Int,
+                                     maxBucket: Int): Long = {
+    val radius = hammingRadius(maxHamming)
+    val exact = exactKeyed(sim)
+    val ok = exact.groupBy("k").count()
+      .filter(col("count") <= maxBucket).drop("count")
+    ballKeyed(sim, radius).join(ok, "k").as("a")
+      .join(exact.join(ok, "k").as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .count()
+  }
+
   private def simhashPairsFromSim(sim: DataFrame, maxHamming: Int,
                                   maxBucket: Int): DataFrame = {
     val radius = hammingRadius(maxHamming)
@@ -475,33 +489,53 @@ object NearDup {
   private def simhashVerifiedFromShingles(docs: DataFrame, sh: DataFrame,
                                           idCol: String, textCol: String,
                                           threshold: Double,
-                                          maxHamming: Int): DataFrame = {
+                                          maxHamming: Int,
+                                          maxBucket: Int = 1000): DataFrame = {
     val sim = docs
       .select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = verifyJaccard(sh,
-        simhashPairsFromSim(sim, maxHamming, maxBucket = 1000), threshold)
+        simhashPairsFromSim(sim, maxHamming, maxBucket), threshold)
       .persist(StorageLevel.MEMORY_AND_DISK)
     pairs.count()
     sim.unpersist()
     pairs
   }
 
+  private[graft] def simhashVerifiedFromShinglesDiag(docs: DataFrame,
+      sh: DataFrame, idCol: String, textCol: String, threshold: Double,
+      maxHamming: Int, maxBucket: Int): DataFrame =
+    simhashVerifiedFromShingles(docs, sh, idCol, textCol, threshold,
+      maxHamming, maxBucket)
+
+  /** The verified tier uses a TIGHTER spam-bucket cap (200) than the raw
+    * candidate tier: on a templated short-document corpus the simhash
+    * block-bucket mass is density-bound (bucket size grows with the
+    * corpus, so candidate volume grows ~n² until the cap bites — measured
+    * 222k → 14.1M raw candidates sf0.01 → sf0.1 at cap 1000). Dropping
+    * buckets > 200 halves that volume with recall measured EXACT at both
+    * gate scale factors (25/25 and 256/256 verified pairs — every j ≥ 0.8
+    * pair still shares an uncapped ≤1-bit block); cap 100 is past the
+    * knee (253/256). The cap is a per-corpus tuning knob like the LSH
+    * banding — re-validate against the exact tier when the corpus
+    * changes. */
   def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
-                           threshold: Double, maxHamming: Int = 13): DataFrame = {
+                           threshold: Double, maxHamming: Int = 13,
+                           maxBucket: Int = 200): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol)
     val pairs = simhashVerifiedFromShingles(docs, sh, idCol, textCol,
-      threshold, maxHamming)
+      threshold, maxHamming, maxBucket)
     sh.unpersist()
     pairs
   }
 
   def simhashVerifiedPairsCached(docs: DataFrame, idCol: String, textCol: String,
                                  threshold: Double, maxHamming: Int,
-                                 cacheKey: String): DataFrame =
+                                 cacheKey: String,
+                                 maxBucket: Int = 200): DataFrame =
     cacheFor(docs.sparkSession).getOrElseUpdate(
-      s"simhash|$cacheKey|$idCol|$textCol|$threshold|$maxHamming",
+      s"simhash|$cacheKey|$idCol|$textCol|$threshold|$maxHamming|$maxBucket",
       simhashVerifiedFromShingles(docs,
         shingleTableCached(docs, idCol, textCol, cacheKey),
-        idCol, textCol, threshold, maxHamming))
+        idCol, textCol, threshold, maxHamming, maxBucket))
 }
