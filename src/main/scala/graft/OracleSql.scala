@@ -2236,6 +2236,118 @@ object OracleSql {
          SELECT d.digit, n, (1000000 * n) // tot AS obs_ppm,
              CAST(exp_ppm AS BIGINT) AS exp_ppm,
              (1000000 * n) // tot - exp_ppm AS delta_ppm
-         FROM d JOIN e USING (digit) CROSS JOIN t ORDER BY digit"""
+         FROM d JOIN e USING (digit) CROSS JOIN t ORDER BY digit""",
+
+    // the Spark side blocks on deletion-neighborhood keys (lossless at
+    // radius 1) then verifies; the oracle is the definitional quadratic —
+    // fine at sf0.01, which is exactly why the engine side must not be
+    "join_fuzzy_edit" ->
+      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a JOIN customer b
+           ON a.c_custkey < b.c_custkey
+          AND levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY a_id, b_id""",
+
+    // definitional exact Jaccard over distinct token sets; the Spark side
+    // must reproduce it through the lossless prefix filter
+    "dedup_prefix_filter" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, token FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents) WHERE len(token) > 0),
+         s AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+         i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               count(*) AS inter
+           FROM tok a JOIN tok b
+             ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id,
+             CAST((1000000 * inter) // (sa.sz + sb.sz - inter) AS BIGINT)
+               AS j_ppm
+         FROM i
+         JOIN s sa ON sa.doc_id = a_id
+         JOIN s sb ON sb.doc_id = b_id
+         WHERE 1000000 * inter >= 800000 * (sa.sz + sb.sz - inter)
+         ORDER BY a_id, b_id""",
+
+    // HUGEINT sums are exact like the engine's DECIMAL(38,0); the final
+    // closed forms are single double expressions over exact inputs
+    "agg_ols" ->
+      """WITH d AS (SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+           FROM lineitem),
+         m AS (SELECT l_returnflag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM d GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                   CAST(n * sxx - sx * sx AS DOUBLE), 6)
+               AS slope_cents_per_unit,
+             round((CAST(sy AS DOUBLE) -
+                    CAST(n * sxy - sx * sy AS DOUBLE) /
+                    CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                   CAST(n AS DOUBLE), 6) AS intercept_cents,
+             round(CAST(n * sxy - sx * sy AS DOUBLE) *
+                   CAST(n * sxy - sx * sy AS DOUBLE) /
+                   (CAST(n * sxx - sx * sx AS DOUBLE) *
+                    CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+         FROM m ORDER BY l_returnflag""",
+
+    // DuckDB dayofweek is 0-based Sunday; Spark's is 1-based Sunday
+    "dq_chisq" ->
+      """WITH cells AS (SELECT event_type,
+             CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS obs
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, sum(obs) AS r FROM cells GROUP BY 1),
+         c AS (SELECT dow, sum(obs) AS c FROM cells GROUP BY 1),
+         t AS (SELECT sum(obs) AS n FROM cells)
+         SELECT event_type, dow, obs,
+             round(CAST(r.r * c.c AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+               AS expected,
+             round((CAST(obs AS DOUBLE) -
+                    CAST(r.r * c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) *
+                   (CAST(obs AS DOUBLE) -
+                    CAST(r.r * c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) /
+                   (CAST(r.r * c.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 6)
+               AS chi2_term
+         FROM cells JOIN r USING (event_type) JOIN c USING (dow)
+         CROSS JOIN t ORDER BY event_type, dow""",
+
+    "basket_rules" ->
+      """WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+         u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+               FROM b),
+         i AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
+               FROM b GROUP BY 1),
+         p AS (SELECT a.event_type AS antecedent,
+               c.event_type AS consequent, CAST(count(*) AS BIGINT) AS n_xy
+           FROM b a JOIN b c ON a.user_id = c.user_id
+             AND a.event_type <> c.event_type
+           GROUP BY 1, 2)
+         SELECT antecedent, consequent, n_xy,
+             (1000000 * n_xy) // n_users AS support_ppm,
+             (1000000 * n_xy) // ix.n_item AS confidence_ppm,
+             (1000000 * n_xy * n_users) // (ix.n_item * iy.n_item)
+               AS lift_ppm
+         FROM p
+         JOIN i ix ON ix.event_type = antecedent
+         JOIN i iy ON iy.event_type = consequent
+         CROSS JOIN u ORDER BY antecedent, consequent""",
+
+    // rank() over the base table == running count over value-level counts
+    "window_percentile_rank" ->
+      """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+               AS BIGINT) AS cents, CAST(count(*) AS BIGINT) AS cnt
+           FROM orders GROUP BY 1),
+         r AS (SELECT cents, cnt,
+             sum(cnt) OVER (ORDER BY cents) AS cum,
+             sum(cnt) OVER () AS n
+           FROM v)
+         SELECT cents, cnt, CAST(cum - cnt + 1 AS BIGINT) AS rk,
+             CAST((1000000 * (cum - cnt)) // (n - 1) AS BIGINT) AS pct_ppm
+         FROM r ORDER BY cents"""
   )
 }

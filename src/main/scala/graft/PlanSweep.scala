@@ -34,7 +34,10 @@ object PlanSweep {
       "window_rolling_distinct", "window_rolling_median", "window_ewma",
       "sample_temperature", "search_bm25", "window_allocation",
       "customer_rfm", "dq_benford", "sample_balanced",
-      "session_concurrency")
+      "session_concurrency",
+      // one-row scalar broadcasts: the grand total (chi-square), the
+      // user-universe count (basket rules), the value-count total (ECDF)
+      "dq_chisq", "basket_rules", "window_percentile_rank")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

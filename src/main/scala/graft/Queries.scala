@@ -3352,4 +3352,210 @@ object Queries {
       .withColumn("delta_ppm", col("obs_ppm") - col("exp_ppm"))
       .orderBy(col("digit"))
   }
+
+  // ── Wave J: fuzzy matching / exact set-similarity / regression ──────
+
+  /** X33 — edit-distance-≤1 fuzzy self-join via DELETION NEIGHBORHOODS
+    * (the SymSpell blocking scheme): two strings are within Levenshtein
+    * distance 1 iff their deletion neighborhoods — the string itself plus
+    * every single-character deletion — intersect, so candidate generation
+    * is an EQUI-join on neighborhood keys (O(L) keys per row, one keyed
+    * shuffle), never a cross join, and the final `levenshtein` check makes
+    * the result EXACT (the blocking is lossless at radius 1). This is
+    * entity resolution's canonical name-matching block
+    * (`create_customers_table.sql`'s customers/invitations identity keys
+    * motivate the op): at 100 TB the key space is corpus-sized but each
+    * bucket holds only strings one edit apart from a shared 17-char key —
+    * alphabet-bounded, so the per-bucket verify never goes quadratic in
+    * the corpus. The pair distinct is one more keyed shuffle; the
+    * `levenshtein` verify is a narrow codegen'd map. */
+  def joinFuzzyEdit(spark: SparkSession, dir: String): DataFrame = {
+    val names = t(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val nm = col("name")
+    val deletions = transform(sequence(lit(1), length(nm)), i =>
+      concat(nm.substr(lit(1), i - lit(1)),
+        nm.substr(i + lit(1), length(nm) - i)))
+    val keyed = names.select(col("id"), col("name"),
+      explode(array_distinct(concat(array(nm), deletions))).as("k"))
+    val a = keyed.select(col("k"), col("id").as("a_id"), col("name").as("a_name"))
+    val b = keyed.select(col("k"), col("id").as("b_id"), col("name").as("b_name"))
+    a.join(b, Seq("k")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_name"), col("b_name")).cast(LongType).as("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** N28 — EXACT set-similarity self-join via PREFIX FILTERING (the
+    * AllPairs/PPJoin blocking): token-set Jaccard ≥ 0.8 over documents,
+    * with NO approximation (MinHash is the probabilistic tier — this is
+    * the exact one) and NO cross join. Order each doc's tokens by global
+    * document frequency ascending (rarest first); two sets with J ≥ t
+    * MUST share a token inside their first |d| − ⌈t·|d|⌉ + 1 tokens, so
+    * the candidate join keys only on PREFIX tokens — the frequent-token
+    * buckets that make a naive token join quadratic never enter the pair
+    * generation. Size filter 4·max ≤ 5·min (J ≤ min/max) prunes further
+    * in the join condition. Exact intersections are then computed for
+    * candidates only (two keyed shuffles bounded by candidates × doc
+    * size); the prefix length and the 0.8 threshold use pure integer
+    * arithmetic (⌈4s/5⌉ = (4s+4) div 5) so the cut is bit-exact on any
+    * engine. Shuffles: tokenize+df (1), per-doc rank (doc-bounded
+    * window), prefix self-join (1), pair distinct (1), verify joins (2) —
+    * all keyed, all skew-bounded by the rarest-first prefix. */
+  def dedupPrefixFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(filter(split(col("text"), " "),
+          x => length(x) > 0))).as("token"))
+    val docFreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val sized = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val ranked = tok.join(docFreq, "token").join(sized, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+      .select(col("token"), col("doc_id"), col("sz"))
+    val cand = prefix.select(col("token"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
+      .join(prefix.select(col("token"), col("doc_id").as("b_id"), col("sz").as("b_sz")),
+        Seq("token"))
+      .filter(col("a_id") < col("b_id") &&
+        lit(4) * greatest(col("a_sz"), col("b_sz")) <=
+          lit(5) * least(col("a_sz"), col("b_sz")))
+      .select(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+      .dropDuplicates("a_id", "b_id")
+    val inter = cand
+      .join(tok.select(col("doc_id").as("a_id"), col("token")), Seq("a_id"))
+      .join(tok.select(col("doc_id").as("b_id"), col("token")), Seq("b_id", "token"))
+      .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .filter(lit(1000000L) * col("inter") >=
+        lit(800000L) * (col("a_sz") + col("b_sz") - col("inter")))
+      .select(col("a_id"), col("b_id"),
+        expr("(1000000 * inter) div (a_sz + b_sz - inter)").as("j_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** X34 — chi-square independence audit (event type × day-of-week): the
+    * classic "is traffic mix stable across the week" screen. The
+    * contingency table is ONE partial-agg shuffle collapsing the corpus to
+    * |types|×7 cells; row totals, column totals, and the grand total then
+    * derive from the CELL table (dimension-sized aggregates, broadcast
+    * back), so nothing corpus-sized moves twice. Counts are exact BIGINTs;
+    * expected counts and per-cell chi² contributions are single closed-form
+    * double expressions over exact integers (the [[aggCorr]] determinism
+    * contract). The per-cell terms are the actionable output — the cells
+    * with outsized contributions are WHERE independence breaks. */
+  def dqChisq(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "events")
+      .select(col("event_type"), dayofweek(col("ts")).cast(LongType).as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("obs"))
+    val rows = cells.groupBy(col("event_type")).agg(sum(col("obs")).as("r"))
+    val cols = cells.groupBy(col("dow")).agg(sum(col("obs")).as("c"))
+    val tot = cells.agg(sum(col("obs")).as("n"))
+    val e = (col("r") * col("c")).cast(DoubleType) / col("n").cast(DoubleType)
+    cells
+      .join(broadcast(rows), "event_type")
+      .join(broadcast(cols), "dow")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("dow"), col("obs"),
+        round(e, 6).as("expected"),
+        round((col("obs").cast(DoubleType) - e) * (col("obs").cast(DoubleType) - e) / e, 6)
+          .as("chi2_term"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** X35 — association rules over per-user event-type baskets (market
+    * basket analysis): for every directed type pair x→y, the co-occurrence
+    * count and exact-ppm support, confidence, and lift — the
+    * recommendation/affinity primitives. Baskets are distinct
+    * (user, type) pairs (one keyed dedup shuffle); pair generation is an
+    * EQUI-join on the user key, bounded by the per-user basket size
+    * (≤ |type dimension|, never corpus-fanout); the rule table collapses
+    * to ≤ |types|² rows. All three metrics are integer ratios
+    * (`div`), exact on any engine: lift's numerator n_xy·n_users·10⁶
+    * stays far inside a BIGINT for any realistic dimension. */
+  def basketRules(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = baskets.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val itemN = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("n_item"))
+    val pairs = baskets.select(col("user_id"), col("event_type").as("antecedent"))
+      .join(baskets.select(col("user_id"), col("event_type").as("consequent")),
+        Seq("user_id"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy(col("antecedent"), col("consequent")).agg(count(lit(1)).as("n_xy"))
+    pairs
+      .join(broadcast(itemN.select(col("event_type").as("antecedent"),
+        col("n_item").as("n_x"))), "antecedent")
+      .join(broadcast(itemN.select(col("event_type").as("consequent"),
+        col("n_item").as("n_y"))), "consequent")
+      .crossJoin(broadcast(nUsers))
+      .select(col("antecedent"), col("consequent"), col("n_xy"),
+        expr("(1000000 * n_xy) div n_users").as("support_ppm"),
+        expr("(1000000 * n_xy) div n_x").as("confidence_ppm"),
+        expr("(1000000 * n_xy * n_users) div (n_x * n_y)").as("lift_ppm"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  /** W11 — exact global ECDF (percentile rank with SQL `rank()` tie
+    * semantics) over order totals, distributed: collapse to value-level
+    * counts first (one keyed shuffle — the ECDF's domain is DISTINCT
+    * values, usually far smaller than the corpus), then the running count
+    * through the two-pass scan ([[ops.PrefixSum.cumSum]] — no global
+    * single-task window), so rank_of_value = cum − cnt + 1 reproduces
+    * `rank()` over the base table exactly. The percentile is the exact
+    * integer ppm (rank−1)·10⁶ div (n−1) — bit-equal on any engine,
+    * unlike `percent_rank`'s division-order-dependent double. */
+  def windowPercentileRank(spark: SparkSession, dir: String): DataFrame = {
+    val vals = t(spark, dir, "orders")
+      .select((Cleanse.dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val cum = PrefixSum.cumSum(vals, Nil, Seq("cents"), col("cnt"), "cum")
+    cum.crossJoin(broadcast(vals.agg(sum(col("cnt")).as("n"))))
+      .select(col("cents"), col("cnt"),
+        (col("cum") - col("cnt") + 1).as("rk"),
+        expr("(1000000 * (cum - cnt)) div (n - 1)").as("pct_ppm"))
+      .orderBy(col("cents"))
+  }
+
+  /** A10 — distributed ordinary least squares with EXACT co-moments: the
+    * price-per-quantity trend per return flag, fit as y = a + b·x from
+    * the five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) — the
+    * mergeable partial state a 100 TB regression needs (one partial-agg
+    * shuffle, map-side combine; nothing else). Money enters as exact
+    * cents, the sums accumulate in DECIMAL(38,0) (exact at any corpus
+    * size), and slope/intercept/R² are then single closed-form double
+    * expressions over exact inputs — deterministic bits on any engine and
+    * any partitioning, the same exactness contract as [[aggCorr]] /
+    * [[aggMoments]]. */
+  def aggOls(spark: SparkSession, dir: String): DataFrame = {
+    val dec380 = DecimalType(38, 0)
+    val d = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(LongType).as("x"),
+        (Cleanse.dec2(col("l_extendedprice")) * 100).cast(LongType).as("y"))
+    val m = d.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast(dec380).as("n"),
+        sum(col("x")).cast(dec380).as("sx"),
+        sum(col("y")).cast(dec380).as("sy"),
+        sum((col("x") * col("y")).cast(dec380)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec380)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec380)).as("syy"))
+    val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+    val slope = cov / varx
+    m.select(col("l_returnflag"), col("n").cast(LongType).as("n"),
+        round(slope, 6).as("slope_cents_per_unit"),
+        round((col("sy").cast(DoubleType) - slope * col("sx").cast(DoubleType)) /
+          col("n").cast(DoubleType), 6).as("intercept_cents"),
+        round(cov * cov / (varx * vary), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
 }
