@@ -2249,26 +2249,21 @@ object OracleSql {
           AND levenshtein(a.c_name, b.c_name) <= 1
          ORDER BY a_id, b_id""",
 
-    // definitional exact Jaccard over distinct token sets; the Spark side
-    // must reproduce it through the lossless prefix filter
+    // definitional exact shingle-set Jaccard (same oracle as
+    // dedup_minhash_lsh — the exact prefix-filter tier and the
+    // probabilistic LSH tier must produce the identical pair set); the
+    // Spark side must reproduce it through the lossless prefix filter
     "dedup_prefix_filter" ->
-      """WITH tok AS (SELECT DISTINCT doc_id, token FROM (
-             SELECT doc_id, unnest(string_split(text, ' ')) AS token
-             FROM documents) WHERE len(token) > 0),
-         s AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
-         i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               count(*) AS inter
-           FROM tok a JOIN tok b
-             ON a.token = b.token AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT a_id, b_id,
-             CAST((1000000 * inter) // (sa.sz + sb.sz - inter) AS BIGINT)
-               AS j_ppm
-         FROM i
-         JOIN s sa ON sa.doc_id = a_id
-         JOIN s sb ON sb.doc_id = b_id
-         WHERE 1000000 * inter >= 800000 * (sa.sz + sb.sz - inter)
-         ORDER BY a_id, b_id""",
+      """WITH t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents)
+         SELECT a_id, b_id, jaccard FROM (
+           SELECT a.doc_id a_id, b.doc_id b_id,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jaccard
+           FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
 
     // HUGEINT sums are exact like the engine's DECIMAL(38,0); the final
     // closed forms are single double expressions over exact inputs
@@ -2348,6 +2343,60 @@ object OracleSql {
            FROM v)
          SELECT cents, cnt, CAST(cum - cnt + 1 AS BIGINT) AS rk,
              CAST((1000000 * (cum - cnt)) // (n - 1) AS BIGINT) AS pct_ppm
-         FROM r ORDER BY cents"""
+         FROM r ORDER BY cents""",
+
+    // the XML fixture is a re-encoding of the nation parquet rows; the
+    // oracle aggregates the originals, so parse fidelity is the test
+    "scan_xml" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+             min(n_name) AS first_name,
+             CAST(max(n_nationkey) AS BIGINT) AS max_key
+         FROM nation GROUP BY 1 ORDER BY n_regionkey""",
+
+    "scan_variant" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             CAST(min(k) AS BIGINT) AS min_k,
+             CAST(max(k) AS BIGINT) AS max_k
+         FROM (SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+         WHERE k IS NOT NULL GROUP BY 1 ORDER BY event_type""",
+
+    "agg_entropy" ->
+      """WITH cells AS (SELECT
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         d AS (SELECT day, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+           FROM cells GROUP BY 1)
+         SELECT day, n, k,
+             round(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6)
+               AS entropy_nats,
+             round((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) /
+                   ln(CAST(k AS DOUBLE)), 6) AS entropy_ratio
+         FROM d WHERE k > 1 ORDER BY day""",
+
+    "window_lag_features" ->
+      """WITH daily AS (SELECT user_id,
+             datediff('day', DATE '2024-01-01',
+               CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_idx,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS BIGINT) AS spend_cents
+           FROM events GROUP BY 1, 2)
+         SELECT user_id, CAST(day_idx AS BIGINT) AS day_idx, spend_cents,
+             CASE WHEN lag(day_idx) OVER w = day_idx - 1
+                  THEN lag(spend_cents) OVER w ELSE CAST(0 AS BIGINT)
+             END AS lag1_cents,
+             CAST(sum(spend_cents) OVER (PARTITION BY user_id ORDER BY day_idx
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS trail7_cents,
+             CAST(count(*) OVER (PARTITION BY user_id ORDER BY day_idx
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS trail7_days
+         FROM daily
+         WINDOW w AS (PARTITION BY user_id ORDER BY day_idx)
+         ORDER BY user_id, day_idx"""
   )
 }

@@ -3353,6 +3353,111 @@ object Queries {
       .orderBy(col("digit"))
   }
 
+  // ── Wave K: modern formats / information theory / ML features ───────
+
+  /** S14 — XML scan (Spark 4's BUILT-IN xml source, the spark-xml
+    * donation): the nation dimension re-encoded as an XML document per row
+    * (`rowTag`) and read back with an explicit schema — the config-feed /
+    * legacy-B2B ingestion path every lake eventually meets. Fixture is a
+    * deterministic re-encoding of the parquet table (the engine never
+    * invents data); the oracle reads the SAME rows from parquet, so the
+    * scan's parse fidelity is what's actually under test. Tiny dimension →
+    * driver-side fixture write is fine; at scale the source partitions by
+    * files exactly like JSON. */
+  def scanXml(spark: SparkSession, dir: String): DataFrame = {
+    val path = TempFiles.dir(s"xml_${TempFiles.tag(dir)}")
+    t(spark, dir, "nation")
+      .repartition(1).sortWithinPartitions(col("n_nationkey"))
+      .write.mode("overwrite").format("xml").option("rowTag", "nation")
+      .save(path)
+    spark.read.format("xml").option("rowTag", "nation")
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .load(path)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_name"),
+        max(col("n_nationkey")).cast(LongType).as("max_key"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  /** P19 — VARIANT semi-structured extraction (Spark 4's VARIANT type):
+    * the props JSON column parsed ONCE into the binary variant encoding
+    * (`parse_json`), then field access via `variant_get` — unlike
+    * re-parsing strings per extraction (P11's `get_json_object`), variant
+    * decodes the document once and its typed accessors are codegen'd; the
+    * open-schema landing pattern (reference `SUPER` columns,
+    * `sql_utils.py:26`) with a modern engine twin. Narrow map + one
+    * dimension-bounded agg shuffle. */
+  def scanVariant(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        try_variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** A11 — Shannon entropy of the daily event-type mix (the
+    * traffic-composition stability signal; a day whose entropy collapses
+    * is a day one event type flooded the pipeline). Counts are exact
+    * BIGINTs from ONE partial-agg shuffle (days × types cells); entropy
+    * is then a closed-form double over exact integers per day — grouped
+    * as an `aggregate` over the day's collected (tiny, type-bounded) cell
+    * list, deterministic on any engine ([[aggCorr]] contract). Output in
+    * nats, with the normalized ratio to ln(k) (k = that day's distinct
+    * types), round 6. */
+  def aggEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("c"))
+    // H = ln(n) − (Σ c·ln c)/n — the Σ-free-of-p form keeps every input to
+    // the float expression an exact integer; the Σ itself has ≤ |types|
+    // terms per day, so summation-order noise sits ~1e-15 relative, far
+    // inside the round-6 guard on both engines
+    val day = cells.groupBy(col("day"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+        sum(col("c").cast(DoubleType) * log(col("c").cast(DoubleType))).as("s"))
+    val sumClnC = col("s")
+    day.select(col("day"), col("n"), col("k"),
+        round(log(col("n").cast(DoubleType)) - sumClnC / col("n").cast(DoubleType), 6)
+          .as("entropy_nats"),
+        round((log(col("n").cast(DoubleType)) - sumClnC / col("n").cast(DoubleType)) /
+          log(col("k").cast(DoubleType)), 6).as("entropy_ratio"))
+      .filter(col("k") > 1)
+      .orderBy(col("day"))
+  }
+
+  /** W12 — ML lag-feature matrix (leakage-free backward-looking features,
+    * the feature-engineering step before every churn/LTV model): per user
+    * per active day, the day's spend plus lag-1-day spend, trailing-7-day
+    * spend and active-day count — all EXACT integer cents. Daily rollup is
+    * one keyed shuffle; both the lag and the trailing window ride ONE
+    * per-user window (bounded by the user's day count, never corpus-wide)
+    * over an integer day index, so the 7-day frame is a RANGE frame on
+    * exact integers — no calendar-join fanout, deterministic on any
+    * engine. */
+  def windowLagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType))
+          .cast(LongType).as("day_idx"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy(col("user_id"), col("day_idx"))
+      .agg(sum(col("cents")).as("spend_cents"))
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+    val trail7 = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+      .rangeBetween(-6, 0)
+    daily
+      .select(col("user_id"), col("day_idx"), col("spend_cents"),
+        coalesce(when(lag(col("day_idx"), 1).over(byDay) === col("day_idx") - 1,
+          lag(col("spend_cents"), 1).over(byDay)), lit(0L)).as("lag1_cents"),
+        sum(col("spend_cents")).over(trail7).as("trail7_cents"),
+        count(lit(1)).over(trail7).as("trail7_days"))
+      .orderBy(col("user_id"), col("day_idx"))
+  }
+
   // ── Wave J: fuzzy matching / exact set-similarity / regression ──────
 
   /** X33 — edit-distance-≤1 fuzzy self-join via DELETION NEIGHBORHOODS
@@ -3390,53 +3495,57 @@ object Queries {
   }
 
   /** N28 — EXACT set-similarity self-join via PREFIX FILTERING (the
-    * AllPairs/PPJoin blocking): token-set Jaccard ≥ 0.8 over documents,
-    * with NO approximation (MinHash is the probabilistic tier — this is
-    * the exact one) and NO cross join. Order each doc's tokens by global
-    * document frequency ascending (rarest first); two sets with J ≥ t
-    * MUST share a token inside their first |d| − ⌈t·|d|⌉ + 1 tokens, so
-    * the candidate join keys only on PREFIX tokens — the frequent-token
-    * buckets that make a naive token join quadratic never enter the pair
-    * generation. Size filter 4·max ≤ 5·min (J ≤ min/max) prunes further
-    * in the join condition. Exact intersections are then computed for
-    * candidates only (two keyed shuffles bounded by candidates × doc
-    * size); the prefix length and the 0.8 threshold use pure integer
-    * arithmetic (⌈4s/5⌉ = (4s+4) div 5) so the cut is bit-exact on any
-    * engine. Shuffles: tokenize+df (1), per-doc rank (doc-bounded
-    * window), prefix self-join (1), pair distinct (1), verify joins (2) —
-    * all keyed, all skew-bounded by the rarest-first prefix. */
+    * AllPairs/PPJoin blocking): shingle-set Jaccard ≥ 0.8 over documents
+    * with NO approximation and NO cross join — the EXACT ground-truth twin
+    * of the probabilistic `dedup_minhash_lsh` tier, over the SAME trigram
+    * shingle space and the SAME oracle (the two algorithms must agree
+    * pair-for-pair; the spec asserts it). Order each doc's shingles by
+    * global document frequency ascending (rarest first); two sets with
+    * J ≥ t MUST share a shingle inside their first s − ⌈t·s⌉ + 1 prefix
+    * (else the remaining suffixes are too short to reach the required
+    * overlap), so candidate generation keys ONLY on prefix shingles.
+    * Two more lossless prunes ride the join: the size filter
+    * 4·max ≤ 5·min (J ≤ min/max), and PPJoin's POSITIONAL filter —
+    * overlap ≤ 1 + min(sa − pa, sb − pb) at the pair's first shared
+    * prefix shingle, and that first-shared row always survives the
+    * per-row form of the cut, so dropping the rest loses no pair.
+    * Survivors verify with the shared exact-Jaccard kernel over the
+    * cached shingle arrays. Prefix length and threshold use pure integer
+    * arithmetic (⌈4s/5⌉ = (4s+4) div 5) — bit-exact on any engine.
+    * Shingles (not unigram tokens) are load-bearing at scale: the
+    * trigram space is sparse enough for rarest-first prefixes to be
+    * selective, where a bounded-vocabulary token space would degenerate
+    * every blocking scheme to O(n²). */
   def dedupPrefixFilter(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = t(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(filter(split(col("text"), " "),
-          x => length(x) > 0))).as("token"))
+    val sh = text.NearDup.shingleTableCached(
+      t(spark, dir, "documents"), "doc_id", "text", dir)
+    val tok = sh.select(col("id").as("doc_id"), explode(col("sh")).as("token"))
     val docFreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val sized = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sized = sh.select(col("id").as("doc_id"), size(col("sh")).as("sz"))
     val ranked = tok.join(docFreq, "token").join(sized, "doc_id")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))))
     val prefix = ranked
       .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
-      .select(col("token"), col("doc_id"), col("sz"))
-    val cand = prefix.select(col("token"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
-      .join(prefix.select(col("token"), col("doc_id").as("b_id"), col("sz").as("b_sz")),
-        Seq("token"))
+      .select(col("token"), col("doc_id"), col("sz"), col("rn"))
+    val cand = prefix.select(col("token"), col("doc_id").as("a_id"),
+        col("sz").as("a_sz"), col("rn").as("a_rn"))
+      .join(prefix.select(col("token"), col("doc_id").as("b_id"),
+        col("sz").as("b_sz"), col("rn").as("b_rn")), Seq("token"))
       .filter(col("a_id") < col("b_id") &&
         lit(4) * greatest(col("a_sz"), col("b_sz")) <=
-          lit(5) * least(col("a_sz"), col("b_sz")))
-      .select(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+          lit(5) * least(col("a_sz"), col("b_sz")) &&
+        lit(9) * (lit(1) + least(col("a_sz") - col("a_rn"),
+          col("b_sz") - col("b_rn"))) >= lit(4) * (col("a_sz") + col("b_sz")))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
-    val inter = cand
-      .join(tok.select(col("doc_id").as("a_id"), col("token")), Seq("a_id"))
-      .join(tok.select(col("doc_id").as("b_id"), col("token")), Seq("b_id", "token"))
-      .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .filter(lit(1000000L) * col("inter") >=
-        lit(800000L) * (col("a_sz") + col("b_sz") - col("inter")))
+    cand
+      .join(sh.toDF("a_id", "a_sh"), "a_id")
+      .join(sh.toDF("b_id", "b_sh"), "b_id")
       .select(col("a_id"), col("b_id"),
-        expr("(1000000 * inter) div (a_sz + b_sz - inter)").as("j_ppm"))
+        round(text.NearDup.jaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
       .orderBy(col("a_id"), col("b_id"))
   }
 
