@@ -2397,6 +2397,70 @@ object OracleSql {
                AS trail7_days
          FROM daily
          WINDOW w AS (PARTITION BY user_id ORDER BY day_idx)
-         ORDER BY user_id, day_idx"""
+         ORDER BY user_id, day_idx""",
+
+    "dq_outlier_iqr" ->
+      """WITH c AS (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         q AS (SELECT event_type,
+             quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.75) AS q3
+           FROM c GROUP BY 1),
+         f AS (SELECT event_type, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+           FROM q)
+         SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+             round(f.q1, 4) AS q1, round(f.q3, 4) AS q3,
+             round(f.lo, 4) AS lo_fence, round(f.hi, 4) AS hi_fence,
+             CAST(count(*) FILTER (WHERE cents < lo) AS BIGINT) AS n_below,
+             CAST(count(*) FILTER (WHERE cents > hi) AS BIGINT) AS n_above
+         FROM c JOIN f USING (event_type)
+         GROUP BY c.event_type, f.q1, f.q3, f.lo, f.hi
+         ORDER BY c.event_type""",
+
+    "agg_gini_spend" ->
+      """WITH s AS (SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+               AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         j AS (SELECT s.o_custkey, s.cents, c.c_mktsegment
+           FROM s JOIN customer c ON c.c_custkey = s.o_custkey),
+         r AS (SELECT c_mktsegment, cents,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY cents, o_custkey) AS BIGINT) AS rk
+           FROM j)
+         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             round(2.0 * CAST(sum(rk * cents) AS DOUBLE) /
+                   (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)) -
+                   CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS gini
+         FROM r GROUP BY 1 ORDER BY c_mktsegment""",
+
+    // mergeable sufficient statistics: any batching folds to the same
+    // exact sums — the streaming MV shares the batch OLS oracle verbatim
+    "stream_ols" ->
+      """WITH d AS (SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+           FROM lineitem),
+         m AS (SELECT l_returnflag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM d GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                   CAST(n * sxx - sx * sx AS DOUBLE), 6)
+               AS slope_cents_per_unit,
+             round((CAST(sy AS DOUBLE) -
+                    CAST(n * sxy - sx * sy AS DOUBLE) /
+                    CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                   CAST(n AS DOUBLE), 6) AS intercept_cents,
+             round(CAST(n * sxy - sx * sy AS DOUBLE) *
+                   CAST(n * sxy - sx * sy AS DOUBLE) /
+                   (CAST(n * sxx - sx * sx AS DOUBLE) *
+                    CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+         FROM m ORDER BY l_returnflag"""
   )
 }

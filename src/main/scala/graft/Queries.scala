@@ -3353,6 +3353,71 @@ object Queries {
       .orderBy(col("digit"))
   }
 
+  // ── Wave L: robust stats / inequality / streaming regression ────────
+
+  /** X36 — Tukey-fence (IQR) outlier gate per event type: the
+    * third robust-outlier screen beside the 3σ gate (`dq_anomaly`,
+    * mean-based) and the MAD gate (`dq_mad`, median-based) — IQR fences
+    * are the boxplot's rule and the one most warehouses ship. Values as
+    * exact cents; Q1/Q3 via the interpolated exact `percentile` (matches
+    * DuckDB `quantile_cont` — the `agg_percentiles` parity result), the
+    * fences Q1 − 1.5·IQR / Q3 + 1.5·IQR as single double expressions over
+    * those two values, outlier counts per side. Two passes over the keyed
+    * cents (group percentiles, then a broadcast-join count) — same shape
+    * as the MAD gate. */
+  def dqOutlierIqr(spark: SparkSession, dir: String): DataFrame = {
+    val cents = t(spark, dir, "events")
+      .select(col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+    val quart = cents.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.25)").as("q1"),
+        expr("percentile(cents, 0.75)").as("q3"))
+      .select(col("event_type"), col("q1"), col("q3"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+    cents.join(broadcast(quart), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("q1")), 4).as("q1"),
+        round(first(col("q3")), 4).as("q3"),
+        round(first(col("lo")), 4).as("lo_fence"),
+        round(first(col("hi")), 4).as("hi_fence"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_above"))
+      .orderBy(col("event_type"))
+  }
+
+  /** X37 — spend-concentration Gini per market segment (the Lorenz-curve
+    * inequality audit: "do 20% of customers carry 80% of revenue, and is
+    * segment B more concentrated than A?"). Per-customer order totals in
+    * exact cents; each segment's customers ranked ascending by
+    * (spend, custkey) through the two-pass distributed scan
+    * ([[ops.PrefixSum.cumSum]] with a group key — per-segment rank with NO
+    * per-segment single-task window, the group-keyed analog of the ECDF);
+    * then G = (2·Σ rank·x)/(n·Σx) − (n+1)/n where every Σ is an exact
+    * integer aggregate — the entire statistic is integer until ONE final
+    * double expression, deterministic on any engine. */
+  def aggGiniSpend(spark: SparkSession, dir: String): DataFrame = {
+    val spend = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((Cleanse.dec2(col("o_totalprice")) * 100).cast(LongType)).as("cents"))
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), "o_custkey")
+    val ranked = PrefixSum.cumSum(spend, Seq("c_mktsegment"),
+      Seq("cents", "o_custkey"), lit(1L), "rk")
+    ranked.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum((col("rk") * col("cents")).cast(DecimalType(38, 0))).as("srx"))
+      .select(col("c_mktsegment"), col("n_customers"), col("total_cents"),
+        round(lit(2.0) * col("srx").cast(DoubleType) /
+          (col("n_customers").cast(DecimalType(38, 0)) *
+            col("total_cents").cast(DecimalType(38, 0))).cast(DoubleType) -
+          (col("n_customers") + 1).cast(DoubleType) /
+            col("n_customers").cast(DoubleType), 6).as("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   // ── Wave K: modern formats / information theory / ML features ───────
 
   /** S14 — XML scan (Spark 4's BUILT-IN xml source, the spark-xml

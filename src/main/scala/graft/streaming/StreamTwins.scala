@@ -820,6 +820,106 @@ object StreamTwins {
       .orderBy(col("event_type"), col("wk"))
   }
 
+  /** STREAMING maintained regression MV: the streaming twin of
+    * [[graft.Queries.aggOls]] — the OLS sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy² per group, DECIMAL(38,0)) are EXACT
+    * mergeable partials: sums are associative, commutative and
+    * integer-exact, so per-batch partials fold into a batchId-versioned
+    * (groups-sized, never rows-sized) state table and ANY batching
+    * produces bit-identical statistics — which is why this query shares
+    * `agg_ols`'s oracle verbatim. The regression closed forms
+    * (slope/intercept/R²) are computed ON READ from the folded
+    * statistics; the model updates per batch with no raw rescan — the
+    * incremental-training-metric pattern (a 100 TB feed keeps a live
+    * regression without ever re-reading history). The feed is the
+    * lineitem table landed as 3 orderkey-hash slices (the date-sliced
+    * helper targets the events time range; lineitem ships dates span
+    * years). */
+  def streamOls(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_ols_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_ols_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_ols_ck_$tag")
+    val dec380 = DecimalType(38, 0)
+
+    val hasFiles = {
+      val s = java.nio.file.Files.list(landing)
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (!hasFiles) {
+      val feed = graft.ops.Tables.table(ss, sfDir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast(LongType).as("x"),
+          (graft.ops.Cleanse.dec2(col("l_extendedprice")) * 100)
+            .cast(LongType).as("y"),
+          pmod(col("l_orderkey"), lit(3)).as("slice"))
+      (0 to 2).foreach { i =>
+        val part = java.nio.file.Paths.get(
+          graft.ops.TempFiles.dir(s"stream_ols_feed_build_$tag/b$i"))
+        feed.filter(col("slice") === i).drop("slice")
+          .repartition(1).write.mode("overwrite").parquet(part.toString)
+        val src = java.nio.file.Files.list(part)
+        val f = try src.filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get() finally src.close()
+        java.nio.file.Files.move(f, landing.resolve(s"b$i.parquet"))
+      }
+    }
+
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast(dec380).as("n"),
+        sum(col("x")).cast(dec380).as("sx"),
+        sum(col("y")).cast(dec380).as("sy"),
+        sum((col("x") * col("y")).cast(dec380)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec380)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec380)).as("syy"))
+
+    val feedSchema = StructType(Seq(
+      StructField("l_returnflag", StringType),
+      StructField("x", LongType), StructField("y", LongType)))
+    val stateSchema = StructType(
+      StructField("l_returnflag", StringType) +:
+        Seq("n", "sx", "sy", "sxy", "sxx", "syy")
+          .map(StructField(_, dec380)))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(partials(batch.toDF()))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("n")).cast(dec380).as("n"),
+            sum(col("sx")).cast(dec380).as("sx"),
+            sum(col("sy")).cast(dec380).as("sy"),
+            sum(col("sxy")).cast(dec380).as("sxy"),
+            sum(col("sxx")).cast(dec380).as("sxx"),
+            sum(col("syy")).cast(dec380).as("syy"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val m = ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
+    val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+    val slope = cov / varx
+    m.select(col("l_returnflag"), col("n").cast(LongType).as("n"),
+        round(slope, 6).as("slope_cents_per_unit"),
+        round((col("sy").cast(DoubleType) - slope * col("sx").cast(DoubleType)) /
+          col("n").cast(DoubleType), 6).as("intercept_cents"),
+        round(cov * cov / (varx * vary), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** STREAMING exact-size reservoir: the streaming twin of
     * [[graft.Queries.sampleReservoir]] — "keep exactly the 100
     * hash-smallest events seen so far". Top-k by a deterministic total

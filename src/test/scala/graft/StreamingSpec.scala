@@ -362,4 +362,20 @@ class StreamingSpec extends AnyFunSuite {
       s"stream_hll_state_${ops.TempFiles.tag(sf)}")
     assert(StreamTwins.listStateVersions(stateRoot).size == 3)
   }
+
+  test("streaming OLS equals the batch regression exactly through 3 " +
+    "mergeable-sufficient-statistic state versions") {
+    val got = StreamTwins.streamOls(spark, sf).collect().map(_.toSeq).toSeq
+    val batch = Queries.aggOls(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == batch,
+      "folded sufficient statistics must reproduce the batch closed forms bit-for-bit")
+    val stateRoot = ops.TempFiles.dir(
+      s"stream_ols_state_${ops.TempFiles.tag(sf)}")
+    assert(StreamTwins.listStateVersions(stateRoot).size == 3)
+    // the state table is groups-sized (one row per return flag), never
+    // rows-sized — the MV's whole point
+    val last = StreamTwins.listStateVersions(stateRoot).max
+    assert(spark.read.parquet(s"$stateRoot/v$last").count() == batch.size.toLong)
+  }
 }
