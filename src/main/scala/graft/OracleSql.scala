@@ -2461,6 +2461,50 @@ object OracleSql {
                    CAST(n * sxy - sx * sy AS DOUBLE) /
                    (CAST(n * sxx - sx * sx AS DOUBLE) *
                     CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
-         FROM m ORDER BY l_returnflag"""
+         FROM m ORDER BY l_returnflag""",
+
+    "dq_ab_welch" ->
+      """WITH d AS (SELECT event_type,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+                  THEN 1 ELSE 0 END AS cohort,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+           FROM events),
+         m AS (SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1, sum(x * x) AS s2
+           FROM d GROUP BY 1, 2),
+         a AS (SELECT event_type, n AS na, s1 AS s1a, s2 AS s2a
+               FROM m WHERE cohort = 1),
+         b AS (SELECT event_type, n AS nb, s1 AS s1b, s2 AS s2b
+               FROM m WHERE cohort = 0),
+         j AS (SELECT a.event_type, na, nb,
+             CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+             CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+             (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)
+                / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1)
+                / CAST(na AS DOUBLE) AS sa,
+             (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)
+                / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1)
+                / CAST(nb AS DOUBLE) AS sb
+           FROM a JOIN b USING (event_type))
+         SELECT event_type, na, nb,
+             round(ma - mb, 4) AS mean_diff_cents,
+             round((ma - mb) / sqrt(sa + sb), 6) AS t_stat,
+             round((sa + sb) * (sa + sb) /
+                   (sa * sa / (CAST(na AS DOUBLE) - 1) +
+                    sb * sb / (CAST(nb AS DOUBLE) - 1)), 4) AS welch_df
+         FROM j ORDER BY event_type""",
+
+    "window_bucketed" ->
+      """SELECT user_id, event_id,
+             CAST(row_number() OVER w AS BIGINT) AS seq,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS run_cents
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         ORDER BY user_id, seq"""
   )
 }

@@ -3353,6 +3353,83 @@ object Queries {
       .orderBy(col("digit"))
   }
 
+  // ── Wave M: A/B inference / bucketed-window pattern ─────────────────
+
+  /** X38 — Welch two-sample t-test between hash-split cohorts (the A/B
+    * readout): users split 50/50 by the deterministic content-hash coin
+    * (`sample_hash`'s family — assignment reproducible on any engine),
+    * per-cohort mean event value compared with UNEQUAL-variance Welch
+    * statistics. Sufficient statistics (n, Σx, Σx²) per (type, cohort)
+    * are exact integers from ONE partial-agg shuffle; t and the
+    * Welch–Satterthwaite df are then single closed-form double
+    * expressions over exact inputs ([[aggCorr]] contract). The per-type
+    * rows give the per-metric readout a real experiment ships. */
+  def dqAbWelch(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "events")
+      .select(col("event_type"),
+        (substring(md5(col("user_id").cast(StringType)), 1, 1) <= "7")
+          .cast("int").as("cohort"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("x"))
+    val m = d.groupBy(col("event_type"), col("cohort"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("s2"))
+    val a = m.filter(col("cohort") === 1)
+      .select(col("event_type"), col("n").as("na"), col("s1").as("s1a"),
+        col("s2").as("s2a"))
+    val b = m.filter(col("cohort") === 0)
+      .select(col("event_type"), col("n").as("nb"), col("s1").as("s1b"),
+        col("s2").as("s2b"))
+    def meanOf(s1: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) = s1.cast(DoubleType) / n.cast(DoubleType)
+    def varOf(s2: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      (s2.cast(DoubleType) - s1.cast(DoubleType) * s1.cast(DoubleType) /
+        n.cast(DoubleType)) / (n.cast(DoubleType) - 1)
+    val (ma, mb) = (meanOf(col("s1a"), col("na")), meanOf(col("s1b"), col("nb")))
+    val va = varOf(col("s2a"), col("s1a"), col("na"))
+    val vb = varOf(col("s2b"), col("s1b"), col("nb"))
+    val sa = va / col("na").cast(DoubleType)
+    val sb = vb / col("nb").cast(DoubleType)
+    val tStat = (ma - mb) / sqrt(sa + sb)
+    val dfW = (sa + sb) * (sa + sb) /
+      (sa * sa / (col("na").cast(DoubleType) - 1) +
+        sb * sb / (col("nb").cast(DoubleType) - 1))
+    a.join(b, "event_type")
+      .select(col("event_type"), col("na"), col("nb"),
+        round(ma - mb, 4).as("mean_diff_cents"),
+        round(tStat, 6).as("t_stat"),
+        round(dfW, 4).as("welch_df"))
+      .orderBy(col("event_type"))
+  }
+
+  /** X39 — the BUCKETED-WINDOW pattern: per-user analytics windows
+    * (session ranks here) over a table PRE-BUCKETED on the window key.
+    * A per-key window normally costs a hash exchange per query; a table
+    * bucketed by the key at write time satisfies the window's required
+    * distribution from the scan, so EVERY subsequent keyed
+    * window/aggregation/join on that key runs exchange-free — the
+    * amortize-the-shuffle-once recipe that turns a daily 100 TB
+    * user-analytics workload from N shuffles into one bucketed write
+    * (the spec pins the no-Exchange plan; `join_bucketed` is the join
+    * face of the same pattern). Sort within buckets by (user, ts) also
+    * pre-satisfies the window's ordering — only the bucket-local sort
+    * remains. */
+  def windowBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tbl = s"events_by_user_${TempFiles.tag(dir).replace(".", "_")}"
+    if (!spark.catalog.tableExists(tbl))
+      t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+        .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
+        .mode("overwrite").saveAsTable(tbl)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    spark.table(tbl)
+      .select(col("user_id"), col("event_id"),
+        row_number().over(w).as("seq"),
+        sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .as("run_cents"))
+      .orderBy(col("user_id"), col("seq"))
+  }
+
   // ── Wave L: robust stats / inequality / streaming regression ────────
 
   /** X36 — Tukey-fence (IQR) outlier gate per event type: the

@@ -31,6 +31,50 @@ class WaveLSpec extends AnyFunSuite {
     }
   }
 
+  test("dq_ab_welch matches a driver-side Welch recomputation over the " +
+    "deterministic hash-coin cohorts") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val rows = ops.Tables.table(spark, sf, "events")
+      .select(col("event_type"), col("user_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), md5hex(r.getLong(1).toString).head <= '7',
+        r.getLong(2)))
+    val got = Queries.dqAbWelch(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5))).toMap
+    rows.groupBy(_._1).foreach { case (typ, rs) =>
+      val a = rs.filter(_._2).map(_._3.toDouble)
+      val b = rs.filterNot(_._2).map(_._3.toDouble)
+      def meanVar(xs: Array[Double]) = {
+        val m = xs.sum / xs.length
+        (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+      }
+      val ((ma, va), (mb, vb)) = (meanVar(a), meanVar(b))
+      val (sa, sb) = (va / a.length, vb / b.length)
+      val t = (ma - mb) / math.sqrt(sa + sb)
+      val df = (sa + sb) * (sa + sb) /
+        (sa * sa / (a.length - 1) + sb * sb / (b.length - 1))
+      val (gna, gnb, gt, gdf) = got(typ)
+      assert(gna == a.length.toLong && gnb == b.length.toLong)
+      assert(math.abs(gt - t) < 1e-4, s"$typ t")
+      assert(math.abs(gdf - df) < 0.05, s"$typ df")
+    }
+  }
+
+  test("window_bucketed plans its per-user window with NO hash exchange " +
+    "(the bucketed table satisfies the window's distribution)") {
+    val dir = sf
+    Queries.windowBucketed(spark, dir).count() // first call writes the table
+    val plan = Queries.windowBucketed(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a window:\n$plan")
+    assert(!plan.contains("hashpartitioning(user_id"),
+      s"per-user window must inherit the bucket distribution:\n$plan")
+  }
+
   test("agg_gini_spend matches a driver-side Gini recomputation and " +
     "respects the [0, 1) inequality bounds") {
     val spend = ops.Tables.table(spark, sf, "orders")
