@@ -230,7 +230,11 @@ object Queries {
       .select(concat(lit("\""),
         regexp_replace(col("value"), "\"", "\\\\\""), lit("\"")).as("value"))
       .as[String]
-    Sources.readDoubleEncodedJson(lines)
+    Sources.readDoubleEncodedJson(lines, Some(StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_nationkey", LongType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))))
       .select(col("c_custkey").cast(LongType).as("c_custkey"), col("c_name"),
         col("c_nationkey").cast(IntegerType).as("c_nationkey"),
         col("c_acctbal").cast(DoubleType).as("c_acctbal"), col("c_mktsegment"))

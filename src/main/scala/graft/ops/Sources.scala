@@ -54,14 +54,22 @@ object Sources {
     * (wrapping it into `{"v": <line>}` so the string type is reachable),
     * then parse the inner document. Both passes are Spark-native; no UDF.
     */
-  def readDoubleEncodedJson(lines: Dataset[String]): DataFrame = {
+  def readDoubleEncodedJson(lines: Dataset[String],
+                            schema: Option[StructType] = None): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
     val inner: Dataset[String] = lines
       .select(from_json(concat(lit("{\"v\":"), col("value"), lit("}")),
         StructType(Seq(StructField("v", StringType)))).getField("v").as("v"))
       .as[String]
-    spark.read.json(inner)
+    // with no declared schema, read.json adds a full INFERENCE pass that
+    // re-executes the whole upstream decode chain — fine for exploration,
+    // wrong as a recurring 100 TB ingestion plan; production callers pass
+    // the landing contract's schema and the decode is one pass
+    schema match {
+      case Some(s) => spark.read.schema(s).json(inner)
+      case None => spark.read.json(inner)
+    }
   }
 
   /** S5 — Kafka-envelope NDJSON (`topic,partition,offset,key,value`):
