@@ -2505,6 +2505,56 @@ object OracleSql {
          FROM events
          WINDOW w AS (PARTITION BY user_id
                       ORDER BY CAST(ts AS TIMESTAMP), event_id)
-         ORDER BY user_id, seq"""
+         ORDER BY user_id, seq""",
+
+    "pii_pseudonymize" ->
+      """WITH ev AS (SELECT
+             md5('graft-vault-v1:' || CAST(user_id AS VARCHAR)) AS p,
+             event_type FROM events),
+         u AS (SELECT DISTINCT
+             md5('graft-vault-v1:' || CAST(user_id AS VARCHAR)) AS p
+           FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT ev.p) AS BIGINT) AS n_users_pseudo
+         FROM ev JOIN u ON ev.p = u.p
+         GROUP BY 1 ORDER BY event_type""",
+
+    "text_lm_bigram" ->
+      """WITH bg AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(string_split(text,' '))-1, 0)+1),
+               i -> {a: string_split(text,' ')[i], b: string_split(text,' ')[i+1]})) AS p
+           FROM documents),
+         d AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg
+               WHERE p.b IS NOT NULL),
+         cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+                 FROM d GROUP BY 1, 2),
+         ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM d GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(c_ab) AS DOUBLE) / CAST(sum(c_a) AS DOUBLE), 9)
+               AS coherence
+         FROM d JOIN cab USING (a, b) JOIN ca USING (a)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "vocab_zipf_fit" ->
+      """WITH v AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           WHERE len(token) > 0 GROUP BY token),
+         r AS (SELECT freq, CAST(row_number() OVER (
+               ORDER BY freq DESC, token) AS BIGINT) AS rk FROM v),
+         d AS (SELECT ln(CAST(rk AS DOUBLE)) AS x,
+               ln(CAST(freq AS DOUBLE)) AS y, freq FROM r),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(freq) AS BIGINT) AS n_tokens,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM d)
+         SELECT n AS vocab_size, n_tokens,
+             round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+                   (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_exponent,
+             round((CAST(n AS DOUBLE) * sxy - sx * sy) *
+                   (CAST(n AS DOUBLE) * sxy - sx * sy) /
+                   ((CAST(n AS DOUBLE) * sxx - sx * sx) *
+                    (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+         FROM m"""
   )
 }

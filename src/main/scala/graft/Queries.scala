@@ -3357,6 +3357,101 @@ object Queries {
       .orderBy(col("digit"))
   }
 
+  // ── Wave N: governance / language modeling / power laws ─────────────
+
+  /** X40 — deterministic keyed PSEUDONYMIZATION that preserves joins (the
+    * GDPR/analytics split: analysts need to correlate a user's events and
+    * orders without seeing the raw key). Every key column maps through
+    * the same keyed hash (md5 of salt‖id — deterministic, engine-portable
+    * like the sampler family), so referential structure survives:
+    * events⋈users on the pseudonym equals the raw-key join exactly. The
+    * query emits the per-type audit a tokenization rollout ships: event
+    * counts under pseudonymized joins plus the distinct-pseudonym vs
+    * distinct-user comparison (any collision would show as a deficit).
+    * Narrow maps + the same keyed join the raw pipeline runs — the
+    * pseudonymization itself adds ZERO shuffles. */
+  def piiPseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    def pseudo(c: org.apache.spark.sql.Column) =
+      md5(concat(lit("graft-vault-v1:"), c.cast(StringType)))
+    val ev = t(spark, dir, "events")
+      .select(pseudo(col("user_id")).as("user_pseudo"), col("event_type"))
+    val users = t(spark, dir, "events").select(col("user_id")).distinct()
+      .select(pseudo(col("user_id")).as("user_pseudo"))
+    ev.join(users, "user_pseudo")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_pseudo")).as("n_users_pseudo"))
+      .orderBy(col("event_type"))
+  }
+
+  /** N10b — bigram coherence score (the order-sensitive complement to the
+    * unigram LM screen `text_lm_score`): per document, the ratio of
+    * corpus-level bigram mass to left-unigram mass over the doc's
+    * adjacent token pairs — text whose word ORDER follows the corpus
+    * (prose) scores high, shuffled/templated word salad scores low even
+    * when its unigrams are common. Ratio-of-sums (Σc(ab) / Σc(a·)) keeps
+    * every aggregate an exact integer — no per-term division, no float
+    * sums — with ONE final double ([[aggCorr]] contract). Corpus tables
+    * are two partial-agg shuffles; scoring is one join on the bigram key
+    * (vocab²-bounded) + a doc-keyed agg. */
+  def textLmBigram(spark: SparkSession, dir: String): DataFrame = {
+    val docBigrams = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        // greatest(..., 1) because sequence(1, 0) would run DESCENDING;
+        // the b-null filter then drops the single bogus pair of a
+        // one-token doc (the oracle's range(1,1) is empty — same result)
+        "transform(sequence(1, greatest(size(w) - 1, 1)), i -> struct(w[i-1] as a, w[i] as b))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .filter(col("b").isNotNull)
+    val bigramC = docBigrams.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val leftC = docBigrams.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    docBigrams
+      .join(bigramC, Seq("a", "b")).join(leftC, Seq("a"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c_ab")).as("sum_ab"), sum(col("c_a")).as("sum_a"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_ab").cast(DoubleType) / col("sum_a").cast(DoubleType), 9)
+          .as("coherence"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** N16e — Zipf-law fit of the corpus vocabulary: the OLS slope of
+    * ln(freq) on ln(rank) over the frequency-ranked vocab — natural text
+    * sits near −1; templated/synthetic corpora drift (this one measures
+    * shallow — the 31-term vocabulary is the fingerprint). The vocab is
+    * already dimension-sized after ONE partial-agg shuffle, so the rank
+    * window and the fit's Σ-terms are vocab-bounded; the fit reuses the
+    * [[aggOls]] closed forms over ln-transformed exact counts. One row:
+    * vocab size, total tokens, exponent, R². */
+  def vocabZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val vocab0 = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .withColumn("negfreq", -col("freq"))
+    // frequency-descending rank through the two-pass scan — the vocab is
+    // dimension-sized so even a global window would survive, but the gate
+    // keeps the no-global-window invariant absolute
+    val vocab = PrefixSum.globalRank(vocab0, Seq("negfreq", "tok"), "rk", "nv")
+    val d = vocab.select(log(col("rk").cast(DoubleType)).as("x"),
+      log(col("freq").cast(DoubleType)).as("y"), col("freq"))
+    val m = d.agg(count(lit(1)).as("n"), sum(col("freq")).as("n_tokens"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast(DoubleType)
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    val varx = nD * col("sxx") - col("sx") * col("sx")
+    val vary = nD * col("syy") - col("sy") * col("sy")
+    m.select(col("n").as("vocab_size"), col("n_tokens"),
+        round(cov / varx, 6).as("zipf_exponent"),
+        round(cov * cov / (varx * vary), 6).as("r2"))
+  }
+
   // ── Wave M: A/B inference / bucketed-window pattern ─────────────────
 
   /** X38 — Welch two-sample t-test between hash-split cohorts (the A/B
@@ -3419,12 +3514,26 @@ object Queries {
   def windowBucketed(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tbl = s"events_by_user_${TempFiles.tag(dir).replace(".", "_")}"
-    if (!spark.catalog.tableExists(tbl))
+    if (!spark.catalog.tableExists(tbl)) {
+      // a fresh session's catalog doesn't know tables a previous session
+      // left in the shared warehouse dir — clear the stale location (it
+      // is derived scratch) so the bucketed build is re-runnable
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").replaceFirst("^file:", ""),
+        tbl)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
       t(spark, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"),
           (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
         .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
         .mode("overwrite").saveAsTable(tbl)
+    }
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     spark.table(tbl)
       .select(col("user_id"), col("event_id"),

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side recomputation specs for the wave-N operators
+  * (pseudonymization, bigram LM, Zipf fit). */
+class WaveNSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pii_pseudonymize preserves the join structure exactly: " +
+    "pseudonym-key aggregates equal raw-key aggregates, no collisions") {
+    val out = Queries.piiPseudonymize(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val raw = ops.Tables.table(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == raw,
+      "per-type counts under pseudonymized keys must equal raw-key counts")
+    // the pseudonym is deterministic: same id → same token across frames
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(("graft-vault-v1:" + s).getBytes).map("%02x".format(_)).mkString
+    val ids = ops.Tables.table(spark, sf, "events")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+    assert(ids.map(i => md5hex(i.toString)).distinct.length == ids.length,
+      "keyed md5 must not collide on the id universe")
+  }
+
+  test("text_lm_bigram equals a driver-side bigram recomputation " +
+    "(ratio of corpus bigram mass to left-unigram mass)") {
+    val texts = ops.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val all = texts.flatMap { case (_, w) => w.sliding(2).filter(_.size == 2) }
+      .map(p => (p(0), p(1))).toSeq
+    val cab = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ca = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = Queries.textLmBigram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = texts.filter(_._2.size >= 2).map { case (id, w) =>
+      val pairs = w.sliding(2).map(p => (p(0), p(1))).toSeq
+      val sAb = pairs.map(cab).sum
+      val sA = pairs.map(p => ca(p._1)).sum
+      (id, pairs.size.toLong,
+        BigDecimal(sAb.toDouble / sA.toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    assert(got.map(g => (g._1, g._2)).toSeq == expected.map(e => (e._1, e._2)).toSeq)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-8, s"doc ${g._1}") }
+  }
+
+  test("vocab_zipf_fit equals the driver-side log-log OLS over the " +
+    "frequency-ranked vocabulary, and the exponent is negative") {
+    val toks = ops.Tables.table(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .collect().map(_.getString(0))
+    val vocab = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }
+    val xy = vocab.zipWithIndex.map { case ((_, f), i) =>
+      (math.log((i + 1).toDouble), math.log(f.toDouble)) }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val row = Queries.vocabZipfFit(spark, sf).collect().head
+    assert(row.getLong(0) == vocab.length.toLong)
+    assert(row.getLong(1) == toks.length.toLong)
+    assert(math.abs(row.getDouble(2) - slope) < 1e-4)
+    assert(row.getDouble(2) < 0.0, "frequency must fall with rank")
+  }
+}
