@@ -2555,6 +2555,29 @@ object OracleSql {
                    (CAST(n AS DOUBLE) * sxy - sx * sy) /
                    ((CAST(n AS DOUBLE) * sxx - sx * sx) *
                     (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
-         FROM m"""
+         FROM m""",
+
+    // the sketch's sample is a pure function of the data (k smallest by
+    // (md5, value)), so the oracle replays the identical sample and the
+    // "approximate" estimates hash-match exactly
+    "agg_quantile_sketch" ->
+      """WITH c AS (SELECT event_type,
+             md5(CAST(event_id AS VARCHAR)) AS h,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         r AS (SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY h, cents) AS rn
+           FROM c),
+         s AS (SELECT event_type,
+             round(quantile_cont(cents, 0.5), 4) AS p50_est,
+             round(quantile_cont(cents, 0.9), 4) AS p90_est
+           FROM r WHERE rn <= 256 GROUP BY 1),
+         e AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             round(quantile_cont(cents, 0.5), 4) AS p50_exact,
+             round(quantile_cont(cents, 0.9), 4) AS p90_exact
+           FROM c GROUP BY 1)
+         SELECT event_type, n, p50_est, p90_est, p50_exact, p90_exact
+         FROM e JOIN s USING (event_type) ORDER BY event_type"""
   )
 }

@@ -3359,6 +3359,32 @@ object Queries {
 
   // ── Wave N: governance / language modeling / power laws ─────────────
 
+  /** A12 — deterministic mergeable quantile SKETCH per group
+    * ([[graft.functions.ReservoirQuantile]] — the custom
+    * TypedImperativeAggregate seam): the k = 256 hash-smallest rows form
+    * a uniform sample that is a pure function of the data (not of
+    * partitioning, batching or retries — top-k by content hash is a
+    * mergeable fold), so the p50/p90 estimates are bit-deterministic and
+    * HASH-CHECKED against DuckDB replaying the same sample — an
+    * approximate operator with an exact oracle. State is k-bounded
+    * (one pass, map-side partials, no per-group sort); the exact
+    * `percentile` columns sit beside the estimates as the error readout
+    * a sketch rollout ships. */
+  def aggQuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        md5(col("event_id").cast(StringType)).as("h"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(call_function("graft_reservoir_quantile",
+          col("h"), col("cents"), lit(256), lit(0.5)), 4).as("p50_est"),
+        round(call_function("graft_reservoir_quantile",
+          col("h"), col("cents"), lit(256), lit(0.9)), 4).as("p90_est"),
+        round(expr("percentile(cents, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(cents, 0.9)"), 4).as("p90_exact"))
+      .orderBy(col("event_type"))
+
   /** X40 — deterministic keyed PSEUDONYMIZATION that preserves joins (the
     * GDPR/analytics split: analysts need to correlate a user's events and
     * orders without seeing the raw key). Every key column maps through

@@ -29,6 +29,12 @@ object GraftFunctions {
     else throw new IllegalArgumentException(
       s"$fn: argument '$name' must be a non-null INT literal, got ${e.sql}")
 
+  private def foldableDouble(fn: String, name: String, e: Expression): Double =
+    if (e.foldable && e.dataType == DoubleType && e.eval() != null)
+      e.eval().asInstanceOf[Double]
+    else throw new IllegalArgumentException(
+      s"$fn: argument '$name' must be a non-null DOUBLE literal, got ${e.sql}")
+
   /** The single source of truth for kernel registration — consumed by both
     * the imperative [[register]] path and the config-driven
     * [[GraftExtensions]] injection, so the two can never drift (a
@@ -70,7 +76,13 @@ object GraftFunctions {
             "graft_cms_estimate: argument 'sketch' must be a BINARY literal " +
               s"(the collected sketch as a plan literal), got ${es(1).sql}")
         CmsEstimate(es.head, es(1))
-      }))
+      }),
+    ("graft_reservoir_quantile",
+      "deterministic mergeable quantile sketch (k hash-smallest sample)",
+      es => ReservoirQuantile(es.head, es(1),
+        foldableInt("graft_reservoir_quantile", "k", es(2)),
+        foldableDouble("graft_reservoir_quantile", "p", es(3)))
+        .toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -53,6 +53,51 @@ class WaveNSpec extends AnyFunSuite {
       assert(math.abs(g._3 - e._3) < 1e-8, s"doc ${g._1}") }
   }
 
+  test("agg_quantile_sketch: the hash-reservoir sample is a pure function " +
+    "of the data — identical estimates under any partitioning, equal to a " +
+    "driver-side replay of the same sample") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val rows = ops.Tables.table(spark, sf, "events")
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def quantile(vs: Array[Long], p: Double): Double = {
+      val s = vs.sorted
+      val pos = p * (s.length - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      s(lo).toDouble + (pos - lo) * (s(hi).toDouble - s(lo).toDouble)
+    }
+    val expected = rows.groupBy(_._1).map { case (typ, rs) =>
+      val sample = rs.map(r => (md5hex(r._2.toString), r._3))
+        .sortBy(identity).take(256).map(_._2).toArray
+      typ -> (BigDecimal(quantile(sample, 0.5)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(quantile(sample, 0.9)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Queries.aggQuantileSketch(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (typ, (p50, p90)) =>
+      assert(math.abs(got(typ)._1 - p50) < 1e-9, s"$typ p50")
+      assert(math.abs(got(typ)._2 - p90) < 1e-9, s"$typ p90")
+    }
+    // mergeability: the fold must be partitioning-invariant — 1-partition
+    // and 13-partition runs produce bit-identical estimates
+    val base = ops.Tables.table(spark, sf, "events")
+      .select(col("event_type"),
+        md5(col("event_id").cast("string")).as("h"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    def est(parts: Int) = base.repartition(parts)
+      .groupBy(col("event_type"))
+      .agg(call_function("graft_reservoir_quantile",
+        col("h"), col("cents"), lit(256), lit(0.9)).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est(1) == est(13))
+  }
+
   test("vocab_zipf_fit equals the driver-side log-log OLS over the " +
     "frequency-ranked vocabulary, and the exponent is negative") {
     val toks = ops.Tables.table(spark, sf, "documents")
