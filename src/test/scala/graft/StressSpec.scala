@@ -106,7 +106,11 @@ class StressSpec extends AnyFunSuite {
       "window_allocation", "stream_cdc_apply",
       // the native as-of plan node: its merge pass must stay linear in
       // the shuffled partitions like the sort-merge join it mirrors
-      "join_asof_native")
+      "join_asof_native",
+      // wave-J blocking joins: deletion-neighborhood fuzzy edit and the
+      // exact prefix-filter Jaccard — both were rewritten for scale this
+      // round, so their slope is the regression canary
+      "join_fuzzy_edit", "dedup_prefix_filter")
     for (n <- names) {
       // min-of-2 per scale point: a single GC/JIT pause on either side of
       // the ratio can push a healthy query past the bound (it flaked once
