@@ -2578,6 +2578,26 @@ object OracleSql {
              round(quantile_cont(cents, 0.9), 4) AS p90_exact
            FROM c GROUP BY 1)
          SELECT event_type, n, p50_est, p90_est, p50_exact, p90_exact
+         FROM e JOIN s USING (event_type) ORDER BY event_type""",
+
+    // the streaming twin folds the same mergeable sample through
+    // versioned state — identical sample, identical estimates
+    "stream_quantile_sketch" ->
+      """WITH c AS (SELECT event_type,
+             md5(CAST(event_id AS VARCHAR)) AS h,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         r AS (SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY h, cents) AS rn
+           FROM c),
+         s AS (SELECT event_type,
+             round(quantile_cont(cents, 0.5), 4) AS p50_est,
+             round(quantile_cont(cents, 0.9), 4) AS p90_est
+           FROM r WHERE rn <= 256 GROUP BY 1),
+         e AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM c GROUP BY 1)
+         SELECT event_type, n, p50_est, p90_est
          FROM e JOIN s USING (event_type) ORDER BY event_type"""
   )
 }

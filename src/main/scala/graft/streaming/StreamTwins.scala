@@ -920,6 +920,81 @@ object StreamTwins {
       .orderBy(col("l_returnflag"))
   }
 
+  /** STREAMING maintained quantile sketch: the streaming twin of
+    * [[graft.Queries.aggQuantileSketch]] — the k-hash-smallest sample is
+    * a MERGEABLE fold (k smallest of a union = k smallest of per-side
+    * k-smallests, the `stream_sample` algebra applied per group), and the
+    * per-type row count is additive, so both fold through
+    * batchId-versioned state that stays (types × k)-sized forever; the
+    * p50/p90 estimates are computed ON READ by running the
+    * [[graft.functions.ReservoirQuantile]] aggregate over the state
+    * sample itself (k smallest of ≤ k rows is the identity — the custom
+    * aggregate doubles as the read-side interpolator). Any batching
+    * produces the identical sample, so the estimates are bit-deterministic
+    * and the oracle replays them exactly. */
+  def streamQuantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_qsk_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_qsk_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_qsk_ck_$tag")
+
+    val feedSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value")),
+      s"stream_qsk_feed_build_$tag")
+
+    val stateSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("h", StringType),
+      StructField("cents", LongType), StructField("n", LongType)))
+    def keyed(df: DataFrame): DataFrame = df
+      .select(col("event_type"),
+        md5(col("event_id").cast(StringType)).as("h"),
+        (graft.ops.Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val sess = batch.sparkSession
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) sess.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else sess.read.parquet(s"$stateRoot/v${prev.max}")
+        val b = keyed(batch.toDF())
+        val counts = state.groupBy(col("event_type")).agg(max(col("n")).as("pn"))
+          .join(b.groupBy(col("event_type")).agg(count(lit(1)).as("bn")),
+            Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            (coalesce(col("pn"), lit(0L)) + coalesce(col("bn"), lit(0L))).as("n"))
+        val rn = row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("h"), col("cents")))
+        state.select(col("event_type"), col("h"), col("cents"))
+          .unionByName(b)
+          .withColumn("rn", rn).filter(col("rn") <= 256).drop("rn")
+          .join(counts, "event_type")
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        round(call_function("graft_reservoir_quantile",
+          col("h"), col("cents"), lit(256), lit(0.5)), 4).as("p50_est"),
+        round(call_function("graft_reservoir_quantile",
+          col("h"), col("cents"), lit(256), lit(0.9)), 4).as("p90_est"))
+      .orderBy(col("event_type"))
+  }
+
   /** STREAMING exact-size reservoir: the streaming twin of
     * [[graft.Queries.sampleReservoir]] — "keep exactly the 100
     * hash-smallest events seen so far". Top-k by a deterministic total

@@ -378,4 +378,24 @@ class StreamingSpec extends AnyFunSuite {
     val last = StreamTwins.listStateVersions(stateRoot).max
     assert(spark.read.parquet(s"$stateRoot/v$last").count() == batch.size.toLong)
   }
+
+  test("streaming quantile sketch equals the batch sketch estimates " +
+    "exactly (the k-hash-smallest sample fold is batching-invariant) and " +
+    "state stays (types x k)-bounded") {
+    val got = StreamTwins.streamQuantileSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    val batch = Queries.aggQuantileSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got.nonEmpty)
+    assert(got == batch,
+      "three micro-batches must fold to the identical sample and estimates")
+    val stateRoot = ops.TempFiles.dir(
+      s"stream_qsk_state_${ops.TempFiles.tag(sf)}")
+    assert(StreamTwins.listStateVersions(stateRoot).size == 3)
+    val last = StreamTwins.listStateVersions(stateRoot).max
+    val stateRows = spark.read.parquet(s"$stateRoot/v$last").count()
+    assert(stateRows <= 5L * 256L, s"state must stay k-bounded, got $stateRows")
+  }
 }
