@@ -2598,6 +2598,24 @@ object OracleSql {
          e AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
            FROM c GROUP BY 1)
          SELECT event_type, n, p50_est, p90_est
-         FROM e JOIN s USING (event_type) ORDER BY event_type"""
+         FROM e JOIN s USING (event_type) ORDER BY event_type""",
+
+    // additive cell counts fold batching-invariantly — the streaming MV
+    // shares the batch entropy oracle verbatim
+    "stream_entropy" ->
+      """WITH cells AS (SELECT
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         d AS (SELECT day, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+           FROM cells GROUP BY 1)
+         SELECT day, n, k,
+             round(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6)
+               AS entropy_nats,
+             round((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) /
+                   ln(CAST(k AS DOUBLE)), 6) AS entropy_ratio
+         FROM d WHERE k > 1 ORDER BY day"""
   )
 }

@@ -920,6 +920,61 @@ object StreamTwins {
       .orderBy(col("l_returnflag"))
   }
 
+  /** STREAMING maintained entropy MV: the streaming twin of
+    * [[graft.Queries.aggEntropy]] — the (day, type) cell counts are
+    * ADDITIVE (the simplest mergeable partial of all), so they fold
+    * through batchId-versioned (days × types)-sized state and the
+    * entropy closed forms are computed ON READ over exact folded
+    * integers; any batching produces identical counts, so the query
+    * shares `agg_entropy`'s oracle verbatim. */
+  def streamEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_ent_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_ent_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_ent_ck_$tag")
+    val feedSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .select(col("ts"), col("event_type")), s"stream_ent_feed_build_$tag")
+    val stateSchema = StructType(Seq(
+      StructField("day", StringType), StructField("event_type", StringType),
+      StructField("c", LongType)))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(partials(batch.toDF()))
+          .groupBy(col("day"), col("event_type"))
+          .agg(sum(col("c")).as("c"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val day = ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
+      .groupBy(col("day"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+        sum(col("c").cast(DoubleType) *
+          log(col("c").cast(DoubleType))).as("s"))
+    val h = log(col("n").cast(DoubleType)) - col("s") / col("n").cast(DoubleType)
+    day.select(col("day"), col("n"), col("k"),
+        round(h, 6).as("entropy_nats"),
+        round(h / log(col("k").cast(DoubleType)), 6).as("entropy_ratio"))
+      .filter(col("k") > 1)
+      .orderBy(col("day"))
+  }
+
   /** STREAMING maintained quantile sketch: the streaming twin of
     * [[graft.Queries.aggQuantileSketch]] — the k-hash-smallest sample is
     * a MERGEABLE fold (k smallest of a union = k smallest of per-side

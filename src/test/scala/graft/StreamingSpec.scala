@@ -398,4 +398,15 @@ class StreamingSpec extends AnyFunSuite {
     val stateRows = spark.read.parquet(s"$stateRoot/v$last").count()
     assert(stateRows <= 5L * 256L, s"state must stay k-bounded, got $stateRows")
   }
+
+  test("streaming entropy equals the batch entropy exactly (additive " +
+    "cell-count folds) with cells-sized state") {
+    val got = StreamTwins.streamEntropy(spark, sf).collect().map(_.toSeq).toSeq
+    val batch = Queries.aggEntropy(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == batch)
+    val stateRoot = ops.TempFiles.dir(
+      s"stream_ent_state_${ops.TempFiles.tag(sf)}")
+    assert(StreamTwins.listStateVersions(stateRoot).size == 3)
+  }
 }
