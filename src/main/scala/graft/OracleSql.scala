@@ -1481,7 +1481,7 @@ object OracleSql {
            s AS (SELECT lang,
                CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) sl FROM c),
            q AS (SELECT lang,
-               (200 * sl) // (SELECT sum(sl) FROM s) AS quota FROM s),
+               CAST((200 * sl) // (SELECT sum(sl) FROM s) AS BIGINT) AS quota FROM s),
            r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
              FROM documents)

@@ -37,13 +37,28 @@ object PlanSweep {
       "session_concurrency",
       // one-row scalar broadcasts: the grand total (chi-square), the
       // user-universe count (basket rules), the value-count total (ECDF)
-      "dq_chisq", "basket_rules", "window_percentile_rank")
+      "dq_chisq", "basket_rules", "window_percentile_rank",
+      // the two-level IVF coarse bundle: ONE broadcast row carrying the
+      // ≈√nCells coarse centroids, cross-joined onto the vector table —
+      // the model-as-data replacement for the old O(n) plan literal
+      "knn_graph_ivf")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact
     * ntile through the two-pass distributed scan
     * ([[graft.ops.PrefixSum]]). */
   val GlobalWindowAllowlist: Set[String] = Set.empty
+
+  /** Queries allowed to carry a plan literal larger than
+    * [[MaxLiteralChars]]. A literal that grows with the data (the old IVF
+    * centroid list — O(n) driver memory, re-serialized into every task) is
+    * a scale wall the correctness gate can't see; models sized by the
+    * corpus must ship as broadcast TABLES instead. The one allowance is a
+    * CONSTANT-size model: vocab_cms_topk's count-min sketch is
+    * O(1/ε · log 1/δ) bytes (≈112 KB at ε=δ=0.001) regardless of corpus
+    * size — that is the sketch's entire point. */
+  val OversizedLiteralAllowlist: Set[String] = Set("vocab_cms_topk")
+  val MaxLiteralChars: Int = 64 * 1024
 
   /** name → offending operator names (or PLAN_ERROR) for every declared
     * query whose plan contains a scale-killer operator. Both audits run in
@@ -58,7 +73,13 @@ object PlanSweep {
         val gw = qe.optimizedPlan.collect {
           case w: logical.Window if w.partitionSpec.isEmpty => "GlobalWindow"
         }.distinct
-        val bad = bnlj ++ gw
+        val bigLit = qe.optimizedPlan.collect { case p =>
+          p.expressions.flatMap(_.collect {
+            case l: org.apache.spark.sql.catalyst.expressions.Literal
+                if l.toString.length > MaxLiteralChars => "OversizedLiteral"
+          })
+        }.flatten.distinct
+        val bad = bnlj ++ gw ++ bigLit
         if (bad.nonEmpty) Some(name -> bad.mkString(",")) else None
       } catch {
         case e: Throwable =>

@@ -2281,22 +2281,23 @@ object Queries {
   }
 
   /** Approximate kNN graph over the corpus embeddings (top-5 neighbors per
-    * vector via the trained IVF cells, asymmetric multi-probe) — see
-    * [[sim.Ivf.knnGraph]]. The cell COUNT scales with the corpus
-    * (`max(16, n/32)` — constant target cell SIZE), which is what makes
-    * the cell join LINEAR in n: with a fixed cell count the within-cell
-    * candidate volume is probes/nCells of n² (quadratic in disguise —
-    * StressSpec's growth-slope gate would catch it), while constant cell
-    * size keeps per-vector candidates ~ probes × cellSize regardless of
-    * corpus scale. Centroid sizing costs one count() (model sizing, the
-    * Ivf driver-scalar pattern). Rows-only: cell assignment is the
-    * k-means kernel; SimilaritySpec floors the recall vs the exact
-    * graph. */
+    * vector, asymmetric multi-probe) on the TWO-LEVEL IVF index — see
+    * [[sim.Ivf.knnGraphTwoLevel]]. `nCells = √n` (the standard IVF nlist
+    * rule) balances the two sides of the cost: per-row ASSIGNMENT through
+    * the coarse→fine quantizer is O(√nCells) = O(n^¼) centroid scores, and
+    * per-row SEARCH is probes·(n/nCells) = probes·√n candidates — total
+    * O(n^1.5) where brute force is O(n²), with NO O(n) plan literal
+    * (coarse bundle is a one-row broadcast, fine cells a broadcast-joined
+    * table) and NO per-iteration driver collect in training. Centroid
+    * sizing costs one count() (model sizing, the Ivf driver-scalar
+    * pattern). Rows-only: cell assignment is the k-means kernel;
+    * SimilaritySpec floors the recall vs the exact graph. */
   def knnGraphIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val nCells = math.max(16, (emb.count() / 32).toInt)
-    sim.Ivf.knnGraph(emb, "vec_id", "embedding",
-        k = 5, nCells = nCells, probes = 6, cacheKey = Some(dir))
+    val nCells = math.max(16,
+      math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    sim.Ivf.knnGraphTwoLevel(emb, "vec_id", "embedding",
+        k = 5, nCells = nCells, probes = 8, cacheKey = Some(dir))
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -3753,8 +3754,10 @@ object Queries {
     * motivate the op): at 100 TB the key space is corpus-sized but each
     * bucket holds only strings one edit apart from a shared 17-char key —
     * alphabet-bounded, so the per-bucket verify never goes quadratic in
-    * the corpus. The pair distinct is one more keyed shuffle; the
-    * `levenshtein` verify is a narrow codegen'd map. */
+    * the corpus. The narrow codegen'd `levenshtein` verify runs BEFORE
+    * the pair distinct: structured ids share ~L deletion keys per true
+    * pair, so verifying first shrinks the dedup shuffle by that factor
+    * instead of shuffling every duplicate candidate witness. */
   def joinFuzzyEdit(spark: SparkSession, dir: String): DataFrame = {
     val names = t(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
@@ -3767,9 +3770,9 @@ object Queries {
     val a = keyed.select(col("k"), col("id").as("a_id"), col("name").as("a_name"))
     val b = keyed.select(col("k"), col("id").as("b_id"), col("name").as("b_name"))
     a.join(b, Seq("k")).filter(col("a_id") < col("b_id"))
+      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
       .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"))
       .dropDuplicates("a_id", "b_id")
-      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
       .select(col("a_id"), col("b_id"),
         levenshtein(col("a_name"), col("b_name")).cast(LongType).as("dist"))
       .orderBy(col("a_id"), col("b_id"))

@@ -29,6 +29,10 @@ object GraftFunctions {
     else throw new IllegalArgumentException(
       s"$fn: argument '$name' must be a non-null INT literal, got ${e.sql}")
 
+  private def requireArity(fn: String, es: Seq[Expression], n: Int): Unit =
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$fn: expected $n arguments, got ${es.length}")
+
   private def foldableDouble(fn: String, name: String, e: Expression): Double =
     if (e.foldable && e.dataType == DoubleType && e.eval() != null)
       e.eval().asInstanceOf[Double]
@@ -59,6 +63,13 @@ object GraftFunctions {
         foldableInt("graft_lsh_bands", "rowsPerBand", es(2)))),
     ("graft_nearest_centroids", "p nearest centroid cells by cosine",
       es => NearestCentroids(es.head, es(1), es(2))),
+    ("graft_nearest_cells",
+      "top-p (cell, score) pairs vs a per-row centroid bundle",
+      es => {
+        requireArity("graft_nearest_cells", es, 5)
+        foldableInt("graft_nearest_cells", "p", es(4))
+        NearestCellsScored(es.head, es(1), es(2), es(3), es(4))
+      }),
     ("graft_winnow", "winnowing rolling-hash fingerprints",
       es => Winnow(es.head,
         foldableInt("graft_winnow", "k", es(1)),
@@ -79,10 +90,13 @@ object GraftFunctions {
       }),
     ("graft_reservoir_quantile",
       "deterministic mergeable quantile sketch (k hash-smallest sample)",
-      es => ReservoirQuantile(es.head, es(1),
-        foldableInt("graft_reservoir_quantile", "k", es(2)),
-        foldableDouble("graft_reservoir_quantile", "p", es(3)))
-        .toAggregateExpression()))
+      es => {
+        requireArity("graft_reservoir_quantile", es, 4)
+        ReservoirQuantile(es.head, es(1),
+          foldableInt("graft_reservoir_quantile", "k", es(2)),
+          foldableDouble("graft_reservoir_quantile", "p", es(3)))
+          .toAggregateExpression()
+      }))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -215,6 +229,81 @@ case class NearestCentroids(vec: Expression, cents: Expression, p: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression) =
     copy(vec = f, cents = s, p = t)
+}
+
+/** Top-`p` `(cell, score)` pairs of an array<double> vector against a
+  * PER-ROW centroid bundle `(cells, cents, nrms)` — the two-level IVF
+  * assignment kernel. Unlike [[NearestCentroids]], whose centroid list is a
+  * foldable PLAN LITERAL (right for constant-size models, an O(n) driver +
+  * task-serialization wall when the cell count grows with the corpus), the
+  * bundle arrives as ordinary COLUMNS from a broadcast-joined centroid
+  * table, so the model scales with the corpus without ever living in the
+  * plan or on the driver. Score is dot/centroid-norm (the query norm is
+  * constant per row, so rank-invariant); ties break on the smaller cell id
+  * for cross-run determinism. */
+case class NearestCellsScored(vec: Expression, cells: Expression,
+    cents: Expression, nrms: Expression, p: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(vec, cells, cents, nrms, p)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+
+  @transient private lazy val nProbes: Int = p.eval().asInstanceOf[Int]
+
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input); val cl = cells.eval(input)
+    val ce = cents.eval(input); val nr = nrms.eval(input)
+    if (v == null || cl == null || ce == null || nr == null) return null
+    val va = v.asInstanceOf[ArrayData]
+    val cla = cl.asInstanceOf[ArrayData]
+    val cea = ce.asInstanceOf[ArrayData]
+    val nra = nr.asInstanceOf[ArrayData]
+    val dim = va.numElements()
+    val nC = cla.numElements()
+    val scores = new Array[Double](nC)
+    var i = 0
+    while (i < nC) {
+      val ct = cea.getArray(i)
+      var s = 0.0
+      var d = 0
+      val n = math.min(dim, ct.numElements())
+      while (d < n) { s += va.getDouble(d) * ct.getDouble(d); d += 1 }
+      val nm = nra.getDouble(i)
+      scores(i) = if (nm > 0) s / nm else Double.MinValue
+      i += 1
+    }
+    val k = math.min(nProbes, nC)
+    val out = new Array[Any](k)
+    val taken = new Array[Boolean](nC)
+    var j = 0
+    while (j < k) {
+      var best = -1
+      var bestS = Double.MinValue
+      var bestCell = Int.MaxValue
+      var t = 0
+      while (t < nC) {
+        if (!taken(t)) {
+          val cid = cla.getInt(t)
+          if (best == -1 || scores(t) > bestS ||
+              (scores(t) == bestS && cid < bestCell)) {
+            best = t; bestS = scores(t); bestCell = cid
+          }
+        }
+        t += 1
+      }
+      taken(best) = true
+      out(j) = InternalRow(bestCell, bestS)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): NearestCellsScored =
+    copy(vec = newChildren(0), cells = newChildren(1), cents = newChildren(2),
+      nrms = newChildren(3), p = newChildren(4))
 }
 
 /** Banded random-hyperplane LSH keys for an array<double> vector: element b

@@ -3,6 +3,7 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
@@ -53,6 +54,23 @@ case class ReservoirQuantile(
   require(k > 0, s"graft_reservoir_quantile: k must be positive, got $k")
   require(p >= 0.0 && p <= 1.0,
     s"graft_reservoir_quantile: p must be in [0, 1], got $p")
+
+  // analysis-time contract: hash is STRING, value is BIGINT — a SQL caller
+  // passing e.g. an INT or DOUBLE value gets an analysis error naming the
+  // argument, never an executor-side ClassCastException from the raw
+  // eval() casts below. (ExpectsInputTypes is off-limits: AbstractDataType
+  // is private[sql] in Spark 4 — so the contract is enforced here, and a
+  // mistyped value column must be cast explicitly by the caller.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (hashChild.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_reservoir_quantile: argument 'hash' must be STRING, got " +
+          hashChild.dataType.sql)
+    else if (valueChild.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_reservoir_quantile: argument 'value' must be BIGINT, got " +
+          valueChild.dataType.sql)
+    else TypeCheckResult.TypeCheckSuccess
 
   override def children: Seq[Expression] = Seq(hashChild, valueChild)
   override def nullable: Boolean = true

@@ -17,22 +17,36 @@ object TempFiles {
     * checkpoint would silently skip the "already processed" file and a
     * stale fixture would feed the oracle old rows. Keying every scratch
     * path by (dir, epoch) makes regeneration self-invalidating. */
+  // epoch computed once per (JVM, sfDir): tag() sits on hot query paths,
+  // and a testdata regeneration mid-JVM would leave half the scratch keyed
+  // to each epoch anyway — one stat sweep per dir per JVM is the contract.
+  private val epochCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   def tag(sfDir: String): String = {
     val base = sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9.]", "_")
-    val d = Paths.get(sfDir)
-    val epoch =
-      if (!Files.isDirectory(d)) 0L
-      else {
-        import scala.jdk.CollectionConverters._
-        val s = Files.list(d)
-        // XOR-fold so the fingerprint is independent of listing order
-        try s.iterator().asScala.foldLeft(0L) { (acc, p) =>
-          val m = try Files.getLastModifiedTime(p).toMillis catch { case _: Exception => 0L }
-          val z = try Files.size(p) catch { case _: Exception => 0L }
-          acc ^ java.lang.Long.rotateLeft(m + 31L * z + p.getFileName.toString.hashCode, 17)
-        } finally s.close()
-      }
+    val epoch = epochCache.computeIfAbsent(sfDir, computeEpoch)
     s"${base}_e${java.lang.Long.toHexString(epoch)}"
+  }
+
+  private def computeEpoch(sfDir: String): Long = {
+    val d = Paths.get(sfDir)
+    if (!Files.isDirectory(d)) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      // SUM of per-file mixed hashes: order-independent like XOR, but a
+      // pair of changed files can't cancel (XOR of two equal deltas is 0;
+      // sums only collide on exact additive inverses of mixed hashes)
+      try s.iterator().asScala.foldLeft(0L) { (acc, p) =>
+        val m = try Files.getLastModifiedTime(p).toMillis catch { case _: Exception => 0L }
+        val z = try Files.size(p) catch { case _: Exception => 0L }
+        var h = m * 0x9E3779B97F4A7C15L + z * 0xC2B2AE3D27D4EB4FL +
+          p.getFileName.toString.hashCode.toLong
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        acc + h
+      } finally s.close()
+    }
   }
 
   def dir(sub: String): String = {

@@ -150,6 +150,169 @@ object Ivf {
         round(col("cos"), 6).as("cos_sim"), col("rn").cast("long").as("rn"))
   }
 
+  // ── Two-level (coarse → fine) quantizer: the corpus-scaled IVF path ──
+  //
+  // The single-level index above bakes its centroids into the plan as a
+  // literal — right for CONSTANT-size models (dedup_semantic's 16 cells),
+  // an O(nCells) plan literal + O(n·nCells) assignment wall when the cell
+  // count grows with the corpus. Past that, the model must be DATA, not
+  // plan: coarse centroids (≈√nCells of them) travel as a ONE-ROW broadcast
+  // bundle, fine centroids as a broadcast-joined TABLE keyed by coarse
+  // cell, and per-row assignment scores nCoarse + cp·fanout ≈ O(√nCells)
+  // centroids instead of all nCells. Lloyd training never collects means:
+  // each pass aggregates them INTO the next centroid table (localCheckpoint
+  // truncates the iterative lineage, the Components/PageRank discipline).
+
+  /** The trained two-level index: `coarse` is a single-row bundle
+    * (cells, cents, nrms); `fine` is one row per coarse cell with that
+    * cell's fine-centroid bundle (global cell id = coarse·fanout + j). */
+  final case class TwoLevelIndex(coarse: DataFrame, fine: DataFrame,
+                                 nCoarse: Int, fanout: Int)
+
+  /** (cell:int, c:array<double>) rows → ONE bundle row (cells, cents,
+    * nrms), sorted by cell id for cross-run determinism. */
+  private def packBundle(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("ss"))
+      .select(
+        transform(col("ss"), s => s.getField("cell")).as("cells"),
+        transform(col("ss"), s => s.getField("c")).as("cents"),
+        transform(col("ss"), s =>
+          sqrt(dotd(s.getField("c"), s.getField("c")))).as("nrms"))
+
+  /** (cell, c) rows → one bundle row PER COARSE cell (broadcast-join side
+    * of fine assignment). */
+  private def packFine(fine: DataFrame, fanout: Int): DataFrame =
+    fine.withColumn("coarse", (col("cell") / fanout).cast("int"))
+      .groupBy(col("coarse"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("ss"))
+      .select(col("coarse"),
+        transform(col("ss"), s => s.getField("cell")).as("cells"),
+        transform(col("ss"), s => s.getField("c")).as("cents"),
+        transform(col("ss"), s =>
+          sqrt(dotd(s.getField("c"), s.getField("c")))).as("nrms"))
+
+  /** Per-cell means, computed DISTRIBUTED (posexplode → (cell, dim) partial
+    * aggregation → regrouped arrays) — the Lloyd step with no driver
+    * round-trip; cells that lost all members simply drop out. */
+  private def cellMeans(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("e")))
+      .toDF("cell", "dim", "x")
+      .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell")).agg(array_sort(collect_list(struct(col("dim"),
+        col("m")))).as("dm"))
+      .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("c"))
+
+  private def cellsKernel(vec: Column, cells: Column, cents: Column,
+                          nrms: Column, p: Int): Column =
+    call_function("graft_nearest_cells", vec, cells, cents, nrms, lit(p))
+
+  /** Train the two-level index. Coarse/fine both init by deterministic
+    * random partition (content-hash mod k — the standard k-means random
+    * partition seeding, with no global sort and no driver sample) and
+    * refine with `iters` distributed Lloyd passes each. */
+  def trainTwoLevel(emb: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, iters: Int = 2): TwoLevelIndex = {
+    val nCoarse = math.max(2, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val fanout = math.max(1, math.ceil(nCells.toDouble / nCoarse).toInt)
+    val v = withNorm(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assignCoarse(bundle: DataFrame): DataFrame =
+      v.crossJoin(broadcast(bundle))
+        .withColumn("cell", element_at(cellsKernel(col("e"), col("cells"),
+          col("cents"), col("nrms"), 1), 1).getField("cell"))
+        .select(col("id"), col("e"), col("cell"))
+    var coarse = cellMeans(v.select(
+        pmod(hash(col("id")), lit(nCoarse)).cast("int").as("cell"), col("e")))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters)
+      coarse = cellMeans(assignCoarse(packBundle(coarse))
+        .select(col("cell"), col("e"))).localCheckpoint(true)
+    val ca = assignCoarse(packBundle(coarse))
+      .select(col("id"), col("e"), col("cell").as("coarse"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var fine = cellMeans(ca.select(
+        (col("coarse") * fanout + pmod(hash(col("id")), lit(fanout)))
+          .cast("int").as("cell"), col("e")))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = ca.join(broadcast(packFine(fine, fanout)), "coarse")
+        .withColumn("cell", element_at(cellsKernel(col("e"), col("cells"),
+          col("cents"), col("nrms"), 1), 1).getField("cell"))
+        .select(col("cell"), col("e"))
+      fine = cellMeans(assigned).localCheckpoint(true)
+    }
+    val idx = TwoLevelIndex(packBundle(coarse).localCheckpoint(true),
+      packFine(fine, fanout).localCheckpoint(true), nCoarse, fanout)
+    v.unpersist(); ca.unpersist()
+    idx
+  }
+
+  private val twoLevelCaches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, TwoLevelIndex]]())
+
+  def twoLevelCached(emb: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, iters: Int, cacheKey: String): TwoLevelIndex =
+    twoLevelCaches.computeIfAbsent(emb.sparkSession,
+        _ => TrieMap.empty[String, TwoLevelIndex])
+      .getOrElseUpdate(s"ivf2|$cacheKey|$idCol|$vecCol|$nCells|$iters",
+        trainTwoLevel(emb, idCol, vecCol, nCells, iters))
+
+  /** Top-`p` global cells per vector through the trained index: probe `cp`
+    * coarse cells (enough to surface ≥ p fine candidates), score each
+    * probed coarse cell's fine bundle, keep the global best p — per-row
+    * cost nCoarse + cp·fanout ≈ O(√nCells). Output: one row per (vector,
+    * cell), ranked by descending centroid score. */
+  def assignCells(v: DataFrame, idx: TwoLevelIndex, p: Int): DataFrame = {
+    val cp = math.min(idx.nCoarse,
+      math.ceil(p.toDouble / idx.fanout).toInt + 1)
+    val pf = math.min(p, idx.fanout)
+    val probed = v.crossJoin(broadcast(idx.coarse))
+      .withColumn("cprobe", cellsKernel(col("e"), col("cells"),
+        col("cents"), col("nrms"), cp))
+      .drop("cells", "cents", "nrms")
+      .select(col("*"), explode(col("cprobe")).as("cp"))
+      .withColumn("coarse", col("cp").getField("cell"))
+      .drop("cprobe", "cp")
+      .join(broadcast(idx.fine), "coarse")
+      .withColumn("fc", explode(cellsKernel(col("e"), col("cells"),
+        col("cents"), col("nrms"), pf)))
+      .withColumn("cell", col("fc").getField("cell"))
+      .withColumn("score", col("fc").getField("score"))
+      .drop("coarse", "cells", "cents", "nrms", "fc")
+    if (p == 1 && cp == 1) probed.drop("score")
+    else probed
+      .withColumn("cellrn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("score").desc, col("cell"))))
+      .filter(col("cellrn") <= p).drop("cellrn", "score")
+  }
+
+  /** [[knnGraph]] on the two-level index — the declared 100 TB shape:
+    * no plan literal, no driver collect, assignment O(√nCells) per row,
+    * candidates from ONE shuffle equi-join on the fine cell id. */
+  def knnGraphTwoLevel(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                       nCells: Int, iters: Int = 2, probes: Int = 6,
+                       cacheKey: Option[String] = None): DataFrame = {
+    val idx = cacheKey match {
+      case Some(key) => twoLevelCached(emb, idCol, vecCol, nCells, iters, key)
+      case None => trainTwoLevel(emb, idCol, vecCol, nCells, iters)
+    }
+    val v = withNorm(emb, idCol, vecCol)
+    val indexed = assignCells(v, idx, 1).select(col("cell"),
+      col("id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"))
+    val probedQ = assignCells(v, idx, probes).select(col("id").as("q_id"),
+      col("e").as("qe"), col("nrm").as("qn"), col("cell"))
+    indexed.join(probedQ, Seq("cell"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotd(col("qe"), col("ne")) / (col("qn") * col("nn")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rn").cast("long").as("rn"))
+  }
+
   /** IVF top-k: vectors keyed by their cell (narrow map), queries probe
     * their `nProbes` nearest cells, candidates come from one broadcast
     * equi-join on the cell id, and exact cosine ranks them. `n_candidates`

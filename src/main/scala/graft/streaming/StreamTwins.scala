@@ -525,29 +525,34 @@ object StreamTwins {
   }
 
   /** Land a 3-file date-sliced feed (one file per ~10-day slice of the
-    * frame's `ts`) into `landing` if empty — with `maxFilesPerTrigger=1`
+    * frame's `ts`) into `landing` if complete — with `maxFilesPerTrigger=1`
     * this yields three REAL multi-key micro-batches from static testdata.
-    * Idempotent: an already-populated landing dir is left alone. */
+    * Idempotent AND crash-safe: completeness is keyed on ALL expected
+    * slice files being present (not "any file"), and slices are built in
+    * a staging dir first, so a crash mid-build leaves a partial landing
+    * that the next run detects and finishes — never a silently-short feed
+    * that the MV would treat as the whole dataset. */
   private[graft] def buildDateSlicedFeed(landing: java.nio.file.Path,
                                          feed: DataFrame,
                                          buildTag: String): Unit = {
-    val hasFiles = {
-      val s = java.nio.file.Files.list(landing)
-      try s.findFirst().isPresent finally s.close()
+    val slices = Seq(("2024-01-01", "2024-01-11", "b0"),
+      ("2024-01-11", "2024-01-21", "b1"),
+      ("2024-01-21", "2024-02-01", "b2"))
+    val complete = slices.forall { case (_, _, name) =>
+      java.nio.file.Files.exists(landing.resolve(s"$name.parquet"))
     }
-    if (hasFiles) return
-    Seq(("2024-01-01", "2024-01-11", "b0"),
-        ("2024-01-11", "2024-01-21", "b1"),
-        ("2024-01-21", "2024-02-01", "b2")).foreach { case (lo, hi, name) =>
+    if (complete) return
+    slices.foreach { case (lo, hi, name) =>
       val part = java.nio.file.Paths.get(
-        graft.ops.TempFiles.dir(s"$buildTag/$name"))
+        graft.ops.TempFiles.dir(s"$buildTag/staging/$name"))
       feed.filter(col("ts") >= lit(lo).cast(TimestampType) &&
           col("ts") < lit(hi).cast(TimestampType))
         .repartition(1).write.mode("overwrite").parquet(part.toString)
       val src = java.nio.file.Files.list(part)
       val f = try src.filter(p => p.toString.endsWith(".parquet"))
         .findFirst().get() finally src.close()
-      java.nio.file.Files.move(f, landing.resolve(s"$name.parquet"))
+      java.nio.file.Files.move(f, landing.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
@@ -844,11 +849,13 @@ object StreamTwins {
     val ckDir = graft.ops.TempFiles.dir(s"stream_ols_ck_$tag")
     val dec380 = DecimalType(38, 0)
 
-    val hasFiles = {
-      val s = java.nio.file.Files.list(landing)
-      try s.findFirst().isPresent finally s.close()
-    }
-    if (!hasFiles) {
+    // completeness keyed on ALL three slice files (crash-safe: a partial
+    // landing from an interrupted build is detected and finished, with
+    // REPLACE_EXISTING making the re-land idempotent — never a silently
+    // short feed treated as complete)
+    val complete = (0 to 2).forall(i =>
+      java.nio.file.Files.exists(landing.resolve(s"b$i.parquet")))
+    if (!complete) {
       val feed = graft.ops.Tables.table(ss, sfDir, "lineitem")
         .select(col("l_returnflag"),
           col("l_quantity").cast(LongType).as("x"),
@@ -863,7 +870,8 @@ object StreamTwins {
         val src = java.nio.file.Files.list(part)
         val f = try src.filter(p => p.toString.endsWith(".parquet"))
           .findFirst().get() finally src.close()
-        java.nio.file.Files.move(f, landing.resolve(s"b$i.parquet"))
+        java.nio.file.Files.move(f, landing.resolve(s"b$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
 
@@ -1005,10 +1013,15 @@ object StreamTwins {
     val stateSchema = StructType(Seq(
       StructField("event_type", StringType), StructField("h", StringType),
       StructField("cents", LongType), StructField("n", LongType)))
+    // null h/cents rows are dropped BEFORE ranking: the batch-side
+    // ReservoirQuantile.update skips nulls without consuming a sample
+    // slot, and Spark's default NULLS FIRST would otherwise let null rows
+    // occupy slots (and sort opposite to DuckDB's NULLS LAST)
     def keyed(df: DataFrame): DataFrame = df
       .select(col("event_type"),
         md5(col("event_id").cast(StringType)).as("h"),
         (graft.ops.Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .filter(col("h").isNotNull && col("cents").isNotNull)
 
     val q = ss.readStream.schema(feedSchema)
       .option("maxFilesPerTrigger", "1").parquet(landing.toString)

@@ -22,7 +22,9 @@ class PlanSweepSpec extends AnyFunSuite {
     val errors = offenders.filter(_._2.startsWith("PLAN_ERROR"))
     assert(errors.isEmpty, s"queries failed to plan: $errors")
     val byOp = offenders.flatMap { case (n, ops) => ops.split(",").map((n, _)) }
-    val bnlj = byOp.collect { case (n, o) if o != "GlobalWindow" => n }.toSet
+    val bnlj = byOp.collect {
+      case (n, o) if o != "GlobalWindow" && o != "OversizedLiteral" => n
+    }.toSet
     val unexpected = bnlj -- PlanSweep.Allowlist
     assert(unexpected.isEmpty,
       s"undocumented scale-killer plans in: $unexpected " +
@@ -32,6 +34,11 @@ class PlanSweepSpec extends AnyFunSuite {
     val gw = byOp.collect { case (n, "GlobalWindow") => n }.toSet
     assert((gw -- PlanSweep.GlobalWindowAllowlist).isEmpty,
       s"single-task global windows in: $gw")
+    // a plan literal that grows with the data (the old IVF centroid list)
+    // is driver memory + per-task serialization — models ship as tables
+    val lit = byOp.collect { case (n, "OversizedLiteral") => n }.toSet
+    assert((lit -- PlanSweep.OversizedLiteralAllowlist).isEmpty,
+      s"oversized plan literals in: $lit")
   }
 
   test("decontaminate joins the benchmark side as a broadcast, never a shuffle") {
