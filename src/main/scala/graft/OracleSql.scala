@@ -420,6 +420,15 @@ object OracleSql {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // the streaming Kafka-envelope twin shares scan_kafka_envelope's
+    // oracle verbatim: batch and streaming reads of one topic dump agree
+    "stream_kafka" ->
+      """SELECT CAST(o_orderkey % 4 AS BIGINT) AS partition,
+             CAST(count(*) AS BIGINT) AS n_msgs,
+             CAST(max(o_orderkey) AS BIGINT) AS max_offset,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY partition""",
+
     "stream_watermark" ->
       """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events)
          SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS win_start,

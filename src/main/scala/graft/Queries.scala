@@ -2150,15 +2150,25 @@ object Queries {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
-  /** Incremental ingest dedup: the 10% "new batch" (doc_id ≡ 0 mod 10) is
-    * banded and joined against the 90% corpus — the production pattern
+  /** Incremental ingest dedup: the 10% "new batch" (doc_id ≡ 0 mod 10)
+    * probes the corpus signature index — which is the DEPLOYED shape: a
+    * managed table bucketed on the band key
+    * ([[text.NearDup.bucketedBandIndexCached]]), so the candidate join
+    * reads the corpus side pre-partitioned and shuffles ONLY the delta
+    * (plan-spec'd: exactly one band-key exchange). The production pattern
     * where each arriving batch dedups against the checkpointed corpus
-    * signatures without ever re-pairing the corpus with itself. */
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
-    text.NearDup.minhashDupPairsIncrementalCached(
-        t(spark, dir, "documents"), "doc_id", "text", 0.8,
-        col("id") % 10 === 0, dir)
+    * signatures without ever re-pairing the corpus with itself, sharing
+    * the streaming twin's join body verbatim. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val key = s"$dir#base"
+    val idx = text.NearDup.bucketedBandIndexCached(corpus, "doc_id", "text", key)
+    val sh = text.NearDup.shingleTableCached(corpus, "doc_id", "text", key)
+    streaming.StreamTwins.incrementalDedupJoin(delta, idx, sh)
       .orderBy(col("new_id"), col("base_id"))
+  }
 
   /** End-to-end corpus curation — the training-data pipeline composed:
     * cluster-canonical near-dup removal (reuses the cached pair table and

@@ -107,6 +107,70 @@ object StreamTwins {
       "stream_file_source_sink", "complete")
       .orderBy(col("event_type"))
 
+  /** STREAMING Kafka-envelope consumption (S5's streaming mapping, SURVEY
+    * §2.1): the reference's topics arrive as Kafka-envelope NDJSON; on a
+    * live cluster this is `readStream.format("kafka")` + the SAME
+    * `from_json` envelope parse — here the envelope stream is driven
+    * through a file-backed landing (one file per Kafka partition,
+    * `maxFilesPerTrigger=1` → four real micro-batches) because no broker
+    * exists in the harness, which exercises everything downstream of the
+    * source identically: schema-declared envelope decode, payload
+    * projection, per-partition consumption stats under `complete` output.
+    * Shares `scan_kafka_envelope`'s oracle verbatim — the batch and
+    * streaming reads of the same topic dump must agree. */
+  def streamKafkaEnvelope(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_kafka_feed_$tag"))
+    // land one NDJSON file per Kafka partition (crash-safe: completeness
+    // keyed on ALL expected files; slices staged then moved)
+    val complete = (0 to 3).forall(i =>
+      java.nio.file.Files.exists(landing.resolve(s"p$i.json")))
+    if (!complete) {
+      val lines = graft.ops.Tables.table(ss, sfDir, "orders")
+        .select(pmod(col("o_orderkey"), lit(4)).cast(LongType).as("part"),
+          to_json(struct(
+            lit("card.applications").as("topic"),
+            pmod(col("o_orderkey"), lit(4)).cast(LongType).as("partition"),
+            col("o_orderkey").as("offset"),
+            col("o_orderkey").cast(StringType).as("key"),
+            struct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice")).as("value"))).as("value"))
+      (0 to 3).foreach { i =>
+        val part = java.nio.file.Paths.get(
+          graft.ops.TempFiles.dir(s"stream_kafka_feed_build_$tag/p$i"))
+        lines.filter(col("part") === i).select(col("value"))
+          .repartition(1).write.mode("overwrite").text(part.toString)
+        val src = java.nio.file.Files.list(part)
+        val f = try src.filter(p => p.toString.endsWith(".txt"))
+          .findFirst().get() finally src.close()
+        java.nio.file.Files.move(f, landing.resolve(s"p$i.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val envelope = StructType(Seq(
+      StructField("topic", StringType), StructField("partition", LongType),
+      StructField("offset", LongType), StructField("key", StringType),
+      StructField("value", StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType))))))
+    val parsed = ss.readStream.option("maxFilesPerTrigger", "1")
+      .text(landing.toString)
+      .select(from_json(col("value"), envelope).as("m"))
+      .select(col("m.topic"), col("m.partition"), col("m.offset"),
+        col("m.key"), col("m.value.*"))
+    runToMemory(
+      parsed.groupBy(col("partition"))
+        .agg(count(lit(1)).as("n_msgs"), max(col("offset")).as("max_offset"),
+          sum(Cleanse.dec2(col("o_totalprice"))).cast(DecimalType(18, 4))
+            .cast(DoubleType).as("sum_price")),
+      "stream_kafka_sink", "complete")
+      .orderBy(col("partition"))
+  }
+
   /** Append-only load into a silver parquet table (`Trigger.AvailableNow`
     * + checkpoint = the reference's incremental exists-protocol,
     * `emails_import.py:47-54`: the file-source checkpoint remembers

@@ -326,6 +326,28 @@ object NearDup {
         pairs
       })
 
+  /** Session-cached MANAGED signature-index table, bucketed on the band
+    * key — the DEPLOYMENT shape of the incremental dedup: a production
+    * ingest pipeline maintains the corpus band table as a bucketed table,
+    * so every arriving batch's candidate join reads the index
+    * pre-partitioned and shuffles ONLY the delta. The one-time bucketed
+    * write is amortized across every batch probed against it (exactly the
+    * `join_bucketed` recipe applied to the dedup index). Keyed by the
+    * data-epoch cacheKey, so a regenerated lake rebuilds the index. */
+  def bucketedBandIndexCached(corpus: DataFrame, idCol: String,
+                              textCol: String, cacheKey: String): DataFrame =
+    cacheFor(corpus.sparkSession).getOrElseUpdate(
+      s"bandidx|$cacheKey|$idCol|$textCol", {
+        val spark = corpus.sparkSession
+        val banded = bandedTableCached(corpus, idCol, textCol, cacheKey)
+        val tbl = "graft_band_index_" +
+          cacheKey.replaceAll("[^A-Za-z0-9]", "_")
+        graft.ops.SinkDdl.dropManagedTable(spark, tbl)
+        banded.write.bucketBy(16, "band", "bh").format("parquet")
+          .saveAsTable(tbl)
+        spark.table(tbl)
+      })
+
   /** 64-bit SimHash over the token multiset (custom expression). */
   def simhash64(text: Column): Column = call_function("graft_simhash64", text)
 

@@ -77,6 +77,19 @@ class PlanSweepSpec extends AnyFunSuite {
       s"incremental dedup should read the cached pair/index tables:\n$plan")
   }
 
+  test("declared dedup_incremental joins the BUCKETED signature index with " +
+    "a delta-only band shuffle (the 100 TB deployment shape)") {
+    val dir = "/root/testdata/sf0.001"
+    Queries.dedupIncremental(spark, dir).count() // build the bucketed index
+    val plan = Queries.dedupIncremental(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the corpus index reads pre-partitioned from its bucketed table; the
+    // only band-key exchange in the candidate join is the delta side
+    val bandShuffles = "hashpartitioning\\(band".r.findAllIn(plan).size
+    assert(bandShuffles == 1,
+      s"expected ONE (delta-only) band-key exchange, got $bandShuffles:\n$plan")
+  }
+
   test("dq_checks audits every rule in exactly ONE table scan") {
     val plan = Queries.dqChecks(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
