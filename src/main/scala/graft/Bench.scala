@@ -9,7 +9,14 @@ import org.apache.spark.sql.SparkSession
   * is also written to BENCH_full.json because the driver's tail capture
   * truncates the stdout map. */
 object Bench {
+  /** 1-min system load average — recorded at start and end of the run so a
+    * contended-machine bench (round-4's official record was ~2x inflated by
+    * background load) is self-identifying in the evidence file. */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
@@ -53,14 +60,17 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.map(_._2).sum
 
+    val loadEnd = loadAvg()
     val full = results.map { case (k, ts, _) =>
       s"""  "$k": {"median":${median(ts)},"min":${ts.min},""" +
         s""""iters":[${ts.mkString(",")}]}"""
-    }.mkString("{\n", ",\n", s""",\n  "total_median":$total,"iters":$iters,"sf":"$sfDir"\n}""")
+    }.mkString("{\n", ",\n",
+      s""",\n  "total_median":$total,"iters":$iters,"sf":"$sfDir",""" +
+      s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd\n}""")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_full.json"), full)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
     spark.stop()
     // a broken query must fail the bench run, not silently inflate it
     if (errors.nonEmpty) sys.exit(1)

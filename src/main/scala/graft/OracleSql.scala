@@ -2625,6 +2625,122 @@ object OracleSql {
                AS entropy_nats,
              round((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) /
                    ln(CAST(k AS DOUBLE)), 6) AS entropy_ratio
-         FROM d WHERE k > 1 ORDER BY day"""
+         FROM d WHERE k > 1 ORDER BY day""",
+
+    // ── Wave O (round 5) ────────────────────────────────────────────────
+
+    "tokenize_bpe_apply" ->
+      """WITH RECURSIVE
+         w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         lw AS (SELECT w FROM w WHERE regexp_matches(w, '^[a-z]{2,}$')),
+         wc0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM w
+             WHERE length(w) >= 2 GROUP BY w),
+         p AS (SELECT unnest(list_transform(range(1, length(w)),
+               i -> substr(w, CAST(i AS INT), 2))) AS pair, wc
+             FROM wc0),
+         m AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p GROUP BY pair),
+         mr AS (SELECT pair,
+               row_number() OVER (ORDER BY n DESC, pair) AS rnk
+             FROM m ORDER BY n DESC, pair LIMIT 20),
+         topw AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM lw
+             GROUP BY w ORDER BY wc DESC, w LIMIT 50),
+         r AS (
+           SELECT w, wc,
+               '(' || array_to_string(list_transform(range(1, length(w) + 1),
+                 i -> substr(w, CAST(i AS INT), 1)), ')(') || ')' AS s,
+               0 AS step
+             FROM topw
+           UNION ALL
+           SELECT r.w, r.wc,
+               replace(r.s,
+                 '(' || substr(m.pair, 1, 1) || ')(' || substr(m.pair, 2, 1) || ')',
+                 '(' || m.pair || ')'),
+               r.step + 1
+             FROM r JOIN mr m ON m.rnk = r.step + 1)
+         SELECT w, wc,
+             substr(replace(s, ')(', '|'), 2,
+               length(replace(s, ')(', '|')) - 2) AS tokens,
+             CAST(length(s) - length(replace(s, '(', '')) AS BIGINT) AS n_tokens
+         FROM r WHERE step = 20 ORDER BY wc DESC, w""",
+
+    "window_rolling_regression" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y,
+             CAST(row_number() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS x
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL),
+         s AS (SELECT user_id, x,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         SELECT user_id, x AS step,
+             CAST(n * sxy - sx * sy AS DOUBLE) /
+               CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_step
+         FROM s WHERE n = 10 ORDER BY user_id, x""",
+
+    "cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS m,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+         f AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY o_custkey),
+         sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+           FROM f GROUP BY cohort),
+         ba AS (SELECT f.cohort, o.m - f.cohort AS age,
+             CAST(sum(o.cents) AS BIGINT) AS rev,
+             CAST(count(*) AS BIGINT) AS n_orders
+           FROM o JOIN f USING (o_custkey) GROUP BY f.cohort, age),
+         c AS (SELECT cohort, age, n_orders,
+             CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age)
+               AS BIGINT) AS cum_cents
+           FROM ba)
+         SELECT printf('%04d-%02d', (c.cohort - 1) // 12,
+               ((c.cohort - 1) % 12) + 1) AS cohort_month,
+             c.age, sz.n_customers, c.n_orders,
+             CAST(cum_cents AS DOUBLE) / 100.0 AS cum_rev,
+             CAST(cum_cents AS DOUBLE) /
+               (CAST(sz.n_customers AS DOUBLE) * 100.0) AS ltv
+         FROM c JOIN sz USING (cohort)
+         ORDER BY cohort_month, age""",
+
+    "funnel_strict_order" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+         SELECT step, stage, n_users FROM (
+           SELECT 1 AS step, 'view' AS stage,
+               CAST(count(*) AS BIGINT) AS n_users FROM v
+           UNION ALL
+           SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+           UNION ALL
+           SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p)
+         ORDER BY step""",
+
+    "sample_epochs" ->
+      """WITH d AS (SELECT doc_id, source,
+             CASE WHEN source IN ('src0', 'src1') THEN 2
+                  WHEN source = 'src2' THEN 0 ELSE 1 END
+             + CASE WHEN source IN ('src0', 'src1', 'src2')
+                    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+                    THEN 1 ELSE 0 END AS n_copies
+           FROM documents),
+         e AS (SELECT doc_id, source,
+             unnest(range(1, n_copies + 1)) AS epoch
+           FROM d WHERE n_copies > 0)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_emitted,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(sum(doc_id * epoch) AS BIGINT) AS checksum
+         FROM e GROUP BY source ORDER BY source"""
   )
 }

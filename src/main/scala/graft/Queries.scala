@@ -3764,10 +3764,18 @@ object Queries {
     * motivate the op): at 100 TB the key space is corpus-sized but each
     * bucket holds only strings one edit apart from a shared 17-char key —
     * alphabet-bounded, so the per-bucket verify never goes quadratic in
-    * the corpus. The narrow codegen'd `levenshtein` verify runs BEFORE
-    * the pair distinct: structured ids share ~L deletion keys per true
-    * pair, so verifying first shrinks the dedup shuffle by that factor
-    * instead of shuffling every duplicate candidate witness. */
+    * the corpus.
+    *
+    * Order of dedup vs verify — MEASURED, not assumed: `dropDuplicates`
+    * plans as a partial aggregate, so witness duplicates (a true pair
+    * shares several deletion keys) are combined MAP-SIDE before the
+    * exchange — the dedup shuffle is bounded by distinct pairs per
+    * partition, not candidate volume. Verifying first instead multiplies
+    * the O(L²) `levenshtein` by the witness factor: at sf0.1 that order
+    * measured 4.2 s vs 2.4 s for dedup-first (977k vs 262k verify calls,
+    * `tools/FuzzProbe`). So: dedup the candidate pairs first, then ONE
+    * `levenshtein` per distinct pair, computed once and reused as the
+    * output distance. */
   def joinFuzzyEdit(spark: SparkSession, dir: String): DataFrame = {
     val names = t(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
@@ -3780,11 +3788,11 @@ object Queries {
     val a = keyed.select(col("k"), col("id").as("a_id"), col("name").as("a_name"))
     val b = keyed.select(col("k"), col("id").as("b_id"), col("name").as("b_name"))
     a.join(b, Seq("k")).filter(col("a_id") < col("b_id"))
-      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
       .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"))
       .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"),
         levenshtein(col("a_name"), col("b_name")).cast(LongType).as("dist"))
+      .filter(col("dist") <= 1)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -3960,5 +3968,161 @@ object Queries {
           col("n").cast(DoubleType), 6).as("intercept_cents"),
         round(cov * cov / (varx * vary), 6).as("r2"))
       .orderBy(col("l_returnflag"))
+  }
+
+  // ── Wave O (round 5): tokenizer application, rolling regression,
+  //    cohort LTV, strict-order funnel, epoch mixing ───────────────────
+
+  /** N16f — BPE merge APPLICATION (the inference half of [[vocabBpeMerges]]'
+    * training half): tokenize the top-50 vocabulary words with the learned
+    * top-20 merge table. Each word is rendered in the delimiter-safe
+    * `(c)(c)(c)` symbol form and the 20 merges apply in rank order as a
+    * chain of literal left-to-right `replace`s — all codegen'd
+    * `StringReplace`, no UDF. The merge table is a 20-row MODEL PARAMETER
+    * (collected once, the IVF-centroid pattern), so the tokenize plan is a
+    * narrow map: at 100 TB the same 20-replace chain runs over the corpus
+    * with zero extra shuffles. Words are restricted to `^[a-z]{2,}$` so the
+    * wrap delimiters cannot collide with symbol text. */
+  def tokenizeBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val merges: Seq[String] =
+      vocabBpeMerges(spark, dir).collect().map(_.getString(0)).toSeq
+    val words = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("w")).limit(50)
+    val seed = concat(lit("("),
+      array_join(filter(split(col("w"), ""), x => x =!= ""), ")("), lit(")"))
+    val merged = merges.foldLeft(seed) { (c, p) =>
+      call_function("replace", c,
+        lit("(" + p.substring(0, 1) + ")(" + p.substring(1, 2) + ")"),
+        lit("(" + p + ")"))
+    }
+    words.withColumn("s", merged)
+      .select(col("w"), col("wc"),
+        expr("substring(replace(s, ')(', '|'), 2, " +
+          "length(replace(s, ')(', '|')) - 2)").as("tokens"),
+        (length(col("s")) -
+          length(call_function("replace", col("s"), lit("("), lit(""))))
+          .cast(LongType).as("n_tokens"))
+      .orderBy(col("wc").desc, col("w"))
+  }
+
+  /** X41 — rolling regression features: per-user OLS slope of purchase
+    * value against event sequence number over the trailing 10 events — the
+    * windowed trend feature a training pipeline derives per entity. Exact
+    * sufficient statistics inside a user-keyed frame (same mergeable-moment
+    * discipline as [[aggOls]], here as window sums of exact ints), slope as
+    * ONE closed-form double over exact numerator/denominator — identical
+    * bits on any engine. Windows are keyed by user (bounded partitions, no
+    * global window); one keyed sort-shuffle total. */
+  def windowRollingRegression(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val f = w.rowsBetween(-9, 0)
+    val d = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("y"))
+      .withColumn("x", row_number().over(w).cast(LongType))
+    val n = count(lit(1)).over(f)
+    val num = n * sum(col("x") * col("y")).over(f) -
+      sum(col("x")).over(f) * sum(col("y")).over(f)
+    val den = n * sum(col("x") * col("x")).over(f) -
+      sum(col("x")).over(f) * sum(col("x")).over(f)
+    d.select(col("user_id"), col("x").as("step"),
+        (num.cast(DoubleType) / den.cast(DoubleType)).as("slope_cents_per_step"),
+        n.as("nw"))
+      .filter(col("nw") === 10).drop("nw")
+      .orderBy(col("user_id"), col("step"))
+  }
+
+  /** X19c — cohort lifetime value: customers grouped by FIRST-order month,
+    * cumulative revenue per cohort by month age — the LTV triangle behind
+    * [[cohortRetention]]'s activity matrix. Money stays exact integer cents
+    * through the per-(cohort, age) aggregate and the cumulative window
+    * (partitioned by cohort over the ~months-sized aggregate, not the
+    * corpus); dollars and per-customer LTV are single closed-form double
+    * divisions at the output boundary. Shuffles: first-order agg (user key),
+    * one join back, one (cohort, age) agg — all keyed, all partial-agg. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"),
+        (Cleanse.dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_customers"))
+    val byAge = o.join(first, Seq("o_custkey"))
+      .groupBy(col("cohort"), (col("m") - col("cohort")).as("age"))
+      .agg(sum(col("cents")).as("rev"), count(lit(1)).as("n_orders"))
+    val cum = sum(col("rev"))
+      .over(Window.partitionBy(col("cohort")).orderBy(col("age")))
+    byAge.withColumn("cum_cents", cum)
+      .join(sizes, Seq("cohort"))
+      .select(
+        format_string("%04d-%02d", expr("(cohort - 1) div 12"),
+          expr("((cohort - 1) % 12) + 1")).as("cohort_month"),
+        col("age"), col("n_customers"), col("n_orders"),
+        (col("cum_cents").cast(DoubleType) / lit(100.0)).as("cum_rev"),
+        (col("cum_cents").cast(DoubleType) /
+          (col("n_customers").cast(DoubleType) * lit(100.0))).as("ltv"))
+      .orderBy(col("cohort_month"), col("age"))
+  }
+
+  /** X19d — strict-order funnel: users advance a step only on an event
+    * STRICTLY LATER than their entry to the previous step (first view →
+    * first later click → first later purchase), the windowFunnel(strict)
+    * semantic vs [[funnelConversionWindow]]'s pairwise bound. Three
+    * user-keyed min-aggregates chained by equi-joins — each stage's state
+    * is one row per surviving user, so the chain is three partial-agg
+    * shuffles on the same key (AQE coalesces the tiny tails), never a
+    * per-event path reconstruction. */
+  def funnelStrictOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: DataFrame, step: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
+    stage(v, 1, "view")
+      .unionAll(stage(c, 2, "click"))
+      .unionAll(stage(p, 3, "purchase"))
+      .orderBy(col("step"))
+  }
+
+  /** N15j — epoch-mix sampling: per-source dataset repetition factors (the
+    * "3 epochs of wiki, half an epoch of CC" training-mix op). Every doc
+    * emits floor(f) whole copies plus one extra for the hash-selected
+    * frac(f) fraction — a deterministic draw from the doc id (the
+    * [[sampleHash]] hex-threshold idiom), so the emitted multiset is a pure
+    * function of the data on any partitioning. The emission is a narrow
+    * `explode(sequence(...))` — at 100 TB the repeat materializes row-local
+    * with NO shuffle; the verification aggregate (count + exact
+    * `Σ doc_id·epoch` checksum per source) is one partial-agg shuffle. */
+  def sampleEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("n_copies",
+        when(col("source").isin("src0", "src1"), lit(2L))
+          .when(col("source") === "src2", lit(0L)).otherwise(lit(1L)) +
+        (col("source").isin("src0", "src1", "src2") &&
+          substring(md5(col("doc_id").cast(StringType)), 1, 2) < "80")
+          .cast(LongType))
+      .filter(col("n_copies") > 0)
+    d.select(col("doc_id"), col("source"),
+        explode(expr("sequence(1L, n_copies)")).as("epoch"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_emitted"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("doc_id") * col("epoch")).as("checksum"))
+      .orderBy(col("source"))
   }
 }

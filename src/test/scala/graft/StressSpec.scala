@@ -110,7 +110,13 @@ class StressSpec extends AnyFunSuite {
       // wave-J blocking joins: deletion-neighborhood fuzzy edit and the
       // exact prefix-filter Jaccard — both were rewritten for scale this
       // round, so their slope is the regression canary
-      "join_fuzzy_edit", "dedup_prefix_filter")
+      "join_fuzzy_edit", "dedup_prefix_filter",
+      // wave-O additions that carry window/join/model-parameter structure:
+      // the 20-replace tokenizer chain (collect + narrow map), the
+      // user-keyed rolling OLS window, the cohort join+cumulative window,
+      // and the 3-stage chained strict funnel
+      "tokenize_bpe_apply", "window_rolling_regression", "cohort_ltv",
+      "funnel_strict_order")
     for (n <- names) {
       // min-of-2 per scale point: a single GC/JIT pause on either side of
       // the ratio can push a healthy query past the bound (it flaked once
