@@ -2727,6 +2727,27 @@ object OracleSql {
            SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p)
          ORDER BY step""",
 
+    "dq_psi" ->
+      """WITH d AS (SELECT n_chars AS v, doc_id % 2 = 0 AS in_a
+             FROM documents),
+         st AS (SELECT min(v) AS mn, max(v) AS mx FROM d),
+         pb AS (SELECT ((v - mn) * 10) // (mx - mn + 1) AS bin,
+               CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+               CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+             FROM d CROSS JOIN st GROUP BY bin),
+         tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+                     CAST(sum(cnt_b) AS BIGINT) AS n_b FROM pb)
+         SELECT bin, cnt_a, cnt_b,
+             round(((2.0 * CAST(cnt_a AS DOUBLE) + 1.0) /
+                      (2.0 * CAST(n_a AS DOUBLE) + 10.0) -
+                    (2.0 * CAST(cnt_b AS DOUBLE) + 1.0) /
+                      (2.0 * CAST(n_b AS DOUBLE) + 10.0)) *
+                   ln(((2.0 * CAST(cnt_a AS DOUBLE) + 1.0) /
+                        (2.0 * CAST(n_a AS DOUBLE) + 10.0)) /
+                      ((2.0 * CAST(cnt_b AS DOUBLE) + 1.0) /
+                        (2.0 * CAST(n_b AS DOUBLE) + 10.0))), 9) AS psi_term
+         FROM pb CROSS JOIN tot ORDER BY bin""",
+
     "sample_epochs" ->
       """WITH d AS (SELECT doc_id, source,
              CASE WHEN source IN ('src0', 'src1') THEN 2

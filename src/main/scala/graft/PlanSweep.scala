@@ -35,6 +35,9 @@ object PlanSweep {
       "sample_temperature", "search_bm25", "window_allocation",
       "customer_rfm", "dq_benford", "sample_balanced",
       "session_concurrency",
+      // PSI: the min/max stats row and the (n_a, n_b) totals row, both
+      // one-row broadcasts onto the bin table (scalar-subquery shape)
+      "dq_psi",
       // one-row scalar broadcasts: the grand total (chi-square), the
       // user-universe count (basket rules), the value-count total (ECDF)
       "dq_chisq", "basket_rules", "window_percentile_rank",

@@ -4098,6 +4098,98 @@ object Queries {
       .orderBy(col("step"))
   }
 
+  /** X42 — Population Stability Index profile: the model-monitoring
+    * companion to [[dqDrift]]'s KS and [[dqDriftJs]]'s JS — doc-length
+    * distribution of split A vs split B over 10 equal-width bins, one
+    * PSI term per bin. Follows the js design exactly: PER-BIN terms (the
+    * consumer sums 10 rows), never an engine-side double sum whose
+    * accumulation order could differ; bin assignment is exact integer
+    * floor-division between the global min/max (the agg_histogram
+    * discipline); probabilities are Laplace-smoothed exact rationals
+    * `(2c+1)/(2n+10)` so empty-side bins stay defined and deterministic;
+    * the one `ln` ulp is absorbed by round(·, 9). One stats aggregate
+    * (one-row broadcast), one narrow bin pass, one 10-row aggregate. */
+  def dqPsi(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("n_chars").as("v"),
+        (pmod(col("doc_id"), lit(2)) === 0).as("in_a"))
+    val stats = d.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val perBin = d.crossJoin(broadcast(stats))
+      .select(expr("((v - mn) * 10) div (mx - mn + 1)").as("bin"),
+        col("in_a"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cnt_b"))
+    val totals = perBin.agg(sum(col("cnt_a")).as("n_a"),
+      sum(col("cnt_b")).as("n_b"))
+    val pa = (lit(2.0) * col("cnt_a").cast(DoubleType) + lit(1.0)) /
+      (lit(2.0) * col("n_a").cast(DoubleType) + lit(10.0))
+    val pb = (lit(2.0) * col("cnt_b").cast(DoubleType) + lit(1.0)) /
+      (lit(2.0) * col("n_b").cast(DoubleType) + lit(10.0))
+    perBin.crossJoin(broadcast(totals))
+      .select(col("bin"), col("cnt_a"), col("cnt_b"),
+        round((pa - pb) * log(pa / pb), 9).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
+  /** N16g — ITERATIVE BPE trainer: the real multi-round byte-pair-encoding
+    * loop ([[vocabBpeMerges]] is round 1 only): each round counts adjacent
+    * SYMBOL pairs over the current segmentation (weighted by word
+    * frequency), merges the most frequent pair corpus-wide, and
+    * re-segments. The scale architecture is the vocabulary reduction plus
+    * a log-bounded driver loop (the Lloyd/PageRank pattern): the corpus
+    * shuffles ONCE into the (tiny, persisted) distinct-word vocab; each
+    * round is one vocab-sized aggregate, the winning pair a ONE-ROW
+    * collect (model parameter), and the re-segmentation a narrow literal
+    * `replace` on the symbol form — at 100 TB nothing after the first
+    * aggregate ever touches corpus-sized data. Output = the learned merge
+    * table (rank, left, right, merged, weighted count), built from the 10
+    * collected winners. Rows-only by design (engine-iterative); the spec
+    * replays the whole loop driver-side and asserts the table equal. */
+  def vocabBpeIterative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rounds = 10
+    val vocab = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"), concat(lit("("),
+        array_join(filter(split(col("w"), ""), x => x =!= ""), ")("),
+        lit(")")).as("s"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var cur = vocab
+    // adjacent symbol pairs of the current segmentation; a word collapsed
+    // to ONE symbol contributes none (sequence(1, 0) would run DESCENDING
+    // in Spark — the CASE guard is load-bearing)
+    val symsSql = "split(substring(s, 2, length(s) - 2), '\\\\)\\\\(')"
+    val pairsExpr = expr(
+      s"""CASE WHEN size($symsSql) >= 2 THEN
+            transform(sequence(1, size($symsSql) - 1),
+              i -> concat('(', element_at($symsSql, i), ')(',
+                          element_at($symsSql, i + 1), ')'))
+          ELSE array() END""")
+    for (r <- 1 to rounds) {
+      val pairs = cur
+        .select(col("wc"), explode(pairsExpr).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .collect()
+      if (pairs.nonEmpty) {
+        val best = pairs(0).getString(0)
+        val n = pairs(0).getLong(1)
+        val parts = best.substring(1, best.length - 1).split("\\)\\(")
+        val merged = parts(0) + parts(1)
+        merges += ((r.toLong, parts(0), parts(1), merged, n))
+        cur = cur.withColumn("s",
+          call_function("replace", col("s"), lit(best), lit(s"($merged)")))
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "merged", "n")
+      .orderBy(col("rank"))
+  }
+
   /** N15j — epoch-mix sampling: per-source dataset repetition factors (the
     * "3 epochs of wiki, half an epoch of CC" training-mix op). Every doc
     * emits floor(f) whole copies plus one extra for the hash-selected
