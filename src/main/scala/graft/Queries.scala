@@ -1678,7 +1678,7 @@ object Queries {
     * embedding space (the IVF centroid model, trained once per session),
     * then exact-cosine compare only within each cell — O(Σ cellᵢ²) instead
     * of O(n²), the cluster-then-compare recipe from the SemDeDup paper,
-    * with multi-probe assignment (each vector lists under its 4 nearest
+    * with multi-probe assignment (each vector lists under its 6 nearest
     * cells) so dup pairs straddling a cell boundary are still compared.
     * Rows-only by design (cell assignment is not ANSI-SQL-expressible);
     * the SimilaritySpec floor asserts recall vs the exact tier and the
@@ -1686,7 +1686,7 @@ object Queries {
     * the within-cell comparison is exact cosine). */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     sim.Ivf.semanticDupPairs(t(spark, dir, "embeddings"),
-        "vec_id", "embedding", 0.4, nCells = 16, iters = 2, probes = 4,
+        "vec_id", "embedding", 0.4, nCells = 16, iters = 2, probes = 6,
         cacheKey = Some(dir))
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("a_id"), col("b_id"))

@@ -100,7 +100,7 @@ class SimilaritySpec extends AnyFunSuite {
     // precision is exact by construction: within-cell scoring IS exact cosine
     assert((semantic -- exact).isEmpty, "semantic pair not in exact tier")
     assert(exact.nonEmpty)
-    // recall loss is only pairs whose 4-cell probe lists don't intersect
+    // recall loss is only pairs whose 6-cell probe lists don't intersect
     val recall = semantic.size.toDouble / exact.size
     info(f"semantic recall $recall%.2f (${semantic.size}/${exact.size} pairs)")
     assert(recall >= 0.60, s"semantic recall $recall below floor (" +
@@ -118,15 +118,18 @@ class SimilaritySpec extends AnyFunSuite {
       sim.Ivf.nearestCentroids(col("e"), cents, 1), 1).as("cell"),
       col("id").as("a_id"))
     val prb = v.select(col("id").as("b_id"),
-      explode(sim.Ivf.nearestCentroids(col("e"), cents, 4)).as("cell"))
+      explode(sim.Ivf.nearestCentroids(col("e"), cents, 6)).as("cell"))
     val candidates = idx.join(prb, Seq("cell"))
       .filter(col("a_id") =!= col("b_id"))
       .selectExpr("least(a_id, b_id) AS x", "greatest(a_id, b_id) AS y")
       .distinct().count()
     val allPairs = n * (n - 1) / 2
-    // the ratio is ~probes/nCells (4/16 here); nCells grows ~sqrt(corpus)
-    // at scale, so the fraction vanishes as the corpus grows
-    assert(candidates < allPairs / 2,
+    // the ideal ratio is probes/nCells (6/16 = 0.375); at the 500-vector
+    // gate scale cell-size skew inflates it to ~0.57 (measured), so the
+    // bound is 0.65 here — the probes=6 setting buys recall 0.90 at sf0.1
+    // (vs 0.77 at probes=4, measured against the exact tier). At corpus
+    // scale nCells grows ~sqrt(n) and the fraction vanishes.
+    assert(candidates < allPairs * 65 / 100,
       s"cells too coarse: $candidates of $allPairs pairs compared")
   }
 
