@@ -193,6 +193,20 @@ object NearDup {
     if (c != null) c.values.foreach(_.unpersist())
   }
 
+  /** Unpersist and drop only the session cache entries whose cacheKey
+    * matches `key` — fixture cleanup that CANNOT evict another corpus's
+    * shared shingle/signature caches (a whole-session clear mid-suite
+    * silently unpersists the sf-corpus frames other callers still hold,
+    * degrading them to recompute-on-use). Cache keys embed the cacheKey
+    * as the second `|`-separated field. */
+  def clearCachesFor(spark: SparkSession, key: String): Unit = {
+    val c = pairCaches.get(spark)
+    if (c != null) {
+      val doomed = c.keys.filter(_.split("\\|").lift(1).contains(key)).toSeq
+      doomed.foreach { k => c.remove(k).foreach(_.unpersist()) }
+    }
+  }
+
   /** Unpersist and drop all cached pair tables across sessions. */
   def clearCaches(): Unit = pairCaches.synchronized {
     val it = pairCaches.values.iterator()

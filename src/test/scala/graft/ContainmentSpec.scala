@@ -28,8 +28,11 @@ class ContainmentSpec extends AnyFunSuite {
   private def viaIndex(docs: Seq[(Long, String)], thr: Double, key: String) = {
     val pairs = NearDup.containmentPairs(
       docs.toDF("doc_id", "text"), "doc_id", "text", thr, cacheKey = key)
+    // scoped: clearing the WHOLE session cache here would unpersist the
+    // shared sf-corpus frames other suites still hold (measured as an
+    // order-dependent plan flake in the full run)
     try pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    finally NearDup.clearCaches(spark)
+    finally NearDup.clearCachesFor(spark, key)
   }
 
   test("finds a quoted doc (containment 1.0) whose Jaccard is far below threshold") {
