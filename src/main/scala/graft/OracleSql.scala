@@ -2762,6 +2762,48 @@ object OracleSql {
          SELECT source, CAST(count(*) AS BIGINT) AS n_emitted,
              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              CAST(sum(doc_id * epoch) AS BIGINT) AS checksum
-         FROM e GROUP BY source ORDER BY source"""
+         FROM e GROUP BY source ORDER BY source""",
+
+    "dq_ks" ->
+      """WITH d AS (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         ptv AS (SELECT cents, event_type, CAST(count(*) AS BIGINT) AS cnt
+                 FROM d GROUP BY 1, 2),
+         pv AS (SELECT cents, CAST(sum(cnt) AS BIGINT) AS cnt_all
+                FROM ptv GROUP BY 1),
+         ty AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+                FROM d GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_all FROM ty),
+         grid AS (SELECT pv.cents, ty.event_type,
+                      COALESCE(ptv.cnt, 0) AS cnt, pv.cnt_all
+                  FROM pv CROSS JOIN ty
+                  LEFT JOIN ptv ON ptv.cents = pv.cents
+                               AND ptv.event_type = ty.event_type),
+         cum AS (SELECT event_type, cents,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS c_t,
+             sum(cnt_all) OVER (PARTITION BY event_type
+                                ORDER BY cents) AS c_all
+           FROM grid),
+         j AS (SELECT c.event_type, ty.n_t, (tot.n_all - ty.n_t) AS n_r,
+             abs(c.c_t * (tot.n_all - ty.n_t)
+                 - (c.c_all - c.c_t) * ty.n_t) AS dnum
+           FROM cum c JOIN ty USING (event_type) CROSS JOIN tot)
+         SELECT event_type, n_t AS n_type, n_r AS n_rest,
+             round(CAST(max(dnum) AS DOUBLE) /
+               (CAST(n_t AS DOUBLE) * CAST(n_r AS DOUBLE)), 6) AS ks_stat
+         FROM j GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    "split_kfold" ->
+      """WITH d AS (SELECT lang, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40' THEN 0
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' THEN 1
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' THEN 2
+                  ELSE 3 END AS fold
+           FROM documents)
+         SELECT CAST(fold AS BIGINT) AS fold, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

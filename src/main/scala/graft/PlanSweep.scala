@@ -44,7 +44,16 @@ object PlanSweep {
       // the two-level IVF coarse bundle: ONE broadcast row carrying the
       // ≈√nCells coarse centroids, cross-joined onto the vector table —
       // the model-as-data replacement for the old O(n) plan literal
-      "knn_graph_ivf")
+      "knn_graph_ivf",
+      // PQ-ADC: the one-row codebook bundle (constant m·k·(dim/m) doubles)
+      // cross-joined onto the code scan, plus the 8-row query-LUT set
+      // broadcast against it (the ann_cosine_topk shape, but scanning
+      // 8-int CODES instead of 64-double vectors), and the recall query
+      // joining the exact baseline
+      "ann_pq_topk", "ann_pq_recall",
+      // KS: the 5-row type list and the one-row grand total, both
+      // broadcast onto the value grid (scalar-subquery shape)
+      "dq_ks")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

@@ -1776,6 +1776,35 @@ object Queries {
       .orderBy(col("q_id"))
   }
 
+  /** PQ-ADC ANN — the third scale path (Jégou et al. 2011): unit vectors
+    * compressed to 8 sub-codes against per-subspace codebooks (a KB-sized
+    * broadcast model trained distributed), queries answered by scanning
+    * CODES with per-query lookup tables (a 32× smaller scan than raw
+    * floats — the 100 TB story) and exact-cosine re-ranking the top-3k ADC
+    * survivors. Rows-only (approximate); `SimilaritySpec` asserts the
+    * recall floor. */
+  def annPqTopK(spark: SparkSession, dir: String): DataFrame =
+    sim.Pq.adcTopK(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", col("id") < 8, 10, cacheKey = Some(dir))
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rn").cast(LongType).as("rn"))
+      .orderBy(col("q_id"), col("rn"))
+
+  /** Recall@10 of the PQ-ADC ANN against the exact brute-force ground
+    * truth — the third index's published quality number, uniform with
+    * [[annLshRecall]]/[[annIvfRecall]]. Rows-only; spec floor. */
+  def annPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = annCosineTopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = annPqTopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))
+    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"),
+        (sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+      .orderBy(col("q_id"))
+  }
+
   // ── North-star: multimodal plumbing ──────────────────────────────────
 
   /** Binary payload + metadata → partition-wise (stub) decode features. */
@@ -2043,6 +2072,24 @@ object Queries {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"), col("split"))
+  }
+
+  /** N15k — deterministic k-fold assignment (k = 4): a document's fold is
+    * a pure function of its id (first md5 byte bucketed into four equal
+    * hex ranges), so cross-validation folds are reproducible on any
+    * engine, any partitioning, and any corpus growth — an existing doc
+    * never changes folds ([[splitTrain]]'s stability contract, extended
+    * to the k-way rotation training recipes need). The assignment is one
+    * narrow `when` chain; per-(fold, lang) counts audit balance. */
+  def splitKfold(spark: SparkSession, dir: String): DataFrame = {
+    val b = substring(md5(col("doc_id").cast(StringType)), 1, 2)
+    val fold = when(b < "40", 0L).when(b < "80", 1L)
+      .when(b < "c0", 2L).otherwise(3L)
+    t(spark, dir, "documents")
+      .select(fold.as("fold"), col("lang"), col("n_chars"))
+      .groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("fold"), col("lang"))
   }
 
   /** SCD2 history build (slowly-changing dimension, type 2): collapse each
@@ -3533,6 +3580,57 @@ object Queries {
         round(ma - mb, 4).as("mean_diff_cents"),
         round(tStat, 6).as("t_stat"),
         round(dfW, 4).as("welch_df"))
+      .orderBy(col("event_type"))
+  }
+
+  /** X15i — ONE-VS-REST KS profile: each event type's value distribution
+    * against all OTHER events' — sup over the merged value grid of
+    * |ECDF_type − ECDF_rest|. [[dqDrift]] (X15b) answers "did THIS slice
+    * drift from THAT baseline?" for one pair; this answers the screening
+    * question "WHICH segment's distribution deviates?" for all G groups in
+    * ONE pass over a shared value grid (vs G pairwise runs, each
+    * re-scanning the corpus). Everything stays integral until the last division:
+    * the sup is max |cT·nRest − cRest·nType| over exact cumulative COUNTS,
+    * so the statistic is bit-identical on any engine. Shape: per-(value,
+    * type) counts from one partial-agg shuffle; BOTH cumulatives run
+    * through [[ops.PrefixSum.cumSum]] (the two-pass distributed scan — no
+    * single-task global window, and the per-type scan never serializes a
+    * dominant type because the range exchange splits on (type, value));
+    * the value grid is values × |types| rows, linear in distinct values.
+    * Products are carried in DECIMAL(38,0) so 1e13-row-scale counts cannot
+    * overflow the Long intermediate. */
+  def dqKs(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "events")
+      .select(col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+    val perTv = d.groupBy(col("cents"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val perV = perTv.groupBy(col("cents")).agg(sum(col("cnt")).as("cntAll"))
+    val types = d.groupBy(col("event_type")).agg(count(lit(1)).as("nT"))
+    val totals = types.agg(sum(col("nT")).as("nAll"))
+    val grid = perV.crossJoin(broadcast(types.select(col("event_type"))))
+      .join(perTv, Seq("cents", "event_type"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val cumT = ops.PrefixSum.cumSum(grid.select(col("cents"),
+        col("event_type"), col("cnt")),
+      Seq("event_type"), Seq("cents"), col("cnt"), "cT")
+    val cumAll = ops.PrefixSum.cumSum(perV, Nil, Seq("cents"),
+        col("cntAll"), "cAll")
+      .select(col("cents"), col("cAll"))
+    val dec = DecimalType(38, 0)
+    cumT.join(cumAll, "cents")
+      .join(broadcast(types), "event_type")
+      .crossJoin(broadcast(totals))
+      .select(col("event_type"), col("nT"), (col("nAll") - col("nT")).as("nR"),
+        abs(col("cT").cast(dec) * (col("nAll") - col("nT")).cast(dec) -
+          (col("cAll") - col("cT")).cast(dec) * col("nT").cast(dec))
+          .as("dnum"))
+      .groupBy(col("event_type"), col("nT"), col("nR"))
+      .agg(max(col("dnum")).as("ksNum"))
+      .select(col("event_type"), col("nT").as("n_type"), col("nR").as("n_rest"),
+        round(col("ksNum").cast(DoubleType) /
+          (col("nT").cast(DoubleType) * col("nR").cast(DoubleType)), 6)
+          .as("ks_stat"))
       .orderBy(col("event_type"))
   }
 

@@ -1,0 +1,199 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+import Similarity.{dotd, withNorm}
+
+/** Product quantization (PQ) ANN — the third scale path next to the LSH
+  * banding and the IVF cells: compress each unit-normalized vector into `m`
+  * small sub-codes (one per contiguous subspace) against per-subspace
+  * codebooks of `k` centroids, then answer top-k queries by scanning the
+  * CODES with per-query lookup tables (ADC — asymmetric distance
+  * computation) instead of scanning raw floats. Jégou, Douze, Schmid,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011.
+  *
+  * Why this is the 100 TB shape: a 64-dim float vector is 256 bytes; its PQ
+  * code is `m` small ints (8 here) — a 32× smaller scan, which is the
+  * difference between scanning 100 TB of embeddings and scanning ~3 TB of
+  * codes. The codebook is a genuine MODEL PARAMETER (m·k·(dim/m) doubles =
+  * dim·k total, a few KB regardless of corpus size), trained distributed
+  * (no per-iteration driver collect: Lloyd means aggregate into the next
+  * codebook table, the [[Ivf]] two-level discipline) and carried as a
+  * one-row broadcast bundle — never a plan literal, so the
+  * OversizedLiteral plan gate holds by construction. Encoding is a pure
+  * narrow map (nested HOFs, whole-stage codegen; no join, no shuffle);
+  * query scoring is one broadcast of the (small) query-LUT set against the
+  * code scan with a per-query top-k window (WindowGroupLimit pushes the
+  * rank bound below the exchange). A final exact re-rank of the top
+  * `refine·k` ADC survivors restores exact cosine on the emitted rows, so
+  * only RECALL is approximate — precision of returned scores is exact
+  * (the [[Ivf]]/[[Similarity]] contract).
+  *
+  * Reference seam: the reference has no vector ops at all (pandas ETL);
+  * this extends SURVEY §2.11's similarity-search family.
+  */
+object Pq {
+
+  /** Normalized vectors: id, en (unit L2), plus the original e/nrm. Zero
+    * vectors are dropped — they have no direction to quantize (same rule
+    * as cosine itself, which is undefined at nrm = 0). */
+  private def unit(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    withNorm(emb, idCol, vecCol)
+      .filter(col("nrm") > 0)
+      .withColumn("en", transform(col("e"), x => x / col("nrm")))
+
+  /** Squared L2 between two array<double> columns as the sequential
+    * zip_with/aggregate fold (bit-deterministic across engines). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-centroid position (0-based) of `sv` within `cents`
+    * (array<array<double>>): argmin of squared L2, first-minimum
+    * tie-break via array_position — deterministic on any engine. */
+  private def argminL2(sv: Column, cents: Column): Column = {
+    val dists = transform(cents, c => l2sq(sv, c))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train per-subspace codebooks, distributed: explode each unit vector
+    * into its `m` subvectors ONCE (m rows per vector, narrow), seed each
+    * subspace by deterministic random partition (content-hash mod k), and
+    * refine with `iters` Lloyd passes whose means aggregate straight into
+    * the next codebook table (localCheckpoint truncates the iterative
+    * lineage — the Components/PageRank discipline; nothing but the final
+    * pack ever touches the driver, and even the pack is in-plan).
+    * Returns the ONE-ROW bundle: cb = array[m][≤k][dim/m], each subspace's
+    * centroid list sorted by cell id for cross-run determinism. */
+  def trainCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                    m: Int, k: Int, iters: Int = 2): DataFrame = {
+    val v = unit(emb, idCol, vecCol)
+    val dim = v.select(size(col("en"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val d = dim / m
+    val subs = v.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          mm => slice(col("en"), mm * d + 1, lit(d)))))
+      .toDF("id", "sub", "sv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def means(assigned: DataFrame): DataFrame =
+      assigned.select(col("sub"), col("cell"), posexplode(col("sv")))
+        .toDF("sub", "cell", "dimIdx", "x")
+        .groupBy(col("sub"), col("cell"), col("dimIdx"))
+        .agg(avg(col("x")).as("mn"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("dimIdx"), col("mn"))))
+          .as("dm"))
+        .select(col("sub"), col("cell"),
+          transform(col("dm"), s => s.getField("mn")).as("c"))
+
+    // per-sub codebook rows grouped into (sub, cents array) for assignment
+    def bySub(cb: DataFrame): DataFrame =
+      cb.groupBy(col("sub"))
+        .agg(array_sort(collect_list(struct(col("cell"), col("c"))))
+          .as("kc"))
+        .select(col("sub"), transform(col("kc"), s => s.getField("cell"))
+          .as("cellIds"),
+          transform(col("kc"), s => s.getField("c")).as("cents"))
+
+    var cb = means(subs.select(col("sub"),
+        pmod(hash(col("id"), col("sub")), lit(k)).cast("int").as("cell"),
+        col("sv")))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = subs.join(broadcast(bySub(cb)), "sub")
+        .withColumn("cell", element_at(col("cellIds"),
+          argminL2(col("sv"), col("cents")) + 1))
+        .select(col("sub"), col("cell"), col("sv"))
+      cb = means(assigned).localCheckpoint(true)
+    }
+    subs.unpersist()
+    // one-row bundle, subspace-major, centroids sorted by cell id
+    bySub(cb)
+      .agg(array_sort(collect_list(struct(col("sub"), col("cents"))))
+        .as("sc"))
+      .select(transform(col("sc"), s => s.getField("cents")).as("cb"))
+      .localCheckpoint(true)
+  }
+
+  private val cbCaches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, DataFrame]]())
+
+  /** Session-cached codebook (train-once, probe-per-query — the in-session
+    * analog of persisting the index artifact; [[Ivf.centroidsCached]]
+    * pattern). */
+  def codebookCached(emb: DataFrame, idCol: String, vecCol: String,
+                     m: Int, k: Int, iters: Int, cacheKey: String): DataFrame =
+    cbCaches.computeIfAbsent(emb.sparkSession,
+        _ => TrieMap.empty[String, DataFrame])
+      .getOrElseUpdate(s"pq|$cacheKey|$idCol|$vecCol|$m|$k|$iters",
+        trainCodebook(emb, idCol, vecCol, m, k, iters))
+
+  /** PQ codes for every vector: one narrow map under a broadcast of the
+    * one-row codebook bundle — no shuffle, no join on the big side. Codes
+    * are POSITIONS into each subspace's sorted centroid list (the LUT is
+    * built from the same bundle, so positional codes are self-consistent
+    * without carrying cell ids). */
+  def encode(emb: DataFrame, idCol: String, vecCol: String, m: Int,
+             dim: Int, cbBundle: DataFrame): DataFrame = {
+    val v = unit(emb, idCol, vecCol)
+    val d = dim / m
+    v.crossJoin(broadcast(cbBundle))
+      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)),
+        mm => argminL2(slice(col("en"), mm * d + 1, lit(d)),
+          element_at(col("cb"), (mm + 1).cast("int")))))
+      .select(col("id"), col("e"), col("nrm"), col("codes"))
+  }
+
+  /** ADC top-k with exact re-rank: scan the CODES against each query's
+    * per-subspace lookup table (lut[m][c] = dot(query subvector,
+    * centroid c) — since both sides are unit vectors, Σ_m lut[m][code_m]
+    * approximates the cosine), keep the `refine`·k best ADC candidates
+    * per query (windowed rank; WindowGroupLimit bounds the exchange), and
+    * re-rank just those by EXACT cosine against the raw vectors (a
+    * refine·k·|queries|-row join — model-parameter sized). Emits the same
+    * schema as [[Ivf.ivfTopK]] so the recall twin reads uniformly. */
+  def adcTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, m: Int = 8, nCodes: Int = 64,
+              iters: Int = 3, refine: Int = 8,
+              cacheKey: Option[String] = None): DataFrame = {
+    val cb = cacheKey match {
+      case Some(key) => codebookCached(emb, idCol, vecCol, m, nCodes, iters, key)
+      case None => trainCodebook(emb, idCol, vecCol, m, nCodes, iters)
+    }
+    val v = unit(emb, idCol, vecCol)
+    val dim = v.select(size(col("en"))).head().getInt(0)
+    val d = dim / m
+    val coded = encode(emb, idCol, vecCol, m, dim, cb)
+    val q = v.filter(queryPred).crossJoin(broadcast(cb))
+      .withColumn("luts", transform(sequence(lit(0), lit(m - 1)),
+        mm => transform(element_at(col("cb"), (mm + 1).cast("int")),
+          c => dotd(slice(col("en"), mm * d + 1, lit(d)), c))))
+      .select(col("id").as("q_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col("luts"))
+    val kept = coded.select(col("id"), col("codes"))
+      .join(broadcast(q.select(col("q_id"), col("luts"))),
+        col("id") =!= col("q_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("luts"),
+          (cd, lutm) => element_at(lutm, cd + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").desc, col("id"))))
+      .filter(col("arn") <= k * refine)
+      .select(col("q_id"), col("id"))
+    kept
+      .join(broadcast(q.select(col("q_id"), col("qe"), col("qnrm"))), "q_id")
+      .join(v.select(col("id"), col("e"), col("nrm")), "id")
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        (dotd(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+  }
+}

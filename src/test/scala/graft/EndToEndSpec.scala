@@ -54,7 +54,16 @@ class EndToEndSpec extends AnyFunSuite {
       "stream_hll_merge",
       // deflate length is a zlib-algorithm property no SQL engine
       // reproduces; exact driver-side Deflater recompute spec'd
-      "text_compression")
+      "text_compression",
+      // engine-iterative multi-round merge loop (each round's counts
+      // depend on the previous merge); exact driver-side replay of the
+      // whole loop spec'd in WavePSpec
+      "vocab_bpe_iterative",
+      // approximate PQ-ADC index; recall floor spec'd in WaveQSpec
+      "ann_pq_topk",
+      // recall of an approximate structure isn't ANSI-SQL-expressible;
+      // floor spec'd in WaveQSpec
+      "ann_pq_recall")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }

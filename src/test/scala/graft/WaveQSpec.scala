@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave Q: PQ-ADC ANN, exact two-sample KS drift, k-fold splits. */
+class WaveQSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("PQ codes are m positions each within its subspace codebook") {
+    val emb = ops.Tables.table(spark, sf, "embeddings")
+    val cb = sim.Pq.codebookCached(emb, "vec_id", "embedding",
+      m = 8, k = 64, iters = 3, cacheKey = sf)
+    val coded = sim.Pq.encode(emb, "vec_id", "embedding", 8, 64, cb)
+    val bad = coded.filter(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c >= 64)).count()
+    assert(bad == 0)
+    // codes genuinely discriminate: many distinct code words over the corpus
+    val distinctWords = coded.select(col("codes")).distinct().count()
+    val n = coded.count()
+    assert(distinctWords > n / 4,
+      s"only $distinctWords distinct code words over $n vectors")
+  }
+
+  test("declared ann_pq_recall clears its floor (PQ's published quality number)") {
+    val rows = Queries.annPqRecall(spark, sf).collect()
+    assert(rows.length == 8)
+    val recalls = rows.map(_.getAs[Double]("recall_at_10"))
+    val mean = recalls.sum / recalls.length
+    info(f"declared PQ mean recall@10 $mean%.2f min ${recalls.min}%.2f")
+    assert(mean >= 0.75, s"mean PQ recall@10 $mean below floor 0.75")
+    assert(recalls.min >= 0.4, s"worst-query PQ recall@10 ${recalls.min} below 0.4")
+  }
+
+  test("dq_ks equals a driver-side exact KS recomputation per event type") {
+    val rows = Queries.dqKs(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val vals = ops.Tables.table(spark, sf, "events")
+      .select(col("event_type"),
+        (ops.Cleanse.dec2(col("value")) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val types = vals.map(_._1).distinct.sorted
+    assert(rows.keySet == types.toSet)
+    val nAll = vals.length.toLong
+    for (ty <- types) {
+      val inT = vals.filter(_._1 == ty).map(_._2)
+      val rest = vals.filter(_._1 != ty).map(_._2)
+      val grid = vals.map(_._2).distinct.sorted
+      val nT = inT.length.toLong
+      val nR = nAll - nT
+      val dnum = grid.map { x =>
+        val cT = inT.count(_ <= x).toLong
+        val cR = rest.count(_ <= x).toLong
+        math.abs(cT * nR - cR * nT)
+      }.max
+      val expect = BigDecimal(dnum.toDouble / (nT.toDouble * nR.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gotNT, gotNR, gotKs) = rows(ty)
+      assert(gotNT == nT && gotNR == nR)
+      assert(gotKs == expect, s"$ty: ks $gotKs != exact $expect")
+    }
+  }
+
+  test("dq_ks of a type against itself would be 0; stats lie in [0, 1]") {
+    val rows = Queries.dqKs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ks = r.getDouble(3)
+      assert(ks >= 0.0 && ks <= 1.0, s"ks $ks out of [0,1]")
+    }
+  }
+
+  test("split_kfold partitions every document exactly once, stable under re-run") {
+    val out = Queries.splitKfold(spark, sf)
+    val total = out.agg(sum(col("n_docs"))).head().getLong(0)
+    val nDocs = ops.Tables.table(spark, sf, "documents").count()
+    assert(total == nDocs)
+    val folds = out.select(col("fold")).distinct().collect().map(_.getLong(0)).toSet
+    assert(folds.subsetOf(Set(0L, 1L, 2L, 3L)))
+    // determinism: re-running yields byte-identical assignment counts
+    assert(out.collect().toSeq == Queries.splitKfold(spark, sf).collect().toSeq)
+  }
+}
