@@ -51,6 +51,9 @@ object PlanSweep {
       // 8-int CODES instead of 64-double vectors), and the recall query
       // joining the exact baseline
       "ann_pq_topk", "ann_pq_recall",
+      // IVF-PQ composition: the same one-row bundle broadcasts (coarse
+      // IVF bundle + PQ codebook) on both the index and query sides
+      "ann_ivfpq_topk", "ann_ivfpq_recall",
       // KS: the 5-row type list and the one-row grand total, both
       // broadcast onto the value grid (scalar-subquery shape)
       "dq_ks")

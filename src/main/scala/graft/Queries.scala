@@ -1805,6 +1805,38 @@ object Queries {
       .orderBy(col("q_id"))
   }
 
+  /** IVF-PQ ANN — the COMPOSED production index (faiss IVFPQ shape): the
+    * two-level IVF quantizer bounds WHICH vectors are touched
+    * (probes/nCells of the corpus), PQ codes bound WHAT each touch costs
+    * (m int lookups, not dim doubles) — multiplicative savings neither
+    * index achieves alone; exact-cosine re-rank of the ADC survivors.
+    * Rows-only (approximate); `WaveQSpec` asserts the recall floor. */
+  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val nCells = math.max(16,
+      math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    sim.Pq.ivfPqTopK(emb, "vec_id", "embedding", col("id") < 8, 10,
+        nCells = nCells, probes = 10, cacheKey = Some(dir))
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"),
+        col("rn").cast(LongType).as("rn"), col("n_candidates"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Recall@10 of the composed IVF-PQ index against the exact baseline —
+    * the fourth published quality number. Rows-only; spec floor. */
+  def annIvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = annCosineTopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = annIvfPqTopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))
+    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"),
+        (sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+      .orderBy(col("q_id"))
+  }
+
   // ── North-star: multimodal plumbing ──────────────────────────────────
 
   /** Binary payload + metadata → partition-wise (stub) decode features. */

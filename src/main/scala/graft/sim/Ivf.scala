@@ -262,9 +262,11 @@ object Ivf {
     * probed coarse cell's fine bundle, keep the global best p — per-row
     * cost nCoarse + cp·fanout ≈ O(√nCells). Output: one row per (vector,
     * cell), ranked by descending centroid score. */
-  def assignCells(v: DataFrame, idx: TwoLevelIndex, p: Int): DataFrame = {
-    val cp = math.min(idx.nCoarse,
-      math.ceil(p.toDouble / idx.fanout).toInt + 1)
+  def assignCells(v: DataFrame, idx: TwoLevelIndex, p: Int,
+                  coarseProbes: Option[Int] = None): DataFrame = {
+    val cp = coarseProbes.map(math.min(idx.nCoarse, _)).getOrElse(
+      math.min(idx.nCoarse,
+        math.ceil(p.toDouble / idx.fanout).toInt + 1))
     val pf = math.min(p, idx.fanout)
     val probed = v.crossJoin(broadcast(idx.coarse))
       .withColumn("cprobe", cellsKernel(col("e"), col("cells"),

@@ -132,6 +132,26 @@ object Pq {
       .getOrElseUpdate(s"pq|$cacheKey|$idCol|$vecCol|$m|$k|$iters",
         trainCodebook(emb, idCol, vecCol, m, k, iters))
 
+  /** The per-subspace code expression: position of each subvector's
+    * nearest centroid within its codebook (`cb` = the bundle column). */
+  private def codesExpr(en: Column, cb: Column, m: Int, d: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      mm => argminL2(slice(en, mm * d + 1, lit(d)),
+        element_at(cb, (mm + 1).cast("int"))))
+
+  /** The per-subspace lookup-table expression for a query: lut[m][c] =
+    * dot(query subvector, centroid c) — both sides unit vectors, so
+    * Σ_m lut[m][code_m] approximates the cosine. */
+  private def lutsExpr(en: Column, cb: Column, m: Int, d: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      mm => transform(element_at(cb, (mm + 1).cast("int")),
+        c => dotd(slice(en, mm * d + 1, lit(d)), c)))
+
+  /** ADC score of a code word against a query's LUT. */
+  private def adcExpr(codes: Column, luts: Column): Column =
+    aggregate(zip_with(codes, luts,
+      (cd, lutm) => element_at(lutm, cd + 1)), lit(0.0), (acc, x) => acc + x)
+
   /** PQ codes for every vector: one narrow map under a broadcast of the
     * one-row codebook bundle — no shuffle, no join on the big side. Codes
     * are POSITIONS into each subspace's sorted centroid list (the LUT is
@@ -142,9 +162,7 @@ object Pq {
     val v = unit(emb, idCol, vecCol)
     val d = dim / m
     v.crossJoin(broadcast(cbBundle))
-      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)),
-        mm => argminL2(slice(col("en"), mm * d + 1, lit(d)),
-          element_at(col("cb"), (mm + 1).cast("int")))))
+      .withColumn("codes", codesExpr(col("en"), col("cb"), m, d))
       .select(col("id"), col("e"), col("nrm"), col("codes"))
   }
 
@@ -169,18 +187,13 @@ object Pq {
     val d = dim / m
     val coded = encode(emb, idCol, vecCol, m, dim, cb)
     val q = v.filter(queryPred).crossJoin(broadcast(cb))
-      .withColumn("luts", transform(sequence(lit(0), lit(m - 1)),
-        mm => transform(element_at(col("cb"), (mm + 1).cast("int")),
-          c => dotd(slice(col("en"), mm * d + 1, lit(d)), c))))
+      .withColumn("luts", lutsExpr(col("en"), col("cb"), m, d))
       .select(col("id").as("q_id"), col("e").as("qe"),
         col("nrm").as("qnrm"), col("luts"))
     val kept = coded.select(col("id"), col("codes"))
       .join(broadcast(q.select(col("q_id"), col("luts"))),
         col("id") =!= col("q_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), col("luts"),
-          (cd, lutm) => element_at(lutm, cd + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", adcExpr(col("codes"), col("luts")))
       .withColumn("arn", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("adc").desc, col("id"))))
@@ -195,5 +208,78 @@ object Pq {
         Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("neighbor_id"))))
       .filter(col("rn") <= k)
+  }
+
+  /** IVF-PQ — the composed production index (the faiss IVFPQ shape): the
+    * two-level IVF quantizer ([[Ivf.trainTwoLevel]]) BOUNDS the candidate
+    * set (only vectors in the query's probed cells are touched at all),
+    * and PQ codes make the touched set CHEAP to score (ADC over m small
+    * ints instead of dim doubles). The two models are independent
+    * KB-sized broadcasts; the index side is the corpus with (cell, codes)
+    * attached by two narrow maps — at deployment that is ONE parquet
+    * table bucketed by cell, refreshed incrementally like the signature
+    * index. Search: probe `probes` cells per query (O(√nCells) per row),
+    * ONE broadcast equi-join of the query-probe set against the
+    * cell-keyed codes, ADC score, per-query top `refine`·k, exact-cosine
+    * re-rank of the survivors. Candidate volume ≈ probes/nCells of the
+    * corpus AND each candidate costs m int lookups — multiplicative
+    * savings neither index achieves alone. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int, nCells: Int, m: Int = 8,
+                nCodes: Int = 64, iters: Int = 3, probes: Int = 4,
+                refine: Int = 8,
+                cacheKey: Option[String] = None): DataFrame = {
+    val idx = cacheKey match {
+      case Some(key) => Ivf.twoLevelCached(emb, idCol, vecCol, nCells, 2, key)
+      case None => Ivf.trainTwoLevel(emb, idCol, vecCol, nCells, 2)
+    }
+    val cb = cacheKey match {
+      case Some(key) => codebookCached(emb, idCol, vecCol, m, nCodes, iters, key)
+      case None => trainCodebook(emb, idCol, vecCol, m, nCodes, iters)
+    }
+    val v = unit(emb, idCol, vecCol)
+    val dim = v.select(size(col("en"))).head().getInt(0)
+    val d = dim / m
+    // index side: (cell, codes) attached by two narrow maps — the
+    // deployment form of "one bucketed codes table"
+    val indexed = Ivf.assignCells(v, idx, 1)
+      .crossJoin(broadcast(cb))
+      .withColumn("codes", codesExpr(col("en"), col("cb"), m, d))
+      .select(col("cell"), col("id").as("neighbor_id"), col("codes"))
+    val q = v.filter(queryPred)
+    // query side probes EXTRA coarse cells (cp+1 beyond the heuristic):
+    // a missed coarse cell hides its whole fine fanout, and at small cell
+    // counts the default ceil(p/fanout)+1 coarse coverage caps recall
+    // well below the fine-probe budget's reach
+    val cpq = math.ceil(probes.toDouble / idx.fanout).toInt + 2
+    val qProbes = Ivf.assignCells(q, idx, probes, coarseProbes = Some(cpq))
+      .select(col("id").as("q_id"), col("cell"))
+    val qLuts = q.crossJoin(broadcast(cb))
+      .withColumn("luts", lutsExpr(col("en"), col("cb"), m, d))
+      .select(col("id").as("q_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col("luts"))
+    val cand = indexed.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+    val n = cand.groupBy("q_id").agg(count(lit(1)).as("n_candidates"))
+    val kept = cand
+      .join(broadcast(qLuts.select(col("q_id"), col("luts"))), "q_id")
+      .withColumn("adc", adcExpr(col("codes"), col("luts")))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").desc, col("neighbor_id"))))
+      .filter(col("arn") <= k * refine)
+      .select(col("q_id"), col("neighbor_id"))
+    kept
+      .join(broadcast(qLuts.select(col("q_id"), col("qe"), col("qnrm"))),
+        "q_id")
+      .join(v.select(col("id").as("neighbor_id"), col("e"), col("nrm")),
+        "neighbor_id")
+      .select(col("q_id"), col("neighbor_id"),
+        (dotd(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .join(n, "q_id")
   }
 }

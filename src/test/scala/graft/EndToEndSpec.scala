@@ -59,11 +59,12 @@ class EndToEndSpec extends AnyFunSuite {
       // depend on the previous merge); exact driver-side replay of the
       // whole loop spec'd in WavePSpec
       "vocab_bpe_iterative",
-      // approximate PQ-ADC index; recall floor spec'd in WaveQSpec
-      "ann_pq_topk",
+      // approximate PQ-ADC / composed IVF-PQ indexes; recall floors
+      // spec'd in WaveQSpec
+      "ann_pq_topk", "ann_ivfpq_topk",
       // recall of an approximate structure isn't ANSI-SQL-expressible;
-      // floor spec'd in WaveQSpec
-      "ann_pq_recall")
+      // floors spec'd in WaveQSpec
+      "ann_pq_recall", "ann_ivfpq_recall")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }

@@ -116,7 +116,11 @@ class StressSpec extends AnyFunSuite {
       // user-keyed rolling OLS window, the cohort join+cumulative window,
       // and the 3-stage chained strict funnel
       "tokenize_bpe_apply", "window_rolling_regression", "cohort_ltv",
-      "funnel_strict_order")
+      "funnel_strict_order",
+      // wave-Q additions with train/scan/scan-grid structure: the PQ
+      // codebook train + ADC code scan, and the KS value grid with its
+      // two distributed prefix scans
+      "ann_pq_topk", "dq_ks")
     for (n <- names) {
       // min-of-2 per scale point: a single GC/JIT pause on either side of
       // the ratio can push a healthy query past the bound (it flaked once

@@ -33,6 +33,24 @@ class WaveQSpec extends AnyFunSuite {
     assert(recalls.min >= 0.4, s"worst-query PQ recall@10 ${recalls.min} below 0.4")
   }
 
+  test("declared ann_ivfpq_recall clears its floor (the composed index)") {
+    val rows = Queries.annIvfPqRecall(spark, sf).collect()
+    assert(rows.length == 8)
+    val recalls = rows.map(_.getAs[Double]("recall_at_10"))
+    val mean = recalls.sum / recalls.length
+    info(f"declared IVF-PQ mean recall@10 $mean%.2f min ${recalls.min}%.2f")
+    assert(mean >= 0.7, s"mean IVF-PQ recall@10 $mean below floor 0.7")
+    assert(recalls.min >= 0.4, s"worst-query IVF-PQ recall@10 ${recalls.min} below 0.4")
+  }
+
+  test("IVF-PQ candidate volume is genuinely bounded below the corpus") {
+    val rows = Queries.annIvfPqTopK(spark, sf).collect()
+    val n = ops.Tables.table(spark, sf, "embeddings").count()
+    val worst = rows.map(_.getAs[Long]("n_candidates")).max
+    info(s"worst-query candidates $worst of ${n - 1}")
+    assert(worst < n - 1, "IVF-PQ scanned the whole corpus — no pruning")
+  }
+
   test("dq_ks equals a driver-side exact KS recomputation per event type") {
     val rows = Queries.dqKs(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
