@@ -2804,6 +2804,49 @@ object OracleSql {
          SELECT CAST(fold AS BIGINT) AS fold, lang,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "graph_common_neighbors" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+         p AS (SELECT a_id, b_id FROM (
+           SELECT a.doc_id a_id, b.doc_id b_id,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jaccard
+           FROM t a JOIN t b ON a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.8),
+         adj AS (SELECT a_id AS node, b_id AS nbr FROM p
+                 UNION ALL SELECT b_id, a_id FROM p),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) deg
+                 FROM adj GROUP BY 1),
+         w AS (SELECT a.node a_id, b.node b_id, CAST(count(*) AS BIGINT) n_common
+               FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+               GROUP BY 1, 2)
+         SELECT w.a_id, w.b_id, w.n_common,
+             round(CAST(w.n_common AS DOUBLE) /
+               CAST(da.deg + db.deg - w.n_common AS DOUBLE), 4) AS nbr_jaccard
+         FROM w JOIN deg da ON da.node = w.a_id
+                JOIN deg db ON db.node = w.b_id
+         ORDER BY w.a_id, w.b_id""",
+
+    "recommend_item_knn" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+         n AS (SELECT pk, CAST(count(*) AS BIGINT) ni FROM li GROUP BY 1),
+         co AS (SELECT a.pk a, b.pk b, CAST(count(*) AS BIGINT) nco
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         s AS (SELECT co.a, co.b, co.nco,
+                 round(CAST(co.nco AS DOUBLE) /
+                   sqrt(CAST(na.ni * nb.ni AS DOUBLE)), 6) cos_sim
+               FROM co JOIN n na ON na.pk = co.a JOIN n nb ON nb.pk = co.b),
+         r AS (SELECT a, b, nco, cos_sim,
+                 row_number() OVER (PARTITION BY a
+                   ORDER BY cos_sim DESC, b) rn
+               FROM s)
+         SELECT a AS part_id, b AS rec_part_id, nco AS n_co, cos_sim,
+             CAST(rn AS BIGINT) AS rn
+         FROM r WHERE rn <= 5 ORDER BY part_id, rn"""
   )
 }

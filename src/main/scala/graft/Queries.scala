@@ -931,6 +931,40 @@ object Queries {
       .orderBy(col("a"), col("b"), col("c"))
   }
 
+  /** N14h — neighbor-overlap (co-citation) similarity over the dup graph:
+    * for every node pair sharing at least one common neighbor, the Jaccard
+    * of their NEIGHBOR SETS — the structural-similarity signal entity-
+    * resolution pipelines use to find records that are "duplicates of the
+    * same duplicates" even when no direct edge connects them. Shape: the
+    * undirected adjacency (2|E| rows), wedges through each center node by
+    * ONE self-equi-join on the center, pair-counted in one partial-agg
+    * shuffle, degrees joined back (vertex-sized). Per-center wedge fanout
+    * is deg² — bounded here by construction because the underlying LSH
+    * pair graph caps bucket sizes (spam-cap discipline), the same bound
+    * [[ops.Triangles]] leans on. Counts stay integral; Jaccard is one
+    * rounded double per emitted pair. */
+  def graphCommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = text.NearDup.minhashDupPairsCached(
+      t(spark, dir, "documents"), "doc_id", "text",
+      threshold = 0.8, cacheKey = dir)
+    val adj = pairs.select(col("a_id").as("node"), col("b_id").as("nbr"))
+      .unionAll(pairs.select(col("b_id").as("node"), col("a_id").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wa = adj.select(col("nbr").as("center"), col("node").as("a_id"))
+    val wb = adj.select(col("nbr").as("center"), col("node").as("b_id"))
+    wa.join(wb, Seq("center"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(deg.select(col("node").as("a_id"), col("deg").as("dega")), "a_id")
+      .join(deg.select(col("node").as("b_id"), col("deg").as("degb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_common"),
+        round(col("n_common").cast(DoubleType) /
+          (col("dega") + col("degb") - col("n_common")).cast(DoubleType), 4)
+          .as("nbr_jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** A8 — Pearson correlation with EXACT integer co-moments: built-in
     * `corr()` accumulates doubles, whose summation order makes the result
     * partitioning-dependent and engine-divergent; over integer columns the
@@ -4020,6 +4054,45 @@ object Queries {
     * to ≤ |types|² rows. All three metrics are integer ratios
     * (`div`), exact on any engine: lift's numerator n_xy·n_users·10⁶
     * stays far inside a BIGINT for any realistic dimension. */
+  /** X43 — item-item co-occurrence kNN (the "customers also bought"
+    * recommender): parts co-purchased within an order basket, scored by
+    * co-occurrence cosine n_co/√(n_a·n_b) and top-5 ranked per item.
+    * [[basketRules]] mines RULES (support/confidence/lift over a small
+    * item vocabulary); this builds the per-item NEIGHBOR LIST over the
+    * full catalog — the item-based collaborative-filtering structure.
+    * Shape: distinct (order, part) pairs once; the pair explosion is one
+    * self-equi-join on the order key, bounded by basket size squared (TPC-H
+    * baskets are ≤ 7 lines — at 100 TB the bound is the basket, never the
+    * catalog); one partial-agg shuffle counts pairs; item totals join back
+    * vertex-sized; the per-item top-5 is a high-cardinality keyed window
+    * (WindowGroupLimit pushes rn ≤ 5 below the exchange). Cosine is one
+    * rounded double from exact counts; `n_co ≥ 2` prunes the noise tail
+    * (and most of the output volume) before the window. */
+  def recommendItemKnn(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val itemN = li.groupBy(col("pk")).agg(count(lit(1)).as("ni"))
+    val cos = round(col("nco").cast(DoubleType) /
+      sqrt((col("na") * col("nb")).cast(DoubleType)), 6)
+    li.select(col("ok"), col("pk").as("a"))
+      .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nco"))
+      .filter(col("nco") >= 2)
+      .join(itemN.select(col("pk").as("a"), col("ni").as("na")), "a")
+      .join(itemN.select(col("pk").as("b"), col("ni").as("nb")), "b")
+      .withColumn("cos_sim", cos)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+          .orderBy(col("cos_sim").desc, col("b"))))
+      .filter(col("rn") <= 5)
+      .select(col("a").as("part_id"), col("b").as("rec_part_id"),
+        col("nco").as("n_co"), col("cos_sim"),
+        col("rn").cast(LongType).as("rn"))
+      .orderBy(col("part_id"), col("rn"))
+  }
+
   def basketRules(spark: SparkSession, dir: String): DataFrame = {
     val baskets = t(spark, dir, "events")
       .select(col("user_id"), col("event_type")).distinct()

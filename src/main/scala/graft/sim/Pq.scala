@@ -166,6 +166,20 @@ object Pq {
       .select(col("id"), col("e"), col("nrm"), col("codes"))
   }
 
+  private val codesCaches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, DataFrame]]())
+
+  /** Session-cached CODES table (localCheckpointed): the PQ index artifact
+    * a deployment persists as a parquet table — encoded once per corpus,
+    * scanned per query. Without this every search re-encodes the corpus it
+    * already indexed. */
+  def codesCached(emb: DataFrame, idCol: String, vecCol: String, m: Int,
+                  dim: Int, cbBundle: DataFrame, cacheKey: String): DataFrame =
+    codesCaches.computeIfAbsent(emb.sparkSession,
+        _ => TrieMap.empty[String, DataFrame])
+      .getOrElseUpdate(s"pqcodes|$cacheKey|$idCol|$vecCol|$m|$dim",
+        encode(emb, idCol, vecCol, m, dim, cbBundle).localCheckpoint())
+
   /** ADC top-k with exact re-rank: scan the CODES against each query's
     * per-subspace lookup table (lut[m][c] = dot(query subvector,
     * centroid c) — since both sides are unit vectors, Σ_m lut[m][code_m]
@@ -185,7 +199,10 @@ object Pq {
     val v = unit(emb, idCol, vecCol)
     val dim = v.select(size(col("en"))).head().getInt(0)
     val d = dim / m
-    val coded = encode(emb, idCol, vecCol, m, dim, cb)
+    val coded = cacheKey match {
+      case Some(key) => codesCached(emb, idCol, vecCol, m, dim, cb, key)
+      case None => encode(emb, idCol, vecCol, m, dim, cb)
+    }
     val q = v.filter(queryPred).crossJoin(broadcast(cb))
       .withColumn("luts", lutsExpr(col("en"), col("cb"), m, d))
       .select(col("id").as("q_id"), col("e").as("qe"),
@@ -241,11 +258,20 @@ object Pq {
     val dim = v.select(size(col("en"))).head().getInt(0)
     val d = dim / m
     // index side: (cell, codes) attached by two narrow maps — the
-    // deployment form of "one bucketed codes table"
-    val indexed = Ivf.assignCells(v, idx, 1)
+    // deployment form of "one bucketed codes table"; session-cached like
+    // the signature indexes (built once per corpus, probed per query)
+    def buildIndex(): DataFrame = Ivf.assignCells(v, idx, 1)
       .crossJoin(broadcast(cb))
       .withColumn("codes", codesExpr(col("en"), col("cb"), m, d))
       .select(col("cell"), col("id").as("neighbor_id"), col("codes"))
+    val indexed = cacheKey match {
+      case Some(key) => codesCaches.computeIfAbsent(emb.sparkSession,
+          _ => TrieMap.empty[String, DataFrame])
+        .getOrElseUpdate(
+          s"ivfpq|$key|$idCol|$vecCol|$m|$nCodes|$nCells",
+          buildIndex().localCheckpoint())
+      case None => buildIndex()
+    }
     val q = v.filter(queryPred)
     // query side probes EXTRA coarse cells (cp+1 beyond the heuristic):
     // a missed coarse cell hides its whole fine fanout, and at small cell

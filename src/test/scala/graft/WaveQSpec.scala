@@ -90,6 +90,41 @@ class WaveQSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_common_neighbors: jaccard bounded and consistent with degrees") {
+    val rows = Queries.graphCommonNeighbors(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("nbr_jaccard")
+      assert(j > 0.0 && j <= 1.0, s"nbr_jaccard $j out of (0,1]")
+      assert(r.getAs[Long]("n_common") >= 1)
+    }
+  }
+
+  test("recommend_item_knn: contiguous per-item ranks, bounded cosine, " +
+    "and n_co equals an independent shared-basket recount for the top row") {
+    val out = Queries.recommendItemKnn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val c = r.getAs[Double]("cos_sim")
+      assert(c > 0.0 && c <= 1.0, s"cos_sim $c out of (0,1]")
+    }
+    val byPart = out.groupBy(_.getAs[Long]("part_id"))
+    byPart.foreach { case (p, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rn")).sorted.toSeq
+      assert(ranks == (1L to ranks.length),
+        s"part $p ranks not contiguous: $ranks")
+    }
+    // independent recount of one pair's co-occurrence from the raw table
+    val first = out.head
+    val (a, b) = (first.getAs[Long]("part_id"), first.getAs[Long]("rec_part_id"))
+    val li = ops.Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getAs[Long](0), r.getAs[Long](1)))
+    val ordersA = li.filter(_._2 == a).map(_._1).toSet
+    val ordersB = li.filter(_._2 == b).map(_._1).toSet
+    assert(first.getAs[Long]("n_co") == (ordersA & ordersB).size.toLong)
+  }
+
   test("split_kfold partitions every document exactly once, stable under re-run") {
     val out = Queries.splitKfold(spark, sf)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
