@@ -2655,6 +2655,55 @@ object Queries {
       .orderBy(col("channel"))
   }
 
+  /** X21b — Markov-chain (removal-effect) attribution, the data-driven
+    * model next to [[attributionTouch]]'s positional heuristics: user
+    * journeys become a first-order chain over channel states (start →
+    * touches → purchase-absorption, or → null when the journey never
+    * converts; journeys truncate at the first purchase), and each
+    * channel's credit is its REMOVAL EFFECT — how much total conversion
+    * probability drops when the channel's outgoing mass is redirected to
+    * null — normalized into shares (Anderl et al. 2016's framework;
+    * public methodology). Scale split: the DISTRIBUTED work is the
+    * transition-count aggregation (one user-keyed lag window over bounded
+    * per-user journeys + one partial-agg shuffle); the collected
+    * transition matrix is |states|² ≤ ~50 counts — a model parameter —
+    * and the absorption solves are |states|³ driver arithmetic on exact
+    * Long counts (deterministic: Gaussian elimination with fixed pivot
+    * order, no data-dependent float accumulation). Rows-only (matrix
+    * solves are not ANSI SQL); `WaveQSpec` recomputes absorption by
+    * independent power iteration and pins conservation invariants. */
+  def attributionMarkov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("convRank", sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).over(w))
+      // keep events up to and including the FIRST purchase
+      .filter(col("convRank") === 0 ||
+        (col("convRank") === 1 && col("event_type") === "purchase"))
+    val trans = ev
+      .withColumn("from", coalesce(lag(col("event_type"), 1).over(w),
+        lit("start")))
+      .withColumn("isLast", lead(col("event_type"), 1).over(w).isNull)
+      .select(col("from"),
+        col("event_type").as("to"),
+        col("isLast") && col("event_type") =!= "purchase")
+      .toDF("from", "to", "openEnd")
+    // journey-terminating mass: a last non-purchase touch also emits
+    // (touch -> null); purchase absorbs
+    val counts = trans.select(col("from"), col("to"))
+      .unionAll(trans.filter(col("openEnd"))
+        .select(col("to").as("from"), lit("null").as("to")))
+      .groupBy(col("from"), col("to")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    ops.Markov.attribute(counts)
+      .toDF("channel", "removal_effect", "attribution")
+      .orderBy(col("channel"))
+  }
+
   /** X15e — join-key skew audit: per candidate key column, the hot-key
     * share and the Simpson/Gini concentration — the numbers that decide
     * whether a join needs salting BEFORE it runs (the diagnosis

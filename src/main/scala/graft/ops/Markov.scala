@@ -1,0 +1,109 @@
+package graft.ops
+
+/** Pure first-order-Markov attribution math over a collected transition
+  * count table — the MODEL-PARAMETER half of `attribution_markov` (the
+  * distributed half is the transition aggregation; see
+  * [[graft.Queries.attributionMarkov]]). Kept free of Spark so the spec
+  * can pin closed-form chains exactly.
+  *
+  * States: "start" (journey source), channel names, "purchase" (absorbing
+  * conversion), "null" (absorbing non-conversion). Absorption probability
+  * into purchase solves (I − Q)·t = r by Gauss-Jordan with fixed pivot
+  * order — deterministic double arithmetic, no data-dependent ordering. */
+object Markov {
+
+  /** P(absorb into purchase | start), with `removed` channels' outgoing
+    * mass redirected to null (their incoming edges dropped from Q but
+    * kept in the source's normalizer — the removal-effect semantics). */
+  def absorption(counts: Seq[(String, String, Long)],
+                 removed: Set[String]): Double = {
+    val channels = counts.flatMap(t => Seq(t._1, t._2))
+      .filter(s => s != "start" && s != "purchase" && s != "null")
+      .distinct.sorted
+    val states = "start" +: channels
+    val idx = states.zipWithIndex.toMap
+    val nS = states.length
+    val q = Array.ofDim[Double](nS, nS)
+    val r = new Array[Double](nS)
+    for (s <- states; if !removed.contains(s)) {
+      val out = counts.filter(_._1 == s)
+      val tot = out.map(_._3).sum.toDouble
+      if (tot > 0) out.foreach { case (_, to, n) =>
+        if (to == "purchase") r(idx(s)) += n / tot
+        else if (to != "null" && idx.contains(to) && !removed.contains(to))
+          q(idx(s))(idx(to)) += n / tot
+      }
+    }
+    val a = Array.tabulate(nS, nS)((i, j) =>
+      (if (i == j) 1.0 else 0.0) - q(i)(j))
+    val b = r.clone()
+    for (p <- 0 until nS) {
+      val piv = a(p)(p)
+      for (i <- 0 until nS if i != p && a(i)(p) != 0.0) {
+        val f = a(i)(p) / piv
+        for (j <- 0 until nS) a(i)(j) -= f * a(p)(j)
+        b(i) -= f * b(p)
+      }
+    }
+    b(idx("start")) / a(idx("start"))(idx("start"))
+  }
+
+  /** Same absorption probability by plain power iteration — the
+    * independent recomputation the spec diffs against the direct solve. */
+  def absorptionIterative(counts: Seq[(String, String, Long)],
+                          removed: Set[String], iters: Int = 500): Double = {
+    val channels = counts.flatMap(t => Seq(t._1, t._2))
+      .filter(s => s != "start" && s != "purchase" && s != "null")
+      .distinct.sorted
+    val states = "start" +: channels
+    val idx = states.zipWithIndex.toMap
+    val nS = states.length
+    val q = Array.ofDim[Double](nS, nS)
+    val r = new Array[Double](nS)
+    for (s <- states; if !removed.contains(s)) {
+      val out = counts.filter(_._1 == s)
+      val tot = out.map(_._3).sum.toDouble
+      if (tot > 0) out.foreach { case (_, to, n) =>
+        if (to == "purchase") r(idx(s)) += n / tot
+        else if (to != "null" && idx.contains(to) && !removed.contains(to))
+          q(idx(s))(idx(to)) += n / tot
+      }
+    }
+    var t = new Array[Double](nS)
+    for (_ <- 0 until iters) {
+      val next = new Array[Double](nS)
+      var i = 0
+      while (i < nS) {
+        var s = r(i)
+        var j = 0
+        while (j < nS) { s += q(i)(j) * t(j); j += 1 }
+        next(i) = s
+        i += 1
+      }
+      t = next
+    }
+    t(idx("start"))
+  }
+
+  /** (channel, removal effect, normalized attribution share), channels
+    * sorted; effects floored at 0 (sampling noise can nudge a useless
+    * channel's removal marginally "helpful"). */
+  def attribute(counts: Seq[(String, String, Long)])
+      : Seq[(String, Double, Double)] = {
+    val channels = counts.flatMap(t => Seq(t._1, t._2))
+      .filter(s => s != "start" && s != "purchase" && s != "null")
+      .distinct.sorted
+    val pBase = absorption(counts, Set.empty)
+    val effects = channels.map { c =>
+      val re = if (pBase > 0) 1.0 - absorption(counts, Set(c)) / pBase else 0.0
+      (c, math.max(re, 0.0))
+    }
+    val total = effects.map(_._2).sum
+    effects.map { case (c, re) =>
+      (c,
+        BigDecimal(re).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(if (total > 0) re / total else 0.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+}

@@ -125,6 +125,67 @@ class WaveQSpec extends AnyFunSuite {
     assert(first.getAs[Long]("n_co") == (ordersA & ordersB).size.toLong)
   }
 
+  test("Markov attribution: closed-form chains solve exactly") {
+    // start → A → purchase(0.5) / null(0.5): P = 0.5, removing A kills
+    // every conversion path → A takes all credit
+    val c1 = Seq(("start", "A", 10L), ("A", "purchase", 5L), ("A", "null", 5L))
+    assert(math.abs(ops.Markov.absorption(c1, Set.empty) - 0.5) < 1e-12)
+    val a1 = ops.Markov.attribute(c1)
+    assert(a1 == Seq(("A", 1.0, 1.0)))
+    // two parallel channels: start splits 50/50 to A (converts 100%) and
+    // B (converts 50%): P = 0.75; remove A → 0.25 (RE_A = 2/3),
+    // remove B → 0.5 (RE_B = 1/3) → shares 2/3 vs 1/3
+    val c2 = Seq(("start", "A", 5L), ("start", "B", 5L),
+      ("A", "purchase", 5L), ("B", "purchase", 5L), ("B", "null", 5L))
+    assert(math.abs(ops.Markov.absorption(c2, Set.empty) - 0.75) < 1e-12)
+    val a2 = ops.Markov.attribute(c2).map(t => (t._1, t._3)).toMap
+    assert(math.abs(a2("A") - 2.0 / 3) < 1e-6)
+    assert(math.abs(a2("B") - 1.0 / 3) < 1e-6)
+    // a self-loop chain still solves: A loops 50%, converts 25%, dies 25%
+    val c3 = Seq(("start", "A", 4L), ("A", "A", 2L),
+      ("A", "purchase", 1L), ("A", "null", 1L))
+    assert(math.abs(ops.Markov.absorption(c3, Set.empty) - 0.5) < 1e-12)
+  }
+
+  test("Markov attribution on the real corpus: direct solve equals " +
+    "independent power iteration; shares conserve") {
+    val out = Queries.attributionMarkov(spark, sf).collect()
+    assert(out.nonEmpty)
+    val shareSum = out.map(_.getAs[Double]("attribution")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    out.foreach { r =>
+      val re = r.getAs[Double]("removal_effect")
+      assert(re >= 0.0 && re <= 1.0)
+    }
+    // independent recompute: rebuild the transition counts the same way
+    // and diff Gauss-Jordan vs power iteration on base + each removal
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = ops.Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("cr", sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).over(w))
+      .filter(col("cr") === 0 ||
+        (col("cr") === 1 && col("event_type") === "purchase"))
+    val tr = ev
+      .withColumn("from", coalesce(lag(col("event_type"), 1).over(w),
+        lit("start")))
+      .withColumn("isLast", lead(col("event_type"), 1).over(w).isNull)
+    val counts = tr.select(col("from"), col("event_type").as("to"))
+      .unionAll(tr.filter(col("isLast") && col("event_type") =!= "purchase")
+        .select(col("event_type").as("from"), lit("null").as("to")))
+      .groupBy("from", "to").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    for (rm <- Set.empty[String] :: out.map(r =>
+        Set(r.getString(0))).toList) {
+      val direct = ops.Markov.absorption(counts, rm)
+      val iter = ops.Markov.absorptionIterative(counts, rm)
+      assert(math.abs(direct - iter) < 1e-9,
+        s"removal $rm: solve $direct vs iterate $iter")
+    }
+  }
+
   test("split_kfold partitions every document exactly once, stable under re-run") {
     val out = Queries.splitKfold(spark, sf)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
