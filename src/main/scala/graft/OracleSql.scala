@@ -1282,6 +1282,19 @@ object OracleSql {
          SELECT q_id, neighbor_id, round(cos, 6) AS cos_sim, CAST(rn AS BIGINT) AS rn
          FROM r WHERE rn <= 10 ORDER BY q_id, rn""",
 
+    "sample_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+           n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM v),
+           p AS (SELECT q.vec_id q_id, x.vec_id neighbor_id,
+                     list_dot_product(q.e, x.e) / (q.nrm * x.nrm) cos
+                 FROM n q JOIN n x ON x.vec_id != q.vec_id WHERE q.vec_id < 8),
+           r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, neighbor_id) rn FROM p)
+         SELECT q_id, neighbor_id AS negative_id, round(cos, 6) AS cos_sim,
+             CAST(rn AS BIGINT) AS rn
+         FROM r WHERE rn > 10 AND rn <= 20 AND cos < 0.95
+         ORDER BY q_id, rn""",
+
     // same decode formula as mm_decode over the arriving delta batch: the
     // payloads are the same BMPs, only the transport differs (real files
     // via binaryFile vs a column)

@@ -56,7 +56,10 @@ object PlanSweep {
       "ann_ivfpq_topk", "ann_ivfpq_recall",
       // KS: the 5-row type list and the one-row grand total, both
       // broadcast onto the value grid (scalar-subquery shape)
-      "dq_ks")
+      "dq_ks",
+      // hard-negative mining: the ann_cosine_topk brute-force tier (8-row
+      // anchor broadcast against the corpus scan) with a rank-band filter
+      "sample_hard_negatives")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

@@ -1839,6 +1839,23 @@ object Queries {
       .orderBy(col("q_id"))
   }
 
+  /** N27b — hard-negative mining for contrastive training: per anchor,
+    * the exact-cosine band JUST BELOW the positive ranks (ranks 11-20,
+    * with near-dups cos ≥ 0.95 excluded so a leaked duplicate never
+    * becomes a "negative") — the InfoNCE-style sampling that makes
+    * embedding training batches informative ([[sampleNegatives]] draws
+    * RANDOM negatives; these are the hard ones). Exact and deterministic
+    * (brute-force tier, broadcast anchors × one corpus scan, WindowGroupLimit
+    * rank); the scale path swaps in the IVF-PQ candidate generator and
+    * re-ranks its survivors with the same band filter. */
+  def sampleHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    sim.Similarity.bruteForceTopK(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", col("id") < 8, 20)
+      .filter(col("rn") > 10 && col("cos") < 0.95)
+      .select(col("q_id"), col("neighbor_id").as("negative_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rn").cast(LongType).as("rn"))
+      .orderBy(col("q_id"), col("rn"))
+
   /** IVF-PQ ANN — the COMPOSED production index (faiss IVFPQ shape): the
     * two-level IVF quantizer bounds WHICH vectors are touched
     * (probes/nCells of the corpus), PQ codes bound WHAT each touch costs
