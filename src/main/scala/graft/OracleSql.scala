@@ -2819,6 +2819,34 @@ object OracleSql {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "dq_bootstrap_ci" ->
+      """WITH d AS (SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) h,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) x
+           FROM events),
+         e AS (SELECT d.*, b FROM d
+               CROSS JOIN (SELECT unnest(range(0, 100)) b)),
+         wt AS (SELECT event_type, b, x,
+             CASE WHEN u < 6171992 THEN 0
+                  WHEN u < 12343985 THEN 1
+                  WHEN u < 15429982 THEN 2
+                  ELSE 3 END AS w
+           FROM (SELECT *,
+               (((h + b * 2654435761) % 2147483647) * 48271
+                 % 2147483647) % 16777216 AS u FROM e)),
+         r AS (SELECT event_type, b, CAST(sum(w) AS BIGINT) n,
+                   sum(w * x) s
+               FROM wt GROUP BY 1, 2 HAVING sum(w) > 0),
+         m AS (SELECT event_type,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) m FROM r),
+         agg AS (SELECT event_type, CAST(count(*) AS BIGINT) n_reps,
+                     list_sort(list(m)) ms
+                 FROM m GROUP BY 1)
+         SELECT event_type, n_reps,
+             round(ms[CAST(ceil(n_reps * 0.025) AS INT)], 4) AS ci_lo_cents,
+             round(ms[CAST(ceil(n_reps * 0.975) AS INT)], 4) AS ci_hi_cents
+         FROM agg ORDER BY 1""",
+
     "graph_common_neighbors" ->
       """WITH t AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),

@@ -2721,6 +2721,61 @@ object Queries {
       .orderBy(col("channel"))
   }
 
+  /** X44 — deterministic multiplier-bootstrap confidence interval: a 95%
+    * CI for each event type's mean value from B = 100 resamples, with the
+    * per-(row, replicate) multiplicity drawn from a TRUNCATED-POISSON(1)
+    * table keyed on md5(event_id, b) — the Poisson/multiplier bootstrap
+    * (each row appears 0/1/2/3 times per replicate; tail mass ≥ 4 lumped
+    * into 3), made a pure function of the data so any engine reproduces
+    * the identical resamples (no rand(), no partition dependence; the
+    * hex-threshold draw is the [[sampleImportance]] idiom). Shape: the
+    * B-way replicate explosion is a NARROW `explode(sequence)` whose
+    * weighted sums combine MAP-SIDE into one (type, b) partial-agg
+    * shuffle; per-replicate means are one double division of exact ints;
+    * the percentile selection sorts each type's B means inside a bounded
+    * array (collect_list of B elements — model-parameter sized, never a
+    * corpus window). At 100 TB the multiplier form is exactly why this
+    * scales: resampling never materializes a resampled CORPUS, only
+    * per-row integer weights. */
+  def dqBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val nBoot = 100
+    val M = 2147483647L // 2^31 - 1 (Mersenne prime, MINSTD modulus)
+    val d = t(spark, dir, "events")
+      .select(col("event_type"),
+        conv(substring(md5(col("event_id").cast(StringType)), 1, 12),
+          16, 10).cast(LongType).as("h"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("x"))
+      .withColumn("b", explode(sequence(lit(0), lit(nBoot - 1))))
+    // truncated-Poisson(1) multiplicity from a 24-bit Lehmer uniform: the
+    // md5 runs ONCE PER ROW; per-replicate draws expand from the row's
+    // 48-bit digest via (h + b*2654435761) mod M, * 48271 mod M (MINSTD),
+    // mod 2^24 - pure integer ops, no overflow below 2^63, identical in
+    // Spark and DuckDB at 1/B-th of the hashing cost. CDF cuts
+    // 0.3679 / 0.7358 / 0.9197 on the 2^24 scale.
+    val u = pmod(pmod(col("h") + col("b") * lit(2654435761L), lit(M)) *
+      lit(48271L), lit(M)) % lit(16777216L)
+    val w = when(u < 6171992L, 0L).when(u < 12343985L, 1L)
+      .when(u < 15429982L, 2L).otherwise(3L)
+    val reps = d.withColumn("w", w)
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w")).as("n"),
+        sum((col("w") * col("x")).cast(DecimalType(38, 0))).as("s"))
+      .filter(col("n") > 0)
+      .select(col("event_type"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("m"))
+    reps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_reps"),
+        array_sort(collect_list(col("m"))).as("ms"))
+      .select(col("event_type"), col("n_reps"),
+        round(element_at(col("ms"),
+          (ceil(col("n_reps") * 0.025)).cast(IntegerType)), 4)
+          .as("ci_lo_cents"),
+        round(element_at(col("ms"),
+          (ceil(col("n_reps") * 0.975)).cast(IntegerType)), 4)
+          .as("ci_hi_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** X15e — join-key skew audit: per candidate key column, the hot-key
     * share and the Simpson/Gini concentration — the numbers that decide
     * whether a join needs salting BEFORE it runs (the diagnosis

@@ -8,7 +8,9 @@ object ProbePq {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    for (q <- Seq("ann_pq_topk", "ann_ivfpq_topk", "dq_ks"); i <- 1 to 3) {
+    val qs = if (args.length > 1) args.drop(1).toSeq
+      else Seq("ann_pq_topk", "ann_ivfpq_topk", "dq_ks")
+    for (q <- qs; i <- 1 to 3) {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, dir).count()
       println(f"$q iter$i ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -186,6 +186,26 @@ class WaveQSpec extends AnyFunSuite {
     }
   }
 
+  test("dq_bootstrap_ci: ordered bounds that cover the plain mean") {
+    val out = Queries.dqBootstrapCi(spark, sf).collect()
+    assert(out.nonEmpty)
+    val means = ops.Tables.table(spark, sf, "events")
+      .select(col("event_type"),
+        (ops.Cleanse.dec2(col("value")) * 100).cast("long").as("x"))
+      .groupBy("event_type")
+      .agg((sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+        .as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      val (ty, lo, hi) = (r.getString(0), r.getAs[Double]("ci_lo_cents"),
+        r.getAs[Double]("ci_hi_cents"))
+      assert(lo <= hi, s"$ty: lo $lo > hi $hi")
+      // a 95% bootstrap CI over thousands of events covers the plain mean
+      assert(means(ty) >= lo && means(ty) <= hi,
+        s"$ty: mean ${means(ty)} outside [$lo, $hi]")
+    }
+  }
+
   test("split_kfold partitions every document exactly once, stable under re-run") {
     val out = Queries.splitKfold(spark, sf)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
