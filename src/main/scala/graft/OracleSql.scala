@@ -2819,6 +2819,20 @@ object OracleSql {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "scan_time_travel" ->
+      """WITH v1 AS (SELECT CAST(1 AS BIGINT) AS "version", event_type,
+             CAST(count(*) AS BIGINT) n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) n_users
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+           GROUP BY 2),
+         v2 AS (SELECT CAST(2 AS BIGINT) AS "version", event_type,
+             CAST(count(*) AS BIGINT) n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) n_users
+           FROM events GROUP BY 2)
+         SELECT * FROM v1 UNION ALL SELECT * FROM v2
+         ORDER BY "version", event_type""",
+
     "dq_bootstrap_ci" ->
       """WITH d AS (SELECT event_type,
              CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) h,

@@ -3121,6 +3121,61 @@ object Queries {
       .orderBy(col("wk"))
   }
 
+  /** S15 — snapshot TIME TRAVEL over a manifest log: the lakehouse
+    * versioned-table mechanic (Delta/Iceberg's core idea) built from
+    * first principles on the S11 manifest idiom. The table is an
+    * append-only set of immutable data files plus a LOG of version
+    * manifests, each listing exactly the files visible in that snapshot;
+    * v2 appends two weekly files to v1's two. Reading AS OF v1 is pure
+    * MANIFEST SELECTION — the planner opens v1's file list and never
+    * touches (or even lists) later files, so time travel costs zero data
+    * movement and snapshots structurally SHARE unchanged files; the
+    * version-to-version delta is O(files changed), never O(table). The
+    * declared query reads both snapshots and emits their per-type counts
+    * side by side — the isolation evidence (v1's numbers are immutable
+    * while v2 grows). */
+  def scanTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = TempFiles.dir(s"tt_tbl_${TempFiles.tag(dir)}")
+    val log = java.nio.file.Paths.get(root, "log")
+    if (!java.nio.file.Files.exists(log.resolve("v2.manifest"))) {
+      java.nio.file.Files.createDirectories(log)
+      val weeks = Seq(("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15"),
+        ("2024-01-15", "2024-01-22"), ("2024-01-22", "2024-02-01"))
+      val files = weeks.zipWithIndex.map { case ((lo, hi), i) =>
+        val part = java.nio.file.Paths.get(
+          TempFiles.dir(s"tt_build_${TempFiles.tag(dir)}/w$i"))
+        t(spark, dir, "events")
+          .filter(col("ts") >= lit(lo).cast(TimestampType) &&
+            col("ts") < lit(hi).cast(TimestampType))
+          .repartition(1).write.mode("overwrite").parquet(part.toString)
+        val s = java.nio.file.Files.list(part)
+        val f = try s.filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get() finally s.close()
+        val dst = java.nio.file.Paths.get(root, s"w$i.parquet")
+        java.nio.file.Files.move(f, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.toString
+      }
+      java.nio.file.Files.write(log.resolve("v1.manifest"),
+        files.take(2).mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(log.resolve("v2.manifest"),
+        files.mkString("\n").getBytes("UTF-8"))
+    }
+    def snapshot(v: Int): DataFrame = {
+      val paths = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(log.resolve(s"v$v.manifest")))
+        .asScala.toSeq
+      spark.read.parquet(paths: _*)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .select(lit(v.toLong).as("version"), col("event_type"),
+          col("n_events"), col("n_users"))
+    }
+    snapshot(1).unionByName(snapshot(2))
+      .orderBy(col("version"), col("event_type"))
+  }
+
   /** S12 — hive-partition-PRUNED read: the fundamental 100 TB scan idiom —
     * a day-partitioned table queried with a day predicate must touch ONLY
     * the matching partition directories (static partition pruning; the

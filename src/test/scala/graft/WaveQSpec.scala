@@ -206,6 +206,30 @@ class WaveQSpec extends AnyFunSuite {
     }
   }
 
+  test("scan_time_travel: the AS-OF read touches exactly the snapshot's " +
+    "manifest files (pure manifest selection, no data movement)") {
+    val out = Queries.scanTimeTravel(spark, sf).collect()
+    assert(out.nonEmpty)
+    val root = ops.TempFiles.dir(s"tt_tbl_${ops.TempFiles.tag(sf)}")
+    def manifest(v: Int): Seq[String] =
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(root, "log", s"v$v.manifest")))
+        .asScala.toSeq
+    val (m1, m2) = (manifest(1), manifest(2))
+    assert(m1.size == 2 && m2.size == 4 && m2.startsWith(m1),
+      "v2 must structurally share v1's files")
+    val v1Files = spark.read.parquet(m1: _*).inputFiles.toSet
+    assert(v1Files == m1.map(p => "file://" + p).toSet ||
+      v1Files == m1.toSet,
+      s"v1 scan read ${v1Files.size} files, expected exactly v1's manifest")
+    // isolation: v1's numbers are a strict subset of v2's
+    val byV = out.groupBy(_.getAs[Long]("version"))
+    val n1 = byV(1L).map(_.getAs[Long]("n_events")).sum
+    val n2 = byV(2L).map(_.getAs[Long]("n_events")).sum
+    assert(n1 < n2, s"v1 $n1 should be strictly smaller than v2 $n2")
+  }
+
   test("split_kfold partitions every document exactly once, stable under re-run") {
     val out = Queries.splitKfold(spark, sf)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
