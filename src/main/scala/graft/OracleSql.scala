@@ -2833,6 +2833,19 @@ object OracleSql {
          SELECT * FROM v1 UNION ALL SELECT * FROM v2
          ORDER BY "version", event_type""",
 
+    "merge_cow" ->
+      """WITH v2 AS (SELECT CAST(2 AS BIGINT) AS "version", event_type,
+             CAST(count(*) AS BIGINT) n_events
+           FROM events GROUP BY 2),
+         v3 AS (SELECT CAST(3 AS BIGINT) AS "version", event_type,
+             CAST(count(*) AS BIGINT) n_events
+           FROM events
+           WHERE NOT (event_type = 'error' AND
+             CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-22 00:00:00')
+           GROUP BY 2)
+         SELECT * FROM v2 UNION ALL SELECT * FROM v3
+         ORDER BY "version", event_type""",
+
     "dq_bootstrap_ci" ->
       """WITH d AS (SELECT event_type,
              CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) h,

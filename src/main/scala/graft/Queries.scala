@@ -3134,7 +3134,10 @@ object Queries {
     * declared query reads both snapshots and emits their per-type counts
     * side by side — the isolation evidence (v1's numbers are immutable
     * while v2 grows). */
-  def scanTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+  /** Builds (once) the snapshot-log fixture: 4 immutable weekly files
+    * under `root`, v1.manifest = weeks 0-1, v2.manifest = weeks 0-3.
+    * Returns the log directory. */
+  private[graft] def ttLog(spark: SparkSession, dir: String): java.nio.file.Path = {
     val root = TempFiles.dir(s"tt_tbl_${TempFiles.tag(dir)}")
     val log = java.nio.file.Paths.get(root, "log")
     if (!java.nio.file.Files.exists(log.resolve("v2.manifest"))) {
@@ -3161,18 +3164,76 @@ object Queries {
       java.nio.file.Files.write(log.resolve("v2.manifest"),
         files.mkString("\n").getBytes("UTF-8"))
     }
-    def snapshot(v: Int): DataFrame = {
-      val paths = scala.jdk.CollectionConverters.ListHasAsScala(
-        java.nio.file.Files.readAllLines(log.resolve(s"v$v.manifest")))
-        .asScala.toSeq
-      spark.read.parquet(paths: _*)
+    log
+  }
+
+  private[graft] def ttManifest(log: java.nio.file.Path, v: Int): Seq[String] =
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(log.resolve(s"v$v.manifest")))
+      .asScala.toSeq
+
+  def scanTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val log = ttLog(spark, dir)
+    def snapshot(v: Int): DataFrame =
+      spark.read.parquet(ttManifest(log, v): _*)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           count_distinct(col("user_id")).as("n_users"))
         .select(lit(v.toLong).as("version"), col("event_type"),
           col("n_events"), col("n_users"))
-    }
     snapshot(1).unionByName(snapshot(2))
+      .orderBy(col("version"), col("event_type"))
+  }
+
+  /** K10 — copy-on-write DELETE producing a new snapshot: v3 removes the
+    * late-January error events from the versioned table. The rewrite
+    * PLANS on file statistics first (only files whose week can contain
+    * matches are touched — here exactly one of four), rewrites those
+    * files without the matching rows, and commits a new manifest that
+    * shares every untouched file with v2 structurally — the
+    * Delta/Iceberg copy-on-write mechanic: write amplification is
+    * O(files containing matches), never O(table), and readers of v2 are
+    * never disturbed (immutable files + new manifest = snapshot
+    * isolation for free). Declared output reads v2 and v3 side by side;
+    * the spec asserts v3's manifest shares exactly the 3 untouched
+    * files. */
+  def mergeCow(spark: SparkSession, dir: String): DataFrame = {
+    val log = ttLog(spark, dir)
+    if (!java.nio.file.Files.exists(log.resolve("v3.manifest"))) {
+      val v2 = ttManifest(log, 2)
+      val cutoff = lit("2024-01-22 00:00:00").cast(TimestampType)
+      // plan: touch only files that can contain matches (the last week)
+      val (touch, keep) = v2.partition { p =>
+        val mm = spark.read.parquet(p)
+          .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
+        !mm.isNullAt(1) && mm.getTimestamp(1).getTime >=
+          java.sql.Timestamp.valueOf("2024-01-22 00:00:00").getTime
+      }
+      val rewritten = touch.zipWithIndex.map { case (p, i) =>
+        val stage = java.nio.file.Paths.get(
+          TempFiles.dir(s"tt_cow_${TempFiles.tag(dir)}/r$i"))
+        spark.read.parquet(p)
+          .filter(!(col("event_type") === "error" && col("ts") >= cutoff))
+          .repartition(1).write.mode("overwrite").parquet(stage.toString)
+        val s = java.nio.file.Files.list(stage)
+        val f = try s.filter(q => q.toString.endsWith(".parquet"))
+          .findFirst().get() finally s.close()
+        val dst = log.resolveSibling(s"w${v2.indexOf(p)}r.parquet")
+        java.nio.file.Files.move(f, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        p -> dst.toString
+      }.toMap
+      java.nio.file.Files.write(log.resolve("v3.manifest"),
+        v2.map(p => rewritten.getOrElse(p, p)).mkString("\n")
+          .getBytes("UTF-8"))
+    }
+    def snapshot(v: Int): DataFrame =
+      spark.read.parquet(ttManifest(log, v): _*)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(lit(v.toLong).as("version"), col("event_type"),
+          col("n_events"))
+    snapshot(2).unionByName(snapshot(3))
       .orderBy(col("version"), col("event_type"))
   }
 

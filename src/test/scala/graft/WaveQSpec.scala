@@ -230,6 +230,26 @@ class WaveQSpec extends AnyFunSuite {
     assert(n1 < n2, s"v1 $n1 should be strictly smaller than v2 $n2")
   }
 
+  test("merge_cow: the delete rewrites exactly one file; v3 shares the " +
+    "other three with v2 structurally") {
+    Queries.mergeCow(spark, sf).collect()
+    val root = ops.TempFiles.dir(s"tt_tbl_${ops.TempFiles.tag(sf)}")
+    val log = java.nio.file.Paths.get(root, "log")
+    val (m2, m3) = (Queries.ttManifest(log, 2), Queries.ttManifest(log, 3))
+    assert(m2.size == 4 && m3.size == 4)
+    val shared = m2.toSet & m3.toSet
+    assert(shared.size == 3,
+      s"expected 3 shared files, got ${shared.size}")
+    // the rewritten file really lost only the targeted rows
+    val rewritten = (m3.toSet -- shared).head
+    val original = (m2.toSet -- shared).head
+    val before = spark.read.parquet(original).count()
+    val after = spark.read.parquet(rewritten).count()
+    val deleted = spark.read.parquet(original)
+      .filter(col("event_type") === "error").count()
+    assert(after == before - deleted)
+  }
+
   test("split_kfold partitions every document exactly once, stable under re-run") {
     val out = Queries.splitKfold(spark, sf)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
