@@ -2846,6 +2846,27 @@ object OracleSql {
          SELECT * FROM v2 UNION ALL SELECT * FROM v3
          ORDER BY "version", event_type""",
 
+    "scan_merge_on_read" ->
+      """WITH v2 AS (SELECT CAST(2 AS BIGINT) AS "version", event_type,
+             CAST(count(*) AS BIGINT) n_events
+           FROM events GROUP BY 2),
+         v4 AS (SELECT CAST(4 AS BIGINT) AS "version", event_type,
+             CAST(count(*) AS BIGINT) n_events
+           FROM events
+           WHERE NOT (event_type = 'error' AND
+             CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-22 00:00:00')
+           GROUP BY 2)
+         SELECT * FROM v2 UNION ALL SELECT * FROM v4
+         ORDER BY "version", event_type""",
+
+    "scan_changes" ->
+      """SELECT 'delete' AS change_type, event_type,
+             CAST(count(*) AS BIGINT) n
+         FROM events
+         WHERE event_type = 'error' AND
+           CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-22 00:00:00'
+         GROUP BY 2 ORDER BY 1, 2""",
+
     "dq_bootstrap_ci" ->
       """WITH d AS (SELECT event_type,
              CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) h,

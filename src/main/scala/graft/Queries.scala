@@ -3198,6 +3198,20 @@ object Queries {
     * the spec asserts v3's manifest shares exactly the 3 untouched
     * files. */
   def mergeCow(spark: SparkSession, dir: String): DataFrame = {
+    val log = ttEnsureV3(spark, dir)
+    def snapshot(v: Int): DataFrame =
+      spark.read.parquet(ttManifest(log, v): _*)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(lit(v.toLong).as("version"), col("event_type"),
+          col("n_events"))
+    snapshot(2).unionByName(snapshot(3))
+      .orderBy(col("version"), col("event_type"))
+  }
+
+  /** Builds (once) v3 = copy-on-write delete of late-January errors on
+    * the snapshot log; returns the log dir. See [[mergeCow]]. */
+  private[graft] def ttEnsureV3(spark: SparkSession, dir: String): java.nio.file.Path = {
     val log = ttLog(spark, dir)
     if (!java.nio.file.Files.exists(log.resolve("v3.manifest"))) {
       val v2 = ttManifest(log, 2)
@@ -3227,14 +3241,73 @@ object Queries {
         v2.map(p => rewritten.getOrElse(p, p)).mkString("\n")
           .getBytes("UTF-8"))
     }
-    def snapshot(v: Int): DataFrame =
-      spark.read.parquet(ttManifest(log, v): _*)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(lit(v.toLong).as("version"), col("event_type"),
-          col("n_events"))
-    snapshot(2).unionByName(snapshot(3))
+    log
+  }
+
+  /** S16 — MERGE-ON-READ with an equality-delete sidecar: the OTHER half
+    * of the lakehouse delete trade ([[mergeCow]] pays the rewrite at
+    * WRITE time; MOR defers it to READ time). v4 commits instantly: the
+    * data files are untouched and a tiny sidecar lists the deleted keys;
+    * readers apply the sidecar as a LEFT ANTI join — broadcast, since a
+    * delete sidecar is O(deleted keys), never O(table) (when it grows
+    * past broadcast size a compaction folds it back via the COW path).
+    * Same deletion semantics as v3, so the declared output (v2 + v4) and
+    * the spec's MOR == COW equality pin the two mechanisms to one truth. */
+  def scanMergeOnRead(spark: SparkSession, dir: String): DataFrame = {
+    val log = ttLog(spark, dir)
+    val sidecar = log.resolveSibling("deletes_v4.parquet")
+    if (!java.nio.file.Files.exists(sidecar)) {
+      val stage = java.nio.file.Paths.get(
+        TempFiles.dir(s"tt_mor_${TempFiles.tag(dir)}/d"))
+      spark.read.parquet(ttManifest(log, 2): _*)
+        .filter(col("event_type") === "error" &&
+          col("ts") >= lit("2024-01-22 00:00:00").cast(TimestampType))
+        .select(col("event_id"))
+        .repartition(1).write.mode("overwrite").parquet(stage.toString)
+      val s = java.nio.file.Files.list(stage)
+      val f = try s.filter(q => q.toString.endsWith(".parquet"))
+        .findFirst().get() finally s.close()
+      java.nio.file.Files.move(f, sidecar,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val deletes = spark.read.parquet(sidecar.toString)
+    def v2counts: DataFrame =
+      spark.read.parquet(ttManifest(log, 2): _*)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+        .select(lit(2L).as("version"), col("event_type"), col("n_events"))
+    val v4 = spark.read.parquet(ttManifest(log, 2): _*)
+      .join(broadcast(deletes), Seq("event_id"), "left_anti")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      .select(lit(4L).as("version"), col("event_type"), col("n_events"))
+    v2counts.unionByName(v4)
       .orderBy(col("version"), col("event_type"))
+  }
+
+  /** S17 — change data feed between snapshots (Delta CDF semantics): the
+    * v2 → v3 delta as (change_type, row) counts, computed GENERICALLY
+    * from the two manifests — rows in v2 but not v3 are deletes, rows in
+    * v3 but not v2 are inserts — by keyed anti-joins, with the shared
+    * untouched files SKIPPED ENTIRELY (manifest set difference prunes
+    * them before any I/O: a row can only change in a file that changed).
+    * At 100 TB the feed costs O(changed files), never a table diff. */
+  def scanChanges(spark: SparkSession, dir: String): DataFrame = {
+    val log = ttEnsureV3(spark, dir)
+    val (m2, m3) = (ttManifest(log, 2), ttManifest(log, 3))
+    val only2 = m2.filterNot(m3.contains(_))
+    val only3 = m3.filterNot(m2.contains(_))
+    def rows(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty) t(spark, dir, "events").limit(0)
+        .select(col("event_id"), col("event_type"))
+      else spark.read.parquet(paths: _*)
+        .select(col("event_id"), col("event_type"))
+    val deletes = rows(only2).join(rows(only3), Seq("event_id"), "left_anti")
+      .select(lit("delete").as("change_type"), col("event_type"))
+    val inserts = rows(only3).join(rows(only2), Seq("event_id"), "left_anti")
+      .select(lit("insert").as("change_type"), col("event_type"))
+    deletes.unionByName(inserts)
+      .groupBy(col("change_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("change_type"), col("event_type"))
   }
 
   /** S12 — hive-partition-PRUNED read: the fundamental 100 TB scan idiom —

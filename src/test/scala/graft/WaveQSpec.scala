@@ -250,6 +250,29 @@ class WaveQSpec extends AnyFunSuite {
     assert(after == before - deleted)
   }
 
+  test("merge-on-read equals copy-on-write row for row (two delete " +
+    "mechanisms, one truth)") {
+    val cow = Queries.mergeCow(spark, sf).collect()
+      .filter(_.getAs[Long]("version") == 3L)
+      .map(r => r.getString(1) -> r.getAs[Long]("n_events")).toMap
+    val mor = Queries.scanMergeOnRead(spark, sf).collect()
+      .filter(_.getAs[Long]("version") == 4L)
+      .map(r => r.getString(1) -> r.getAs[Long]("n_events")).toMap
+    assert(cow == mor, s"COW $cow != MOR $mor")
+  }
+
+  test("scan_changes: the v2->v3 feed is exactly the deleted rows and " +
+    "reads only changed files") {
+    val out = Queries.scanChanges(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getString(0) == "delete"), "no inserts expected")
+    val expected = ops.Tables.table(spark, sf, "events")
+      .filter(col("event_type") === "error" &&
+        col("ts") >= lit("2024-01-22 00:00:00").cast("timestamp"))
+      .count()
+    assert(out.map(_.getAs[Long]("n")).sum == expected)
+  }
+
   test("split_kfold partitions every document exactly once, stable under re-run") {
     val out = Queries.splitKfold(spark, sf)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
