@@ -3310,6 +3310,39 @@ object Queries {
       .orderBy(col("change_type"), col("event_type"))
   }
 
+  /** K11 — VACUUM: delete data files no manifest references (the
+    * snapshot-log GC that makes immutable-file tables operable — without
+    * it every COW rewrite leaks its superseded file forever). The
+    * reachable set is the UNION of every snapshot's manifest (time travel
+    * keeps old versions readable, so only files referenced by NO version
+    * are garbage); candidates are the physical listing minus that set.
+    * Deletion is idempotent and safe under concurrent readers of any
+    * committed snapshot precisely because manifests are the reachability
+    * roots. At 100 TB this is a metadata-sized set difference (file
+    * PATHS, not data) plus O(garbage) deletes. Rows-only (filesystem
+    * effect); the spec plants an orphan and asserts it is collected
+    * while every referenced file survives. */
+  def sinkVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = ttEnsureV3(spark, dir)
+    val root = log.getParent
+    val referenced = (1 to 3).flatMap(v => ttManifest(log, v)).toSet ++
+      (if (java.nio.file.Files.exists(log.resolveSibling("deletes_v4.parquet")))
+        Set(log.resolveSibling("deletes_v4.parquet").toString)
+      else Set.empty[String])
+    val s = java.nio.file.Files.list(root)
+    val physical = try {
+      scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(_.toString).toVector
+    } finally s.close()
+    val garbage = physical.filterNot(referenced.contains)
+    garbage.foreach(p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    Seq((physical.size.toLong, referenced.size.toLong, garbage.size.toLong))
+      .toDF("n_listed", "n_referenced", "n_deleted")
+  }
+
   /** S12 — hive-partition-PRUNED read: the fundamental 100 TB scan idiom —
     * a day-partitioned table queried with a day predicate must touch ONLY
     * the matching partition directories (static partition pruning; the

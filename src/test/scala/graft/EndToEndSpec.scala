@@ -68,7 +68,10 @@ class EndToEndSpec extends AnyFunSuite {
       // absorbing-chain matrix solves are not ANSI SQL; the pure math is
       // pinned on closed-form chains and diffed against an independent
       // power-iteration recompute in WaveQSpec
-      "attribution_markov")
+      "attribution_markov",
+      // filesystem GC effect (no table to oracle); orphan-collection and
+      // referenced-file-survival spec'd in WaveQSpec
+      "sink_vacuum")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }

@@ -273,6 +273,26 @@ class WaveQSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n")).sum == expected)
   }
 
+  test("sink_vacuum collects a planted orphan and spares every file any " +
+    "snapshot references") {
+    Queries.mergeCow(spark, sf).collect() // ensure the log + v3 exist
+    val root = java.nio.file.Paths.get(
+      ops.TempFiles.dir(s"tt_tbl_${ops.TempFiles.tag(sf)}"))
+    val orphan = root.resolve("orphan_leak.parquet")
+    java.nio.file.Files.write(orphan, "junk".getBytes("UTF-8"))
+    val out = Queries.sinkVacuum(spark, sf).collect()(0)
+    assert(!java.nio.file.Files.exists(orphan), "orphan survived vacuum")
+    assert(out.getAs[Long]("n_deleted") >= 1L)
+    val log = root.resolve("log")
+    val referenced = (1 to 3).flatMap(v => Queries.ttManifest(log, v)).toSet
+    referenced.foreach(p => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+      s"vacuum deleted referenced file $p"))
+    // the table is still fully readable at every version
+    assert(Queries.scanTimeTravel(spark, sf).count() > 0)
+    assert(Queries.mergeCow(spark, sf).count() > 0)
+  }
+
   test("split_kfold partitions every document exactly once, stable under re-run") {
     val out = Queries.splitKfold(spark, sf)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
