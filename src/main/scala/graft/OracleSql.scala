@@ -2846,6 +2846,10 @@ object OracleSql {
          SELECT * FROM v2 UNION ALL SELECT * FROM v3
          ORDER BY "version", event_type""",
 
+    "stream_snapshot_commit" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) n_events
+         FROM events GROUP BY 1 ORDER BY 1""",
+
     "scan_merge_on_read" ->
       """WITH v2 AS (SELECT CAST(2 AS BIGINT) AS "version", event_type,
              CAST(count(*) AS BIGINT) n_events

@@ -1218,4 +1218,81 @@ object StreamTwins {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("win_start"),
         col("event_type"), col("cnt"))
       .orderBy(col("win_start"), col("event_type"))
+
+  /** STREAMING snapshot commits — the lakehouse SINK protocol at the
+    * foreachBatch seam: each micro-batch writes its data files under the
+    * table root and commits manifest v{batchId} = previous manifest + the
+    * new files. Commits are exactly-once by construction: the data dir
+    * and the manifest are both KEYED BY batchId, so a replayed batch
+    * rewrites the same version instead of double-appending (the
+    * [[streamCdcApply]] versioned-state discipline applied to table
+    * COMMITS), and the manifest lands by atomic move so a reader at any
+    * instant sees a fully-committed snapshot or the previous one — never
+    * partial files. The result log is [[graft.Queries.scanTimeTravel]]'s
+    * format verbatim: time travel, CDF and VACUUM all work on a
+    * stream-built table unchanged. Declared output = the LATEST
+    * snapshot's per-type counts; oracle = the whole events table (the
+    * stream committed everything exactly once). */
+  def streamSnapshotCommit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_snap_feed_$tag"))
+    val root = graft.ops.TempFiles.dir(s"stream_snap_tbl_$tag")
+    val log = java.nio.file.Paths.get(root, "log")
+    java.nio.file.Files.createDirectories(log)
+    val ckDir = graft.ops.TempFiles.dir(s"stream_snap_ck_$tag")
+
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("event_type", StringType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      s"stream_snap_feed_build_$tag")
+
+    def versions: Seq[Long] = {
+      val s = java.nio.file.Files.list(log)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".manifest"))
+          .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).toSeq
+      } finally s.close()
+    }
+    def manifest(v: Long): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(log.resolve(s"v$v.manifest"))
+        .asScala.toSeq
+    }
+
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val dataDir = java.nio.file.Paths.get(root, s"b$batchId")
+        batch.write.mode("overwrite").parquet(dataDir.toString)
+        val s = java.nio.file.Files.list(dataDir)
+        val files = try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).toVector.sorted
+        } finally s.close()
+        val prev = versions.filter(_ < batchId)
+        val base = if (prev.isEmpty) Seq.empty else manifest(prev.max)
+        val staged = log.resolve(s".v$batchId.staging")
+        java.nio.file.Files.write(staged,
+          (base ++ files).mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(staged, log.resolve(s"v$batchId.manifest"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    ss.read.parquet(manifest(versions.max): _*)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
 }

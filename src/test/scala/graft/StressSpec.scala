@@ -120,7 +120,10 @@ class StressSpec extends AnyFunSuite {
       // wave-Q additions with train/scan/scan-grid structure: the PQ
       // codebook train + ADC code scan, and the KS value grid with its
       // two distributed prefix scans
-      "ann_pq_topk", "dq_ks")
+      "ann_pq_topk", "dq_ks",
+      // continuation-wave structure carriers: the basket-bounded item
+      // pair join and the B-way multiplier-bootstrap explosion
+      "recommend_item_knn", "dq_bootstrap_ci")
     for (n <- names) {
       // min-of-2 per scale point: a single GC/JIT pause on either side of
       // the ratio can push a healthy query past the bound (it flaked once

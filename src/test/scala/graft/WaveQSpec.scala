@@ -293,6 +293,36 @@ class WaveQSpec extends AnyFunSuite {
     assert(Queries.mergeCow(spark, sf).count() > 0)
   }
 
+  test("stream_snapshot_commit: each version appends structurally; " +
+    "re-running the stream commits nothing new") {
+    val first = streaming.StreamTwins.streamSnapshotCommit(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val root = ops.TempFiles.dir(s"stream_snap_tbl_${ops.TempFiles.tag(sf)}")
+    val log = java.nio.file.Paths.get(root, "log")
+    def manifests: Map[Long, Seq[String]] = {
+      val s = java.nio.file.Files.list(log)
+      val vs = try {
+        scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".manifest"))
+          .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).toVector
+      } finally s.close()
+      vs.map(v => v -> scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(log.resolve(s"v$v.manifest")))
+        .asScala.toSeq).toMap
+    }
+    val m = manifests
+    assert(m.size == 3, s"expected 3 committed versions, got ${m.keySet}")
+    val ordered = m.toSeq.sortBy(_._1).map(_._2)
+    ordered.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.startsWith(a), "later snapshot must append to earlier")
+    }
+    // idempotence: the checkpoint makes a re-run a no-op
+    val second = streaming.StreamTwins.streamSnapshotCommit(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(second == first && manifests.size == 3)
+  }
+
   test("split_kfold partitions every document exactly once, stable under re-run") {
     val out = Queries.splitKfold(spark, sf)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
