@@ -1864,8 +1864,8 @@ object Queries {
     * Rows-only (approximate); `WaveQSpec` asserts the recall floor. */
   def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val nCells = math.max(16,
-      math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val nCells = math.max(16, math.ceil(math.sqrt(
+      ops.Tables.countCached(spark, dir, "embeddings").toDouble)).toInt)
     sim.Pq.ivfPqTopK(emb, "vec_id", "embedding", col("id") < 8, 10,
         nCells = nCells, probes = 10, cacheKey = Some(dir))
       .select(col("q_id"), col("neighbor_id"),
@@ -2434,8 +2434,8 @@ object Queries {
     * SimilaritySpec floors the recall vs the exact graph. */
   def knnGraphIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val nCells = math.max(16,
-      math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val nCells = math.max(16, math.ceil(math.sqrt(
+      ops.Tables.countCached(spark, dir, "embeddings").toDouble)).toInt)
     sim.Ivf.knnGraphTwoLevel(emb, "vec_id", "embedding",
         k = 5, nCells = nCells, probes = 8, cacheKey = Some(dir))
       .orderBy(col("q_id"), col("rn"))
@@ -3216,12 +3216,18 @@ object Queries {
     if (!java.nio.file.Files.exists(log.resolve("v3.manifest"))) {
       val v2 = ttManifest(log, 2)
       val cutoff = lit("2024-01-22 00:00:00").cast(TimestampType)
-      // plan: touch only files that can contain matches (the last week)
-      val (touch, keep) = v2.partition { p =>
+      // plan: touch only files that can contain matches (the last week).
+      // The max-ts statistic and the cutoff are BOTH evaluated through
+      // the session (unix_micros), never via a JVM-default-timezone
+      // java.sql.Timestamp — a non-UTC driver would otherwise shift the
+      // cutoff and misclassify a boundary file, silently breaking the
+      // O(files-containing-matches) rewrite contract.
+      val cutoffUs = spark.range(1)
+        .select(unix_micros(cutoff)).collect()(0).getLong(0)
+      val (touch, _) = v2.partition { p =>
         val mm = spark.read.parquet(p)
-          .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
-        !mm.isNullAt(1) && mm.getTimestamp(1).getTime >=
-          java.sql.Timestamp.valueOf("2024-01-22 00:00:00").getTime
+          .agg(max(unix_micros(col("ts"))).as("mx")).collect()(0)
+        !mm.isNullAt(0) && mm.getLong(0) >= cutoffUs
       }
       val rewritten = touch.zipWithIndex.map { case (p, i) =>
         val stage = java.nio.file.Paths.get(
@@ -3326,10 +3332,24 @@ object Queries {
     import spark.implicits._
     val log = ttEnsureV3(spark, dir)
     val root = log.getParent
-    val referenced = (1 to 3).flatMap(v => ttManifest(log, v)).toSet ++
-      (if (java.nio.file.Files.exists(log.resolveSibling("deletes_v4.parquet")))
-        Set(log.resolveSibling("deletes_v4.parquet").toString)
-      else Set.empty[String])
+    // the reachable set is the union of EVERY committed version's
+    // manifest — enumerated from the log, never a hardcoded version
+    // range (a vacuum that misses one committed snapshot deletes live
+    // data) — plus every delete sidecar (they are manifest-adjacent
+    // metadata, not data files any manifest lists)
+    val ls = java.nio.file.Files.list(log)
+    val versions = try {
+      scala.jdk.CollectionConverters.IteratorHasAsScala(ls.iterator()).asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(_.stripPrefix("v").stripSuffix(".manifest").toInt).toVector
+    } finally ls.close()
+    val sc = java.nio.file.Files.list(root)
+    val sidecars = try {
+      scala.jdk.CollectionConverters.IteratorHasAsScala(sc.iterator()).asScala
+        .map(_.toString).filter(p => p.contains("/deletes_")).toSet
+    } finally sc.close()
+    val referenced = versions.flatMap(v => ttManifest(log, v)).toSet ++ sidecars
     val s = java.nio.file.Files.list(root)
     val physical = try {
       scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala

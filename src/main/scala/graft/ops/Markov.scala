@@ -12,11 +12,15 @@ package graft.ops
   * order — deterministic double arithmetic, no data-dependent ordering. */
 object Markov {
 
-  /** P(absorb into purchase | start), with `removed` channels' outgoing
-    * mass redirected to null (their incoming edges dropped from Q but
-    * kept in the source's normalizer — the removal-effect semantics). */
-  def absorption(counts: Seq[(String, String, Long)],
-                 removed: Set[String]): Double = {
+  /** The chain under removal: transient-to-transient matrix Q, purchase-
+    * absorption vector r, and the start-state index — ONE construction
+    * shared by the direct solve and the power-iteration recompute, so the
+    * removal-effect semantics (removed channels' outgoing mass redirected
+    * to null; their incoming edges dropped from Q but kept in the
+    * source's normalizer) cannot desynchronize between the two. */
+  private def buildChain(counts: Seq[(String, String, Long)],
+                         removed: Set[String])
+      : (Array[Array[Double]], Array[Double], Int) = {
     val channels = counts.flatMap(t => Seq(t._1, t._2))
       .filter(s => s != "start" && s != "purchase" && s != "null")
       .distinct.sorted
@@ -34,6 +38,16 @@ object Markov {
           q(idx(s))(idx(to)) += n / tot
       }
     }
+    (q, r, idx("start"))
+  }
+
+  /** P(absorb into purchase | start), with `removed` channels' outgoing
+    * mass redirected to null — direct Gauss-Jordan solve of (I − Q)t = r
+    * with fixed pivot order. */
+  def absorption(counts: Seq[(String, String, Long)],
+                 removed: Set[String]): Double = {
+    val (q, r, start) = buildChain(counts, removed)
+    val nS = r.length
     val a = Array.tabulate(nS, nS)((i, j) =>
       (if (i == j) 1.0 else 0.0) - q(i)(j))
     val b = r.clone()
@@ -45,30 +59,15 @@ object Markov {
         b(i) -= f * b(p)
       }
     }
-    b(idx("start")) / a(idx("start"))(idx("start"))
+    b(start) / a(start)(start)
   }
 
   /** Same absorption probability by plain power iteration — the
     * independent recomputation the spec diffs against the direct solve. */
   def absorptionIterative(counts: Seq[(String, String, Long)],
                           removed: Set[String], iters: Int = 500): Double = {
-    val channels = counts.flatMap(t => Seq(t._1, t._2))
-      .filter(s => s != "start" && s != "purchase" && s != "null")
-      .distinct.sorted
-    val states = "start" +: channels
-    val idx = states.zipWithIndex.toMap
-    val nS = states.length
-    val q = Array.ofDim[Double](nS, nS)
-    val r = new Array[Double](nS)
-    for (s <- states; if !removed.contains(s)) {
-      val out = counts.filter(_._1 == s)
-      val tot = out.map(_._3).sum.toDouble
-      if (tot > 0) out.foreach { case (_, to, n) =>
-        if (to == "purchase") r(idx(s)) += n / tot
-        else if (to != "null" && idx.contains(to) && !removed.contains(to))
-          q(idx(s))(idx(to)) += n / tot
-      }
-    }
+    val (q, r, start) = buildChain(counts, removed)
+    val nS = r.length
     var t = new Array[Double](nS)
     for (_ <- 0 until iters) {
       val next = new Array[Double](nS)
@@ -82,7 +81,7 @@ object Markov {
       }
       t = next
     }
-    t(idx("start"))
+    t(start)
   }
 
   /** (channel, removal effect, normalized attribution share), channels

@@ -39,4 +39,17 @@ object Tables {
       }
     } else df
   }
+
+  private val countCaches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Long]]())
+
+  /** Session-memoized row count of a lake table — index-sizing parameters
+    * (IVF cell counts etc.) need the count on EVERY query call, and the
+    * tables are immutable per sfDir, so paying a full count job per call
+    * is pure waste on the declared hot paths. */
+  def countCached(spark: SparkSession, sfDir: String, name: String): Long =
+    countCaches.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, Long])
+      .getOrElseUpdate(s"$sfDir/$name", table(spark, sfDir, name).count())
 }

@@ -119,6 +119,22 @@ object Pq {
       .localCheckpoint(true)
   }
 
+  private val dimCaches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, Int]]())
+
+  /** Session-memoized embedding dimensionality — stable per corpus, and
+    * every query call needs it, so the one-row probe job runs once. */
+  private def dimOf(v: DataFrame, idCol: String, vecCol: String,
+                    cacheKey: Option[String]): Int = {
+    def probe(): Int = v.select(size(col("en"))).head().getInt(0)
+    cacheKey match {
+      case Some(k) => dimCaches.computeIfAbsent(v.sparkSession,
+          _ => TrieMap.empty[String, Int])
+        .getOrElseUpdate(s"dim|$k|$idCol|$vecCol", probe())
+      case None => probe()
+    }
+  }
+
   private val cbCaches = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, TrieMap[String, DataFrame]]())
 
@@ -174,10 +190,16 @@ object Pq {
     * scanned per query. Without this every search re-encodes the corpus it
     * already indexed. */
   def codesCached(emb: DataFrame, idCol: String, vecCol: String, m: Int,
-                  dim: Int, cbBundle: DataFrame, cacheKey: String): DataFrame =
+                  dim: Int, nCodes: Int, iters: Int, cbBundle: DataFrame,
+                  cacheKey: String): DataFrame =
     codesCaches.computeIfAbsent(emb.sparkSession,
         _ => TrieMap.empty[String, DataFrame])
-      .getOrElseUpdate(s"pqcodes|$cacheKey|$idCol|$vecCol|$m|$dim",
+      // the key must carry EVERY codebook-training parameter (nCodes,
+      // iters): codes are positions into one specific codebook, and a
+      // cache hit against codes encoded under different parameters would
+      // pair them with the wrong LUTs — silently wrong neighbors
+      .getOrElseUpdate(
+        s"pqcodes|$cacheKey|$idCol|$vecCol|$m|$dim|$nCodes|$iters",
         encode(emb, idCol, vecCol, m, dim, cbBundle).localCheckpoint())
 
   /** ADC top-k with exact re-rank: scan the CODES against each query's
@@ -197,10 +219,11 @@ object Pq {
       case None => trainCodebook(emb, idCol, vecCol, m, nCodes, iters)
     }
     val v = unit(emb, idCol, vecCol)
-    val dim = v.select(size(col("en"))).head().getInt(0)
+    val dim = dimOf(v, idCol, vecCol, cacheKey)
     val d = dim / m
     val coded = cacheKey match {
-      case Some(key) => codesCached(emb, idCol, vecCol, m, dim, cb, key)
+      case Some(key) =>
+        codesCached(emb, idCol, vecCol, m, dim, nCodes, iters, cb, key)
       case None => encode(emb, idCol, vecCol, m, dim, cb)
     }
     val q = v.filter(queryPred).crossJoin(broadcast(cb))
@@ -255,7 +278,7 @@ object Pq {
       case None => trainCodebook(emb, idCol, vecCol, m, nCodes, iters)
     }
     val v = unit(emb, idCol, vecCol)
-    val dim = v.select(size(col("en"))).head().getInt(0)
+    val dim = dimOf(v, idCol, vecCol, cacheKey)
     val d = dim / m
     // index side: (cell, codes) attached by two narrow maps — the
     // deployment form of "one bucketed codes table"; session-cached like
@@ -268,7 +291,7 @@ object Pq {
       case Some(key) => codesCaches.computeIfAbsent(emb.sparkSession,
           _ => TrieMap.empty[String, DataFrame])
         .getOrElseUpdate(
-          s"ivfpq|$key|$idCol|$vecCol|$m|$nCodes|$nCells",
+          s"ivfpq|$key|$idCol|$vecCol|$m|$nCodes|$iters|$nCells",
           buildIndex().localCheckpoint())
       case None => buildIndex()
     }

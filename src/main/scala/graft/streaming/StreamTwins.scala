@@ -418,7 +418,8 @@ object StreamTwins {
     * duplication) to keep the verify join static-only — at corpus scale the
     * verify would re-join the delta's own shingle store instead. */
   private[graft] def incrementalDedupJoin(delta: DataFrame,
-      bandedBase: DataFrame, shBase: DataFrame): DataFrame = {
+      bandedBase: DataFrame, shBase: DataFrame,
+      maxBucket: Int = 1000): DataFrame = {
     import graft.text.NearDup
     val banded = delta
       .select(col("doc_id").as("new_id"),
@@ -426,8 +427,16 @@ object StreamTwins {
       .select(col("new_id"), col("new_sh"),
         posexplode(NearDup.bandHashes(NearDup.minhashSig(col("new_sh")))))
       .toDF("new_id", "new_sh", "band", "bh")
+    // spam-bucket cap on the CORPUS side (the skew guard every minhash
+    // tier carries): a band mega-bucket would otherwise enumerate
+    // |bucket|x|delta-bucket| candidates on ONE join key/task. The count
+    // aggregation and the semi-join both run bucketed-side (the index is
+    // bucketed on (band, bh)) — no extra exchange on the corpus.
+    val ok = bandedBase.groupBy("band", "bh").count()
+      .filter(col("count") <= maxBucket).drop("count")
     val cand = banded
-      .join(bandedBase.toDF("base_id", "band", "bh").hint("shuffle_hash"),
+      .join(bandedBase.toDF("base_id", "band", "bh")
+          .join(ok, Seq("band", "bh"), "left_semi").hint("shuffle_hash"),
         Seq("band", "bh"))
       .dropDuplicates("new_id", "base_id")
     cand
@@ -451,6 +460,11 @@ object StreamTwins {
     val ss = streamSession(spark)
     val docs = graft.ops.Tables.table(ss, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    // deliberately NOT dedup_incremental's "#base" key: the streaming
+    // twin runs in its own newSession (catalog/shuffle-conf isolation),
+    // whose cache map is distinct and whose DataFrames cannot safely mix
+    // with the root session's — each session kind builds its corpus
+    // tables once; the key only needs uniqueness within THIS session
     val key = s"$sfDir#stream_base"
     val shBase = NearDup.shingleTableCached(corpus, "doc_id", "text", key)
     val bandedBase = NearDup.bandedTableCached(corpus, "doc_id", "text", key)

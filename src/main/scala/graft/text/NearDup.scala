@@ -354,8 +354,12 @@ object NearDup {
       s"bandidx|$cacheKey|$idCol|$textCol", {
         val spark = corpus.sparkSession
         val banded = bandedTableCached(corpus, idCol, textCol, cacheKey)
-        val tbl = "graft_band_index_" +
-          cacheKey.replaceAll("[^A-Za-z0-9]", "_")
+        // the physical table name must carry the FULL cache key (columns
+        // included): two column-sets under one cacheKey would otherwise
+        // silently alias one managed table, and the first cached
+        // DataFrame (spark.table) would resolve to the second's bands
+        val tbl = ("graft_band_index_" +
+          s"${cacheKey}_${idCol}_$textCol").replaceAll("[^A-Za-z0-9]", "_")
         graft.ops.SinkDdl.dropManagedTable(spark, tbl)
         banded.write.bucketBy(16, "band", "bh").format("parquet")
           .saveAsTable(tbl)

@@ -41,14 +41,14 @@ object FuzzProbe {
     }
 
     time("candidates (join only)")(joined.count())
-    time("verify-then-dedup (current)")(
+    time("verify-then-dedup (rejected order)")(
       joined.filter(levenshtein(col("a_name"), col("b_name")) <= 1)
         .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"))
         .dropDuplicates("a_id", "b_id")
         .select(col("a_id"), col("b_id"),
           levenshtein(col("a_name"), col("b_name")).cast(LongType).as("dist"))
         .count())
-    time("dedup-then-verify (old)")(
+    time("dedup-then-verify (SHIPPED order)")(
       joined.dropDuplicates("a_id", "b_id")
         .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
         .select(col("a_id"), col("b_id"),
