@@ -2846,6 +2846,13 @@ object OracleSql {
          SELECT * FROM v2 UNION ALL SELECT * FROM v3
          ORDER BY "version", event_type""",
 
+    "snapshot_expire" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) n_events
+         FROM events
+         WHERE NOT (event_type = 'error' AND
+           CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-22 00:00:00')
+         GROUP BY 1 ORDER BY 1""",
+
     "stream_snapshot_commit" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) n_events
          FROM events GROUP BY 1 ORDER BY 1""",

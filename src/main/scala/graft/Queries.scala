@@ -3137,8 +3137,9 @@ object Queries {
   /** Builds (once) the snapshot-log fixture: 4 immutable weekly files
     * under `root`, v1.manifest = weeks 0-1, v2.manifest = weeks 0-3.
     * Returns the log directory. */
-  private[graft] def ttLog(spark: SparkSession, dir: String): java.nio.file.Path = {
-    val root = TempFiles.dir(s"tt_tbl_${TempFiles.tag(dir)}")
+  private[graft] def ttLog(spark: SparkSession, dir: String,
+                           name: String = "tt_tbl"): java.nio.file.Path = {
+    val root = TempFiles.dir(s"${name}_${TempFiles.tag(dir)}")
     val log = java.nio.file.Paths.get(root, "log")
     if (!java.nio.file.Files.exists(log.resolve("v2.manifest"))) {
       java.nio.file.Files.createDirectories(log)
@@ -3146,7 +3147,7 @@ object Queries {
         ("2024-01-15", "2024-01-22"), ("2024-01-22", "2024-02-01"))
       val files = weeks.zipWithIndex.map { case ((lo, hi), i) =>
         val part = java.nio.file.Paths.get(
-          TempFiles.dir(s"tt_build_${TempFiles.tag(dir)}/w$i"))
+          TempFiles.dir(s"${name}_build_${TempFiles.tag(dir)}/w$i"))
         t(spark, dir, "events")
           .filter(col("ts") >= lit(lo).cast(TimestampType) &&
             col("ts") < lit(hi).cast(TimestampType))
@@ -3211,8 +3212,9 @@ object Queries {
 
   /** Builds (once) v3 = copy-on-write delete of late-January errors on
     * the snapshot log; returns the log dir. See [[mergeCow]]. */
-  private[graft] def ttEnsureV3(spark: SparkSession, dir: String): java.nio.file.Path = {
-    val log = ttLog(spark, dir)
+  private[graft] def ttEnsureV3(spark: SparkSession, dir: String,
+                                name: String = "tt_tbl"): java.nio.file.Path = {
+    val log = ttLog(spark, dir, name)
     if (!java.nio.file.Files.exists(log.resolve("v3.manifest"))) {
       val v2 = ttManifest(log, 2)
       val cutoff = lit("2024-01-22 00:00:00").cast(TimestampType)
@@ -3231,7 +3233,7 @@ object Queries {
       }
       val rewritten = touch.zipWithIndex.map { case (p, i) =>
         val stage = java.nio.file.Paths.get(
-          TempFiles.dir(s"tt_cow_${TempFiles.tag(dir)}/r$i"))
+          TempFiles.dir(s"${name}_cow_${TempFiles.tag(dir)}/r$i"))
         spark.read.parquet(p)
           .filter(!(col("event_type") === "error" && col("ts") >= cutoff))
           .repartition(1).write.mode("overwrite").parquet(stage.toString)
@@ -3361,6 +3363,49 @@ object Queries {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
     Seq((physical.size.toLong, referenced.size.toLong, garbage.size.toLong))
       .toDF("n_listed", "n_referenced", "n_deleted")
+  }
+
+  /** K12 — snapshot EXPIRATION + GC, on its OWN versioned table (the
+    * declared time-travel/COW queries keep their history readable):
+    * retention drops every manifest but the latest, which SHRINKS the
+    * reachable set, and the vacuum pass then frees the files only expired
+    * versions referenced — here exactly the pre-rewrite w3 that v3's
+    * copy-on-write superseded (w0-w2 survive: the latest snapshot still
+    * references them; structural sharing means expiration frees only what
+    * is exclusively historical). This is the retention half of the
+    * manifest-log lifecycle; [[sinkVacuum]] is the reachability half, and
+    * the two compose exactly as Delta's RETAIN/VACUUM pair. Idempotent:
+    * re-running expires nothing and frees nothing. Declared output = the
+    * surviving snapshot's per-type counts (same truth as [[mergeCow]]'s
+    * v3 branch); the file effects are spec-asserted. */
+  def snapshotExpire(spark: SparkSession, dir: String): DataFrame = {
+    val log = ttEnsureV3(spark, dir, "tt_exp_tbl")
+    val root = log.getParent
+    val ls = java.nio.file.Files.list(log)
+    val versions = try {
+      scala.jdk.CollectionConverters.IteratorHasAsScala(ls.iterator()).asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(_.stripPrefix("v").stripSuffix(".manifest").toInt).toVector
+        .sorted
+    } finally ls.close()
+    val latest = versions.max
+    // expire: retain only the latest manifest
+    versions.filter(_ < latest).foreach(v =>
+      java.nio.file.Files.deleteIfExists(log.resolve(s"v$v.manifest")))
+    // vacuum: free files no surviving manifest references
+    val referenced = ttManifest(log, latest).toSet
+    val sc = java.nio.file.Files.list(root)
+    val physical = try {
+      scala.jdk.CollectionConverters.IteratorHasAsScala(sc.iterator()).asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(_.toString).toVector
+    } finally sc.close()
+    physical.filterNot(referenced.contains).foreach(p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    spark.read.parquet(ttManifest(log, latest): _*)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
   }
 
   /** S12 — hive-partition-PRUNED read: the fundamental 100 TB scan idiom —

@@ -323,6 +323,32 @@ class WaveQSpec extends AnyFunSuite {
     assert(second == first && manifests.size == 3)
   }
 
+  test("snapshot_expire frees exactly the superseded file, keeps every " +
+    "latest-referenced one, and is idempotent") {
+    val first = Queries.snapshotExpire(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val root = java.nio.file.Paths.get(
+      ops.TempFiles.dir(s"tt_exp_tbl_${ops.TempFiles.tag(sf)}"))
+    val log = root.resolve("log")
+    // only the latest manifest survives
+    val s = java.nio.file.Files.list(log)
+    val manifests = try {
+      scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".manifest")).toVector
+    } finally s.close()
+    assert(manifests == Vector("v3.manifest"))
+    // the superseded pre-rewrite file is gone; referenced files survive
+    assert(!java.nio.file.Files.exists(root.resolve("w3.parquet")),
+      "superseded w3 should have been freed")
+    Queries.ttManifest(log, 3).foreach(p => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    // idempotent re-run
+    val second = Queries.snapshotExpire(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(second == first)
+  }
+
   test("split_kfold partitions every document exactly once, stable under re-run") {
     val out = Queries.splitKfold(spark, sf)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
