@@ -965,6 +965,20 @@ object Queries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** N14i — k-core density profile of the dup graph ([[ops.KCore]]): the
+    * size of the k-core for k = 2..4 — a k-core member has ≥ k neighbors
+    * INSIDE the core, so cores isolate genuinely dense duplicate clusters
+    * (spam farms, boilerplate families) from the incidental threshold-
+    * bleed chains connected components cannot distinguish. Rows-only
+    * (iterative fixpoint isn't ANSI SQL); `WaveQSpec` pins closed-form
+    * graphs (clique, star, barbell) and core-nesting monotonicity. */
+  def graphKCore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = text.NearDup.minhashDupPairsCached(
+      t(spark, dir, "documents"), "doc_id", "text",
+      threshold = 0.8, cacheKey = dir)
+    ops.KCore.coreProfile(pairs, "a_id", "b_id", Seq(2, 3, 4))
+  }
+
   /** A8 — Pearson correlation with EXACT integer co-moments: built-in
     * `corr()` accumulates doubles, whose summation order makes the result
     * partitioning-dependent and engine-divergent; over integer columns the

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** k-core extraction over an undirected pair list — the density filter
+  * graph-based curation applies to a near-dup graph (a k-core member has
+  * ≥ k neighbors INSIDE the core, so cores isolate genuinely dense
+  * duplicate clusters from incidental threshold-bleed chains that
+  * components alone cannot distinguish).
+  *
+  * Algorithm: iterative peeling — drop every vertex with degree < k,
+  * recompute, repeat to fixpoint. Each round is one degree aggregation
+  * (vertex-sized) plus two semi-joins of the edge list against the
+  * surviving vertex set; the edge frame is localCheckpointed per round
+  * (the Components/PageRank lineage discipline). Rounds are bounded by
+  * the peel depth (the graph's degeneracy ordering length), in practice
+  * a handful — each round removes every currently-under-k vertex at
+  * once, not one vertex at a time. */
+object KCore {
+
+  /** Edges of the k-core (canonical a<b pairs); empty when no k-core
+    * exists. */
+  def kCoreEdges(pairs: DataFrame, aCol: String, bCol: String,
+                 k: Int): DataFrame = {
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("x"),
+        greatest(col(aCol), col(bCol)).as("y"))
+      .filter(col("x") =!= col("y"))
+      .dropDuplicates("x", "y")
+      .localCheckpoint()
+    var done = false
+    while (!done) {
+      val adj = edges.select(col("x").as("n"))
+        .unionAll(edges.select(col("y").as("n")))
+      val keep = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("n"))
+      val pruned = edges
+        .join(keep.withColumnRenamed("n", "x"), Seq("x"), "left_semi")
+        .join(keep.withColumnRenamed("n", "y"), Seq("y"), "left_semi")
+        .select(col("x"), col("y"))
+        .localCheckpoint()
+      val (before, after) = (edges.count(), pruned.count())
+      edges = pruned
+      done = after == before
+    }
+    edges
+  }
+
+  /** (k, n_nodes, n_edges) of the k-core for each requested k. */
+  def coreProfile(pairs: DataFrame, aCol: String, bCol: String,
+                  ks: Seq[Int]): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    ks.map { k =>
+      val core = kCoreEdges(pairs, aCol, bCol, k)
+      val nE = core.count()
+      val nN = core.select(col("x").as("n"))
+        .unionAll(core.select(col("y").as("n"))).distinct().count()
+      (k.toLong, nN, nE)
+    }.toDF("k", "n_nodes", "n_edges").orderBy(col("k"))
+  }
+}

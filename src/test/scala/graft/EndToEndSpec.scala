@@ -71,7 +71,10 @@ class EndToEndSpec extends AnyFunSuite {
       "attribution_markov",
       // filesystem GC effect (no table to oracle); orphan-collection and
       // referenced-file-survival spec'd in WaveQSpec
-      "sink_vacuum")
+      "sink_vacuum",
+      // iterative peeling fixpoint isn't ANSI SQL; closed-form graphs
+      // (clique/star/barbell) and core nesting spec'd in WaveQSpec
+      "graph_k_core")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }

@@ -349,6 +349,38 @@ class WaveQSpec extends AnyFunSuite {
     assert(second == first)
   }
 
+  test("k-core: closed-form graphs peel exactly; cores nest on the real corpus") {
+    import spark.implicits._
+    def edges(ps: (Long, Long)*) = ps.toSeq.toDF("a_id", "b_id")
+    // K5 clique: every vertex has degree 4 → the 4-core is the whole
+    // clique, the 5-core is empty
+    val k5 = edges((for { i <- 0L to 4; j <- (i + 1) to 4 } yield (i, j)): _*)
+    val c4 = ops.KCore.kCoreEdges(k5, "a_id", "b_id", 4)
+    assert(c4.count() == 10)
+    assert(ops.KCore.kCoreEdges(k5, "a_id", "b_id", 5).count() == 0)
+    // star: leaves have degree 1 → the 2-core is empty
+    val star = edges((1L to 6).map(i => (0L, i)): _*)
+    assert(ops.KCore.kCoreEdges(star, "a_id", "b_id", 2).count() == 0)
+    // barbell with a PATH bridge (3—20—21—10): the path's interior
+    // vertices have degree 2 < 3, so the whole bridge peels and the
+    // 3-core is exactly the two K4s (12 edges) — note a DIRECT bridge
+    // edge would survive (its endpoints keep degree 4), which is why the
+    // vertex-induced definition needs the path to show peeling
+    val k4a = for { i <- 0L to 3; j <- (i + 1) to 3 } yield (i, j)
+    val k4b = for { i <- 10L to 13; j <- (i + 1) to 13 } yield (i, j)
+    val barbell = edges(
+      (k4a ++ k4b ++ Seq((3L, 20L), (20L, 21L), (21L, 10L))): _*)
+    val core3 = ops.KCore.kCoreEdges(barbell, "a_id", "b_id", 3)
+    assert(core3.count() == 12)
+    // real corpus: cores nest (monotone non-increasing sizes)
+    val prof = Queries.graphKCore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(prof.map(_._1).toSeq == Seq(2L, 3L, 4L))
+    prof.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"cores must nest: $a vs $b")
+    }
+  }
+
   test("split_kfold partitions every document exactly once, stable under re-run") {
     val out = Queries.splitKfold(spark, sf)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
