@@ -429,15 +429,19 @@ object StreamTwins {
       .toDF("new_id", "new_sh", "band", "bh")
     // spam-bucket cap on the CORPUS side (the skew guard every minhash
     // tier carries): a band mega-bucket would otherwise enumerate
-    // |bucket|x|delta-bucket| candidates on ONE join key/task. The count
-    // aggregation and the semi-join both run bucketed-side (the index is
-    // bucketed on (band, bh)) — no extra exchange on the corpus.
-    val ok = bandedBase.groupBy("band", "bh").count()
-      .filter(col("count") <= maxBucket).drop("count")
+    // |bucket|x|delta-bucket| candidates on ONE join key/task. The size
+    // rides a WINDOW over (band, bh) — the exact distribution the
+    // candidate join requires anyway — so the cap adds ZERO exchanges:
+    // a bucketed index still joins with only the delta-side shuffle, and
+    // no O(#buckets) filter table ever broadcasts (it would be
+    // corpus-sized at scale).
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+    val cappedBase = bandedBase.toDF("base_id", "band", "bh")
+      .withColumn("__bsz", count(lit(1)).over(bw))
+      .filter(col("__bsz") <= maxBucket).drop("__bsz")
     val cand = banded
-      .join(bandedBase.toDF("base_id", "band", "bh")
-          .join(ok, Seq("band", "bh"), "left_semi").hint("shuffle_hash"),
-        Seq("band", "bh"))
+      .join(cappedBase.hint("shuffle_hash"), Seq("band", "bh"))
       .dropDuplicates("new_id", "base_id")
     cand
       .join(shBase.toDF("base_id", "base_sh").hint("shuffle_hash"), "base_id")
