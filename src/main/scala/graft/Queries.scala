@@ -3151,41 +3151,42 @@ object Queries {
   /** Builds (once) the snapshot-log fixture: 4 immutable weekly files
     * under `root`, v1.manifest = weeks 0-1, v2.manifest = weeks 0-3.
     * Returns the log directory. */
+  /** Builds (once) the snapshot-log fixture through [[ops.SnapLog]] (the
+    * one shared manifest format): 4 immutable weekly files with
+    * WRITE-TIME min/max stats in the manifest, v1 = weeks 0-1, v2 = all
+    * four. The `_built` sentinel — not any manifest — guards the build:
+    * expiration legitimately deletes old manifests, and a build check
+    * keyed on one would silently rebuild the table (overwriting files
+    * the surviving snapshot still references) on every call after an
+    * expire. Returns the log directory. */
   private[graft] def ttLog(spark: SparkSession, dir: String,
                            name: String = "tt_tbl"): java.nio.file.Path = {
-    val root = TempFiles.dir(s"${name}_${TempFiles.tag(dir)}")
-    val log = java.nio.file.Paths.get(root, "log")
-    if (!java.nio.file.Files.exists(log.resolve("v2.manifest"))) {
-      java.nio.file.Files.createDirectories(log)
+    val root = java.nio.file.Paths.get(
+      TempFiles.dir(s"${name}_${TempFiles.tag(dir)}"))
+    val log = SnapLog.logDir(root)
+    val built = log.resolve("_built")
+    if (!java.nio.file.Files.exists(built)) {
       val weeks = Seq(("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15"),
         ("2024-01-15", "2024-01-22"), ("2024-01-22", "2024-02-01"))
-      val files = weeks.zipWithIndex.map { case ((lo, hi), i) =>
-        val part = java.nio.file.Paths.get(
-          TempFiles.dir(s"${name}_build_${TempFiles.tag(dir)}/w$i"))
-        t(spark, dir, "events")
-          .filter(col("ts") >= lit(lo).cast(TimestampType) &&
-            col("ts") < lit(hi).cast(TimestampType))
-          .repartition(1).write.mode("overwrite").parquet(part.toString)
-        val s = java.nio.file.Files.list(part)
-        val f = try s.filter(p => p.toString.endsWith(".parquet"))
-          .findFirst().get() finally s.close()
-        val dst = java.nio.file.Paths.get(root, s"w$i.parquet")
-        java.nio.file.Files.move(f, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.toString
+      val entries = weeks.zipWithIndex.map { case ((lo, hi), i) =>
+        SnapLog.writeFile(
+          t(spark, dir, "events")
+            .filter(col("ts") >= lit(lo).cast(TimestampType) &&
+              col("ts") < lit(hi).cast(TimestampType)),
+          "ts", TempFiles.dir(s"${name}_build_${TempFiles.tag(dir)}/w$i"),
+          root.resolve(s"w$i.parquet"))
       }
-      java.nio.file.Files.write(log.resolve("v1.manifest"),
-        files.take(2).mkString("\n").getBytes("UTF-8"))
-      java.nio.file.Files.write(log.resolve("v2.manifest"),
-        files.mkString("\n").getBytes("UTF-8"))
+      SnapLog.commit(log, 1, entries.take(2))
+      SnapLog.commit(log, 2, entries)
+      java.nio.file.Files.write(built, "1".getBytes("UTF-8"))
     }
     log
   }
 
+  /** Data-file paths of snapshot `v` (the path view over
+    * [[ops.SnapLog.read]] most readers want). */
   private[graft] def ttManifest(log: java.nio.file.Path, v: Int): Seq[String] =
-    scala.jdk.CollectionConverters.ListHasAsScala(
-      java.nio.file.Files.readAllLines(log.resolve(s"v$v.manifest")))
-      .asScala.toSeq
+    SnapLog.dataPaths(SnapLog.read(log, v))
 
   def scanTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val log = ttLog(spark, dir)
@@ -3202,8 +3203,10 @@ object Queries {
 
   /** K10 — copy-on-write DELETE producing a new snapshot: v3 removes the
     * late-January error events from the versioned table. The rewrite
-    * PLANS on file statistics first (only files whose week can contain
-    * matches are touched — here exactly one of four), rewrites those
+    * PLANS on the manifest's file statistics — min/max recorded at WRITE
+    * time ([[ops.SnapLog.writeFile]]), so deciding which files can
+    * contain matches reads ZERO data (the planning claim would be false
+    * if it re-scanned every file for its max) — rewrites exactly those
     * files without the matching rows, and commits a new manifest that
     * shares every untouched file with v2 structurally — the
     * Delta/Iceberg copy-on-write mechanic: write amplification is
@@ -3229,75 +3232,64 @@ object Queries {
   private[graft] def ttEnsureV3(spark: SparkSession, dir: String,
                                 name: String = "tt_tbl"): java.nio.file.Path = {
     val log = ttLog(spark, dir, name)
+    val root = log.getParent
     if (!java.nio.file.Files.exists(log.resolve("v3.manifest"))) {
-      val v2 = ttManifest(log, 2)
+      val v2 = SnapLog.read(log, 2)
       val cutoff = lit("2024-01-22 00:00:00").cast(TimestampType)
-      // plan: touch only files that can contain matches (the last week).
-      // The max-ts statistic and the cutoff are BOTH evaluated through
-      // the session (unix_micros), never via a JVM-default-timezone
-      // java.sql.Timestamp — a non-UTC driver would otherwise shift the
-      // cutoff and misclassify a boundary file, silently breaking the
-      // O(files-containing-matches) rewrite contract.
+      // the cutoff is evaluated through the SESSION (pinned UTC at the
+      // Tables choke point), and file pruning compares it against the
+      // manifest's stats — no per-file scan, no JVM-default-timezone
+      // java.sql.Timestamp
       val cutoffUs = spark.range(1)
         .select(unix_micros(cutoff)).collect()(0).getLong(0)
-      val (touch, _) = v2.partition { p =>
-        val mm = spark.read.parquet(p)
-          .agg(max(unix_micros(col("ts"))).as("mx")).collect()(0)
-        !mm.isNullAt(0) && mm.getLong(0) >= cutoffUs
-      }
-      val rewritten = touch.zipWithIndex.map { case (p, i) =>
-        val stage = java.nio.file.Paths.get(
-          TempFiles.dir(s"${name}_cow_${TempFiles.tag(dir)}/r$i"))
-        spark.read.parquet(p)
-          .filter(!(col("event_type") === "error" && col("ts") >= cutoff))
-          .repartition(1).write.mode("overwrite").parquet(stage.toString)
-        val s = java.nio.file.Files.list(stage)
-        val f = try s.filter(q => q.toString.endsWith(".parquet"))
-          .findFirst().get() finally s.close()
-        val dst = log.resolveSibling(s"w${v2.indexOf(p)}r.parquet")
-        java.nio.file.Files.move(f, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        p -> dst.toString
+      val (touch, _) = v2.partition(_.maxUs >= cutoffUs)
+      val rewritten = touch.zipWithIndex.map { case (e, i) =>
+        val stem = java.nio.file.Paths.get(e.path).getFileName.toString
+          .stripSuffix(".parquet")
+        e.path -> SnapLog.writeFile(
+          spark.read.parquet(e.path)
+            .filter(!(col("event_type") === "error" && col("ts") >= cutoff)),
+          "ts", TempFiles.dir(s"${name}_cow_${TempFiles.tag(dir)}/r$i"),
+          root.resolve(s"${stem}r.parquet"))
       }.toMap
-      java.nio.file.Files.write(log.resolve("v3.manifest"),
-        v2.map(p => rewritten.getOrElse(p, p)).mkString("\n")
-          .getBytes("UTF-8"))
+      SnapLog.commit(log, 3, v2.map(e => rewritten.getOrElse(e.path, e)))
     }
     log
   }
 
   /** S16 — MERGE-ON-READ with an equality-delete sidecar: the OTHER half
     * of the lakehouse delete trade ([[mergeCow]] pays the rewrite at
-    * WRITE time; MOR defers it to READ time). v4 commits instantly: the
-    * data files are untouched and a tiny sidecar lists the deleted keys;
-    * readers apply the sidecar as a LEFT ANTI join — broadcast, since a
-    * delete sidecar is O(deleted keys), never O(table) (when it grows
-    * past broadcast size a compaction folds it back via the COW path).
-    * Same deletion semantics as v3, so the declared output (v2 + v4) and
-    * the spec's MOR == COW equality pin the two mechanisms to one truth. */
+    * WRITE time; MOR defers it to READ time). v4 commits instantly as a
+    * REAL manifest version — v2's data entries plus the sidecar as a
+    * kind=delete entry — so the sidecar is reachable through the same
+    * manifest roots VACUUM walks (no special-cased filename patterns);
+    * readers apply it as a LEFT ANTI join — broadcast, since a delete
+    * sidecar is O(deleted keys), never O(table) (when it grows past
+    * broadcast size a compaction folds it back via the COW path). Same
+    * deletion semantics as v3, so the declared output (v2 + v4) and the
+    * spec's MOR == COW equality pin the two mechanisms to one truth. */
   def scanMergeOnRead(spark: SparkSession, dir: String): DataFrame = {
     val log = ttLog(spark, dir)
-    val sidecar = log.resolveSibling("deletes_v4.parquet")
-    if (!java.nio.file.Files.exists(sidecar)) {
-      val stage = java.nio.file.Paths.get(
-        TempFiles.dir(s"tt_mor_${TempFiles.tag(dir)}/d"))
-      spark.read.parquet(ttManifest(log, 2): _*)
-        .filter(col("event_type") === "error" &&
-          col("ts") >= lit("2024-01-22 00:00:00").cast(TimestampType))
-        .select(col("event_id"))
-        .repartition(1).write.mode("overwrite").parquet(stage.toString)
-      val s = java.nio.file.Files.list(stage)
-      val f = try s.filter(q => q.toString.endsWith(".parquet"))
-        .findFirst().get() finally s.close()
-      java.nio.file.Files.move(f, sidecar,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val root = log.getParent
+    if (!java.nio.file.Files.exists(log.resolve("v4.manifest"))) {
+      val v2 = SnapLog.read(log, 2)
+      val delEntry = SnapLog.writeFile(
+        spark.read.parquet(SnapLog.dataPaths(v2): _*)
+          .filter(col("event_type") === "error" &&
+            col("ts") >= lit("2024-01-22 00:00:00").cast(TimestampType))
+          .select(col("event_id"), col("ts")),
+        "ts", TempFiles.dir(s"tt_mor_${TempFiles.tag(dir)}/d"),
+        root.resolve("deletes_v4.parquet"), kind = "delete")
+      SnapLog.commit(log, 4, v2 :+ delEntry)
     }
-    val deletes = spark.read.parquet(sidecar.toString)
+    val v4e = SnapLog.read(log, 4)
+    val deletes = spark.read.parquet(SnapLog.deletePaths(v4e): _*)
+      .select(col("event_id"))
     def v2counts: DataFrame =
       spark.read.parquet(ttManifest(log, 2): _*)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
         .select(lit(2L).as("version"), col("event_type"), col("n_events"))
-    val v4 = spark.read.parquet(ttManifest(log, 2): _*)
+    val v4 = spark.read.parquet(SnapLog.dataPaths(v4e): _*)
       .join(broadcast(deletes), Seq("event_id"), "left_anti")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
       .select(lit(4L).as("version"), col("event_type"), col("n_events"))
@@ -3334,90 +3326,47 @@ object Queries {
 
   /** K11 — VACUUM: delete data files no manifest references (the
     * snapshot-log GC that makes immutable-file tables operable — without
-    * it every COW rewrite leaks its superseded file forever). The
-    * reachable set is the UNION of every snapshot's manifest (time travel
-    * keeps old versions readable, so only files referenced by NO version
-    * are garbage); candidates are the physical listing minus that set.
-    * Deletion is idempotent and safe under concurrent readers of any
-    * committed snapshot precisely because manifests are the reachability
-    * roots. At 100 TB this is a metadata-sized set difference (file
-    * PATHS, not data) plus O(garbage) deletes. Rows-only (filesystem
-    * effect); the spec plants an orphan and asserts it is collected
-    * while every referenced file survives. */
+    * it every COW rewrite leaks its superseded file forever). One call to
+    * [[ops.SnapLog.gc]]: the reachable set is the union of EVERY
+    * committed version's entries — data AND delete-sidecar alike, since
+    * S16 commits its sidecar through a real manifest version — and
+    * candidates are the physical listing minus that set. Deletion is
+    * idempotent and safe under concurrent readers of any committed
+    * snapshot precisely because manifests are the reachability roots. At
+    * 100 TB this is a metadata-sized set difference (file PATHS, not
+    * data) plus O(garbage) deletes. Rows-only (filesystem effect); the
+    * spec plants an orphan and asserts it is collected while every
+    * referenced file survives. */
   def sinkVacuum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val log = ttEnsureV3(spark, dir)
-    val root = log.getParent
-    // the reachable set is the union of EVERY committed version's
-    // manifest — enumerated from the log, never a hardcoded version
-    // range (a vacuum that misses one committed snapshot deletes live
-    // data) — plus every delete sidecar (they are manifest-adjacent
-    // metadata, not data files any manifest lists)
-    val ls = java.nio.file.Files.list(log)
-    val versions = try {
-      scala.jdk.CollectionConverters.IteratorHasAsScala(ls.iterator()).asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-        .map(_.stripPrefix("v").stripSuffix(".manifest").toInt).toVector
-    } finally ls.close()
-    val sc = java.nio.file.Files.list(root)
-    val sidecars = try {
-      scala.jdk.CollectionConverters.IteratorHasAsScala(sc.iterator()).asScala
-        .map(_.toString).filter(p => p.contains("/deletes_")).toSet
-    } finally sc.close()
-    val referenced = versions.flatMap(v => ttManifest(log, v)).toSet ++ sidecars
-    val s = java.nio.file.Files.list(root)
-    val physical = try {
-      scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
-        .filter(p => p.toString.endsWith(".parquet"))
-        .map(_.toString).toVector
-    } finally s.close()
-    val garbage = physical.filterNot(referenced.contains)
-    garbage.foreach(p =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
-    Seq((physical.size.toLong, referenced.size.toLong, garbage.size.toLong))
+    val (nListed, nRef, nDel) = SnapLog.gc(log.getParent)
+    Seq((nListed, nRef, nDel))
       .toDF("n_listed", "n_referenced", "n_deleted")
   }
 
   /** K12 — snapshot EXPIRATION + GC, on its OWN versioned table (the
     * declared time-travel/COW queries keep their history readable):
     * retention drops every manifest but the latest, which SHRINKS the
-    * reachable set, and the vacuum pass then frees the files only expired
-    * versions referenced — here exactly the pre-rewrite w3 that v3's
-    * copy-on-write superseded (w0-w2 survive: the latest snapshot still
-    * references them; structural sharing means expiration frees only what
-    * is exclusively historical). This is the retention half of the
-    * manifest-log lifecycle; [[sinkVacuum]] is the reachability half, and
-    * the two compose exactly as Delta's RETAIN/VACUUM pair. Idempotent:
-    * re-running expires nothing and frees nothing. Declared output = the
-    * surviving snapshot's per-type counts (same truth as [[mergeCow]]'s
-    * v3 branch); the file effects are spec-asserted. */
+    * reachable set, and [[ops.SnapLog.gc]] then frees the files only
+    * expired versions referenced — here exactly the pre-rewrite w3 that
+    * v3's copy-on-write superseded (w0-w2 survive: the latest snapshot
+    * still references them; structural sharing means expiration frees
+    * only what is exclusively historical). This is the retention half of
+    * the manifest-log lifecycle; [[sinkVacuum]] is the reachability
+    * half, and the two compose exactly as Delta's RETAIN/VACUUM pair.
+    * Idempotent — including across the fixture build: the `_built`
+    * sentinel (not a manifest expiration deletes) guards the rebuild, so
+    * a second call expires nothing, frees nothing, and rebuilds nothing.
+    * Declared output = the surviving snapshot's per-type counts (same
+    * truth as [[mergeCow]]'s v3 branch); file effects spec-asserted. */
   def snapshotExpire(spark: SparkSession, dir: String): DataFrame = {
     val log = ttEnsureV3(spark, dir, "tt_exp_tbl")
-    val root = log.getParent
-    val ls = java.nio.file.Files.list(log)
-    val versions = try {
-      scala.jdk.CollectionConverters.IteratorHasAsScala(ls.iterator()).asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-        .map(_.stripPrefix("v").stripSuffix(".manifest").toInt).toVector
-        .sorted
-    } finally ls.close()
-    val latest = versions.max
-    // expire: retain only the latest manifest
-    versions.filter(_ < latest).foreach(v =>
+    val latest = SnapLog.versions(log).max
+    SnapLog.versions(log).filter(_ < latest).foreach(v =>
       java.nio.file.Files.deleteIfExists(log.resolve(s"v$v.manifest")))
-    // vacuum: free files no surviving manifest references
-    val referenced = ttManifest(log, latest).toSet
-    val sc = java.nio.file.Files.list(root)
-    val physical = try {
-      scala.jdk.CollectionConverters.IteratorHasAsScala(sc.iterator()).asScala
-        .filter(p => p.toString.endsWith(".parquet"))
-        .map(_.toString).toVector
-    } finally sc.close()
-    physical.filterNot(referenced.contains).foreach(p =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
-    spark.read.parquet(ttManifest(log, latest): _*)
+    SnapLog.gc(log.getParent)
+    spark.read.parquet(ttManifest(log, latest.toInt): _*)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
   }

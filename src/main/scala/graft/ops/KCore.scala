@@ -19,17 +19,24 @@ import org.apache.spark.sql.functions._
   * once, not one vertex at a time. */
 object KCore {
 
-  /** Edges of the k-core (canonical a<b pairs); empty when no k-core
-    * exists. */
-  def kCoreEdges(pairs: DataFrame, aCol: String, bCol: String,
-                 k: Int): DataFrame = {
-    var edges = pairs
+  /** Canonical undirected (x < y) edge frame. */
+  private def canonical(pairs: DataFrame, aCol: String,
+                        bCol: String): DataFrame =
+    pairs
       .select(least(col(aCol), col(bCol)).as("x"),
         greatest(col(aCol), col(bCol)).as("y"))
       .filter(col("x") =!= col("y"))
       .dropDuplicates("x", "y")
       .localCheckpoint()
-    var done = false
+
+  /** Peel `edges` (already canonical/checkpointed) to the k-core. Each
+    * round counts ONLY the freshly-pruned frame — the incoming count is
+    * carried from the caller/previous round, never recomputed on an
+    * already-materialized frame. */
+  private def peel(edges0: DataFrame, n0: Long, k: Int): (DataFrame, Long) = {
+    var edges = edges0
+    var before = n0
+    var done = before == 0
     while (!done) {
       val adj = edges.select(col("x").as("n"))
         .unionAll(edges.select(col("y").as("n")))
@@ -40,24 +47,40 @@ object KCore {
         .join(keep.withColumnRenamed("n", "y"), Seq("y"), "left_semi")
         .select(col("x"), col("y"))
         .localCheckpoint()
-      val (before, after) = (edges.count(), pruned.count())
+      val after = pruned.count()
       edges = pruned
       done = after == before
+      before = after
     }
-    edges
+    (edges, before)
   }
 
-  /** (k, n_nodes, n_edges) of the k-core for each requested k. */
+  /** Edges of the k-core (canonical a<b pairs); empty when no k-core
+    * exists. */
+  def kCoreEdges(pairs: DataFrame, aCol: String, bCol: String,
+                 k: Int): DataFrame = {
+    val edges = canonical(pairs, aCol, bCol)
+    peel(edges, edges.count(), k)._1
+  }
+
+  /** (k, n_nodes, n_edges) of the k-core for each requested (ascending)
+    * k. Cores NEST, so each peel seeds from the previous core instead of
+    * restarting from the raw graph — canonicalization runs once and every
+    * later peel starts from a strictly smaller frame. */
   def coreProfile(pairs: DataFrame, aCol: String, bCol: String,
                   ks: Seq[Int]): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    ks.map { k =>
-      val core = kCoreEdges(pairs, aCol, bCol, k)
-      val nE = core.count()
+    var cur = canonical(pairs, aCol, bCol)
+    var curN = cur.count()
+    val rows = ks.sorted.map { k =>
+      val (core, nE) = peel(cur, curN, k)
+      cur = core
+      curN = nE
       val nN = core.select(col("x").as("n"))
         .unionAll(core.select(col("y").as("n"))).distinct().count()
       (k.toLong, nN, nE)
-    }.toDF("k", "n_nodes", "n_edges").orderBy(col("k"))
+    }
+    rows.toDF("k", "n_nodes", "n_edges").orderBy(col("k"))
   }
 }

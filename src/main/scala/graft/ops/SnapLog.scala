@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** One manifest entry of a snapshot: an immutable file plus the metadata
+  * the log needs to PLAN without touching data — file-level ts min/max
+  * (the S11 pruning statistics, carried in the log itself) and a kind
+  * ("data" or "delete" for merge-on-read equality-delete sidecars). */
+final case class SnapEntry(kind: String, minUs: Long, maxUs: Long,
+                           path: String)
+
+/** THE manifest-log format — the single reader/writer/GC shared by every
+  * snapshot mechanic (time travel, copy-on-write, merge-on-read, change
+  * feed, vacuum, expiration, the streaming committer). A versioned table
+  * is: immutable `.parquet` files directly under `root`, plus
+  * `root/log/v<N>.manifest` files, each line
+  * `kind \t minUs \t maxUs \t path`. Manifests land by ATOMIC move, so a
+  * reader at any instant sees a fully-committed snapshot. One format,
+  * one parser — a change here (a new stat, a new kind) reaches every
+  * mechanic at once instead of desynchronizing five hand-rolled copies. */
+object SnapLog {
+
+  def logDir(root: Path): Path = root.resolve("log")
+
+  /** Commit version `v`: staging write + atomic move (readers see the
+    * old log or the new one, never a partial file). Re-committing the
+    * same version replaces it — the batchId-keyed exactly-once seam. */
+  def commit(log: Path, v: Long, entries: Seq[SnapEntry]): Unit = {
+    Files.createDirectories(log)
+    val staged = log.resolve(s".v$v.staging")
+    Files.write(staged, entries.map(e =>
+      s"${e.kind}\t${e.minUs}\t${e.maxUs}\t${e.path}")
+      .mkString("\n").getBytes("UTF-8"))
+    Files.move(staged, log.resolve(s"v$v.manifest"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def read(log: Path, v: Long): Seq[SnapEntry] =
+    Files.readAllLines(log.resolve(s"v$v.manifest")).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(kind, mn, mx, path) = line.split("\t", 4)
+        SnapEntry(kind, mn.toLong, mx.toLong, path)
+      }
+
+  def versions(log: Path): Seq[Long] = {
+    if (!Files.exists(log)) return Seq.empty
+    val s = Files.list(log)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .toVector.sorted
+    finally s.close()
+  }
+
+  def dataPaths(entries: Seq[SnapEntry]): Seq[String] =
+    entries.filter(_.kind == "data").map(_.path)
+  def deletePaths(entries: Seq[SnapEntry]): Seq[String] =
+    entries.filter(_.kind == "delete").map(_.path)
+
+  /** Write `df` as ONE parquet file at `dst` (staging dir + move) and
+    * return its stats-bearing entry — min/max computed from the frame in
+    * one small aggregate at WRITE time, so planners later prune from the
+    * manifest without ever scanning the file. */
+  def writeFile(df: DataFrame, tsCol: String, stageDir: String,
+                dst: Path, kind: String = "data"): SnapEntry = {
+    df.repartition(1).write.mode("overwrite").parquet(stageDir)
+    val s = Files.list(Paths.get(stageDir))
+    val f = try s.filter(p => p.toString.endsWith(".parquet"))
+      .findFirst().get() finally s.close()
+    Files.move(f, dst, StandardCopyOption.REPLACE_EXISTING)
+    val mm = df.agg(min(unix_micros(col(tsCol))).as("mn"),
+      max(unix_micros(col(tsCol))).as("mx")).collect()(0)
+    val (mn, mx) =
+      if (mm.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+      else (mm.getLong(0), mm.getLong(1))
+    SnapEntry(kind, mn, mx, dst.toString)
+  }
+
+  /** Reachability GC: delete every `.parquet` directly under `root` that
+    * no surviving manifest entry (data OR delete) references. Returns
+    * (nListed, nReferenced, nDeleted). */
+  def gc(root: Path): (Long, Long, Long) = {
+    val log = logDir(root)
+    val referenced = versions(log).flatMap(v => read(log, v))
+      .map(_.path).toSet
+    val s = Files.list(root)
+    val physical = try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(_.toString).toVector
+    finally s.close()
+    val garbage = physical.filterNot(referenced.contains)
+    garbage.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    (physical.size.toLong, referenced.size.toLong, garbage.size.toLong)
+  }
+}

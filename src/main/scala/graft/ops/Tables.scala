@@ -21,6 +21,12 @@ object Tables {
     // columns as raw nanos (legacy conf) and truncate to µs — the same
     // truncation an ANSI engine applies casting TIMESTAMP_NS → TIMESTAMP.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // pin the session timezone at the same choke point: date/timestamp
+    // LITERALS slice the persisted fixtures (snapshot logs, weekly
+    // files), and those fixtures are SHARED across JVMs via the scratch
+    // dir — a session left on a non-UTC JVM default would bake shifted
+    // boundaries into files that UTC-pinned sessions then read
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") {
       // the lake has shipped events.ts both as TIMESTAMP(NANOS) (lands as

@@ -1252,13 +1252,14 @@ object StreamTwins {
     * snapshot's per-type counts; oracle = the whole events table (the
     * stream committed everything exactly once). */
   def streamSnapshotCommit(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.SnapLog
     val ss = streamSession(spark)
     val tag = graft.ops.TempFiles.tag(sfDir)
     val landing = java.nio.file.Paths.get(
       graft.ops.TempFiles.dir(s"stream_snap_feed_$tag"))
-    val root = graft.ops.TempFiles.dir(s"stream_snap_tbl_$tag")
-    val log = java.nio.file.Paths.get(root, "log")
-    java.nio.file.Files.createDirectories(log)
+    val root = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_snap_tbl_$tag"))
+    val log = SnapLog.logDir(root)
     val ckDir = graft.ops.TempFiles.dir(s"stream_snap_ck_$tag")
 
     val feedSchema = StructType(Seq(
@@ -1268,48 +1269,28 @@ object StreamTwins {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
       s"stream_snap_feed_build_$tag")
 
-    def versions: Seq[Long] = {
-      val s = java.nio.file.Files.list(log)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.endsWith(".manifest"))
-          .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).toSeq
-      } finally s.close()
-    }
-    def manifest(v: Long): Seq[String] = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(log.resolve(s"v$v.manifest"))
-        .asScala.toSeq
-    }
-
     val q = ss.readStream.schema(feedSchema)
       .option("maxFilesPerTrigger", "1").parquet(landing.toString)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val dataDir = java.nio.file.Paths.get(root, s"b$batchId")
-        batch.write.mode("overwrite").parquet(dataDir.toString)
-        val s = java.nio.file.Files.list(dataDir)
-        val files = try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(_.toString)
-            .filter(_.endsWith(".parquet")).toVector.sorted
-        } finally s.close()
-        val prev = versions.filter(_ < batchId)
-        val base = if (prev.isEmpty) Seq.empty else manifest(prev.max)
-        val staged = log.resolve(s".v$batchId.staging")
-        java.nio.file.Files.write(staged,
-          (base ++ files).mkString("\n").getBytes("UTF-8"))
-        java.nio.file.Files.move(staged, log.resolve(s"v$batchId.manifest"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // one data file + one manifest per batch, BOTH keyed by batchId
+        // (replay rewrites the same version — exactly-once), committed
+        // through the shared SnapLog format so stats ride the manifest
+        val entry = SnapLog.writeFile(batch.toDF(), "ts",
+          graft.ops.TempFiles.dir(s"stream_snap_stage_$tag/b$batchId"),
+          root.resolve(s"b$batchId.parquet"))
+        val prev = SnapLog.versions(log).filter(_ < batchId)
+        val base = if (prev.isEmpty) Seq.empty
+          else SnapLog.read(log, prev.max)
+        SnapLog.commit(log, batchId, base :+ entry)
         ()
       }
       .option("checkpointLocation", ckDir)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
 
-    ss.read.parquet(manifest(versions.max): _*)
+    ss.read.parquet(
+        SnapLog.dataPaths(SnapLog.read(log, SnapLog.versions(log).max)): _*)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
   }

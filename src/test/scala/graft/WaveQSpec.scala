@@ -211,11 +211,8 @@ class WaveQSpec extends AnyFunSuite {
     val out = Queries.scanTimeTravel(spark, sf).collect()
     assert(out.nonEmpty)
     val root = ops.TempFiles.dir(s"tt_tbl_${ops.TempFiles.tag(sf)}")
-    def manifest(v: Int): Seq[String] =
-      scala.jdk.CollectionConverters.ListHasAsScala(
-        java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get(root, "log", s"v$v.manifest")))
-        .asScala.toSeq
+    val log = java.nio.file.Paths.get(root, "log")
+    def manifest(v: Int): Seq[String] = Queries.ttManifest(log, v)
     val (m1, m2) = (manifest(1), manifest(2))
     assert(m1.size == 2 && m2.size == 4 && m2.startsWith(m1),
       "v2 must structurally share v1's files")
@@ -297,20 +294,12 @@ class WaveQSpec extends AnyFunSuite {
     "re-running the stream commits nothing new") {
     val first = streaming.StreamTwins.streamSnapshotCommit(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val root = ops.TempFiles.dir(s"stream_snap_tbl_${ops.TempFiles.tag(sf)}")
-    val log = java.nio.file.Paths.get(root, "log")
-    def manifests: Map[Long, Seq[String]] = {
-      val s = java.nio.file.Files.list(log)
-      val vs = try {
-        scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
-          .asScala.map(_.getFileName.toString)
-          .filter(_.endsWith(".manifest"))
-          .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).toVector
-      } finally s.close()
-      vs.map(v => v -> scala.jdk.CollectionConverters.ListHasAsScala(
-        java.nio.file.Files.readAllLines(log.resolve(s"v$v.manifest")))
-        .asScala.toSeq).toMap
-    }
+    val root = java.nio.file.Paths.get(
+      ops.TempFiles.dir(s"stream_snap_tbl_${ops.TempFiles.tag(sf)}"))
+    val log = ops.SnapLog.logDir(root)
+    def manifests: Map[Long, Seq[ops.SnapEntry]] =
+      ops.SnapLog.versions(log)
+        .map(v => v -> ops.SnapLog.read(log, v)).toMap
     val m = manifests
     assert(m.size == 3, s"expected 3 committed versions, got ${m.keySet}")
     val ordered = m.toSeq.sortBy(_._1).map(_._2)
