@@ -3161,6 +3161,10 @@ object Queries {
     * expire. Returns the log directory. */
   private[graft] def ttLog(spark: SparkSession, dir: String,
                            name: String = "tt_tbl"): java.nio.file.Path = {
+    // warm-fixture guard: with the table already built, nothing below may
+    // ever call Tables.table, so the session invariants (UTC pin) must be
+    // established HERE before any timestamp literal is evaluated
+    ops.Tables.pinSession(spark)
     val root = java.nio.file.Paths.get(
       TempFiles.dir(s"${name}_${TempFiles.tag(dir)}"))
     val log = SnapLog.logDir(root)

@@ -41,8 +41,18 @@ object SnapLog {
   def read(log: Path, v: Long): Seq[SnapEntry] =
     Files.readAllLines(log.resolve(s"v$v.manifest")).asScala.toSeq
       .filter(_.nonEmpty).map { line =>
-        val Array(kind, mn, mx, path) = line.split("\t", 4)
-        SnapEntry(kind, mn.toLong, mx.toLong, path)
+        line.split("\t", 4) match {
+          case Array(kind, mn, mx, path) =>
+            SnapEntry(kind, mn.toLong, mx.toLong, path)
+          // legacy bare-path line (pre-stats format, possibly surviving
+          // in warm scratch): treat as data with UNKNOWN stats — the
+          // conservative bounds make every stats-pruning planner touch
+          // the file instead of silently skipping it
+          case Array(path) =>
+            SnapEntry("data", Long.MinValue, Long.MaxValue, path)
+          case other => sys.error(
+            s"unparseable manifest line (${other.length} fields): $line")
+        }
       }
 
   def versions(log: Path): Seq[Long] = {
@@ -71,8 +81,13 @@ object SnapLog {
     val f = try s.filter(p => p.toString.endsWith(".parquet"))
       .findFirst().get() finally s.close()
     Files.move(f, dst, StandardCopyOption.REPLACE_EXISTING)
-    val mm = df.agg(min(unix_micros(col(tsCol))).as("mn"),
-      max(unix_micros(col(tsCol))).as("mx")).collect()(0)
+    // stats from the file just WRITTEN (one columnar scan of one small
+    // file) — not a re-execution of the input plan, which would scan the
+    // full source a second time and could describe a different
+    // evaluation than the bytes actually on disk
+    val mm = df.sparkSession.read.parquet(dst.toString)
+      .agg(min(unix_micros(col(tsCol))).as("mn"),
+        max(unix_micros(col(tsCol))).as("mx")).collect()(0)
     val (mn, mx) =
       if (mm.isNullAt(0)) (Long.MaxValue, Long.MinValue)
       else (mm.getLong(0), mm.getLong(1))

@@ -13,20 +13,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session invariants every engine path relies on, settable on ANY
+    * session (including streaming newSession clones, whose runtime confs
+    * reset to builder defaults): nanos-parquet reads and the UTC pin.
+    * The timezone pin matters because date/timestamp LITERALS slice the
+    * persisted fixtures (snapshot logs, weekly files), and those
+    * fixtures are SHARED across JVMs via the scratch dir — a session
+    * left on a non-UTC JVM default would bake shifted boundaries into
+    * files that UTC-pinned sessions then read. Callers that can run on a
+    * WARM fixture without ever scanning a lake table (the snapshot-log
+    * mechanics) must invoke this themselves. */
+  def pinSession(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // every query path flows through here: make the engine's SQL functions
     // available in this session (idempotent).
     graft.functions.GraftFunctions.register(spark)
-    // Spark (4.x included) has no TIMESTAMP(NANOS) parquet type: read such
-    // columns as raw nanos (legacy conf) and truncate to µs — the same
-    // truncation an ANSI engine applies casting TIMESTAMP_NS → TIMESTAMP.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // pin the session timezone at the same choke point: date/timestamp
-    // LITERALS slice the persisted fixtures (snapshot logs, weekly
-    // files), and those fixtures are SHARED across JVMs via the scratch
-    // dir — a session left on a non-UTC JVM default would bake shifted
-    // boundaries into files that UTC-pinned sessions then read
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pinSession(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") {
       // the lake has shipped events.ts both as TIMESTAMP(NANOS) (lands as

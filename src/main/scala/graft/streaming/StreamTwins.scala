@@ -84,7 +84,10 @@ object StreamTwins {
     streamSessions.computeIfAbsent(spark, root => {
       val ss = root.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
-      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // newSession resets runtime confs: re-establish the engine's
+      // session invariants (nanos reads AND the UTC pin — the batch and
+      // stream twins must agree on timestamp semantics)
+      graft.ops.Tables.pinSession(ss)
       ss
     })
 

@@ -370,6 +370,21 @@ class WaveQSpec extends AnyFunSuite {
     }
   }
 
+  test("SnapLog tolerates legacy bare-path manifest lines with " +
+    "conservative (always-touch) stats") {
+    val log = java.nio.file.Paths.get(
+      ops.TempFiles.dir("snaplog_legacy_spec"), "log")
+    java.nio.file.Files.createDirectories(log)
+    java.nio.file.Files.write(log.resolve("v1.manifest"),
+      "/some/old/format/w0.parquet\ndata\t5\t9\t/new/format/w1.parquet"
+        .getBytes("UTF-8"))
+    val entries = ops.SnapLog.read(log, 1)
+    assert(entries == Seq(
+      ops.SnapEntry("data", Long.MinValue, Long.MaxValue,
+        "/some/old/format/w0.parquet"),
+      ops.SnapEntry("data", 5L, 9L, "/new/format/w1.parquet")))
+  }
+
   test("split_kfold partitions every document exactly once, stable under re-run") {
     val out = Queries.splitKfold(spark, sf)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
