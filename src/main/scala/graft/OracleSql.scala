@@ -2947,6 +2947,108 @@ object OracleSql {
                FROM s)
          SELECT a AS part_id, b AS rec_part_id, nco AS n_co, cos_sim,
              CAST(rn AS BIGINT) AS rn
-         FROM r WHERE rn <= 5 ORDER BY part_id, rn"""
+         FROM r WHERE rn <= 5 ORDER BY part_id, rn""",
+
+    "merge_snapshot" ->
+      """WITH tgt AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) ts,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+           FROM events),
+         v2 AS (SELECT CAST(2 AS BIGINT) AS "version", event_type,
+             CAST(count(*) AS BIGINT) n_events,
+             CAST(sum(cents) AS BIGINT) sum_cents
+           FROM tgt GROUP BY 2),
+         merged AS (
+           SELECT event_id, event_type,
+               CASE WHEN event_type = 'view' AND
+                 ts >= TIMESTAMP '2024-01-22 00:00:00'
+                 THEN cents * 2 ELSE cents END AS cents
+           FROM tgt
+           UNION ALL
+           SELECT event_id + 100000000, 'backfill', cents
+           FROM tgt
+           WHERE event_type = 'error' AND
+             ts >= TIMESTAMP '2024-01-22 00:00:00'),
+         v3 AS (SELECT CAST(3 AS BIGINT) AS "version", event_type,
+             CAST(count(*) AS BIGINT) n_events,
+             CAST(sum(cents) AS BIGINT) sum_cents
+           FROM merged GROUP BY 2)
+         SELECT * FROM v2 UNION ALL SELECT * FROM v3
+         ORDER BY "version", event_type""",
+
+    "sink_optimize" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) n_events,
+             CAST(count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+               AS BIGINT) n_days
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "scan_bloom_skip" ->
+      """SELECT event_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+         FROM events
+         WHERE event_id IN
+           (SELECT min(event_id) FROM events GROUP BY event_type)
+         ORDER BY event_id""",
+
+    "scan_schema_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) n_events,
+             CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) >=
+               TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END)
+               AS BIGINT) n_tagged
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "feature_scale" ->
+      """WITH d AS (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+           FROM events),
+         s AS (SELECT event_type, min(cents) mn, max(cents) mx
+           FROM d GROUP BY 1 HAVING max(cents) > min(cents)),
+         x AS (SELECT d.event_type,
+             ((cents - mn) * 1000000) // (mx - mn) AS ppm,
+             least(((cents - mn) * 10) // (mx - mn), 9) AS b
+           FROM d JOIN s USING (event_type))
+         SELECT event_type, CAST(b AS BIGINT) bucket,
+             CAST(count(*) AS BIGINT) n, CAST(sum(ppm) AS BIGINT) sum_ppm
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "sketch_kmv" ->
+      """WITH d AS (SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::UBIGINT
+               AS BIGINT) h
+           FROM events),
+         surv AS (SELECT event_type g, h FROM (
+             SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) rn
+             FROM d) WHERE rn <= 64),
+         pg AS (SELECT g, CAST(count(*) AS BIGINT) n_kmv, max(h) hk
+           FROM surv GROUP BY 1),
+         ex AS (SELECT event_type g, CAST(count(*) AS BIGINT) exact_distinct
+           FROM d GROUP BY 1),
+         au AS (SELECT DISTINCT h FROM surv ORDER BY h LIMIT 64),
+         am AS (SELECT 'ALL' g, CAST(count(*) AS BIGINT) n_kmv, max(h) hk
+           FROM au),
+         ax AS (SELECT 'ALL' g, CAST(count(DISTINCT h) AS BIGINT) exact_distinct
+           FROM d),
+         u AS (SELECT pg.g, n_kmv, hk, exact_distinct
+               FROM pg JOIN ex USING (g)
+               UNION ALL
+               SELECT am.g, am.n_kmv, am.hk, ax.exact_distinct FROM am, ax)
+         SELECT g AS event_type, n_kmv,
+             CAST(CASE WHEN n_kmv < 64 THEN exact_distinct
+               ELSE (63 * 281474976710656) // hk END AS BIGINT) est_distinct,
+             exact_distinct
+         FROM u ORDER BY 1""",
+
+    "snapshot_rollback" ->
+      """WITH v3 AS (SELECT CAST(3 AS BIGINT) AS "version", event_type,
+             CAST(count(*) AS BIGINT) n_events
+           FROM events
+           WHERE NOT (event_type = 'error' AND
+             CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-22 00:00:00')
+           GROUP BY 2),
+         v4 AS (SELECT CAST(4 AS BIGINT) AS "version", event_type,
+             CAST(count(*) AS BIGINT) n_events
+           FROM events GROUP BY 2)
+         SELECT * FROM v3 UNION ALL SELECT * FROM v4
+         ORDER BY "version", event_type"""
   )
 }

@@ -59,7 +59,11 @@ object PlanSweep {
       "dq_ks",
       // hard-negative mining: the ann_cosine_topk brute-force tier (8-row
       // anchor broadcast against the corpus scan) with a rank-band filter
-      "sample_hard_negatives")
+      "sample_hard_negatives",
+      // KMV merge: the ALL row joins two ONE-row frames (the k-th-smallest
+      // of the survivor union × the exact global distinct count) — the
+      // literal-equal key folds to true, leaving a 1×1 BNLJ; scalar shape
+      "sketch_kmv")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

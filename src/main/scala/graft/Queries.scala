@@ -4795,4 +4795,401 @@ object Queries {
         sum(col("doc_id") * col("epoch")).as("checksum"))
       .orderBy(col("source"))
   }
+
+  // ── Wave R: lakehouse snapshot-log completion ────────────────────────
+
+  /** K13 — MERGE INTO (upsert) over the snapshot log: the Delta/Iceberg
+    * MERGE mechanic on its own versioned table. The source batch carries
+    * UPDATES (late-January views, value doubled through exact decimal)
+    * and INSERTS (backfill copies of late-January errors under fresh
+    * keys). The write plans on the manifest's WRITE-TIME ts statistics:
+    * update keys all come from rows in the source's ts range, and
+    * event_id is unique, so a file whose [min,max] is disjoint from that
+    * range cannot contain a matched key — those files are structurally
+    * SHARED into v3 with zero I/O. Touched files are rewritten with the
+    * update applied via a BROADCAST left join (a merge batch is O(batch),
+    * never O(table)); inserts land as one new file. Write amplification
+    * is O(files overlapping the batch), the property that makes MERGE
+    * operable at 100 TB. Declared output reads v2 and v3 side by side
+    * (per-type counts + exact cents), pinning both isolation and the
+    * merge arithmetic. */
+  def mergeSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val log = ttLog(spark, dir, "tt_mrg_tbl")
+    val root = log.getParent
+    if (!java.nio.file.Files.exists(log.resolve("v3.manifest"))) {
+      val v2 = SnapLog.read(log, 2)
+      val cutoff = lit("2024-01-22 00:00:00").cast(TimestampType)
+      val ev = t(spark, dir, "events")
+      // updated value stays a 2-decimal quantity: double its DECIMAL(12,2)
+      // reading, then store the double nearest that exact decimal — the
+      // round-trip the oracle's cents*2 reproduces bit-for-bit
+      val updates = ev
+        .filter(col("event_type") === "view" && col("ts") >= cutoff)
+        .select(col("event_id"),
+          (Cleanse.dec2(col("value")) * 2).cast(DoubleType).as("new_value"))
+      val inserts = ev
+        .filter(col("event_type") === "error" && col("ts") >= cutoff)
+        .withColumn("event_id", col("event_id") + lit(100000000L))
+        .withColumn("event_type", lit("backfill"))
+      // plan: the batch's key range in manifest-stat space (one tiny agg)
+      val bnd = ev.filter(col("ts") >= cutoff)
+        .agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx")).collect()(0)
+      val (loUs, hiUs) = (bnd.getLong(0), bnd.getLong(1))
+      val (touch, keep) = v2.partition(e => e.maxUs >= loUs && e.minUs <= hiUs)
+      val rewritten = touch.zipWithIndex.map { case (e, i) =>
+        val stem = java.nio.file.Paths.get(e.path).getFileName.toString
+          .stripSuffix(".parquet")
+        SnapLog.writeFile(
+          spark.read.parquet(e.path)
+            .join(broadcast(updates), Seq("event_id"), "left")
+            .withColumn("value",
+              coalesce(col("new_value"), col("value")))
+            .drop("new_value"),
+          "ts", TempFiles.dir(s"tt_mrg_cow_${TempFiles.tag(dir)}/r$i"),
+          root.resolve(s"${stem}m.parquet"))
+      }
+      val insEntry = SnapLog.writeFile(inserts, "ts",
+        TempFiles.dir(s"tt_mrg_ins_${TempFiles.tag(dir)}/ins"),
+        root.resolve("merge_ins.parquet"))
+      SnapLog.commit(log, 3, keep ++ rewritten :+ insEntry)
+    }
+    def snapshot(v: Int): DataFrame =
+      spark.read.parquet(ttManifest(log, v): _*)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((Cleanse.dec2(col("value")) * 100).cast(LongType))
+            .as("sum_cents"))
+        .select(lit(v.toLong).as("version"), col("event_type"),
+          col("n_events"), col("sum_cents"))
+    snapshot(2).unionByName(snapshot(3))
+      .orderBy(col("version"), col("event_type"))
+  }
+
+  /** K14 — OPTIMIZE: bin-packing small-file compaction over the snapshot
+    * log (the small-files problem is THE operational failure mode of
+    * streaming ingestion into immutable-file tables). The fixture lands
+    * v1 deliberately pathological — one pre-compacted week-0 file plus
+    * ~24 tiny per-day files — via ONE distributed write (repartition on
+    * the slice key, partitionBy layout) followed by ONE stats pass
+    * (`input_file_name()` aggregate, the [[sinkManifest]] producer
+    * idiom). OPTIMIZE then first-fit-decreasing packs files by PHYSICAL
+    * size into bins of a target byte budget: a file already ≥ the budget
+    * alone stays a singleton and is structurally SHARED into v2 (zero
+    * rewrite I/O — compaction must not recopy what is already compact);
+    * each multi-file bin is rewritten as one file by reading exactly its
+    * members. Work is O(small bytes), never O(table); planning is pure
+    * manifest + file-size metadata. Declared output is the optimized
+    * snapshot's per-type truth (counts, distinct days) — invariance under
+    * compaction is the correctness claim. */
+  def sinkOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val log = optLog(spark, dir)
+    val latest = SnapLog.versions(log).max
+    spark.read.parquet(ttManifest(log, latest.toInt): _*)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Builds (once) the optimize fixture + runs the compaction: v1 = 1
+    * week-file + per-day files, v2 = FFD-packed rewrite. Returns log dir.
+    * See [[sinkOptimize]]. */
+  private[graft] def optLog(spark: SparkSession,
+                            dir: String): java.nio.file.Path = {
+    ops.Tables.pinSession(spark)
+    val root = java.nio.file.Paths.get(
+      TempFiles.dir(s"opt_tbl_${TempFiles.tag(dir)}"))
+    val log = SnapLog.logDir(root)
+    val built = log.resolve("_built")
+    if (!java.nio.file.Files.exists(built)) {
+      val data0 = root.resolve("land").toString
+      t(spark, dir, "events")
+        .withColumn("slice",
+          expr("""CASE WHEN datediff(cast(ts as date), date'2024-01-01') < 7
+                  THEN 0 ELSE datediff(cast(ts as date), date'2024-01-01')
+                  END"""))
+        .repartition(col("slice"))
+        .write.mode("overwrite").partitionBy("slice").parquet(data0)
+      // one distributed stats pass over the landed files (no per-file jobs)
+      val stats = spark.read.parquet(data0)
+        .select(regexp_replace(input_file_name(), "^file:(//)?", "")
+            .as("path"),
+          unix_micros(col("ts")).as("us"))
+        .groupBy(col("path"))
+        .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .collect()
+      val v1 = stats.sortBy(_.getAs[String]("path")).zipWithIndex
+        .map { case (r, i) =>
+          // land/ is scratch layout; snapshots reference immutable files
+          // directly under root, per the SnapLog contract
+          val dst = root.resolve(f"s$i%02d.parquet")
+          java.nio.file.Files.move(java.nio.file.Paths.get(
+            r.getAs[String]("path")), dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          SnapEntry("data", r.getAs[Long]("mn"), r.getAs[Long]("mx"),
+            dst.toString)
+        }.toSeq
+      SnapLog.commit(log, 1, v1)
+      // OPTIMIZE → v2: FFD bin-pack by physical size; budget = 1.1× the
+      // largest file, so the pre-compacted week file stays a singleton
+      val sized = v1.map(e =>
+        e -> java.nio.file.Files.size(java.nio.file.Paths.get(e.path)))
+      val budget = (sized.map(_._2).max * 11) / 10
+      val bins = scala.collection.mutable.ArrayBuffer
+        .empty[(scala.collection.mutable.ArrayBuffer[SnapEntry], Long)]
+      sized.sortBy(-_._2).foreach { case (e, sz) =>
+        bins.indexWhere { case (_, used) => used + sz <= budget } match {
+          case -1 => bins += ((scala.collection.mutable.ArrayBuffer(e), sz))
+          case i  => bins(i) = (bins(i)._1 += e, bins(i)._2 + sz)
+        }
+      }
+      val v2 = bins.zipWithIndex.flatMap { case ((members, _), i) =>
+        if (members.size == 1) members // already compact: share, zero I/O
+        else Seq(SnapLog.writeFile(
+          spark.read.parquet(members.map(_.path).toSeq: _*), "ts",
+          TempFiles.dir(s"opt_bin_${TempFiles.tag(dir)}/b$i"),
+          root.resolve(f"opt_b$i%02d.parquet")))
+      }.toSeq
+      SnapLog.commit(log, 2, v2)
+      java.nio.file.Files.write(built, "1".getBytes("UTF-8"))
+    }
+    log
+  }
+
+  /** S18 — BLOOM-FILTER file skipping: primary-key needle lookups are
+    * where min/max zone maps go blind — event_ids interleave across
+    * files, but each KEY lives in exactly one, so a per-file Bloom
+    * filter prunes nearly everything (Delta's bloom index / Parquet
+    * bloom semantics, made explicit at the manifest level). The index is
+    * built DISTRIBUTED in one pass: per row, k=3 murmur3 positions in an
+    * m-bit space sized to the data (next pow-2 of 32 bits per expected
+    * key per file → worst-file FP ~3%), folded into 64-bit words via a
+    * map-side-combining `bit_or` — O(files × m/64) rows, metadata-sized
+    * next to a data file, and stored BESIDE the log (derived, not
+    * reachability-bearing). A lookup evaluates each probe key's k bits
+    * against the word table and reads ONLY files with all bits set;
+    * false negatives are impossible (spec-asserted against the direct
+    * scan), and a false positive costs one wasted file read. The probe
+    * set is each event type's minimum event_id (5 deterministic
+    * needles). At 100 TB this turns a key lookup from a full scan into
+    * O(files actually containing the key). */
+  def scanBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val log = ttLog(spark, dir)
+    val root = log.getParent
+    val files = ttManifest(log, 2)
+    // m adapts to table size: both builder and prober derive it from the
+    // same deterministic inputs (row count, file count)
+    val m = Integer.highestOneBit(math.max(4096,
+      (32L * Tables.countCached(spark, dir, "events") / files.size)
+        .min(1 << 28).toInt) - 1) << 1
+    // the index dir is keyed by its parameters (key column, m): a sizing
+    // or key change is a DIFFERENT index, never a silent stale read
+    val idxDir = root.resolve("index").resolve(s"bloom_v2_event_id_m$m")
+    def positions(key: org.apache.spark.sql.Column) =
+      array((0 until 3).map(i => pmod(hash(key, lit(i)), lit(m))): _*)
+    if (!java.nio.file.Files.exists(idxDir.resolve("_SUCCESS"))) {
+      spark.read.parquet(files: _*)
+        .select(regexp_replace(input_file_name(), "^file:(//)?", "")
+            .as("path"), col("event_id"))
+        .select(col("path"), explode(positions(col("event_id"))).as("pos"))
+        .select(col("path"), (col("pos") / 64).cast(IntegerType).as("word"),
+          expr("shiftleft(1L, int(pos % 64))").as("mask"))
+        .groupBy(col("path"), col("word"))
+        .agg(expr("bit_or(mask)").as("bits"))
+        .write.mode("overwrite").parquet(idxDir.toString)
+    }
+    // probe keys: each type's min event_id — deterministic needles
+    val ev = t(spark, dir, "events")
+    val targets = ev.groupBy(col("event_type"))
+      .agg(min(col("event_id")).as("k")).orderBy(col("k"))
+      .collect().map(_.getAs[Long]("k")).toSeq
+    // each key's k (word, mask) probes, evaluated through the SAME Spark
+    // expressions that built the index (no driver-side hash reimpl)
+    val probes: Map[Long, Seq[(Int, Long)]] = spark
+      .createDataFrame(targets.map(Tuple1(_))).toDF("key")
+      .select(col("key"), explode(positions(col("key"))).as("pos"))
+      .select(col("key"), (col("pos") / 64).cast(IntegerType).as("word"),
+        expr("shiftleft(1L, int(pos % 64))").as("mask"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.distinct).toMap
+    val wordsNeeded = probes.values.flatten.map(_._1).toSeq.distinct
+    val idx = spark.read.parquet(idxDir.toString)
+      .filter(col("word").isin(wordsNeeded: _*))
+      .collect()
+      .groupBy(_.getAs[String]("path"))
+      .view.mapValues(_.map(r =>
+        r.getAs[Int]("word") -> r.getAs[Long]("bits")).toMap).toMap
+    val perKey = targets.map(key => key -> files.filter(f =>
+      probes(key).forall { case (w, msk) =>
+        (idx.getOrElse(f, Map.empty).getOrElse(w, 0L) & msk) != 0L }))
+    scanBloomCandidates.set(perKey.map(_._2.size).sum)
+    val candidates = perKey.flatMap(_._2).distinct
+    spark.read.parquet(candidates: _*)
+      .filter(col("event_id").isin(targets: _*))
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Last lookup's total per-key candidate-file count (spec
+    * observability: ≈ #keys when the filters prune; #keys × #files when
+    * they don't). */
+  private[graft] val scanBloomCandidates =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** K15 — ROLLBACK / RESTORE: revert the table to an earlier snapshot
+    * by committing the OLD version's entries as the NEW head (Delta's
+    * RESTORE): on its own table, v3 deletes late-January errors (COW),
+    * then v4 = v2's entry list verbatim — zero data copies, pure
+    * manifest write, because immutable files make "go back" a
+    * metadata-only operation; history stays intact (v3 remains readable
+    * — a rollback is an append to the log, never an erasure, so audit
+    * and re-forward both work) and VACUUM keeps every file reachable
+    * from any version. The declared output reads the restored head next
+    * to the rolled-back v3 — proof the restore resurrected the deleted
+    * rows without rewriting a byte. */
+  def snapshotRollback(spark: SparkSession, dir: String): DataFrame = {
+    val log = ttEnsureV3(spark, dir, "tt_rb_tbl")
+    if (!java.nio.file.Files.exists(log.resolve("v4.manifest")))
+      SnapLog.commit(log, 4, SnapLog.read(log, 2))
+    def snapshot(v: Int): DataFrame =
+      spark.read.parquet(ttManifest(log, v): _*)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(lit(v.toLong).as("version"), col("event_type"),
+          col("n_events"))
+    snapshot(3).unionByName(snapshot(4))
+      .orderBy(col("version"), col("event_type"))
+  }
+
+  /** N29 — FEATURE SCALING: per-group min-max normalization, the
+    * feature-prep op every training pipeline runs before numeric columns
+    * meet a model. Group stats are ONE partial-agg shuffle of
+    * group-count rows, broadcast back (never a window over the table —
+    * a per-row `min() OVER (PARTITION BY type)` would shuffle the full
+    * table into per-group partitions and serialize on the biggest
+    * group); the scale map is a narrow codegen'd projection. All
+    * arithmetic is exact integer (cents → parts-per-million via `div`),
+    * so the cross-engine hash is bit-stable — the [[Cleanse.dec2]]
+    * discipline extended to normalization. Output is the scaled
+    * DISTRIBUTION (per-group decile histogram + exact ppm sums), the
+    * shape a feature-store health check wants. */
+  def featureScale(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "events")
+      .select(col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+    val stats = d.groupBy(col("event_type"))
+      .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      .filter(col("mx") > col("mn"))
+    d.join(broadcast(stats), Seq("event_type"))
+      .withColumn("ppm",
+        expr("((cents - mn) * 1000000L) div (mx - mn)"))
+      .withColumn("bucket",
+        least(expr("((cents - mn) * 10L) div (mx - mn)"), lit(9L)))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("ppm")).as("sum_ppm"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** X45 — KMV DISTINCT SKETCH (k-minimum-values, Bar-Yossef et al.
+    * 2002): the mergeable approximate-distinct whose every intermediate
+    * is EXACTLY reproducible cross-engine — unlike HLL (whose register
+    * layout is engine-private, X11 is rows-only), KMV is "the k smallest
+    * md5 values of the distinct set", so the DuckDB oracle hash-matches
+    * the estimate itself. Per group: distinct 48-bit hashes, top-k
+    * ascending via rank-filter — Spark 4 rewrites it to
+    * WindowGroupLimit, a map-side partial top-k per partition, so the
+    * exchange carries O(k × partitions), not the distinct set; the
+    * merged ALL row re-ranks the union of per-group survivors
+    * (mergeability = take k smallest of the union — the sketch's whole
+    * point). Estimate = (k−1)·2⁴⁸ div h_k, exact integer; groups with
+    * < k distinct values report exactly. */
+  def sketchKmv(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val h = conv(substring(md5(col("user_id").cast(StringType)), 1, 12),
+      16, 10).cast(LongType)
+    val d = t(spark, dir, "events")
+      .select(col("event_type"), h.as("h")).distinct()
+    import org.apache.spark.sql.expressions.Window
+    // per-group k smallest distinct hashes (WindowGroupLimit: partial
+    // top-k map-side, the exchange carries O(k × partitions))
+    val surv = d.select(col("event_type").as("g"), col("h"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))))
+      .filter(col("rn") <= k).select(col("g"), col("h"))
+    val perGroup = surv.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_kmv"), max(col("h")).as("hk"))
+    val exact = d.groupBy(col("event_type").as("g")).agg(
+      count(lit(1)).as("exact_distinct"))
+    // MERGE: the global k smallest are a subset of the union of per-group
+    // survivors (each is among its own group's k smallest) — the merged
+    // sketch ranks O(groups × k) rows, never re-touching the distinct set
+    val merged = surv.select(col("h")).distinct()
+      .orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("n_kmv"), max(col("h")).as("hk"))
+      .select(lit("ALL").as("g"), col("n_kmv"), col("hk"))
+    val exactAll = d.select(col("h")).distinct()
+      .agg(count(lit(1)).as("exact_distinct"))
+      .select(lit("ALL").as("g"), col("exact_distinct"))
+    perGroup.join(exact, Seq("g"))
+      .unionByName(merged.join(exactAll, Seq("g")))
+      .select(col("g").as("event_type"), col("n_kmv"),
+        when(col("n_kmv") < k, col("exact_distinct"))
+          .otherwise(expr(s"(${k - 1}L * 281474976710656L) div hk"))
+          .as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy(col("event_type"))
+  }
+
+  /** S19 — SCHEMA EVOLUTION across snapshots: v2 of its own versioned
+    * table appends files carrying a NEW column (`ingest_src`) the v1
+    * files never wrote — the additive-column evolution every long-lived
+    * lake table undergoes. The log records nothing special: evolution is
+    * a READER property (mergeSchema over the manifest's file set), old
+    * files surface NULL for the new column, and old snapshots keep their
+    * old shape — reading v1 AS-OF still yields the original schema
+    * (spec-asserted), which is the isolation guarantee schema changes
+    * must not break. At 100 TB the merged-schema read costs footer
+    * reads, never a rewrite — the entire point vs. a table-wide
+    * backfill. */
+  def scanSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val log = seLog(spark, dir)
+    spark.read.option("mergeSchema", "true")
+      .parquet(ttManifest(log, 2): _*)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("ingest_src")).as("n_tagged"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Builds (once) the schema-evolution table: v1 = weeks 0-1 in the base
+    * events schema, v2 adds weeks 2-3 WITH `ingest_src`. Returns log. */
+  private[graft] def seLog(spark: SparkSession,
+                           dir: String): java.nio.file.Path = {
+    ops.Tables.pinSession(spark)
+    val root = java.nio.file.Paths.get(
+      TempFiles.dir(s"se_tbl_${TempFiles.tag(dir)}"))
+    val log = SnapLog.logDir(root)
+    val built = log.resolve("_built")
+    if (!java.nio.file.Files.exists(built)) {
+      val weeks = Seq(("2024-01-01", "2024-01-15"), ("2024-01-15", "2024-02-01"))
+      val ev = t(spark, dir, "events")
+      def slice(lo: String, hi: String) = ev.filter(
+        col("ts") >= lit(lo).cast(TimestampType) &&
+        col("ts") < lit(hi).cast(TimestampType))
+      val e0 = SnapLog.writeFile(slice(weeks(0)._1, weeks(0)._2), "ts",
+        TempFiles.dir(s"se_build_${TempFiles.tag(dir)}/h0"),
+        root.resolve("h0.parquet"))
+      val e1 = SnapLog.writeFile(
+        slice(weeks(1)._1, weeks(1)._2)
+          .withColumn("ingest_src", lit("batch2")), "ts",
+        TempFiles.dir(s"se_build_${TempFiles.tag(dir)}/h1"),
+        root.resolve("h1.parquet"))
+      SnapLog.commit(log, 1, Seq(e0))
+      SnapLog.commit(log, 2, Seq(e0, e1))
+      java.nio.file.Files.write(built, "1".getBytes("UTF-8"))
+    }
+    log
+  }
 }
