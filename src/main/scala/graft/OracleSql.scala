@@ -3038,6 +3038,66 @@ object OracleSql {
              exact_distinct
          FROM u ORDER BY 1""",
 
+    "sketch_kmv_setops" ->
+      """WITH d AS (SELECT DISTINCT event_type g,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::UBIGINT
+               AS BIGINT) h
+           FROM events),
+         surv AS (SELECT g, h FROM (
+             SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) rn
+             FROM d) WHERE rn <= 64),
+         eg AS (SELECT s.g,
+             CAST(CASE WHEN s.n < 64 THEN e.nd
+               ELSE (63 * 281474976710656) // s.hk END AS BIGINT) est
+           FROM (SELECT g, count(*) n, max(h) hk FROM surv GROUP BY 1) s
+           JOIN (SELECT g, count(*) nd FROM d GROUP BY 1) e USING (g)),
+         types AS (SELECT DISTINCT g FROM d),
+         pairs AS (SELECT x.g a, y.g b FROM types x JOIN types y
+           ON x.g < y.g),
+         pu AS (SELECT DISTINCT p.a, p.b, s.h FROM pairs p
+           JOIN surv s ON s.g = p.a OR s.g = p.b),
+         pur AS (SELECT a, b, h, row_number()
+             OVER (PARTITION BY a, b ORDER BY h) rn FROM pu),
+         ud AS (SELECT DISTINCT p.a, p.b, d.h FROM pairs p
+           JOIN d ON d.g = p.a OR d.g = p.b),
+         eu AS (SELECT u.a, u.b,
+             CAST(CASE WHEN u.nu < 64 THEN x.ndu
+               ELSE (63 * 281474976710656) // u.hku END AS BIGINT) est_union
+           FROM (SELECT a, b, count(*) nu, max(h) hku FROM pur
+                 WHERE rn <= 64 GROUP BY 1, 2) u
+           JOIN (SELECT a, b, count(*) ndu FROM ud GROUP BY 1, 2) x
+             USING (a, b)),
+         exi AS (SELECT x.g a, y.g b, CAST(count(*) AS BIGINT) exact_intersect
+           FROM d x JOIN d y ON x.h = y.h AND x.g < y.g GROUP BY 1, 2)
+         SELECT p.a AS type_a, p.b AS type_b,
+             ea.est AS est_a, eb.est AS est_b, eu.est_union,
+             greatest(0, ea.est + eb.est - eu.est_union) AS est_intersect,
+             CAST(coalesce(exi.exact_intersect, 0) AS BIGINT)
+               AS exact_intersect
+         FROM pairs p
+         JOIN eg ea ON ea.g = p.a
+         JOIN eg eb ON eb.g = p.b
+         JOIN eu ON eu.a = p.a AND eu.b = p.b
+         LEFT JOIN exi ON exi.a = p.a AND exi.b = p.b
+         ORDER BY type_a, type_b""",
+
+    "stream_kmv" ->
+      """WITH d0 AS (SELECT DISTINCT event_type g,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::UBIGINT
+               AS BIGINT) h
+           FROM events),
+         d AS (SELECT g, h FROM d0
+           UNION SELECT 'ALL', h FROM d0),
+         surv AS (SELECT g, h FROM (
+             SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) rn
+             FROM d) WHERE rn <= 64),
+         pg AS (SELECT g, CAST(count(*) AS BIGINT) n_kmv, max(h) hk
+           FROM surv GROUP BY 1)
+         SELECT g AS event_type, n_kmv,
+             CAST(CASE WHEN n_kmv < 64 THEN n_kmv
+               ELSE (63 * 281474976710656) // hk END AS BIGINT) est_distinct
+         FROM pg ORDER BY 1""",
+
     "snapshot_rollback" ->
       """WITH v3 AS (SELECT CAST(3 AS BIGINT) AS "version", event_type,
              CAST(count(*) AS BIGINT) n_events

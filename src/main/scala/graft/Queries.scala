@@ -5142,6 +5142,80 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** X45b — KMV SET-OPERATION ALGEBRA: the reason a sketch beats a raw
+    * `count_distinct` at 100 TB is that sketches COMPOSE — |A∪B| comes
+    * from merging two k-sets (take the k smallest of the union of
+    * survivors), and |A∩B| falls out of inclusion–exclusion, all without
+    * re-touching the data. Per event-type pair: est(A), est(B),
+    * est(A∪B) from the merged sketch, est(A∩B) = max(0, est(A)+est(B)
+    * −est(A∪B)), published next to the EXACT intersection so the
+    * estimator's error is a measured column. Everything is
+    * deterministic integer arithmetic on md5 order statistics, so the
+    * DuckDB oracle hash-matches the estimates themselves. The pair
+    * unions rank only per-group SURVIVORS (≤ groups × k rows); the
+    * exact intersection is one h-keyed self-join with fanout bounded by
+    * the type count. The 5-type list is collected once (model-parameter
+    * pattern) to avoid a non-equi pair cross-join in-plan. */
+  def sketchKmvSetops(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val d = t(spark, dir, "events")
+      .select(col("event_type").as("g"),
+        conv(substring(md5(col("user_id").cast(StringType)), 1, 12),
+          16, 10).cast(LongType).as("h"))
+      .distinct()
+    import org.apache.spark.sql.expressions.Window
+    def topK(df: DataFrame, parts: Seq[String]): DataFrame = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(parts.map(col): _*).orderBy(col("h"))))
+      .filter(col("rn") <= k).drop("rn")
+    val surv = topK(d, Seq("g"))
+    // integer div, never double division: 63·2^48 exceeds 2^53, so a
+    // double quotient can truncate differently than exact integer div
+    val est = (n: org.apache.spark.sql.Column, hkName: String,
+               exact: org.apache.spark.sql.Column) =>
+      when(n < k, exact)
+        .otherwise(expr(s"(${k - 1}L * 281474976710656L) div $hkName"))
+        .cast(LongType)
+    val eg = surv.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .join(d.groupBy(col("g")).agg(count(lit(1)).as("nd")), Seq("g"))
+      .select(col("g"), est(col("n"), "hk", col("nd")).as("est"))
+    val typeList = d.select(col("g")).distinct().orderBy(col("g"))
+      .collect().map(_.getString(0)).toSeq
+    val pairsSeq = for {
+      i <- typeList.indices; j <- (i + 1) until typeList.size
+    } yield (typeList(i), typeList(j))
+    val pairs = spark.createDataFrame(pairsSeq).toDF("a", "b")
+    def perPair(rows: DataFrame): DataFrame = pairs
+      .join(rows, col("g") === col("a")).select(col("a"), col("b"), col("h"))
+      .unionByName(pairs.join(rows, col("g") === col("b"))
+        .select(col("a"), col("b"), col("h")))
+      .distinct()
+    val estU = topK(perPair(surv), Seq("a", "b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("nu"), max(col("h")).as("hku"))
+      .join(perPair(d).groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("ndu")), Seq("a", "b"))
+      .select(col("a"), col("b"),
+        est(col("nu"), "hku", col("ndu")).as("est_union"))
+    val exi = d.alias("x")
+      .join(d.alias("y"),
+        col("x.h") === col("y.h") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("a"), col("y.g").as("b"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    pairs
+      .join(eg.select(col("g").as("a"), col("est").as("est_a")), Seq("a"))
+      .join(eg.select(col("g").as("b"), col("est").as("est_b")), Seq("b"))
+      .join(estU, Seq("a", "b"))
+      .join(exi, Seq("a", "b"), "left")
+      .select(col("a").as("type_a"), col("b").as("type_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersect"),
+        coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** S19 — SCHEMA EVOLUTION across snapshots: v2 of its own versioned
     * table appends files carrying a NEW column (`ingest_src`) the v1
     * files never wrote — the additive-column evolution every long-lived

@@ -851,6 +851,73 @@ object StreamTwins {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** STREAMING maintained KMV distinct sketch: the streaming twin of
+    * [[graft.Queries.sketchKmv]]. KMV state IS its merge — "the k
+    * smallest distinct hashes" is associative, commutative and
+    * idempotent, so each micro-batch reduces ITSELF to per-group
+    * survivors (≤ k rows per group + the ALL group) and the fold is
+    * re-ranking state ∪ batch survivors — the state stays
+    * O(groups × k) rows at any corpus size, and any batching produces
+    * the IDENTICAL k-set (the oracle hash-matches the estimates, not
+    * just floors). Versioned through the batchId-keyed exactly-once
+    * seam ([[streamCdcApply]]); under-full groups report their exact
+    * count because an under-full sketch has seen every distinct value. */
+  def streamKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 64
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_kmv_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_kmv_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_kmv_ck_$tag")
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_type")),
+      s"stream_kmv_feed_build_$tag")
+    val stateSchema = StructType(Seq(
+      StructField("g", StringType), StructField("h", LongType)))
+    // rank (g,h) rows to the k smallest per group — used for both the
+    // batch's own reduction and the state fold (KMV merge = re-rank)
+    def rank(gh: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("h"))
+      gh.distinct().withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select(col("g"), col("h"))
+    }
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        val b = batch.toDF()
+        val gh = b.select(col("event_type").as("g"), col("user_id"))
+          .unionByName(b.select(lit("ALL").as("g"), col("user_id")))
+          .select(col("g"),
+            conv(substring(md5(col("user_id").cast(StringType)), 1, 12),
+              16, 10).cast(LongType).as("h"))
+        rank(rank(gh).unionByName(state))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_kmv"), max(col("h")).as("hk"))
+      .select(col("g").as("event_type"), col("n_kmv"),
+        when(col("n_kmv") < k, col("n_kmv"))
+          .otherwise(expr(s"(${k - 1}L * 281474976710656L) div hk"))
+          .cast(LongType).as("est_distinct"))
+      .orderBy(col("event_type"))
+  }
+
   /** STREAMING maintained distinct-count MV: the streaming twin of
     * [[graft.Queries.aggHllMerge]] — per micro-batch, daily HLL sketch
     * states per event type (`hll_sketch_agg`) fold into a

@@ -65,4 +65,35 @@ class WaveSSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
+
+  test("sketch_kmv_setops: inclusion-exclusion estimates track the exact " +
+    "sets within sketch error") {
+    val out = Queries.sketchKmvSetops(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = ops.Tables.table(spark, sf, "events")
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val exactU = ev.filter(col("event_type").isin(a, b))
+        .select(col("user_id")).distinct().count()
+      val estU = r.getAs[Long]("est_union")
+      assert(math.abs(estU.toDouble - exactU) <= 0.4 * exactU + 1,
+        s"($a,$b): est_union $estU vs exact $exactU")
+      val estI = r.getAs[Long]("est_intersect")
+      val exactI = r.getAs[Long]("exact_intersect")
+      // intersection error compounds three sketch errors, each O(est/sqrt(k))
+      assert(math.abs(estI.toDouble - exactI) <= 0.6 * exactU + 1,
+        s"($a,$b): est_intersect $estI vs exact $exactI (union $exactU)")
+    }
+  }
+
+  test("stream_kmv equals the batch sketch EXACTLY (the k-set is " +
+    "batching-invariant, not just convergent)") {
+    val stream = streaming.StreamTwins.streamKmv(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_kmv"),
+        r.getAs[Long]("est_distinct"))).toSeq
+    val batch = Queries.sketchKmv(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_kmv"),
+        r.getAs[Long]("est_distinct"))).toSeq
+    assert(stream == batch, s"stream $stream != batch $batch")
+  }
 }
