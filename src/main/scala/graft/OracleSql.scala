@@ -3109,6 +3109,138 @@ object OracleSql {
              CAST(count(*) AS BIGINT) n_events
            FROM events GROUP BY 2)
          SELECT * FROM v3 UNION ALL SELECT * FROM v4
-         ORDER BY "version", event_type"""
+         ORDER BY "version", event_type""",
+
+    "vocab_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+             FROM documents),
+         tot AS (SELECT count(*) AS total FROM tok)
+         SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+         GROUP BY token
+         HAVING count(*) * 200 > (SELECT total FROM tot)
+         ORDER BY n DESC, token""",
+
+    "agg_autocorr" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         p AS (SELECT event_type, x,
+             lag(x) OVER (PARTITION BY event_type ORDER BY day) AS xp
+           FROM d),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+             CAST(sum(x) AS BIGINT) sx, CAST(sum(xp) AS BIGINT) sy,
+             CAST(sum(x * xp) AS BIGINT) sxy,
+             CAST(sum(x * x) AS BIGINT) sxx,
+             CAST(sum(xp * xp) AS BIGINT) syy
+           FROM p WHERE xp IS NOT NULL GROUP BY event_type)
+         SELECT event_type, n AS n_pairs,
+             round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                    sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS acf_lag1
+         FROM m ORDER BY event_type""",
+
+    "forecast_seasonal_naive" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS actual
+           FROM events GROUP BY 1, 2),
+         mx AS (SELECT max(day) AS mx FROM d)
+         SELECT t.event_type, strftime(t.day, '%Y-%m-%d') AS day,
+             t.actual, h.actual AS forecast,
+             abs(t.actual - h.actual) AS abs_err
+         FROM d t LEFT JOIN d h ON h.event_type = t.event_type
+             AND h.day = t.day - 7
+         WHERE t.day > (SELECT mx FROM mx) - 7
+         ORDER BY t.event_type, day""",
+
+    "snapshot_history" ->
+      """WITH v1 AS (SELECT * FROM events
+             WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+               AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'),
+         v2 AS (SELECT * FROM events
+             WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+               AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01'),
+         v3 AS (SELECT * FROM v2
+             WHERE NOT (event_type = 'error' AND
+               CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-22'))
+         SELECT CAST(1 AS BIGINT) AS "version",
+             CAST(2 AS BIGINT) AS n_files,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(epoch_us(min(CAST(ts AS TIMESTAMP))) AS BIGINT) AS min_us,
+             CAST(epoch_us(max(CAST(ts AS TIMESTAMP))) AS BIGINT) AS max_us
+           FROM v1
+         UNION ALL SELECT 2, 4, count(*),
+             epoch_us(min(CAST(ts AS TIMESTAMP))),
+             epoch_us(max(CAST(ts AS TIMESTAMP))) FROM v2
+         UNION ALL SELECT 3, 4, count(*),
+             epoch_us(min(CAST(ts AS TIMESTAMP))),
+             epoch_us(max(CAST(ts AS TIMESTAMP))) FROM v3
+         ORDER BY "version"""",
+
+    "stream_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+         SELECT step, stage, n_users FROM (
+           SELECT 1 AS step, 'view' AS stage,
+               CAST(count(*) AS BIGINT) AS n_users FROM v
+           UNION ALL
+           SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+           UNION ALL
+           SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p)
+         ORDER BY step""",
+
+    "window_drawdown" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT event_type, day,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+             CAST(max(cents) OVER (PARTITION BY event_type ORDER BY day)
+               - cents AS BIGINT) AS drawdown
+           FROM d),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY drawdown DESC, day) AS rn FROM r)
+         SELECT event_type, n_days, drawdown AS max_drawdown,
+             strftime(day, '%Y-%m-%d') AS drawdown_day
+         FROM rk WHERE rn = 1 ORDER BY event_type""",
+
+    "embed_centroids" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+               AS BIGINT) AS micro
+           FROM embeddings)
+         SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(micro) AS BIGINT) AS sum_micro,
+             round(CAST(sum(micro) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS mean_micro
+         FROM e GROUP BY label, dim ORDER BY label, dim""",
+
+    "stream_components" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           p AS (
+             SELECT a.doc_id a_id, b.doc_id b_id
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+           e AS (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),
+           reach(id, r) AS (
+             SELECT u, u FROM e
+             UNION
+             SELECT e2.u, reach.r FROM e e2 JOIN reach ON reach.id = e2.v),
+           comp AS (SELECT id, min(r) c FROM reach GROUP BY id)
+         SELECT CAST(id AS BIGINT) AS doc_id, CAST(c AS BIGINT) AS component,
+             CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS n_members
+         FROM comp ORDER BY doc_id"""
   )
 }

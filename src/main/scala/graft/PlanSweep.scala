@@ -63,7 +63,13 @@ object PlanSweep {
       // KMV merge: the ALL row joins two ONE-row frames (the k-th-smallest
       // of the survivor union × the exact global distinct count) — the
       // literal-equal key folds to true, leaving a 1×1 BNLJ; scalar shape
-      "sketch_kmv")
+      "sketch_kmv",
+      // exact heavy hitters: the ONE-row corpus total broadcast onto the
+      // (candidate-only, already tiny) recount for the n·200 > N test
+      "vocab_heavy_hitters",
+      // seasonal-naive backtest: the ONE-row max-day broadcast selecting
+      // the 7-day test horizon (scalar-subquery shape)
+      "forecast_seasonal_naive")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

@@ -4656,25 +4656,9 @@ object Queries {
     * is one row per surviving user, so the chain is three partial-agg
     * shuffles on the same key (AQE coalesces the tiny tails), never a
     * per-event path reconstruction. */
-  def funnelStrictOrder(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-      .select(col("user_id"), col("event_type"), col("ts"))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
-      .filter(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
-      .filter(col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    def stage(df: DataFrame, step: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
-    stage(v, 1, "view")
-      .unionAll(stage(c, 2, "click"))
-      .unionAll(stage(p, 3, "purchase"))
-      .orderBy(col("step"))
-  }
+  def funnelStrictOrder(spark: SparkSession, dir: String): DataFrame =
+    strictFunnelChain(t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts")))
 
   /** X42 — Population Stability Index profile: the model-monitoring
     * companion to [[dqDrift]]'s KS and [[dqDriftJs]]'s JS — doc-length
@@ -5265,5 +5249,206 @@ object Queries {
       java.nio.file.Files.write(built, "1".getBytes("UTF-8"))
     }
     log
+  }
+
+  // ── Wave T: exact heavy hitters, series diagnostics, history ─────────
+
+  /** N16g — EXACT distributed heavy hitters (Misra–Gries candidates +
+    * recount): every token with frequency > N/200, at ANY corpus size,
+    * with bounded memory and near-zero shuffle. Pass 1 is a NARROW
+    * `mapPartitions`: each partition folds its tokens through a
+    * Misra–Gries summary of capacity 200 (Misra & Gries 1982; the
+    * SpaceSaving family), whose survivors include every token with local
+    * count > n_p/201 — and a globally heavy token (count > N/200) must
+    * be locally heavy in at least one partition (if count_i ≤ n_i/201
+    * everywhere, the total is ≤ N/201 < N/200), so the survivor union
+    * (≤ partitions × 200 rows) is a guaranteed-complete candidate set.
+    * Pass 2 broadcast-semi-joins the candidates back into the token
+    * stream and recounts EXACTLY: the only full-width aggregation
+    * shuffle carries candidate tokens alone, map-side combined. Output
+    * is therefore identical to the full `HAVING count(*)·200 > N`
+    * answer with the full-vocabulary shuffle replaced by a
+    * constant-size one; the threshold test stays integral on both
+    * engines. WaveTSpec pins MG completeness against brute force under
+    * adversarial partitioning. */
+  def vocabHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 200
+    val toks = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val cands = toks.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { tk =>
+        m.get(tk) match {
+          case Some(c) => m(tk) = c + 1
+          case None if m.size < cap => m(tk) = 1L
+          case None => // decrement-all round; the arriving token is dropped
+            val dead = m.iterator.collect { case (k, 1L) => k }.toList
+            m.mapValuesInPlace((_, c) => c - 1)
+            dead.foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF("token").distinct()
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * cap > col("total"))
+      .select(col("token"), col("n"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  /** A13 — lag-1 autocorrelation of the per-type DAILY event series: the
+    * burstiness/trend diagnostic over counts, not raw events. The event
+    * table collapses to one row per (type, day) in a single partial-agg
+    * shuffle; the lag window then runs over that AGGREGATE-sized frame
+    * (days × types — thousands of rows at any corpus size), honoring the
+    * windows-only-over-aggregates discipline. The correlation is the
+    * [[aggCorr]] exact-co-moment form: integer sums, ONE closed-form
+    * double expression, round(·, 6) — deterministic bits on both
+    * engines. */
+  def aggAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    daily.withColumn("xp", lag(col("x"), 1).over(w))
+      .filter(col("xp").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"),
+        sum(col("xp")).as("sy"), sum(col("x") * col("xp")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("xp") * col("xp")).as("syy"))
+      .select(col("event_type"), col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType) /
+          (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType)) *
+           sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+              .cast(DoubleType))), 6)
+          .as("acf_lag1"))
+      .orderBy(col("event_type"))
+  }
+
+  /** X47 — seasonal-naive backtest: each of the LAST 7 days of the
+    * per-type daily series is forecast with the value one CALENDAR week
+    * earlier (ŷ_t = y_{t−7d}, via a self-join on day−7 rather than a
+    * row-lag, so gap days cannot shift the season) and reports the exact
+    * absolute error — the always-computable forecasting baseline every
+    * model must beat. One partial-agg shuffle to days × types, then
+    * joins/windows only over that aggregate frame; the test horizon is
+    * selected by a one-row broadcast max-day. All integers — hash-exact. */
+  def forecastSeasonalNaive(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("actual"))
+    val horizon = daily.agg(max(col("day")).as("mx"))
+    val hist = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("actual").as("forecast"))
+    daily.crossJoin(broadcast(horizon))
+      .filter(col("day") > date_sub(col("mx"), 7))
+      .join(hist, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("actual"), col("forecast"),
+        abs(col("actual") - col("forecast")).as("abs_err"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** K16 — snapshot HISTORY: the table's commit log surfaced as a query —
+    * one row per version with its file count, visible row count, and the
+    * MANIFEST-recorded ts bounds in epoch micros. The bounds come from
+    * the log's write-time statistics alone (zero data read — the same
+    * stats that plan COW rewrites and file pruning), so the oracle's
+    * recomputation from raw rows is a genuine audit that the manifest
+    * metadata agrees with the data it describes. Builds a DEDICATED
+    * versioned table (v1 = weeks 0-1, v2 = all four weeks, v3 =
+    * copy-on-write delete of late-January errors) so the history never
+    * depends on which other snapshot queries ran first in the session. */
+  def snapshotHistory(spark: SparkSession, dir: String): DataFrame = {
+    val log = ttEnsureV3(spark, dir, name = "hist_tbl")
+    SnapLog.versions(log).map { v =>
+      val data = SnapLog.read(log, v).filter(_.kind == "data")
+      spark.read.parquet(data.map(_.path): _*)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(v).as("version"),
+          lit(data.size.toLong).as("n_files"), col("n_rows"),
+          lit(data.map(_.minUs).min).as("min_us"),
+          lit(data.map(_.maxUs).max).as("max_us"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  /** X48 — maximum drawdown of each type's daily revenue series: running
+    * peak minus current value, the "how far below the best day so far"
+    * risk/health diagnostic. Daily cents are exact integers
+    * ([[Cleanse.dec2]]·100); the running max and the worst-day rank both
+    * run over the AGGREGATE-sized daily frame (days × types), the
+    * [[dqCusum]] discipline — never a window over raw events. Worst day
+    * tie-breaks to the earliest date deterministically. */
+  def windowDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events").filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((Cleanse.dec2(col("value")) * 100).cast(LongType)).as("cents"))
+    val W = org.apache.spark.sql.expressions.Window
+    val run = W.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val dd = daily
+      .withColumn("n_days", count(lit(1)).over(W.partitionBy(col("event_type"))))
+      .withColumn("drawdown", max(col("cents")).over(run) - col("cents"))
+    dd.withColumn("rn", row_number().over(
+        W.partitionBy(col("event_type"))
+          .orderBy(col("drawdown").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_days").cast(LongType).as("n_days"),
+        col("drawdown").as("max_drawdown"),
+        date_format(col("day"), "yyyy-MM-dd").as("drawdown_day"))
+      .orderBy(col("event_type"))
+  }
+
+  /** N30 — per-label embedding centroids in exact integer micro-units:
+    * the embedding-table QA op (collapsed or drifted class centroids are
+    * the first sign of a bad encoder run). Floats never meet a float
+    * accumulator: each component maps to ⌊v·10⁶⌋ as a Long — cast and
+    * floor are correctly-rounded IEEE ops, identical on any engine — and
+    * the centroid is a ratio of exact integer sums, so the result
+    * hash-matches cross-engine at any partitioning (a float `avg` would
+    * drift with summation order). `posexplode` is a narrow flatMap; the
+    * aggregate is ONE partial-agg shuffle on (label, dim) — linear at
+    * any corpus size. */
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label").cast(LongType).as("label"),
+        col("dim").cast(LongType).as("dim"),
+        floor(col("v").cast(DoubleType) * lit(1000000.0)).cast(LongType)
+          .as("micro"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("micro")).as("sum_micro"))
+      .select(col("label"), col("dim"), col("n"), col("sum_micro"),
+        round(col("sum_micro").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("mean_micro"))
+      .orderBy(col("label"), col("dim"))
+
+  /** The strict-order funnel chain over a (user_id, event_type, ts)
+    * frame — shared verbatim by [[funnelStrictOrder]] and its streaming
+    * twin (which replays it over the maintained state). */
+  private[graft] def strictFunnelChain(ev: DataFrame): DataFrame = {
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: DataFrame, step: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
+    stage(v, 1, "view")
+      .unionAll(stage(c, 2, "click"))
+      .unionAll(stage(p, 3, "purchase"))
+      .orderBy(col("step"))
   }
 }

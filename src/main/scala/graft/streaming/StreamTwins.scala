@@ -1364,4 +1364,134 @@ object StreamTwins {
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
   }
+
+  /** STREAMING strict-order funnel — the twin of
+    * [[graft.Queries.funnelStrictOrder]]. Strict order ("a click counts
+    * only if strictly later than the user's FIRST view") is not
+    * incrementalizable with per-stage minima alone: a late-arriving
+    * earlier view lowers t1 and can resurrect clicks a smaller state
+    * would already have discarded. The maintained state is therefore the
+    * DISTINCT (user_id, event_type, ts) set of funnel-relevant events —
+    * exactly what a stream-stream join buffers, and bounded the same way
+    * in production (a watermark evicts users whose funnel window has
+    * closed; here the horizon is the whole fixture). The fold is set
+    * union + dropDuplicates — associative, commutative, IDEMPOTENT — so
+    * any batching of the feed converges to the identical state, landed
+    * through the batchId-keyed exactly-once seam. The declared output
+    * replays the shared [[graft.Queries.strictFunnelChain]] over the
+    * final state and hash-matches the BATCH oracle. */
+  def streamFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_funnel_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_funnel_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_funnel_ck_$tag")
+
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type")),
+      s"stream_funnel_feed_build_$tag")
+
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), feedSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(batch.toDF())
+          .dropDuplicates("user_id", "event_type", "ts")
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    graft.Queries.strictFunnelChain(
+      ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
+  }
+
+  /** STREAMING incremental connected components — the twin of
+    * [[graft.Queries.dedupComponents]], maintaining the dup-graph
+    * clustering as edges ARRIVE instead of re-pairing the corpus. The
+    * state is the NODE→LABEL table, folded as star edges: a label table
+    * preserves connectivity exactly (every member connects to its
+    * component root), so components(star(state) ∪ batch edges) is the
+    * correct updated clustering — the union-find path-compression idea
+    * as a dataframe. State stays NODES-sized however many edges ever
+    * streamed (the spanning structure, never the edge log), and each
+    * fold's propagation converges in few rounds because the warm-started
+    * graph is a forest of depth-1 stars plus the delta. Labels are
+    * canonical min-ids, so ANY batching converges to the identical final
+    * state; landed through the batchId-keyed exactly-once seam. The feed
+    * is the minhash dup-pair table split into 3 id-keyed slices; the
+    * declared output replays `dedup_components`' shape over final state
+    * and hash-matches its oracle verbatim. */
+  def streamComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_cc_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_cc_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_cc_ck_$tag")
+
+    // land the pair table as 3 deterministic id-keyed slice files
+    val slices = Seq(0, 1, 2)
+    val complete = slices.forall(i =>
+      java.nio.file.Files.exists(landing.resolve(s"s$i.parquet")))
+    if (!complete) {
+      val pairs = graft.text.NearDup.minhashDupPairsCached(
+        graft.ops.Tables.table(ss, sfDir, "documents"), "doc_id", "text",
+        threshold = 0.8, cacheKey = sfDir)
+        .select(col("a_id"), col("b_id"))
+      slices.foreach { i =>
+        val part = java.nio.file.Paths.get(graft.ops.TempFiles.dir(
+          s"stream_cc_feed_build_$tag/staging/s$i"))
+        pairs.filter(pmod(col("a_id"), lit(3)) === i)
+          .repartition(1).write.mode("overwrite").parquet(part.toString)
+        val src = java.nio.file.Files.list(part)
+        val f = try src.filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get() finally src.close()
+        java.nio.file.Files.move(f, landing.resolve(s"s$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    val feedSchema = StructType(Seq(
+      StructField("a_id", LongType), StructField("b_id", LongType)))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val edges =
+          if (prev.isEmpty) batch.toDF()
+          else s.read.parquet(s"$stateRoot/v${prev.max}")
+            .select(col("comp").as("a_id"), col("id").as("b_id"))
+            .unionByName(batch.toDF())
+        val labels = graft.ops.Components.connectedComponents(
+          edges, "a_id", "b_id")
+        labels.write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        labels.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+    ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
 }
