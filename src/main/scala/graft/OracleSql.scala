@@ -3241,6 +3241,59 @@ object OracleSql {
            comp AS (SELECT id, min(r) c FROM reach GROUP BY id)
          SELECT CAST(id AS BIGINT) AS doc_id, CAST(c AS BIGINT) AS component,
              CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS n_members
-         FROM comp ORDER BY doc_id"""
+         FROM comp ORDER BY doc_id""",
+
+    "sample_neyman" ->
+      """WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS HUGEINT) sx,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) *
+                      CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS HUGEINT) sxx
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         w AS (SELECT event_type, n,
+             CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT) w
+           FROM s),
+         t AS (SELECT CAST(sum(w) AS BIGINT) tw FROM w),
+         sh AS (SELECT event_type, n, w,
+             CAST((200 * w) // tw AS BIGINT) fl,
+             (200 * w) % tw AS rem FROM w CROSS JOIN t),
+         rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, event_type)
+               AS rr,
+             CAST(200 - sum(fl) OVER () AS BIGINT) AS leftover FROM sh)
+         SELECT event_type, n, w,
+             CAST(fl + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS quota
+         FROM rk ORDER BY event_type""",
+
+    "stream_bm25" ->
+      """WITH q(query_id, term_idx, term) AS (VALUES
+             (1,1,'spark'),(1,2,'join'),(2,1,'hash'),(2,2,'merge'),
+             (2,3,'batch'),(3,1,'vector'),(3,2,'scan')),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1,2),
+         dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+         dfv AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs, sum(len) AS total_len FROM dl),
+         term AS (SELECT qq.query_id, qq.term_idx, f.doc_id,
+             ((22e0 * f.tf * t.total_len) /
+              (10 * f.tf * t.total_len + 3 * t.total_len + 9 * d.len * t.n_docs)) *
+             ((2 * t.n_docs - 2 * v.df + 1) / (2 * v.df + 1)) AS s
+           FROM tf f JOIN q qq ON f.tok = qq.term
+           JOIN dl d ON f.doc_id = d.doc_id
+           JOIN dfv v ON f.tok = v.tok CROSS JOIN tot t),
+         sc AS (SELECT query_id, doc_id,
+             coalesce(max(CASE WHEN term_idx=1 THEN s END), 0e0)
+             + coalesce(max(CASE WHEN term_idx=2 THEN s END), 0e0)
+             + coalesce(max(CASE WHEN term_idx=3 THEN s END), 0e0) AS score
+           FROM term GROUP BY 1,2),
+         r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rnk
+           FROM sc)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(rnk AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rank"""
   )
 }

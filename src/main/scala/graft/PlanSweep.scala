@@ -69,7 +69,13 @@ object PlanSweep {
       "vocab_heavy_hitters",
       // seasonal-naive backtest: the ONE-row max-day broadcast selecting
       // the 7-day test horizon (scalar-subquery shape)
-      "forecast_seasonal_naive")
+      "forecast_seasonal_naive",
+      // Neyman allocation: the ONE-row weight total and the ONE-row
+      // leftover broadcast onto the strata-sized share table
+      "sample_neyman",
+      // maintained BM25 index: the scorer is search_bm25's (already
+      // allowlisted) — the one-row (n_docs, total_len) totals broadcast
+      "stream_bm25")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

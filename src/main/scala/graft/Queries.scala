@@ -2578,16 +2578,25 @@ object Queries {
     * the exchange, so a query matching millions of docs never funnels
     * them through one task. */
   def searchBm25(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    bm25Score(spark,
+      tokens.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")),
+      tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("len")))
+  }
+
+  /** The BM25 scorer over an INDEX (postings `tf` = (doc_id, tok, tf) and
+    * lengths `docLen` = (doc_id, len)) — shared verbatim by [[searchBm25]]
+    * (which builds the index from the corpus inline) and the streaming
+    * twin (which maintains the index incrementally and scores from
+    * state). */
+  private[graft] def bm25Score(spark: SparkSession, tf: DataFrame,
+                               docLen: DataFrame): DataFrame = {
     import spark.implicits._
     val qt = Seq((1L, 1, "spark"), (1L, 2, "join"),
         (2L, 1, "hash"), (2L, 2, "merge"), (2L, 3, "batch"),
         (3L, 1, "vector"), (3L, 2, "scan"))
       .toDF("query_id", "term_idx", "term")
-    val tokens = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val tf = tokens.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-    val docLen = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
     val dfTab = tf.join(broadcast(qt.select(col("term")).distinct()),
         col("tok") === col("term"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -5430,6 +5439,46 @@ object Queries {
         round(col("sum_micro").cast(DoubleType) / col("n").cast(DoubleType), 6)
           .as("mean_micro"))
       .orderBy(col("label"), col("dim"))
+
+  /** N31 — Neyman optimal stratified allocation: the sampling-theory
+    * upgrade to proportional quotas — strata get samples ∝ N_h·σ_h, so
+    * volatile strata are oversampled and near-constant ones barely drawn
+    * (minimum-variance estimator for a fixed budget; Neyman 1934).
+    * Everything stays INTEGRAL: since σ_h = √(n_h·Σx²_h − (Σx_h)²)/n_h
+    * over the full stratum, the weight N_h·σ_h equals
+    * √(n_h·Σx²_h − (Σx_h)²) exactly, and ⌊√·⌋ of the exact DECIMAL(38,0)
+    * co-moment is cross-engine deterministic (one correctly-rounded cast
+    * + sqrt); the 200-sample budget then apportions by integer
+    * floor-division with a largest-remainder top-up ranked through the
+    * two-pass distributed scan ([[windowAllocation]]'s mechanic — no
+    * global window). One partial-agg shuffle over events; everything
+    * after runs on the strata-sized frame. */
+  def sampleNeyman(spark: SparkSession, dir: String): DataFrame = {
+    val S = 200L
+    val dec380 = DecimalType(38, 0)
+    val stats = t(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(dec380)).as("sx"),
+        sum((col("x") * col("x")).cast(dec380)).as("sxx"))
+      .select(col("event_type"), col("n"),
+        floor(sqrt((col("n").cast(dec380) * col("sxx") -
+          col("sx") * col("sx")).cast(DoubleType))).cast(LongType).as("w"))
+    val tot = stats.agg(sum(col("w")).as("tw"))
+    val shares = stats.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n"), col("w"),
+        expr(s"($S * w) div tw").as("fl"),
+        expr(s"($S * w) % tw").as("rem"))
+    val leftover = shares.agg((lit(S) - sum(col("fl"))).as("leftover"))
+    PrefixSum.globalRank(shares.withColumn("neg_rem", -col("rem")),
+        Seq("neg_rem", "event_type"), "rr", "n_strata")
+      .crossJoin(broadcast(leftover))
+      .select(col("event_type"), col("n"), col("w"),
+        (col("fl") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("event_type"))
+  }
 
   /** The strict-order funnel chain over a (user_id, event_type, ts)
     * frame — shared verbatim by [[funnelStrictOrder]] and its streaming

@@ -1494,4 +1494,75 @@ object StreamTwins {
       .withColumn("n_members", count(lit(1)).over(w))
       .orderBy(col("doc_id"))
   }
+
+  /** STREAMING maintained BM25 index — the twin of
+    * [[graft.Queries.searchBm25]]. A search index is exactly the
+    * incremental-maintenance case: each document contributes its postings
+    * ((doc, token, tf) rows) and its length ONCE, and because documents
+    * partition across micro-batches, the fold is a DISJOINT append —
+    * each batch writes only its own O(delta) postings/lengths files
+    * (keyed by batchId, so a replayed batch overwrites itself:
+    * exactly-once by idempotence), never rewriting the accumulated
+    * index. Query-time df/totals are vocab-/one-row-sized aggregates the
+    * scorer derives from the index, so the declared output scores the
+    * SAME fixed query set from maintained state and hash-matches the
+    * batch oracle bit-for-bit (all BM25 inputs are exact integers). */
+  def streamBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_bm25_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_bm25_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_bm25_ck_$tag")
+
+    val slices = Seq(0, 1, 2)
+    val complete = slices.forall(i =>
+      java.nio.file.Files.exists(landing.resolve(s"s$i.parquet")))
+    if (!complete) {
+      val docs = graft.ops.Tables.table(ss, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      slices.foreach { i =>
+        val part = java.nio.file.Paths.get(graft.ops.TempFiles.dir(
+          s"stream_bm25_feed_build_$tag/staging/s$i"))
+        docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          .repartition(1).write.mode("overwrite").parquet(part.toString)
+        val src = java.nio.file.Files.list(part)
+        val f = try src.filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get() finally src.close()
+        java.nio.file.Files.move(f, landing.resolve(s"s$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    val feedSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val toks = batch.toDF().select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+          .write.mode("overwrite").parquet(s"$stateRoot/p$batchId")
+        toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+          .write.mode("overwrite").parquet(s"$stateRoot/l$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def stateDirs(prefix: String): Seq[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(stateRoot))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.toString)
+          .filter(_.split("/").last.startsWith(prefix)).toSeq.sorted
+      } finally s.close()
+    }
+    graft.Queries.bm25Score(ss,
+      ss.read.parquet(stateDirs("p"): _*),
+      ss.read.parquet(stateDirs("l"): _*))
+  }
 }

@@ -123,7 +123,11 @@ class StressSpec extends AnyFunSuite {
       "ann_pq_topk", "dq_ks",
       // continuation-wave structure carriers: the basket-bounded item
       // pair join and the B-way multiplier-bootstrap explosion
-      "recommend_item_knn", "dq_bootstrap_ci")
+      "recommend_item_knn", "dq_bootstrap_ci",
+      // wave-T/U structure carriers: the two-pass MG heavy-hitter recount
+      // and the (label, dim)-keyed centroid aggregation over exploded
+      // vectors (64x row multiplier before its shuffle)
+      "vocab_heavy_hitters", "embed_centroids")
     for (n <- names) {
       // min-of-2 per scale point: a single GC/JIT pause on either side of
       // the ratio can push a healthy query past the bound (it flaked once
