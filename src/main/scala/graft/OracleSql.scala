@@ -3294,6 +3294,56 @@ object OracleSql {
            FROM sc)
          SELECT CAST(query_id AS BIGINT) AS query_id,
              CAST(rnk AS BIGINT) AS rank, doc_id, round(score, 6) AS score
-         FROM r WHERE rnk <= 5 ORDER BY query_id, rank"""
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rank""",
+
+    "tpch_q3" ->
+      """SELECT l.l_orderkey,
+             CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+               AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             o.o_orderpriority
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND CAST(o.o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-06-15'
+           AND CAST(l.l_shipdate AS TIMESTAMP) > TIMESTAMP '1998-06-15'
+         GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+         ORDER BY revenue DESC, l.l_orderkey LIMIT 10""",
+
+    "tpch_q5" ->
+      """SELECT n.n_name,
+             CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+               AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND CAST(o.o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+           AND CAST(o.o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+         GROUP BY n.n_name
+         ORDER BY revenue DESC, n.n_name""",
+
+    "tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+             CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+               AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND CAST(o.o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+           AND CAST(o.o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-04-01'
+         GROUP BY c.c_custkey, c.c_name, n.n_name
+         ORDER BY revenue DESC, c.c_custkey LIMIT 20"""
   )
 }

@@ -5480,6 +5480,106 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  // ── Wave W: the classic TPC-H multi-join shapes ──────────────────────
+
+  /** X49 — TPC-H Q3 (shipping priority): the canonical 3-table
+    * fact-to-fact join with selective dimension filters. Both date
+    * filters are pushed to the parquet scans (plan-spec'd); the
+    * segment-filtered 1-column customer projection rides a broadcast;
+    * orders⋈lineitem is the one shuffle pair. Revenue is the exact
+    * decimal Σ price·(1−disc) ([[joinFunnelInner]]'s discipline), and
+    * the top-10 runs as TakeOrderedAndProject — never a full sort.
+    * Ref: the reference's funnel joins (`card_funnel/card_funnel.py`)
+    * are this shape with pandas merges; this is the at-scale form. */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-06-15").cast(TimestampType)
+    val c = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (Cleanse.dec2(col("l_extendedprice")) *
+          (lit(1) - Cleanse.dec2(col("l_discount")))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(decOut(sum(col("rev"))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        Cleanse.dateStr(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** X50 — TPC-H Q5 (local supplier volume): the 6-table snowflake with
+    * the c_nationkey = s_nationkey "local" constraint. Region/nation/
+    * supplier are TRUE dimensions and broadcast (region filter prunes
+    * nation before it ever reaches a fact); customer⋈orders⋈lineitem
+    * are the shuffle joins, each side filtered and projected before the
+    * exchange. One exact-decimal revenue aggregate per nation. */
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1997-01-01").cast(TimestampType)
+    val n = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = t(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val s = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (Cleanse.dec2(col("l_extendedprice")) *
+          (lit(1) - Cleanse.dec2(col("l_discount")))).as("rev"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(decOut(sum(col("rev"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** X51 — TPC-H Q10 (returned-item reporting): which customers cost us
+    * the most in returns last quarter — the customer-keyed revenue
+    * aggregate over a returnflag-filtered fact, decorated with nation.
+    * lineitem is filtered to returns BEFORE its shuffle; the quarter
+    * filter prunes orders at the scan; nation broadcasts; top-20 via
+    * TakeOrderedAndProject. */
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1996-04-01").cast(TimestampType)
+    val n = t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (Cleanse.dec2(col("l_extendedprice")) *
+          (lit(1) - Cleanse.dec2(col("l_discount")))).as("rev"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(decOut(sum(col("rev"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** The strict-order funnel chain over a (user_id, event_type, ts)
     * frame — shared verbatim by [[funnelStrictOrder]] and its streaming
     * twin (which replays it over the maintained state). */

@@ -127,7 +127,10 @@ class StressSpec extends AnyFunSuite {
       // wave-T/U structure carriers: the two-pass MG heavy-hitter recount
       // and the (label, dim)-keyed centroid aggregation over exploded
       // vectors (64x row multiplier before its shuffle)
-      "vocab_heavy_hitters", "embed_centroids")
+      "vocab_heavy_hitters", "embed_centroids",
+      // the 6-table TPC-H snowflake: its fact-fact shuffles are the
+      // catalog's widest join tree
+      "tpch_q5")
     for (n <- names) {
       // min-of-2 per scale point: a single GC/JIT pause on either side of
       // the ratio can push a healthy query past the bound (it flaked once
