@@ -3344,6 +3344,21 @@ object OracleSql {
            AND CAST(o.o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
            AND CAST(o.o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-04-01'
          GROUP BY c.c_custkey, c.c_name, n.n_name
-         ORDER BY revenue DESC, c.c_custkey LIMIT 20"""
+         ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+
+    "tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 170)
+         SELECT c.c_custkey, c.c_name, b.l_orderkey,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             CAST(CAST(CAST(o.o_totalprice AS DECIMAL(12,2))
+               AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+             CAST(CAST(b.total_qty AS DECIMAL(18,4)) AS DOUBLE) AS total_qty
+         FROM big b
+         JOIN orders o ON b.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, b.l_orderkey LIMIT 20"""
   )
 }

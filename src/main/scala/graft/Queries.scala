@@ -5580,6 +5580,33 @@ object Queries {
       .limit(20)
   }
 
+  /** X52 — TPC-H Q18 (large-volume customers): the aggregate-as-filter
+    * shape — orders whose TOTAL lineitem quantity clears a threshold,
+    * then decorated with customer and re-aggregated. The quantity gate
+    * is computed once on the fact (one partial-agg shuffle) and the
+    * surviving ORDER-KEY SET (tiny, threshold-selective) drives the rest
+    * of the join tree — never a correlated per-order subquery. Exact
+    * decimal quantities; top-20 via TakeOrderedAndProject. */
+  def tpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), Cleanse.dec2(col("l_quantity")).as("qty"))
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("qty")).as("total_qty"))
+      .filter(col("total_qty") > 170)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val c = t(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("l_orderkey"),
+        Cleanse.dateStr(col("o_orderdate")).as("o_orderdate"),
+        decOut(Cleanse.dec2(col("o_totalprice"))).as("o_totalprice"),
+        decOut(col("total_qty")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
   /** The strict-order funnel chain over a (user_id, event_type, ts)
     * frame — shared verbatim by [[funnelStrictOrder]] and its streaming
     * twin (which replays it over the maintained state). */

@@ -39,6 +39,16 @@ class WaveWSpec extends AnyFunSuite {
       "at most the 5 nations of one region")
   }
 
+  test("tpch_q18: the quantity gate is ONE fact aggregate driving the " +
+    "join tree, and every order clears the threshold") {
+    val df = Queries.tpchQ18(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getDouble(5) > 170.0))
+  }
+
   test("tpch_q10: the returnflag filter reaches the lineitem scan " +
     "before any join") {
     val df = Queries.tpchQ10(spark, sf)
