@@ -3359,6 +3359,22 @@ object OracleSql {
          FROM big b
          JOIN orders o ON b.l_orderkey = o.o_orderkey
          JOIN customer c ON o.o_custkey = c.c_custkey
-         ORDER BY o_totalprice DESC, b.l_orderkey LIMIT 20"""
+         ORDER BY o_totalprice DESC, b.l_orderkey LIMIT 20""",
+
+    "stream_drawdown" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT event_type, day,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+             CAST(max(cents) OVER (PARTITION BY event_type ORDER BY day)
+               - cents AS BIGINT) AS drawdown
+           FROM d),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY drawdown DESC, day) AS rn FROM r)
+         SELECT event_type, n_days, drawdown AS max_drawdown,
+             strftime(day, '%Y-%m-%d') AS drawdown_day
+         FROM rk WHERE rn = 1 ORDER BY event_type"""
   )
 }

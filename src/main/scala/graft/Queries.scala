@@ -5396,10 +5396,16 @@ object Queries {
     * run over the AGGREGATE-sized daily frame (days × types), the
     * [[dqCusum]] discipline — never a window over raw events. Worst day
     * tie-breaks to the earliest date deterministically. */
-  def windowDrawdown(spark: SparkSession, dir: String): DataFrame = {
-    val daily = t(spark, dir, "events").filter(col("value").isNotNull)
+  def windowDrawdown(spark: SparkSession, dir: String): DataFrame =
+    drawdownOverDaily(t(spark, dir, "events").filter(col("value").isNotNull)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum((Cleanse.dec2(col("value")) * 100).cast(LongType)).as("cents"))
+      .agg(sum((Cleanse.dec2(col("value")) * 100).cast(LongType)).as("cents")))
+
+  /** The drawdown computation over a (event_type, day: DATE, cents) daily
+    * frame — shared by [[windowDrawdown]] (which aggregates the events
+    * table inline) and the streaming twin (which maintains the daily
+    * frame as additive folded state and computes drawdown ON READ). */
+  private[graft] def drawdownOverDaily(daily: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val run = W.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(W.unboundedPreceding, W.currentRow)

@@ -1565,4 +1565,60 @@ object StreamTwins {
       ss.read.parquet(stateDirs("p"): _*),
       ss.read.parquet(stateDirs("l"): _*))
   }
+
+  /** STREAMING maintained drawdown MV — the twin of
+    * [[graft.Queries.windowDrawdown]]. Daily revenue cells are ADDITIVE
+    * partials ((type, day, cents) — sums add across any batching), so
+    * the maintained state is the (types × days)-sized daily frame folded
+    * through the batchId-keyed exactly-once seam; the running-peak
+    * drawdown — which is NOT itself incrementalizable (a late low day
+    * rewrites every later drawdown) — is computed ON READ over the
+    * aggregate-sized state, exactly the materialized-view split: fold
+    * what merges, derive what doesn't. Shares the batch oracle verbatim
+    * (exact integer cents ⇒ hash-match). */
+  def streamDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_dd_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_dd_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_dd_ck_$tag")
+    val feedSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("cents", LongType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("ts"), col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents")),
+      s"stream_dd_feed_build_$tag")
+    val stateSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("day", StringType),
+      StructField("cents", LongType)))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("cents")).as("cents"))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(partials(batch.toDF()))
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("cents")).as("cents"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.Queries.drawdownOverDaily(
+      ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
+        .select(col("event_type"), to_date(col("day")).as("day"),
+          col("cents")))
+  }
 }

@@ -47,6 +47,16 @@ class WaveVSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_drawdown: the maintained daily MV yields the batch " +
+    "drawdown exactly") {
+    val streamed = streaming.StreamTwins.streamDrawdown(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val batch = Queries.windowDrawdown(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_bm25 state is O(delta) per batch: three postings and " +
     "three length deltas, disjoint by document") {
     streaming.StreamTwins.streamBm25(spark, sf).collect()
