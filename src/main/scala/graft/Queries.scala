@@ -5271,21 +5271,29 @@ object Queries {
     * count > n_p/201 — and a globally heavy token (count > N/200) must
     * be locally heavy in at least one partition (if count_i ≤ n_i/201
     * everywhere, the total is ≤ N/201 < N/200), so the survivor union
-    * (≤ partitions × 200 rows) is a guaranteed-complete candidate set.
-    * Pass 2 broadcast-semi-joins the candidates back into the token
-    * stream and recounts EXACTLY: the only full-width aggregation
-    * shuffle carries candidate tokens alone, map-side combined. Output
-    * is therefore identical to the full `HAVING count(*)·200 > N`
-    * answer with the full-vocabulary shuffle replaced by a
-    * constant-size one; the threshold test stays integral on both
-    * engines. WaveTSpec pins MG completeness against brute force under
-    * adversarial partitioning. */
+    * is a guaranteed-complete candidate set. The survivors carry their
+    * COUNT LOWER BOUNDS (f − n_p/201 ≤ c ≤ f), and MG summaries MERGE
+    * (Agarwal et al., "Mergeable Summaries", 2012): summing the partial
+    * bounds gives Σc ≥ f − N/201, so any globally heavy token satisfies
+    * Σc > N/200 − N/201 = N/40200 — one TINY aggregate over the partial
+    * summaries (≤ partitions × 200 rows) and that integral filter bound
+    * the candidate set by 40 200 tokens REGARDLESS of partition count
+    * (at 1000 executors the naive survivor union would be
+    * partitions × 200 — this is the piece that keeps the broadcast
+    * constant-size at cluster scale). Pass 2 broadcast-semi-joins the
+    * candidates back into the token stream and recounts EXACTLY: the
+    * only full-width aggregation shuffle carries candidate tokens
+    * alone, map-side combined. Output is therefore identical to the
+    * full `HAVING count(*)·200 > N` answer with the full-vocabulary
+    * shuffle replaced by a constant-size one; every threshold test
+    * stays integral on both engines. WaveTSpec pins MG completeness
+    * against brute force under adversarial partitioning. */
   def vocabHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cap = 200
     val toks = t(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("token"))
-    val cands = toks.as[String].mapPartitions { it =>
+    val partials = toks.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { tk =>
         m.get(tk) match {
@@ -5297,9 +5305,13 @@ object Queries {
             dead.foreach(m.remove)
         }
       }
-      m.keysIterator
-    }.toDF("token").distinct()
+      m.iterator
+    }.toDF("token", "c")
     val total = toks.agg(count(lit(1)).as("total"))
+    val cands = partials.groupBy(col("token")).agg(sum(col("c")).as("cl"))
+      .crossJoin(broadcast(total))
+      .filter(col("cl") * lit(cap.toLong * (cap + 1)) > col("total"))
+      .select(col("token"))
     toks.join(broadcast(cands), Seq("token"), "left_semi")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))
