@@ -3375,6 +3375,42 @@ object OracleSql {
                ORDER BY drawdown DESC, day) AS rn FROM r)
          SELECT event_type, n_days, drawdown AS max_drawdown,
              strftime(day, '%Y-%m-%d') AS drawdown_day
-         FROM rk WHERE rn = 1 ORDER BY event_type"""
+         FROM rk WHERE rn = 1 ORDER BY event_type""",
+
+    "dedup_span_apply" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             FROM documents),
+         pos AS (SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS gram
+             FROM toks CROSS JOIN LATERAL
+               (SELECT unnest(range(1, len(t) - 3)) AS i) s
+             WHERE len(t) >= 5),
+         own AS (SELECT gram, min(doc_id) AS owner FROM pos GROUP BY gram
+             HAVING count(DISTINCT doc_id) > 1),
+         cover AS (SELECT DISTINCT p.doc_id, i2.p
+             FROM pos p JOIN own o USING (gram)
+             CROSS JOIN LATERAL
+               (SELECT unnest(range(p.i, p.i + 5)) AS p) i2
+             WHERE p.doc_id > o.owner),
+         tp AS (SELECT doc_id, CAST(generate_subscripts(t, 1) AS BIGINT) AS p,
+               unnest(t) AS tok
+             FROM toks),
+         kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+             LEFT JOIN cover c ON tp.doc_id = c.doc_id AND tp.p = c.p
+             WHERE c.p IS NULL),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS clean_text
+             FROM kept GROUP BY doc_id)
+         SELECT t.doc_id,
+             CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(a.clean_text, '') AS clean_text
+         FROM toks t LEFT JOIN agg a USING (doc_id)
+         ORDER BY t.doc_id""",
+
+    "scan_ignore_corrupt" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+         FROM events
+         WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+           AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01'
+         GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -5625,6 +5625,93 @@ object Queries {
       .limit(20)
   }
 
+  /** N32 — duplicated-span REMOVAL (the apply step for
+    * [[textDupNgrams]]'s audit; Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" §4 exact-substring semantics at
+    * 5-gram granularity): every 5-gram shared across documents keeps its
+    * FIRST occurrence (minimum doc_id) and is excised everywhere else —
+    * tokens covered by any non-first shared span are dropped and the
+    * survivors reassembled in position order. All linear: the positioned
+    * gram table is tokens-sized (narrow explode), ownership is one gram
+    * partial-agg, coverage expands each removable span to ≤ 5 positions,
+    * the excision is a position anti-join, and reassembly is one
+    * doc-keyed aggregate with an in-group array_sort (never a global
+    * window). The FULL cleaned text hash-matches the oracle, so the
+    * reassembly itself is oracle-checked, not just the counts. */
+  def dedupSpanApply(spark: SparkSession, dir: String): DataFrame = {
+    val n = 5
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val pos = toks.filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - n + 1),
+        i => struct(i.as("i"),
+          array_join(slice(col("t"), i, lit(n)), " ").as("gram")))).as("e"))
+      .select(col("doc_id"), col("e.i").as("i"), col("e.gram").as("gram"))
+    val owner = pos.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("owner"),
+        count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("gram"), col("owner"))
+    val cover = pos.join(owner, "gram")
+      .filter(col("doc_id") > col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + n - 1)).as("p"))
+      .distinct()
+    val tp = toks.select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("p"), col("tok"))
+    val kept = tp.join(cover, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("p"), col("tok")))), x => x.getField("tok")), " ")
+          .as("clean_text"))
+    toks.select(col("doc_id"), size(col("t")).cast(LongType).as("n_toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** S20 — corrupt-file-tolerant scan: a lake directory where one file
+    * is garbage (truncated upload, bad codec frame) must not kill the
+    * whole read — `ignoreCorruptFiles` skips files whose footer/pages
+    * fail and the query answers from the surviving files, the file-level
+    * sibling of the row-level S9/S9b malformed-record handling (and the
+    * engine-side analog of the reference's retrying tolerant readers,
+    * `utils/s3_utils.py`). Fixture: two good weekly slices + one
+    * garbage `.parquet`; the oracle recomputes from the good slices'
+    * predicates. The reader declares the schema EXPLICITLY — schema
+    * inference happens before the corrupt-skip option applies (a corrupt
+    * first footer would kill inference), and a production lake reader
+    * should never re-infer a schema it already owns. */
+  def scanIgnoreCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    ops.Tables.pinSession(spark)
+    val root = java.nio.file.Paths.get(
+      TempFiles.dir(s"corrupt_tbl_${TempFiles.tag(dir)}"))
+    val built = root.resolve("_built")
+    if (!java.nio.file.Files.exists(built)) {
+      val weeks = Seq(("2024-01-01", "2024-01-15", "g0"),
+        ("2024-01-15", "2024-02-01", "g1"))
+      weeks.foreach { case (lo, hi, nm) =>
+        SnapLog.writeFile(
+          t(spark, dir, "events").filter(
+            col("ts") >= lit(lo).cast(TimestampType) &&
+            col("ts") < lit(hi).cast(TimestampType)),
+          "ts", TempFiles.dir(s"corrupt_build_${TempFiles.tag(dir)}/$nm"),
+          root.resolve(s"$nm.parquet"))
+      }
+      java.nio.file.Files.write(root.resolve("bad.parquet"),
+        "this is not a parquet file".getBytes("UTF-8"))
+      java.nio.file.Files.write(built, "1".getBytes("UTF-8"))
+    }
+    spark.read.schema(t(spark, dir, "events").schema)
+      .option("ignoreCorruptFiles", "true")
+      .parquet(root.toString)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** The strict-order funnel chain over a (user_id, event_type, ts)
     * frame — shared verbatim by [[funnelStrictOrder]] and its streaming
     * twin (which replays it over the maintained state). */
