@@ -3411,6 +3411,33 @@ object OracleSql {
          FROM events
          WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
            AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01'
-         GROUP BY event_type ORDER BY event_type"""
+         GROUP BY event_type ORDER BY event_type""",
+
+    "resample_decompose" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, day, x,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+             CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n_win
+           FROM d),
+         t AS (SELECT event_type, day, x, s7,
+             CAST(7 * x - s7 AS BIGINT) AS d7x,
+             CAST((day - DATE '2024-01-01') % 7 AS BIGINT) AS dow
+           FROM w WHERE n_win = 7),
+         s AS (SELECT event_type, dow, CAST(sum(d7x) AS BIGINT) AS sd,
+             CAST(count(*) AS BIGINT) AS nd
+           FROM t GROUP BY 1, 2)
+         SELECT t.event_type, strftime(t.day, '%Y-%m-%d') AS day, t.x,
+             round(CAST(t.s7 AS DOUBLE) / 7.0, 6) AS trend,
+             round(CAST(s.sd AS DOUBLE) / (7.0 * CAST(s.nd AS DOUBLE)), 6)
+               AS seasonal,
+             round(CAST(t.x AS DOUBLE) - CAST(t.s7 AS DOUBLE) / 7.0 -
+                   CAST(s.sd AS DOUBLE) / (7.0 * CAST(s.nd AS DOUBLE)), 6)
+               AS residual
+         FROM t JOIN s ON t.event_type = s.event_type AND t.dow = s.dow
+         ORDER BY t.event_type, day"""
   )
 }

@@ -5712,6 +5712,47 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** X53 — STL-lite seasonal decomposition of the per-type daily series:
+    * trend (centered 7-day moving average), weekly seasonal (day-of-week
+    * mean of the detrended series), and residual — the decomposition
+    * that turns "is Tuesday always like this?" into a measurable column.
+    * Everything internal is EXACT integers: the trend numerator is a
+    * 7-row window SUM (not avg), the detrended value 7·x − Σ7 is
+    * integral, the seasonal numerator/denominator are integral day-of-
+    * week sums/counts, and day-of-week itself is datediff-mod-7 (pure
+    * integer — immune to the Sunday=0/1 disagreement between engines);
+    * each output component is ONE closed-form double over exact inputs,
+    * round(·, 6). Windows/joins only over the days × types aggregate
+    * frame. Interior days only (full 7-day window, n_win = 7). */
+  def resampleDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val win = W.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("s7", sum(col("x")).over(win))
+      .withColumn("n_win", count(lit(1)).over(win))
+      .filter(col("n_win") === 7)
+      .withColumn("d7x", lit(7) * col("x") - col("s7"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("2024-01-01").cast(DateType)), lit(7)))
+    val seas = tr.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("d7x")).as("sd"), count(lit(1)).as("nd"))
+    tr.join(seas, Seq("event_type", "dow"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("x"),
+        round(col("s7").cast(DoubleType) / lit(7.0), 6).as("trend"),
+        round(col("sd").cast(DoubleType) /
+          (lit(7.0) * col("nd").cast(DoubleType)), 6).as("seasonal"),
+        round(col("x").cast(DoubleType) -
+          col("s7").cast(DoubleType) / lit(7.0) -
+          col("sd").cast(DoubleType) /
+            (lit(7.0) * col("nd").cast(DoubleType)), 6).as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** The strict-order funnel chain over a (user_id, event_type, ts)
     * frame — shared verbatim by [[funnelStrictOrder]] and its streaming
     * twin (which replays it over the maintained state). */

@@ -130,7 +130,10 @@ class StressSpec extends AnyFunSuite {
       "vocab_heavy_hitters", "embed_centroids",
       // the 6-table TPC-H snowflake: its fact-fact shuffles are the
       // catalog's widest join tree
-      "tpch_q5")
+      "tpch_q5",
+      // span removal: positioned-gram explode + ownership join +
+      // coverage anti-join + reassembly aggregate
+      "dedup_span_apply")
     for (n <- names) {
       // min-of-2 per scale point: a single GC/JIT pause on either side of
       // the ratio can push a healthy query past the bound (it flaked once

@@ -69,6 +69,26 @@ class WaveXSpec extends AnyFunSuite {
     assert(removals > 0)
   }
 
+  test("resample_decompose: components reassemble to the observation " +
+    "and weekly seasonals balance to zero") {
+    val out = Queries.resampleDecompose(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (x, tr, se, res) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(x - tr - se - res) < 2e-6,
+        s"identity broken for ${r.getString(0)} ${r.getString(1)}")
+    }
+    // day-of-week seasonals are means of detrended values, so each
+    // type's seasonal components weighted by their day counts sum to 0
+    out.groupBy(_.getString(0)).foreach { case (tpe, rows) =>
+      val resSum = rows.map(_.getDouble(5)).sum
+      val seSum = rows.map(_.getDouble(4)).sum
+      assert(math.abs(seSum + resSum -
+        rows.map(r => r.getLong(2) - r.getDouble(3)).sum) < 1e-3, tpe)
+    }
+  }
+
   test("scan_ignore_corrupt skips the garbage file but a strict read " +
     "refuses it (the fixture is genuinely corrupt)") {
     val out = Queries.scanIgnoreCorrupt(spark, sf).collect()
