@@ -3438,6 +3438,17 @@ object OracleSql {
                    CAST(s.sd AS DOUBLE) / (7.0 * CAST(s.nd AS DOUBLE)), 6)
                AS residual
          FROM t JOIN s ON t.event_type = s.event_type AND t.dow = s.dow
-         ORDER BY t.event_type, day"""
+         ORDER BY t.event_type, day""",
+
+    "embed_gram" ->
+      """WITH e AS (SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+               AS BIGINT) AS micro
+           FROM embeddings)
+         SELECT a.i, b.i AS j,
+             CAST(sum(a.micro * b.micro) AS BIGINT) AS sum_m2
+         FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+         GROUP BY a.i, b.i ORDER BY a.i, b.i"""
   )
 }

@@ -5753,6 +5753,114 @@ object Queries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Exact-integer embedding moment sums: one narrow `mapPartitions`
+    * pass accumulates, per partition, the count, the per-dimension
+    * ⌊v·10⁶⌋ sums, and the upper-triangular second-moment products —
+    * d(d+3)/2 + 1 Longs of state per partition regardless of row count —
+    * then ONE tiny partial-agg shuffle over those (i, j)-keyed partials.
+    * The dim²/2-per-row pair explode a naive SQL formulation needs never
+    * materializes. Rows: (i, j, v) with j = −1 carrying Σmicro_i and
+    * (−1, −1) the count. */
+  private[graft] def embedMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "embeddings").select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        var d = -1
+        var sums: Array[Long] = null
+        var g: Array[Long] = null
+        var n = 0L
+        it.foreach { v =>
+          if (d < 0) { d = v.length
+            sums = new Array[Long](d); g = new Array[Long](d * (d + 1) / 2) }
+          val m = Array.tabulate(d)(i =>
+            math.floor(v(i).toDouble * 1000000.0).toLong)
+          var k = 0; var i = 0
+          while (i < d) {
+            sums(i) += m(i)
+            var j = i
+            while (j < d) { g(k) += m(i) * m(j); k += 1; j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (d < 0) Iterator.empty
+        else {
+          val tri = for { i <- 0 until d; j <- i until d } yield
+            (i.toLong, j.toLong, g(i * d - i * (i - 1) / 2 + (j - i)))
+          (tri ++ (0 until d).map(i => (i.toLong, -1L, sums(i))) ++
+            Seq((-1L, -1L, n))).iterator
+        }
+      }.toDF("i", "j", "v")
+      .groupBy(col("i"), col("j")).agg(sum(col("v")).as("v"))
+  }
+
+  /** N33 — exact embedding second-moment (Gram) matrix in micro² units:
+    * the distributed heavy half of embedding PCA, ORACLE-CHECKED — the
+    * ⌊v·10⁶⌋ mapping makes every Σ m_i·m_j an exact integer, so the
+    * matrix hash-matches a DuckDB recomputation bit-for-bit (a float
+    * Gram would drift with accumulation order). Computed by the
+    * [[embedMoments]] per-partition kernel: constant state per
+    * partition, one tiny shuffle, NO dim²-per-row explode. */
+  def embedGram(spark: SparkSession, dir: String): DataFrame =
+    embedMoments(spark, dir)
+      .filter(col("j") >= 0)
+      .select(col("i"), col("j"), col("v").as("sum_m2"))
+      .orderBy(col("i"), col("j"))
+
+  /** N33b — top-2 principal components of the embedding table: the
+    * anisotropy/collapse diagnostic ([[embedCentroids]] checks means;
+    * this checks covariance structure — a dominant direction eating the
+    * variance is the classic sign of a degenerate encoder run). The
+    * distributed work is [[embedMoments]] (oracle-checked via
+    * [[embedGram]]); the covariance eigensolve runs on the collected
+    * d(d+3)/2-value moment summary (KB-sized model parameter) with 200
+    * fixed power iterations + one deflation — deterministic arithmetic
+    * from exact integer inputs, sign fixed by the largest-|loading|
+    * dimension. Rows-only (eigensolves aren't ANSI SQL); WaveYSpec
+    * asserts the true invariants: unit norms, orthogonality, Cv = λv
+    * residuals, anisotropy bounds. */
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mom = embedMoments(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val n = mom((-1L, -1L)).toDouble
+    val d = (mom.keys.map(_._1).max + 1).toInt
+    val mean = Array.tabulate(d)(i => mom((i.toLong, -1L)).toDouble / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = (math.min(i, j).toLong, math.max(i, j).toLong)
+      mom((a, b)).toDouble / n - mean(i) * mean(j)
+    }
+    def power(c: Array[Array[Double]]): (Double, Array[Double]) = {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      (0 until 200).foreach { _ =>
+        val w = Array.tabulate(d)(i =>
+          (0 until d).foldLeft(0.0)((s, j) => s + c(i)(j) * v(j)))
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(_ / nrm)
+      }
+      val lam = (0 until d).foldLeft(0.0)((s, i) =>
+        s + v(i) * (0 until d).foldLeft(0.0)((t, j) => t + c(i)(j) * v(j)))
+      (lam, v)
+    }
+    def signFix(v: Array[Double]): Array[Double] = {
+      val k = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(k) < 0) v.map(-_) else v
+    }
+    val (l1, v1r) = power(cov)
+    val v1 = signFix(v1r)
+    val defl = Array.tabulate(d, d)((i, j) => cov(i)(j) - l1 * v1(i) * v1(j))
+    val (l2, v2r) = power(defl)
+    val v2 = signFix(v2r)
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    (0 until d).map(i => (i.toLong,
+        BigDecimal(v1(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(v2(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(l1 / trace).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(l2 / trace).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("dim", "loading_pc1", "loading_pc2", "evr_pc1", "evr_pc2")
+      .orderBy(col("dim"))
+  }
+
   /** The strict-order funnel chain over a (user_id, event_type, ts)
     * frame — shared verbatim by [[funnelStrictOrder]] and its streaming
     * twin (which replays it over the maintained state). */

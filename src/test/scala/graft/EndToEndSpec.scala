@@ -74,7 +74,12 @@ class EndToEndSpec extends AnyFunSuite {
       "sink_vacuum",
       // iterative peeling fixpoint isn't ANSI SQL; closed-form graphs
       // (clique/star/barbell) and core nesting spec'd in WaveQSpec
-      "graph_k_core")
+      "graph_k_core",
+      // eigensolves aren't ANSI SQL; the distributed half (the exact
+      // integer moment matrix) IS oracle-checked as embed_gram, and the
+      // eigenvector invariants (unit norm, orthogonality, Cv = λv
+      // residual, anisotropy bounds) are spec'd in WaveYSpec
+      "embed_pca")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }
