@@ -3449,6 +3449,34 @@ object OracleSql {
          SELECT a.i, b.i AS j,
              CAST(sum(a.micro * b.micro) AS BIGINT) AS sum_m2
          FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
-         GROUP BY a.i, b.i ORDER BY a.i, b.i"""
+         GROUP BY a.i, b.i ORDER BY a.i, b.i""",
+
+    "graph_assortativity" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+         p AS (
+           SELECT a.doc_id a_id, b.doc_id b_id
+           FROM t a JOIN t b ON a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+         st AS (SELECT a_id, b_id FROM p
+           UNION ALL SELECT b_id, a_id FROM p),
+         dg AS (SELECT a_id AS node, CAST(count(*) AS BIGINT) AS deg
+           FROM st GROUP BY 1),
+         xy AS (SELECT da.deg AS x, db.deg AS y FROM st
+           JOIN dg da ON st.a_id = da.node
+           JOIN dg db ON st.b_id = db.node),
+         m AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sx,
+             CAST(sum(y) AS BIGINT) sy, CAST(sum(x * y) AS BIGINT) sxy,
+             CAST(sum(x * x) AS BIGINT) sxx, CAST(sum(y * y) AS BIGINT) syy
+           FROM xy)
+         SELECT n AS n_stubs,
+             round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                    sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS assortativity
+         FROM m"""
   )
 }

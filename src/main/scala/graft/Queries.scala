@@ -5861,6 +5861,43 @@ object Queries {
       .orderBy(col("dim"))
   }
 
+  /** N14j — degree assortativity of the dup graph (Newman 2002): the
+    * Pearson correlation of endpoint degrees over directed edge stubs —
+    * positive means heavy documents duplicate other heavy documents
+    * (boilerplate families), negative means hub-and-spoke (one template
+    * quoted by many singletons); the structural summary that tells which
+    * dedup strategy (cluster-canonical vs star-collapse) fits the
+    * corpus. Degrees are one partial-agg over the cached pair table
+    * (vertex-sized), joined back edge-sized; the correlation is the
+    * [[aggCorr]] exact-co-moment closed form over integer degrees —
+    * hash-exact. Both stub directions are counted (the standard
+    * undirected convention), so x/y moments are symmetric and r is
+    * well-defined. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = text.NearDup.minhashDupPairsCached(
+      t(spark, dir, "documents"), "doc_id", "text", 0.8, dir)
+      .select(col("a_id"), col("b_id"))
+    val stubs = pairs.unionByName(
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val deg = stubs.groupBy(col("a_id").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val xy = stubs
+      .join(deg.select(col("node").as("a_id"), col("deg").as("x")), "a_id")
+      .join(deg.select(col("node").as("b_id"), col("deg").as("y")), "b_id")
+    xy.agg(count(lit(1)).as("n_stubs"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_stubs"),
+        round((col("n_stubs") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType) /
+          (sqrt((col("n_stubs") * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType)) *
+           sqrt((col("n_stubs") * col("syy") - col("sy") * col("sy"))
+              .cast(DoubleType))), 6)
+          .as("assortativity"))
+  }
+
   /** The strict-order funnel chain over a (user_id, event_type, ts)
     * frame — shared verbatim by [[funnelStrictOrder]] and its streaming
     * twin (which replays it over the maintained state). */

@@ -26,6 +26,31 @@ class WaveYSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_assortativity: r bounded by 1, stub count is twice the " +
+    "pair count, and a star graph recomputes to -1") {
+    val row = Queries.graphAssortativity(spark, sf).collect()(0)
+    val nPairs = text.NearDup.minhashDupPairsCached(
+      ops.Tables.table(spark, sf, "documents"), "doc_id", "text", 0.8, sf)
+      .count()
+    assert(row.getLong(0) == 2 * nPairs)
+    assert(math.abs(row.getDouble(1)) <= 1.0 + 1e-9)
+    // closed form: a perfect star is maximally disassortative (r = -1)
+    // when computed over stubs of a k-star with k >= 2 heterogeneous
+    // degrees; verify the co-moment formula on a hand graph
+    val stubs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).flatMap { case (a, b) =>
+      Seq((a, b), (b, a)) }
+    val deg = stubs.groupBy(_._1).map { case (n0, s) => n0 -> s.length }
+    val xy = stubs.map { case (a, b) => (deg(a).toLong, deg(b).toLong) }
+    val n = xy.length.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (xy.map(p => p._1 * p._1).sum, xy.map(p => p._2 * p._2).sum)
+    val r = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    assert(math.abs(r - (-1.0)) < 1e-9)
+  }
+
   test("embed_pca: unit-norm orthogonal components satisfying Cv = " +
     "lambda v, with bounded explained-variance ratios") {
     val rows = Queries.embedPca(spark, sf).collect()
