@@ -3477,6 +3477,45 @@ object OracleSql {
                    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
                     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
                AS assortativity
-         FROM m"""
+         FROM m""",
+
+    "stream_gram" ->
+      """WITH e AS (SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+               AS BIGINT) AS micro
+           FROM embeddings)
+         SELECT a.i, b.i AS j,
+             CAST(sum(a.micro * b.micro) AS BIGINT) AS sum_m2
+         FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+         GROUP BY a.i, b.i ORDER BY a.i, b.i""",
+
+    "vocab_rake" ->
+      """WITH tok AS (SELECT doc_id,
+             CAST(generate_subscripts(t, 1) AS BIGINT) AS p, unnest(t) AS tok
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         stop AS (SELECT tok FROM tok GROUP BY tok
+           ORDER BY count(*) DESC, tok LIMIT 5),
+         ns AS (SELECT doc_id, p, tok FROM tok
+           WHERE tok NOT IN (SELECT tok FROM stop)),
+         g AS (SELECT doc_id, p, tok,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+           FROM ns),
+         ph AS (SELECT doc_id, grp,
+             string_agg(tok, ' ' ORDER BY p) AS phrase,
+             CAST(count(*) AS BIGINT) AS len
+           FROM g GROUP BY 1, 2),
+         mem AS (SELECT g.doc_id, g.grp, g.tok, ph.len
+           FROM g JOIN ph USING (doc_id, grp)),
+         ws AS (SELECT tok,
+             CAST((sum(len) * 1000000) // count(*) AS BIGINT) AS wscore
+           FROM mem GROUP BY tok),
+         ps AS (SELECT m.doc_id, m.grp, CAST(sum(w.wscore) AS BIGINT) AS score
+           FROM mem m JOIN ws w USING (tok) GROUP BY 1, 2),
+         pp AS (SELECT ph.phrase, CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(max(ps.score) AS BIGINT) AS score
+           FROM ph JOIN ps USING (doc_id, grp) GROUP BY ph.phrase)
+         SELECT phrase, n_occ, score FROM pp
+         ORDER BY score DESC, phrase LIMIT 20"""
   )
 }

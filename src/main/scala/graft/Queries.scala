@@ -5761,9 +5761,16 @@ object Queries {
     * The dim²/2-per-row pair explode a naive SQL formulation needs never
     * materializes. Rows: (i, j, v) with j = −1 carrying Σmicro_i and
     * (−1, −1) the count. */
-  private[graft] def embedMoments(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def embedMoments(spark: SparkSession, dir: String): DataFrame =
+    momentsOf(t(spark, dir, "embeddings"))
+
+  /** The moment kernel over any frame with an `embedding` column — shared
+    * by the batch queries and the streaming maintained-Gram twin (which
+    * runs it per delta batch and folds cells additively). */
+  private[graft] def momentsOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    t(spark, dir, "embeddings").select(col("embedding")).as[Seq[Float]]
+    emb.select(col("embedding")).as[Seq[Float]]
       .mapPartitions { it =>
         var d = -1
         var sums: Array[Long] = null
@@ -5896,6 +5903,50 @@ object Queries {
            sqrt((col("n_stubs") * col("syy") - col("sy") * col("sy"))
               .cast(DoubleType))), 6)
           .as("assortativity"))
+  }
+
+  /** N34 — RAKE keyphrase extraction (Rose et al. 2010): phrases are
+    * maximal runs of non-stopword tokens, a word's score is its
+    * co-occurrence degree over its frequency, and a phrase scores the
+    * sum of its words — the unsupervised keyphrase baseline curation
+    * pipelines use for topic inventories. Engine-neutral by
+    * construction: stopwords are the CORPUS'S OWN top-5 tokens (a
+    * deterministic 5-row broadcast, no hand-rolled language list), runs
+    * are gaps-and-islands over per-doc windows (position − row_number,
+    * doc-bounded — never global), and the word score is the integral
+    * ⌊deg·10⁶/freq⌋ so phrase sums are exact Longs that hash-match the
+    * oracle. Shuffles: the token count, the per-doc islands, the
+    * vocab-sized word stats, one member join — all token-linear. */
+  def vocabRake(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+    val stop = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(5)
+      .select(col("tok").as("sw"))
+    val ns = tok.join(broadcast(stop), col("tok") === col("sw"), "left_anti")
+    val g = ns.withColumn("grp",
+      col("p") - row_number().over(
+        W.partitionBy(col("doc_id")).orderBy(col("p"))))
+    val ph = g.groupBy(col("doc_id"), col("grp"))
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("p"), col("tok")))), x => x.getField("tok")), " ")
+          .as("phrase"),
+        count(lit(1)).as("len"))
+    val mem = g.select(col("doc_id"), col("grp"), col("tok"))
+      .join(ph.select(col("doc_id"), col("grp"), col("len")),
+        Seq("doc_id", "grp"))
+    val ws = mem.groupBy(col("tok"))
+      .agg(expr("(sum(len) * 1000000) div count(1)").as("wscore"))
+    val ps = mem.join(ws, "tok")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("wscore")).as("score"))
+    ph.join(ps, Seq("doc_id", "grp"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(20)
   }
 
   /** The strict-order funnel chain over a (user_id, event_type, ts)

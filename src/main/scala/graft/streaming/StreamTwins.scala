@@ -1566,6 +1566,74 @@ object StreamTwins {
       ss.read.parquet(stateDirs("l"): _*))
   }
 
+  /** STREAMING maintained embedding-Gram MV — the twin of
+    * [[graft.Queries.embedGram]]. Every (i, j) second-moment cell is an
+    * ADDITIVE exact integer (⌊v·10⁶⌋ products), so the maintained state
+    * is the d(d+3)/2+1-row moment table itself, folded by plain cell
+    * addition through the batchId-keyed exactly-once seam — the
+    * covariance/PCA feeder kept current as embedding batches land,
+    * without ever rescanning the corpus. Any batching yields the
+    * identical integers, so the stream hash-matches the BATCH oracle
+    * bit-for-bit. Per batch the [[graft.Queries.embedMoments]] kernel
+    * runs over the delta only: O(delta) compute, constant-size state. */
+  def streamGram(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_gram_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_gram_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_gram_ck_$tag")
+
+    val slices = Seq(0, 1, 2)
+    val complete = slices.forall(i =>
+      java.nio.file.Files.exists(landing.resolve(s"s$i.parquet")))
+    if (!complete) {
+      val emb = graft.ops.Tables.table(ss, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      slices.foreach { i =>
+        val part = java.nio.file.Paths.get(graft.ops.TempFiles.dir(
+          s"stream_gram_feed_build_$tag/staging/s$i"))
+        emb.filter(pmod(col("vec_id"), lit(3)) === i)
+          .repartition(1).write.mode("overwrite").parquet(part.toString)
+        val src = java.nio.file.Files.list(part)
+        val f = try src.filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get() finally src.close()
+        java.nio.file.Files.move(f, landing.resolve(s"s$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    val feedSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stateSchema = StructType(Seq(StructField("i", LongType),
+      StructField("j", LongType), StructField("v", LongType)))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else s.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(
+            graft.Queries.momentsOf(batch.toDF().select(col("embedding"))))
+          .groupBy(col("i"), col("j")).agg(sum(col("v")).as("v"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
+      .filter(col("j") >= 0)
+      .select(col("i"), col("j"), col("v").as("sum_m2"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** STREAMING maintained drawdown MV — the twin of
     * [[graft.Queries.windowDrawdown]]. Daily revenue cells are ADDITIVE
     * partials ((type, day, cents) — sums add across any batching), so

@@ -51,6 +51,58 @@ class WaveYSpec extends AnyFunSuite {
     assert(math.abs(r - (-1.0)) < 1e-9)
   }
 
+  test("vocab_rake: phrases exclude the corpus stopwords and scores " +
+    "match a driver-side RAKE recompute") {
+    val out = Queries.vocabRake(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 20)
+    val docs = ops.Tables.table(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0).split(" ", -1).toSeq)
+    val freqAll = docs.flatten.groupBy(identity).map { case (t0, o) =>
+      t0 -> o.length }
+    val stop = freqAll.toSeq.sortBy { case (t0, n) => (-n, t0) }
+      .take(5).map(_._1).toSet
+    out.foreach { case (phrase, _, _) =>
+      phrase.split(" ", -1).foreach(w =>
+        assert(!stop(w), s"stopword '$w' inside phrase '$phrase'"))
+    }
+    // full driver recompute of phrase scores
+    val phrases = docs.flatMap { t0 =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      t0.foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) { runs += cur.toSeq; cur.clear() } }
+        else cur += w
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs
+    }
+    val deg = scala.collection.mutable.HashMap.empty[String, Long]
+    val frq = scala.collection.mutable.HashMap.empty[String, Long]
+    phrases.foreach { ph => ph.foreach { w =>
+      deg(w) = deg.getOrElse(w, 0L) + ph.length
+      frq(w) = frq.getOrElse(w, 0L) + 1
+    }}
+    val wscore = deg.map { case (w, d0) => w -> d0 * 1000000L / frq(w) }
+    val expect = phrases.map(ph => ph.mkString(" ") ->
+        ph.map(wscore).sum).groupBy(_._1)
+      .map { case (p0, os) => p0 -> (os.length.toLong, os.head._2) }
+    out.foreach { case (phrase, nOcc, score) =>
+      val (en, es) = expect(phrase)
+      assert(nOcc == en && score == es, s"'$phrase': ($nOcc,$score) vs ($en,$es)")
+    }
+  }
+
+  test("stream_gram: the maintained moment MV equals the batch Gram " +
+    "bit-for-bit") {
+    val streamed = streaming.StreamTwins.streamGram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = Queries.embedGram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("embed_pca: unit-norm orthogonal components satisfying Cv = " +
     "lambda v, with bounded explained-variance ratios") {
     val rows = Queries.embedPca(spark, sf).collect()
