@@ -75,7 +75,10 @@ object PlanSweep {
       "sample_neyman",
       // maintained BM25 index: the scorer is search_bm25's (already
       // allowlisted) — the one-row (n_docs, total_len) totals broadcast
-      "stream_bm25")
+      "stream_bm25",
+      // GLM training: the one-row teacher-threshold (median) broadcast
+      // onto the feature frame
+      "train_logreg")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

@@ -5949,6 +5949,123 @@ object Queries {
       .limit(20)
   }
 
+  /** N35 — quality-classifier TRAINING on the engine: logistic
+    * regression by IRLS (Fisher scoring), the fastText-style surface
+    * filter every corpus pipeline ends up training. The distributed
+    * work per iteration is ONE whole-stage aggregate of the GLM
+    * sufficient statistics — the 21 upper-triangular Σ w·x_i·x_j
+    * weighted-Gram cells and 6 Σ w·x_i·z response sums, 27 doubles
+    * total — collected as a model parameter; the 6×6 solve (partial-
+    * pivot Gauss) runs on the driver, exactly where a 36-double matrix
+    * belongs. 8 fixed iterations over a cached feature frame. Model
+    * quality is published as the EXACT rank-based AUC (Mann–Whitney):
+    * scores ranked through the two-pass distributed scan — no global
+    * window, no per-threshold rescans. The label is a SYNTHETIC
+    * TEACHER — y = (x1 − 2·x5 > corpus median) with 12.5% deterministic
+    * md5 label flips — because the generated corpus carries no natural
+    * cross-column signal (measured: every metadata column is
+    * independent of the text surface), and a teacher with KNOWN
+    * structure is what lets the spec assert recovery instead of hoping
+    * an arbitrary target happens to be learnable. Rows-only (iterative
+    * float fixpoint); WaveZSpec asserts teacher-recovery AUC, loss
+    * below the null model, and the normal-equations gradient at the
+    * fixpoint. */
+  def trainLogreg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 6
+    val raw = t(spark, dir, "documents").select(
+        col("doc_id"),
+        lit(1.0).as("x0"),
+        (col("n_chars").cast(DoubleType) / lit(1000.0)).as("x1"),
+        (size(split(col("text"), " ")).cast(DoubleType) / lit(100.0)).as("x2"),
+        (col("n_chars").cast(DoubleType) /
+          (size(split(col("text"), " ")) + 1).cast(DoubleType)).as("x3"),
+        (length(regexp_replace(col("text"), "[^0-9]", "")).cast(DoubleType) /
+          (col("n_chars") + 1).cast(DoubleType)).as("x4"),
+        (length(regexp_replace(col("text"), "[aeiou]", "")).cast(DoubleType) /
+          (col("n_chars") + 1).cast(DoubleType)).as("x5"))
+      .withColumn("s_star", col("x1") - lit(2.0) * col("x5"))
+    val thr = raw.agg(expr("percentile(s_star, 0.5)").as("thr"))
+    val feats = raw.crossJoin(broadcast(thr))
+      .withColumn("flip",
+        substring(md5(col("doc_id").cast(StringType)), 1, 1).isin("0", "1"))
+      .withColumn("y",
+        (((col("s_star") > col("thr")) =!= col("flip"))).cast(DoubleType))
+      .drop("s_star", "thr", "flip")
+      .persist()
+    try {
+      var beta = Array.fill(k)(0.0)
+      (0 until 8).foreach { _ =>
+        val eta = (0 until k).map(i => col(s"x$i") * lit(beta(i)))
+          .reduce(_ + _)
+        val withP = feats.withColumn("eta", eta)
+          .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("eta"))))
+          .withColumn("w",
+            greatest(col("p") * (lit(1.0) - col("p")), lit(1e-6)))
+          .withColumn("z", col("eta") + (col("y") - col("p")) / col("w"))
+        val aCols = for { i <- 0 until k; j <- i until k }
+          yield sum(col("w") * col(s"x$i") * col(s"x$j")).as(s"a_${i}_$j")
+        val bCols = (0 until k).map(i =>
+          sum(col("w") * col(s"x$i") * col("z")).as(s"b_$i"))
+        val r = withP.agg((aCols ++ bCols).head, (aCols ++ bCols).tail: _*)
+          .collect()(0)
+        val a = Array.ofDim[Double](k, k)
+        var idx = 0
+        for (i <- 0 until k; j <- i until k) {
+          a(i)(j) = r.getDouble(idx); a(j)(i) = a(i)(j); idx += 1
+        }
+        val b = Array.tabulate(k)(i => r.getDouble(idx + i))
+        // ridge jitter keeps the normal equations solvable on collinear
+        // features; partial-pivot Gauss, deterministic
+        (0 until k).foreach(i => a(i)(i) += 1e-8)
+        beta = solveGauss(a, b)
+      }
+      val eta = (0 until k).map(i => col(s"x$i") * lit(beta(i)))
+        .reduce(_ + _)
+      val scored = feats.select(col("doc_id"), col("y"), eta.as("s"))
+      val ranked = PrefixSum.globalRank(scored, Seq("s", "doc_id"),
+        "rk", "n_total")
+      val agg = ranked.agg(sum(when(col("y") === 1.0, col("rk"))).as("rpos"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("m"),
+        count(lit(1)).as("n")).collect()(0)
+      val (rpos, m, n0) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      val auc = (rpos.toDouble - m.toDouble * (m + 1) / 2) /
+        (m.toDouble * (n0 - m))
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      ((0 until k).map(i => (s"beta_x$i", r6(beta(i)))) ++
+        Seq(("auc", r6(auc)), ("n_docs", n0.toDouble),
+          ("n_pos", m.toDouble)))
+        .toDF("stat", "value").orderBy(col("stat"))
+    } finally feats.unpersist()
+  }
+
+  /** Partial-pivot Gaussian elimination for the driver-side k×k normal
+    * equations (k = model width, single-digit). Deterministic pivot
+    * choice: largest |value|, ties to the smallest row index. */
+  private def solveGauss(a0: Array[Array[Double]],
+                         b0: Array[Double]): Array[Double] = {
+    val k = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (c <- 0 until k) {
+      val piv = (c until k).maxBy(r => (math.abs(a(r)(c)), -r))
+      val (ta, tb) = (a(c), b(c)); a(c) = a(piv); a(piv) = ta
+      b(c) = b(piv); b(piv) = tb
+      for (r <- c + 1 until k) {
+        val f = a(r)(c) / a(c)(c)
+        for (j <- c until k) a(r)(j) -= f * a(c)(j)
+        b(r) -= f * b(c)
+      }
+    }
+    val x = new Array[Double](k)
+    for (c <- k - 1 to 0 by -1) {
+      var s = b(c)
+      for (j <- c + 1 until k) s -= a(c)(j) * x(j)
+      x(c) = s / a(c)(c)
+    }
+    x
+  }
+
   /** The strict-order funnel chain over a (user_id, event_type, ts)
     * frame — shared verbatim by [[funnelStrictOrder]] and its streaming
     * twin (which replays it over the maintained state). */

@@ -79,7 +79,11 @@ class EndToEndSpec extends AnyFunSuite {
       // integer moment matrix) IS oracle-checked as embed_gram, and the
       // eigenvector invariants (unit norm, orthogonality, Cv = λv
       // residual, anisotropy bounds) are spec'd in WaveYSpec
-      "embed_pca")
+      "embed_pca",
+      // iterative IRLS float fixpoint isn't ANSI SQL; AUC floor,
+      // descending loss, and the normal-equations residual are spec'd
+      // in WaveZSpec
+      "train_logreg")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }
