@@ -78,7 +78,9 @@ object PlanSweep {
       "stream_bm25",
       // GLM training: the one-row teacher-threshold (median) broadcast
       // onto the feature frame
-      "train_logreg")
+      "train_logreg",
+      // isotonic calibration: the same one-row threshold broadcast
+      "calibrate_isotonic")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

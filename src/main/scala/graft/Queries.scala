@@ -6040,6 +6040,61 @@ object Queries {
     } finally feats.unpersist()
   }
 
+  /** N36 — isotonic calibration (pool-adjacent-violators) of a score
+    * against outcomes: the step after training that turns a ranking
+    * score into a usable probability. The distributed shape is the one
+    * that matters at 100 TB: rows reduce to 20 EXACT score-ordered bins
+    * (the two-pass distributed ntile — no global window), and PAV —
+    * inherently sequential — runs over those 20 (Σy, n) integer pairs
+    * on the driver, exact rationals pooled as integer sums so the
+    * calibrated ppm column is deterministic to the last digit. Score =
+    * the documented teacher combination (x1 − 2·x5) against the noisy
+    * teacher labels, so the expected curve is known: rows-only (PAV is
+    * not ANSI SQL); WaveZSpec differentials a full driver PAV and pins
+    * monotonicity + mass conservation. */
+  def calibrateIsotonic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 20
+    val raw = t(spark, dir, "documents").select(
+        col("doc_id"),
+        (col("n_chars").cast(DoubleType) / lit(1000.0) -
+          lit(2.0) * length(regexp_replace(col("text"), "[aeiou]", ""))
+            .cast(DoubleType) / (col("n_chars") + 1).cast(DoubleType))
+          .as("s"))
+      .withColumn("flip",
+        substring(md5(col("doc_id").cast(StringType)), 1, 1).isin("0", "1"))
+    val thr = raw.agg(expr("percentile(s, 0.5)").as("thr"))
+    val scored = raw.crossJoin(broadcast(thr))
+      .withColumn("y", ((col("s") > col("thr")) =!= col("flip"))
+        .cast(LongType))
+      .select(col("doc_id"), col("s"), col("y"))
+    val binned = PrefixSum.ntileGlobal(scored, Seq("s", "doc_id"), k, "bin")
+    val bins = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // PAV over the 20 integer pairs: merge any adjacent pair whose rate
+    // decreases; exact rational comparison a/b > c/d via cross products
+    case class Pool(bins: List[Long], n: Long, pos: Long)
+    val pooled = bins.foldLeft(List.empty[Pool]) { case (acc, (b, n, p)) =>
+      var st = Pool(List(b), n, p) :: acc
+      while (st.lengthCompare(2) >= 0 &&
+             st(1).pos * st.head.n >= st.head.pos * st(1).n) {
+        val (a0, b0) = (st(1), st.head)
+        st = Pool(a0.bins ++ b0.bins, a0.n + b0.n, a0.pos + b0.pos) :: st.drop(2)
+      }
+      st
+    }.reverse
+    pooled.flatMap { pl =>
+      val iso = pl.pos * 1000000L / pl.n
+      pl.bins.map { b =>
+        val (_, n, p) = bins(b.toInt - 1)
+        (b, n, p, p * 1000000L / n, iso)
+      }
+    }.toDF("bin", "n", "n_pos", "raw_ppm", "iso_ppm")
+      .orderBy(col("bin"))
+  }
+
   /** Partial-pivot Gaussian elimination for the driver-side k×k normal
     * equations (k = model width, single-digit). Deterministic pivot
     * choice: largest |value|, ties to the smallest row index. */

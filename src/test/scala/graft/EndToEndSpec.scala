@@ -83,7 +83,11 @@ class EndToEndSpec extends AnyFunSuite {
       // iterative IRLS float fixpoint isn't ANSI SQL; AUC floor,
       // descending loss, and the normal-equations residual are spec'd
       // in WaveZSpec
-      "train_logreg")
+      "train_logreg",
+      // pool-adjacent-violators is a sequential merge loop, not ANSI
+      // SQL; a full driver PAV differential + monotonicity/mass specs
+      // run in WaveZSpec
+      "calibrate_isotonic")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }

@@ -74,4 +74,64 @@ class WaveZSpec extends AnyFunSuite {
     }
     assert(loss < base, s"fit loss $loss not below null loss $base")
   }
+
+  private lazy val iso: Array[(Long, Long, Long, Long, Long)] =
+    Queries.calibrateIsotonic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+
+  test("calibrate_isotonic: 20 exact-population bins, raw rate column " +
+    "is n_pos*1e6/n per bin") {
+    assert(iso.map(_._1).toSeq == (1L to 20L))
+    val total = iso.map(_._2).sum
+    iso.foreach { case (b, n, p, raw, _) =>
+      assert(math.abs(n - total / 20) <= 1, s"bin $b population $n")
+      assert(p >= 0 && p <= n)
+      assert(raw == p * 1000000L / n, s"bin $b raw_ppm $raw")
+    }
+  }
+
+  test("calibrate_isotonic: iso_ppm is non-decreasing and conserves " +
+    "positive mass to integer-division slack") {
+    val isoSeq = iso.map(_._5)
+    isoSeq.sliding(2).foreach { case Array(a, b) =>
+      assert(a <= b, s"iso_ppm not monotone: $a > $b")
+    }
+    val mass = iso.map { case (_, n, _, _, i) => n * i }.sum
+    val posMass = iso.map(_._3).sum * 1000000L
+    assert(math.abs(mass - posMass) <= iso.map(_._2).sum,
+      s"mass $mass vs pos mass $posMass")
+    // the teacher has real signal: top-bin calibrated rate beats bottom
+    assert(isoSeq.last > isoSeq.head,
+      s"no learned signal: ${isoSeq.head} .. ${isoSeq.last}")
+  }
+
+  test("calibrate_isotonic differentials a naive O(k^2) driver PAV on " +
+    "the same (n, n_pos) bins") {
+    // independent PAV: repeatedly merge the FIRST adjacent violator
+    // until monotone (order of merges does not change the PAV fixpoint)
+    var pools = iso.map { case (b, n, p, _, _) =>
+      (List(b), n, p) }.toList
+    var changed = true
+    while (changed) {
+      changed = false
+      // merge when rate(j) >= rate(j+1), exactly the query's cross-
+      // product comparison (equal rates pool too — idempotent for PAV)
+      val i = pools.indices.dropRight(1).find { j =>
+        val (_, n1, p1) = pools(j); val (_, n2, p2) = pools(j + 1)
+        p1 * n2 >= p2 * n1
+      }
+      i.foreach { j =>
+        val (b1, n1, p1) = pools(j); val (b2, n2, p2) = pools(j + 1)
+        pools = pools.take(j) ::: (b1 ++ b2, n1 + n2, p1 + p2) ::
+          pools.drop(j + 2)
+        changed = true
+      }
+    }
+    val expect = pools.flatMap { case (bs, n, p) =>
+      bs.map(_ -> p * 1000000L / n) }.toMap
+    iso.foreach { case (b, _, _, _, i) =>
+      assert(i == expect(b), s"bin $b: query iso $i vs driver PAV ${expect(b)}")
+    }
+  }
 }
