@@ -3296,6 +3296,140 @@ object OracleSql {
              CAST(rnk AS BIGINT) AS rank, doc_id, round(score, 6) AS score
          FROM r WHERE rnk <= 5 ORDER BY query_id, rank""",
 
+    "tpch_q1" ->
+      """WITH a AS (SELECT l_returnflag, l_linestatus,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+               AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+               AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(12,2))))
+               AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(12,2))) *
+                      (1 + CAST(l_tax AS DECIMAL(12,2))))
+               AS DOUBLE) AS sum_charge,
+             CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2)))
+               AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc,
+             CAST(count(*) AS BIGINT) AS count_order
+           FROM lineitem
+           WHERE CAST(l_shipdate AS TIMESTAMP) <= TIMESTAMP '1998-09-02'
+           GROUP BY l_returnflag, l_linestatus)
+         SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+             sum_disc_price, sum_charge, count_order,
+             sum_qty / count_order AS avg_qty,
+             sum_base_price / count_order AS avg_price,
+             sum_disc / count_order AS avg_disc
+         FROM a ORDER BY l_returnflag, l_linestatus""",
+
+    "tpch_q6" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(l_discount AS DECIMAL(12,2)))
+               AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_lines
+         FROM lineitem
+         WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+           AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+           AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN
+               CAST('0.03' AS DECIMAL(12,2)) AND CAST('0.05' AS DECIMAL(12,2))
+           AND CAST(l_quantity AS DECIMAL(12,2)) < 24""",
+
+    "tpch_q13" ->
+      """WITH per AS (SELECT o_custkey, count(*) AS c_count
+           FROM orders WHERE o_orderpriority <> '1-URGENT'
+           GROUP BY o_custkey)
+         SELECT CAST(coalesce(p.c_count, 0) AS BIGINT) AS c_count,
+             CAST(count(*) AS BIGINT) AS custdist
+         FROM customer c LEFT JOIN per p ON c.c_custkey = p.o_custkey
+         GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+
+    "tpch_q14" ->
+      """WITH a AS (SELECT
+             CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                 ELSE 0 END) AS DECIMAL(18,4)) AS DOUBLE) AS promo_revenue,
+             CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+               AS DECIMAL(18,4)) AS DOUBLE) AS total_revenue
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE CAST(l.l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-03-01'
+             AND CAST(l.l_shipdate AS TIMESTAMP) < TIMESTAMP '1996-04-01')
+         SELECT promo_revenue, total_revenue,
+             100.0 * promo_revenue / total_revenue AS promo_pct
+         FROM a""",
+
+    "tpch_q15" ->
+      """WITH r AS (SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+           FROM lineitem
+           WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+             AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name,
+             CAST(CAST(r.rev AS DECIMAL(18,4)) AS DOUBLE) AS total_revenue
+         FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         WHERE r.rev = (SELECT max(rev) FROM r)
+         ORDER BY s.s_suppkey""",
+
+    "tpch_q17" ->
+      """WITH pj AS (SELECT l.l_partkey,
+             CAST(l.l_quantity AS DECIMAL(12,2)) AS qty,
+             CAST(l.l_extendedprice AS DECIMAL(12,2)) AS price
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_brand = 'Brand#23'),
+         per AS (SELECT l_partkey AS pk, sum(qty) AS sq, count(*) AS n
+           FROM pj GROUP BY 1)
+         SELECT CAST(CAST(sum(pj.price) AS DECIMAL(18,4)) AS DOUBLE)
+               AS small_qty_revenue,
+             CAST(count(*) AS BIGINT) AS n_lines
+         FROM pj JOIN per ON pj.l_partkey = per.pk
+         WHERE pj.qty * 5 * per.n < per.sq""",
+
+    "tpch_q19" ->
+      """SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+               AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_lines
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+                AND p.p_size BETWEEN 1 AND 5)
+            OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+                AND p.p_size BETWEEN 1 AND 10)
+            OR (p.p_brand = 'Brand#15' AND l.l_quantity BETWEEN 20 AND 30
+                AND p.p_size BETWEEN 1 AND 15)""",
+
+    "tpch_q21" ->
+      """WITH per AS (SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_returnflag = 'R'
+               THEN l_suppkey END) AS n_ret
+           FROM lineitem GROUP BY l_orderkey),
+         fault AS (SELECT l.l_suppkey,
+             count(DISTINCT l.l_orderkey) AS numwait
+           FROM lineitem l JOIN per ON l.l_orderkey = per.l_orderkey
+           WHERE l.l_returnflag = 'R' AND per.n_supp > 1 AND per.n_ret = 1
+           GROUP BY l.l_suppkey)
+         SELECT s.s_name, CAST(f.numwait AS BIGINT) AS numwait
+         FROM fault f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+         ORDER BY numwait DESC, s.s_name LIMIT 20""",
+
+    "tpch_q22" ->
+      """WITH pos AS (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS s,
+             count(*) AS n
+           FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) > 0),
+         big AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE CAST(o_totalprice AS DECIMAL(12,2)) > 420000)
+         SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+             CAST(CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2)))
+               AS DECIMAL(18,4)) AS DOUBLE) AS totacctbal
+         FROM customer c, pos
+         WHERE c.c_nationkey IN (1, 3, 5, 7)
+           AND CAST(c.c_acctbal AS DECIMAL(12,2)) * pos.n > pos.s
+           AND c.c_custkey NOT IN (SELECT o_custkey FROM big)
+         GROUP BY c.c_nationkey ORDER BY c.c_nationkey""",
+
     "tpch_q3" ->
       """SELECT l.l_orderkey,
              CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *

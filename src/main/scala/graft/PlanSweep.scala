@@ -80,7 +80,10 @@ object PlanSweep {
       // onto the feature frame
       "train_logreg",
       // isotonic calibration: the same one-row threshold broadcast
-      "calibrate_isotonic")
+      "calibrate_isotonic",
+      // TPC-H Q15/Q22: the one-row max-revenue / positive-balance-average
+      // scalar broadcasts (max-as-filter and above-average gates)
+      "tpch_q15", "tpch_q22")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

@@ -5625,6 +5625,233 @@ object Queries {
       .limit(20)
   }
 
+  /** X62 — TPC-H Q1 (pricing summary): THE canonical full-scan
+    * aggregate — one pass over the fact, grouped by two low-cardinality
+    * flags, partial aggregation absorbing virtually all rows map-side
+    * (≤ 6 groups × tasks reach the exchange). Sums are exact decimals;
+    * averages are derived AFTER aggregation as double divisions of the
+    * exact-decimal sums by the bigint counts, so both engines run the
+    * same IEEE operation on identical inputs. The date filter is pushed
+    * to the parquet scan. */
+  def tpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-09-02").cast(TimestampType)
+    t(spark, dir, "lineitem").filter(col("l_shipdate") <= cut)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        Cleanse.dec2(col("l_quantity")).as("qty"),
+        Cleanse.dec2(col("l_extendedprice")).as("price"),
+        Cleanse.dec2(col("l_discount")).as("disc"),
+        Cleanse.dec2(col("l_tax")).as("tax"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decOut(sum(col("qty"))).as("sum_qty"),
+        decOut(sum(col("price"))).as("sum_base_price"),
+        decOut(sum(col("price") * (lit(1) - col("disc"))))
+          .as("sum_disc_price"),
+        // charge carries scale 6 — cast the EXACT sum straight to double
+        // (a dec(18,4) re-round hits half-ulp ties the engines break
+        // differently)
+        sum(col("price") * (lit(1) - col("disc")) *
+          (lit(1) + col("tax"))).cast(DoubleType).as("sum_charge"),
+        decOut(sum(col("disc"))).as("sum_disc"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .withColumn("avg_disc", col("sum_disc") / col("count_order"))
+      .drop("sum_disc")
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** X63 — TPC-H Q6 (revenue-change forecast): the pure scan-aggregate
+    * with a three-way conjunctive filter — no join, no group; the plan
+    * should be scan → filter → partial agg → one-row exchange. The date
+    * range is pushed to the scan; the discount band compares EXACT
+    * decimals (a double band risks 0.03/0.05 boundary rows flipping
+    * between engines). */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1997-01-01").cast(TimestampType)
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(Cleanse.dec2(col("l_quantity")).as("qty"),
+        Cleanse.dec2(col("l_extendedprice")).as("price"),
+        Cleanse.dec2(col("l_discount")).as("disc"))
+      .filter(col("disc") >= lit("0.03").cast(DecimalType(12, 2)) &&
+        col("disc") <= lit("0.05").cast(DecimalType(12, 2)) &&
+        col("qty") < 24)
+      .agg(decOut(sum(col("price") * col("disc"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** X64 — TPC-H Q13 (customer order-count distribution): the
+    * aggregate-then-OUTER-join decorrelation — count orders per
+    * customer on the fact first (one keyed partial agg), LEFT join the
+    * counts onto customers so zero-order customers survive as 0, then
+    * histogram the counts (second tiny agg). Never a per-customer
+    * correlated subquery. Priority filter stands in for the reference
+    * benchmark's comment NOT LIKE (column not in this lake). */
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** X65 — TPC-H Q14 (promotion effect): conditional aggregation over a
+    * dimension attribute — part is a TRUE dimension (broadcast; only
+    * partkey + the promo flag cross the wire), the month filter prunes
+    * the fact at the scan, and the promo share is one pass of
+    * Σ(case-when)/Σ — never two scans or a self-join. Share is a double
+    * division of two exact-decimal sums. */
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-03-01").cast(TimestampType)
+    val hi = lit("1996-04-01").cast(TimestampType)
+    val p = t(spark, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_partkey"),
+        (Cleanse.dec2(col("l_extendedprice")) *
+          (lit(1) - Cleanse.dec2(col("l_discount")))).as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        decOut(sum(when(col("is_promo"), col("rev")).otherwise(lit(0))
+          .cast(DecimalType(25, 4)))).as("promo_revenue"),
+        decOut(sum(col("rev"))).as("total_revenue"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
+  /** X66 — TPC-H Q15 (top supplier): max-as-filter with ties KEPT — the
+    * revenue-per-supplier aggregate is computed once, its max reduces to
+    * a one-row broadcast, and the equality filter compares the EXACT
+    * decimals (a double compare could drop or add a tied supplier).
+    * Supplier decorates after the filter, when survivors are few. */
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1996-04-01").cast(TimestampType)
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(Cleanse.dec2(col("l_extendedprice")) *
+        (lit(1) - Cleanse.dec2(col("l_discount")))).as("rev"))
+    val mx = rev.agg(max(col("rev")).as("mx"))
+    rev.crossJoin(broadcast(mx)).filter(col("rev") === col("mx"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        decOut(col("rev")).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** X67 — TPC-H Q17 (small-quantity-order revenue): the correlated
+    * per-group average decorrelated into aggregate + self-join — per-part
+    * (Σqty, n) computed once on the brand-filtered fact, joined back on
+    * the SAME part key (AQE coalesces the co-partitioned exchanges), and
+    * the `qty < 0.2·avg` gate cross-multiplied to exact decimals:
+    * 5·qty·n < Σqty — no decimal division whose rounding could differ
+    * between engines. Brand dimension broadcasts. */
+  def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    val pj = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+          .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), Cleanse.dec2(col("l_quantity")).as("qty"),
+        Cleanse.dec2(col("l_extendedprice")).as("price"))
+    val per = pj.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("n"))
+    pj.join(per, col("l_partkey") === col("pk"))
+      .filter(col("qty") * lit(5) * col("n") < col("sq"))
+      .agg(decOut(sum(col("price"))).as("small_qty_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** X68 — TPC-H Q19 (discounted revenue): the disjunctive
+    * brand/quantity/size predicate — an OR of three conjunctions spanning
+    * BOTH join sides. The join key equality still drives a broadcast hash
+    * join (part is a dimension); the residual disjunction evaluates
+    * post-join inside codegen. The common `p_partkey` equality must NOT
+    * degrade the plan to a nested-loop over the disjunction. */
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        (Cleanse.dec2(col("l_extendedprice")) *
+          (lit(1) - Cleanse.dec2(col("l_discount")))).as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" &&
+          col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" &&
+          col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#15" &&
+          col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+      .agg(decOut(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** X69 — TPC-H Q21 shape (suppliers solely at fault on multi-supplier
+    * orders; lateness recast over `l_returnflag` — this lake carries no
+    * commit/receipt dates): the EXISTS + NOT-EXISTS pair decorrelated
+    * into ONE per-order aggregate — distinct suppliers and distinct
+    * RETURNING suppliers counted in a single pass — instead of two
+    * correlated self-joins of the fact against itself. Orders with >1
+    * supplier and exactly 1 returning supplier indict that supplier; the
+    * returned lines join back on the order key (the fact's natural
+    * partitioning) and reduce per supplier. The 20-row report decorates
+    * with the supplier dim via broadcast AFTER both reductions. */
+  def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val per = l.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret"))
+      .filter(col("n_supp") > 1 && col("n_ret") === 1)
+      .select(col("ok"))
+    l.filter(col("l_returnflag") === "R")
+      .join(per, col("l_orderkey") === col("ok"))
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** X70 — TPC-H Q22 shape (dormant high-balance customers; phone
+    * country codes recast over `c_nationkey` — no phone column in this
+    * lake): the scalar-subquery + anti-join pair — the positive-balance
+    * (Σ, n) reduces to ONE broadcast row and the above-average gate
+    * cross-multiplies to exact decimals (bal·n > Σ, no division); the
+    * "no big order" condition is a LEFT ANTI join against the
+    * threshold-filtered orders (filter BEFORE the anti join, so the
+    * anti's build side is the small survivor set). Final per-nation
+    * rollup is a 4-group aggregate. */
+  def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        Cleanse.dec2(col("c_acctbal")).as("bal"))
+    val avgRow = cust.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("s"), count(lit(1)).as("n"))
+    val bigOrders = t(spark, dir, "orders")
+      .filter(Cleanse.dec2(col("o_totalprice")) > 420000)
+      .select(col("o_custkey"))
+    cust.filter(col("c_nationkey").isin(1, 3, 5, 7))
+      .crossJoin(broadcast(avgRow))
+      .filter(col("bal") * col("n") > col("s"))
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), decOut(sum(col("bal"))).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** N32 — duplicated-span REMOVAL (the apply step for
     * [[textDupNgrams]]'s audit; Lee et al. 2022 "Deduplicating Training
     * Data Makes Language Models Better" §4 exact-substring semantics at
