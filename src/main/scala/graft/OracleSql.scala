@@ -1401,6 +1401,51 @@ object OracleSql {
          SELECT cluster_size, n_clusters, cluster_size * n_clusters AS n_docs
          FROM hist WHERE n_clusters > 0 ORDER BY cluster_size""",
 
+    "graph_bfs" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           p AS (
+             SELECT a.doc_id a_id, b.doc_id b_id
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+           e AS (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),
+           walk(id, d) AS (
+             SELECT DISTINCT u, 0 FROM e WHERE u % 10 = 0
+             UNION
+             SELECT e2.v, walk.d + 1 FROM walk JOIN e e2 ON e2.u = walk.id
+             WHERE walk.d < 4)
+         SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(d) AS BIGINT) AS dist
+         FROM walk GROUP BY id ORDER BY doc_id""",
+
+    "dq_mannwhitney" ->
+      """WITH v AS (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         per AS (SELECT cents, count(*) AS m FROM v GROUP BY 1),
+         cum AS (SELECT cents, m,
+             sum(m) OVER (ORDER BY cents) - m AS cb FROM per),
+         pt AS (SELECT cents, event_type, count(*) AS na FROM v GROUP BY 1,2),
+         r AS (SELECT pt.event_type,
+             CAST(sum(pt.na) AS BIGINT) AS n_a,
+             CAST(sum(pt.na * (2*cum.cb + cum.m + 1)) AS BIGINT) AS r2
+           FROM pt JOIN cum USING (cents) GROUP BY 1),
+         g AS (SELECT CAST(sum(m) AS BIGINT) AS nall,
+             CAST(sum(m*m*m - m) AS BIGINT) AS tie FROM per)
+         SELECT r.event_type, r.n_a,
+             CAST(g.nall - r.n_a AS BIGINT) AS n_b,
+             CAST(r.r2 - r.n_a*(r.n_a+1) AS BIGINT) AS u2,
+             round((CAST(r.r2 - r.n_a*(r.n_a+1) AS DOUBLE) / 2.0 -
+                 CAST(r.n_a AS DOUBLE) * CAST(g.nall - r.n_a AS DOUBLE) / 2.0) /
+               sqrt(CAST(r.n_a AS DOUBLE) * CAST(g.nall - r.n_a AS DOUBLE) / 12.0 *
+                 ((CAST(g.nall AS DOUBLE) + 1.0) -
+                   CAST(g.tie AS DOUBLE) /
+                     (CAST(g.nall AS DOUBLE) * (CAST(g.nall AS DOUBLE) - 1.0)))), 6)
+               AS z
+         FROM r, g ORDER BY r.event_type""",
+
     "dedup_components" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),

@@ -83,7 +83,10 @@ object PlanSweep {
       "calibrate_isotonic",
       // TPC-H Q15/Q22: the one-row max-revenue / positive-balance-average
       // scalar broadcasts (max-as-filter and above-average gates)
-      "tpch_q15", "tpch_q22")
+      "tpch_q15", "tpch_q22",
+      // Mann-Whitney / Kaplan-Meier: the one-row (N, tie-term) and N
+      // totals broadcast onto the value/risk tables
+      "dq_mannwhitney", "survival_km")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

@@ -6322,6 +6322,129 @@ object Queries {
       .orderBy(col("bin"))
   }
 
+  /** N14k — multi-source BFS over the near-dup graph: hop distance from
+    * the seed set (doc_id ≡ 0 mod 10) to every reachable vertex, capped
+    * at depth 4 — "how far is each duplicate from an audited exemplar".
+    * Pregel-shaped frontier iteration: each round is ONE edge equi-join
+    * of the CURRENT FRONTIER (not the full vertex set) + one anti-join
+    * against settled vertices + distinct — all frontier-sized, never
+    * corpus-sized, and `localCheckpoint` truncates the growing lineage
+    * each round (the [[ops.Components]] discipline; on a cluster,
+    * `checkpoint()` to the cluster FS). Rounds stop early when a
+    * frontier empties. The DuckDB oracle is the same walk as a recursive
+    * CTE with min-distance fold, so the traversal itself is
+    * hash-checked. */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = text.NearDup.minhashDupPairsCached(
+      t(spark, dir, "documents"), "doc_id", "text", 0.8, dir)
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var dist = edges.select(col("src").as("id")).distinct()
+        .filter(col("id") % 10 === 0)
+        .select(col("id"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      var frontier = dist
+      var d = 1L
+      var done = false
+      while (d <= 4 && !done) {
+        val next = frontier.join(edges, col("id") === col("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(dist, Seq("id"), "left_anti")
+          .select(col("id"), lit(d).as("dist"))
+          .localCheckpoint(true)
+        if (next.isEmpty) done = true
+        else { dist = dist.union(next).localCheckpoint(true)
+               frontier = next; d += 1 }
+      }
+      dist.select(col("id").as("doc_id"), col("dist")).orderBy(col("doc_id"))
+    } finally { edges.unpersist(); () }
+  }
+
+  /** X71 — Mann-Whitney U (one-vs-rest per event type): the rank-based
+    * two-sample location test that needs no distributional assumption —
+    * the nonparametric sibling of [[dqAbWelch]]. All rank arithmetic is
+    * EXACT integers: doubled tie-averaged ranks (2·cumBefore + m + 1 per
+    * value group) via ONE distributed prefix scan over the per-value
+    * aggregate ([[ops.PrefixSum.cumSum]] — never a global window), the
+    * doubled rank-sum 2R and doubled statistic 2U = 2R − n(n+1) as
+    * longs, and the tie-corrected z derived from those integers with one
+    * identical double expression on both engines. Shuffles: the
+    * per-value aggregates + the prefix scan's range exchange; the (N,
+    * Σ(m³−m)) totals ride a one-row broadcast. */
+  def dqMannwhitney(spark: SparkSession, dir: String): DataFrame = {
+    val v = t(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+    val per = v.groupBy(col("cents")).agg(count(lit(1)).as("m"))
+    val cum = PrefixSum.cumSum(per, Nil, Seq("cents"), col("m"), "cm")
+      .withColumn("cb", col("cm") - col("m"))
+    val pt = v.groupBy(col("cents"), col("event_type"))
+      .agg(count(lit(1)).as("na"))
+    val r = pt.join(cum, "cents")
+      .groupBy(col("event_type"))
+      .agg(sum(col("na")).as("n_a"),
+        sum(col("na") * (lit(2) * col("cb") + col("m") + lit(1))).as("r2"))
+    val g = per.agg(sum(col("m")).as("nAll"),
+      sum(col("m") * col("m") * col("m") - col("m")).as("tie"))
+    r.crossJoin(broadcast(g))
+      .select(col("event_type"), col("n_a"),
+        (col("nAll") - col("n_a")).as("n_b"),
+        (col("r2") - col("n_a") * (col("n_a") + lit(1))).as("u2"),
+        round(
+          ((col("r2") - col("n_a") * (col("n_a") + lit(1)))
+            .cast(DoubleType) / lit(2.0) -
+            col("n_a").cast(DoubleType) *
+              (col("nAll") - col("n_a")).cast(DoubleType) / lit(2.0)) /
+          sqrt(col("n_a").cast(DoubleType) *
+            (col("nAll") - col("n_a")).cast(DoubleType) / lit(12.0) *
+            ((col("nAll").cast(DoubleType) + lit(1.0)) -
+              col("tie").cast(DoubleType) /
+                (col("nAll").cast(DoubleType) *
+                  (col("nAll").cast(DoubleType) - lit(1.0))))), 6).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** X72 — Kaplan-Meier survival over customer lifetime (first→last
+    * order span; lifetimes ending inside the final-90-day window are
+    * CENSORED, not events). The distributed shape: one customer
+    * aggregate (first/last per key), one lifetime-keyed risk-table
+    * aggregate, the at-risk counts n(t) = N − #{lifetime < t} via the
+    * distributed prefix scan, and the inherently-sequential product
+    * S(t) = Π(1 − dᵢ/nᵢ) folded over the collected risk table — risk
+    * rows are bounded by DISTINCT lifetime days (calendar-bounded model
+    * parameters, not data-sized), and the fold is EXACT BigInt rationals
+    * emitted as ppm, so the curve is deterministic to the last digit.
+    * KM is not ANSI SQL (rows-only); WaveAASpec differentials a naive
+    * driver recompute from raw lifetimes and pins monotonicity. */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("2001-05-01").cast(TimestampType)
+    val per = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("first_o"),
+        max(col("o_orderdate")).as("last_o"))
+      .select(datediff(col("last_o"), col("first_o")).cast(LongType).as("t"),
+        when(col("last_o") < cutoff, 1L).otherwise(0L).as("event"))
+    val risk = per.groupBy(col("t"))
+      .agg(count(lit(1)).as("m"), sum(col("event")).as("d"))
+    val cum = PrefixSum.cumSum(risk, Nil, Seq("t"), col("m"), "cm")
+    val tot = risk.agg(sum(col("m")).as("nAll"))
+    val rt = cum.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("nAll") - (col("cm") - col("m")))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"))
+      .orderBy(col("t")).collect()
+    var num = BigInt(1); var den = BigInt(1)
+    val out = rt.map { r =>
+      val (tt, n, dd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      num *= BigInt(n - dd); den *= BigInt(n)
+      (tt, n, dd, (num * 1000000 / den).toLong)
+    }
+    out.toSeq.toDF("t", "n_risk", "d_events", "s_ppm").orderBy(col("t"))
+  }
+
   /** Partial-pivot Gaussian elimination for the driver-side k×k normal
     * equations (k = model width, single-digit). Deterministic pivot
     * choice: largest |value|, ties to the smallest row index. */

@@ -87,7 +87,11 @@ class EndToEndSpec extends AnyFunSuite {
       // pool-adjacent-violators is a sequential merge loop, not ANSI
       // SQL; a full driver PAV differential + monotonicity/mass specs
       // run in WaveZSpec
-      "calibrate_isotonic")
+      "calibrate_isotonic",
+      // the Kaplan-Meier product over the risk table is sequential and
+      // not ANSI SQL (exp(sum(ln)) would trade exactness for libm
+      // agreement); WaveAASpec differentials a naive driver recompute
+      "survival_km")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }

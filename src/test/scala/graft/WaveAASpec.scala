@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave AA: graph BFS, Mann-Whitney U, Kaplan-Meier survival. */
+class WaveAASpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("graph_bfs differentials a driver BFS over the same edge set, " +
+    "and every distance is the true shortest hop count (≤ 4)") {
+    val pairs = text.NearDup.minhashDupPairsCached(
+      ops.Tables.table(spark, sf, "documents"), "doc_id", "text", 0.8, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    pairs.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    // driver BFS from all seeds at once
+    val seeds = adj.keys.filter(_ % 10 == 0).toSeq.sorted
+    val dist = scala.collection.mutable.Map.empty[Long, Long]
+    seeds.foreach(s => dist(s) = 0L)
+    var frontier = seeds.toList
+    var d = 1L
+    while (frontier.nonEmpty && d <= 4) {
+      frontier = frontier.flatMap(adj).distinct.filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = d)
+      d += 1
+    }
+    val got = Queries.graphBfs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist.toMap,
+      s"BFS mismatch: engine ${got.toSeq.sorted} vs driver ${dist.toSeq.sorted}")
+  }
+
+  test("dq_mannwhitney: doubled rank-sums over all types total N(N+1), " +
+    "and each 2U is within its [0, 2·n_a·n_b] range") {
+    val rows = Queries.dqMannwhitney(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(1)).sum
+    // Σ_A 2R_A = 2 · (1+2+…+N) = N(N+1); recover 2R = u2 + n_a(n_a+1)
+    val sumR2 = rows.map(r => r.getLong(3) + r.getLong(1) * (r.getLong(1) + 1)).sum
+    assert(sumR2 == n * (n + 1), s"rank sums $sumR2 != ${n * (n + 1)}")
+    rows.foreach { r =>
+      val (na, nb, u2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(u2 >= 0 && u2 <= 2 * na * nb, s"2U $u2 outside [0, ${2 * na * nb}]")
+      assert(!r.getDouble(4).isNaN)
+    }
+  }
+
+  test("dq_mannwhitney differentials a naive driver rank computation") {
+    val vals = ops.Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (ops.Cleanse.dec2(col("value")) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // naive tie-averaged doubled ranks
+    val sorted = vals.map(_._2).sorted
+    val dr: Map[Long, Long] = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) =>
+        v -> (2L * (g.map(_._2).min + 1) + g.length - 1) }
+    val expect = vals.groupBy(_._1).map { case (t, g) =>
+      val r2 = g.map(x => dr(x._2)).sum
+      val na = g.length.toLong
+      t -> (na, r2 - na * (na + 1))
+    }
+    Queries.dqMannwhitney(spark, sf).collect().foreach { r =>
+      val (na, u2) = expect(r.getString(0))
+      assert(r.getLong(1) == na && r.getLong(3) == u2,
+        s"${r.getString(0)}: engine (${r.getLong(1)},${r.getLong(3)}) vs " +
+          s"driver ($na,$u2)")
+    }
+  }
+
+  test("survival_km: S is non-increasing from < 1e6, at-risk counts are " +
+    "non-increasing, and the curve differentials a naive driver KM") {
+    val rows = Queries.survivalKm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array((_, n1, _, s1), (_, n2, _, s2)) =>
+        assert(s2 <= s1, s"S must be non-increasing: $s1 -> $s2")
+        assert(n2 < n1, s"at-risk must strictly decrease: $n1 -> $n2")
+      case _ =>
+    }
+    assert(rows.head._4 < 1000000L)
+    // naive driver recompute from raw per-customer lifetimes
+    val per = ops.Tables.table(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .select(datediff(col("l"), col("f")).cast("long").as("t"),
+        (col("l") < lit("2001-05-01").cast("timestamp")).as("ev"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val byT = per.groupBy(_._1)
+    val eventTimes = byT.filter(_._2.exists(_._2)).keys.toSeq.sorted
+    var num = BigInt(1); var den = BigInt(1)
+    val expect = eventTimes.map { tt =>
+      val n = per.count(_._1 >= tt).toLong
+      val dd = byT(tt).count(_._2).toLong
+      num *= BigInt(n - dd); den *= BigInt(n)
+      (tt, n, dd, (num * 1000000 / den).toLong)
+    }
+    assert(rows.toSeq == expect,
+      s"KM mismatch:\n engine ${rows.toSeq}\n driver $expect")
+  }
+}
