@@ -1420,6 +1420,69 @@ object OracleSql {
          SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(d) AS BIGINT) AS dist
          FROM walk GROUP BY id ORDER BY doc_id""",
 
+    "graph_modularity" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           p AS (
+             SELECT a.doc_id a_id, b.doc_id b_id
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+           lab AS (SELECT p.a_id, p.b_id, da.lang AS la, db.lang AS lb
+             FROM p JOIN documents da ON p.a_id = da.doc_id
+                    JOIN documents db ON p.b_id = db.doc_id),
+           intra AS (SELECT la AS lang, count(*) AS e FROM lab
+             WHERE la = lb GROUP BY 1),
+           stubs AS (SELECT lang, count(*) AS d FROM
+             (SELECT la AS lang FROM lab UNION ALL SELECT lb FROM lab)
+             GROUP BY 1),
+           mm AS (SELECT count(*) AS m FROM p)
+         SELECT s.lang, CAST(coalesce(i.e, 0) AS BIGINT) AS intra_edges,
+             CAST(s.d AS BIGINT) AS stubs,
+             CAST(4*mm.m*coalesce(i.e, 0) - s.d*s.d AS BIGINT) AS q_num,
+             CAST(4*mm.m*mm.m AS BIGINT) AS q_den,
+             round(CAST(4*mm.m*coalesce(i.e, 0) - s.d*s.d AS DOUBLE) /
+               CAST(4*mm.m*mm.m AS DOUBLE), 9) AS q_term
+         FROM stubs s LEFT JOIN intra i USING (lang), mm
+         ORDER BY s.lang""",
+
+    "forecast_holt" ->
+      """WITH RECURSIVE d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS actual FROM events GROUP BY 1, 2),
+         train AS (SELECT event_type, day, actual,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+           FROM d WHERE day <= DATE '2024-01-23'),
+         n AS (SELECT event_type, max(i) AS ni FROM train GROUP BY 1),
+         b0 AS (SELECT a.event_type,
+             CAST(b.actual AS DOUBLE) - CAST(a.actual AS DOUBLE) AS b
+           FROM train a JOIN train b
+             ON a.event_type = b.event_type AND a.i = 1 AND b.i = 2),
+         h(event_type, i, l, b) AS (
+           SELECT tr.event_type, 1, CAST(tr.actual AS DOUBLE), b0.b
+           FROM train tr JOIN b0 ON b0.event_type = tr.event_type
+           WHERE tr.i = 1
+           UNION ALL
+           SELECT h.event_type, h.i + 1,
+             0.5*CAST(tr.actual AS DOUBLE) + 0.5*(h.l + h.b),
+             0.3*((0.5*CAST(tr.actual AS DOUBLE) + 0.5*(h.l + h.b)) - h.l)
+               + 0.7*h.b
+           FROM h JOIN train tr
+             ON tr.event_type = h.event_type AND tr.i = h.i + 1),
+         fit AS (SELECT h.event_type, h.l, h.b FROM h
+           JOIN n ON n.event_type = h.event_type AND h.i = n.ni)
+         SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+             CAST(d.actual AS BIGINT) AS actual,
+             round(f.l + CAST(datediff('day', DATE '2024-01-23', d.day)
+               AS DOUBLE) * f.b, 6) AS yhat,
+             round(abs(CAST(d.actual AS DOUBLE) -
+               (f.l + CAST(datediff('day', DATE '2024-01-23', d.day)
+                 AS DOUBLE) * f.b)), 6) AS abs_err
+         FROM d JOIN fit f ON f.event_type = d.event_type
+         WHERE d.day > DATE '2024-01-23'
+         ORDER BY d.event_type, d.day""",
+
     "dq_mannwhitney" ->
       """WITH v AS (SELECT event_type,
              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
@@ -3695,6 +3758,43 @@ object OracleSql {
              CAST(max(ps.score) AS BIGINT) AS score
            FROM ph JOIN ps USING (doc_id, grp) GROUP BY ph.phrase)
          SELECT phrase, n_occ, score FROM pp
-         ORDER BY score DESC, phrase LIMIT 20"""
+         ORDER BY score DESC, phrase LIMIT 20""",
+
+    // the streaming maintained Holt MV derives through the same
+    // holtBacktest as the batch query — shared oracle
+    "stream_holt" ->
+      """WITH RECURSIVE d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS actual FROM events GROUP BY 1, 2),
+         train AS (SELECT event_type, day, actual,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+           FROM d WHERE day <= DATE '2024-01-23'),
+         n AS (SELECT event_type, max(i) AS ni FROM train GROUP BY 1),
+         b0 AS (SELECT a.event_type,
+             CAST(b.actual AS DOUBLE) - CAST(a.actual AS DOUBLE) AS b
+           FROM train a JOIN train b
+             ON a.event_type = b.event_type AND a.i = 1 AND b.i = 2),
+         h(event_type, i, l, b) AS (
+           SELECT tr.event_type, 1, CAST(tr.actual AS DOUBLE), b0.b
+           FROM train tr JOIN b0 ON b0.event_type = tr.event_type
+           WHERE tr.i = 1
+           UNION ALL
+           SELECT h.event_type, h.i + 1,
+             0.5*CAST(tr.actual AS DOUBLE) + 0.5*(h.l + h.b),
+             0.3*((0.5*CAST(tr.actual AS DOUBLE) + 0.5*(h.l + h.b)) - h.l)
+               + 0.7*h.b
+           FROM h JOIN train tr
+             ON tr.event_type = h.event_type AND tr.i = h.i + 1),
+         fit AS (SELECT h.event_type, h.l, h.b FROM h
+           JOIN n ON n.event_type = h.event_type AND h.i = n.ni)
+         SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+             CAST(d.actual AS BIGINT) AS actual,
+             round(f.l + CAST(datediff('day', DATE '2024-01-23', d.day)
+               AS DOUBLE) * f.b, 6) AS yhat,
+             round(abs(CAST(d.actual AS DOUBLE) -
+               (f.l + CAST(datediff('day', DATE '2024-01-23', d.day)
+                 AS DOUBLE) * f.b)), 6) AS abs_err
+         FROM d JOIN fit f ON f.event_type = d.event_type
+         WHERE d.day > DATE '2024-01-23'
+         ORDER BY d.event_type, d.day"""
   )
 }

@@ -86,7 +86,9 @@ object PlanSweep {
       "tpch_q15", "tpch_q22",
       // Mann-Whitney / Kaplan-Meier: the one-row (N, tie-term) and N
       // totals broadcast onto the value/risk tables
-      "dq_mannwhitney", "survival_km")
+      "dq_mannwhitney", "survival_km",
+      // modularity: the one-row edge-count total broadcast per lang row
+      "graph_modularity")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

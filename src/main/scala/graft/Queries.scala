@@ -5807,10 +5807,14 @@ object Queries {
   def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-    val per = l.groupBy(col("l_orderkey").as("ok"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_ret"))
+    // two-level agg instead of a double countDistinct: the (order, supp)
+    // pre-aggregate dedups in ONE pass, so no Expand triples the shuffle
+    val per = l
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+        .as("ret"))
+      .groupBy(col("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("ret")).as("n_ret"))
       .filter(col("n_supp") > 1 && col("n_ret") === 1)
       .select(col("ok"))
     l.filter(col("l_returnflag") === "R")
@@ -6443,6 +6447,92 @@ object Queries {
       (tt, n, dd, (num * 1000000 / den).toLong)
     }
     out.toSeq.toDF("t", "n_risk", "d_events", "s_ppm").orderBy(col("t"))
+  }
+
+  /** N14l — modularity of the LANGUAGE partition over the near-dup
+    * graph: do near-duplicates stay within languages? Q = Σ_l [e_l/m −
+    * (d_l/2m)²] over intra-language edge counts e_l and degree stubs
+    * d_l. Everything reduces to three aggregates — per-lang intra
+    * edges, per-lang stubs, one-row m — with the label decoration as
+    * two id-keyed equi-joins of the (narrow) pair list; the Q terms are
+    * surfaced as EXACT integers (4m·e_l − d_l², 4m²) plus one identical
+    * double division, so the oracle hash-checks the whole measure. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = text.NearDup.minhashDupPairsCached(
+      docs, "doc_id", "text", 0.8, dir).select(col("a_id"), col("b_id"))
+    val lang = docs.select(col("doc_id"), col("lang"))
+    val lab = pairs
+      .join(lang.select(col("doc_id").as("a_id"), col("lang").as("la")), "a_id")
+      .join(lang.select(col("doc_id").as("b_id"), col("lang").as("lb")), "b_id")
+    val intra = lab.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lang")).agg(count(lit(1)).as("e"))
+    val stubs = lab.select(col("la").as("lang"))
+      .union(lab.select(col("lb").as("lang")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("d"))
+    val mRow = pairs.agg(count(lit(1)).as("m"))
+    stubs.join(intra, Seq("lang"), "left").na.fill(0L, Seq("e"))
+      .crossJoin(broadcast(mRow))
+      .withColumn("q_num",
+        lit(4) * col("m") * col("e") - col("d") * col("d"))
+      .withColumn("q_den", lit(4) * col("m") * col("m"))
+      .select(col("lang"), col("e").as("intra_edges"), col("d").as("stubs"),
+        col("q_num"), col("q_den"),
+        round(col("q_num").cast(DoubleType) /
+          col("q_den").cast(DoubleType), 9).as("q_term"))
+      .orderBy(col("lang"))
+  }
+
+  /** X73 — Holt linear-trend forecast with a 7-day backtest: level/trend
+    * recursion l' = α·x + (1−α)(l+b), b' = β(l'−l) + (1−β)b (α=0.5,
+    * β=0.3) over the per-type DAILY count series — the sequential
+    * recursion folds over the COLLECTED calendar-bounded aggregate
+    * (≤ days × types rows, the [[survivalKm]] discipline), the daily
+    * aggregation and the backtest join stay distributed, and the fitted
+    * (l, b) re-enter the plan as a broadcast model frame. The oracle
+    * replays the SAME recursion as a recursive CTE — double arithmetic
+    * written in the identical order on both engines, so the forecast is
+    * hash-checked, not just bounded. */
+  def forecastHolt(spark: SparkSession, dir: String): DataFrame =
+    holtBacktest(spark, t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("actual")))
+
+  /** The Holt fit + 7-day backtest over a (event_type, day, actual)
+    * daily frame — shared VERBATIM by [[forecastHolt]] and its streaming
+    * twin (which replays it over the maintained daily-count MV), so both
+    * hash-match the same oracle. */
+  private[graft] def holtBacktest(spark: SparkSession,
+                                  daily: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cut = lit("2024-01-23").cast(DateType)
+    val train = daily.filter(col("day") <= cut)
+      .select(col("event_type"), col("day"), col("actual"))
+      .orderBy(col("event_type"), col("day")).collect()
+    val params = train.groupBy(_.getString(0)).toSeq.map { case (tp, rows) =>
+      val xs = rows.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+        .map(_.getLong(2).toDouble)
+      var l = xs(0)
+      var b = xs(1) - xs(0)
+      for (i <- 1 until xs.length) {
+        val ln = 0.5 * xs(i) + 0.5 * (l + b)
+        val bn = 0.3 * (ln - l) + 0.7 * b
+        l = ln; b = bn
+      }
+      (tp, l, b)
+    }
+    val model = params.toDF("event_type", "l", "b")
+    daily.filter(col("day") > cut)
+      .join(broadcast(model), "event_type")
+      .withColumn("h", datediff(col("day"), cut))
+      .withColumn("yhat_raw",
+        col("l") + col("h").cast(DoubleType) * col("b"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("actual"),
+        round(col("yhat_raw"), 6).as("yhat"),
+        round(abs(col("actual").cast(DoubleType) - col("yhat_raw")), 6)
+          .as("abs_err"))
+      .orderBy(col("event_type"), col("day"))
   }
 
   /** Partial-pivot Gaussian elimination for the driver-side k×k normal

@@ -1644,6 +1644,59 @@ object StreamTwins {
     * aggregate-sized state, exactly the materialized-view split: fold
     * what merges, derive what doesn't. Shares the batch oracle verbatim
     * (exact integer cents ⇒ hash-match). */
+  /** STREAMING maintained Holt forecast — the twin of
+    * [[graft.Queries.forecastHolt]]. The daily count cells (event_type,
+    * day, n) are ADDITIVE partials (counts sum across any batching), so
+    * the MV folds exactly like the drawdown/Gram states: per batch, one
+    * delta aggregate unioned into the versioned state. The
+    * inherently-sequential Holt recursion is NOT maintained — it derives
+    * on read over the calendar-bounded MV through the SAME
+    * [[graft.Queries.holtBacktest]] the batch query uses, so any
+    * batching hash-matches the batch oracle. Fold what merges, derive
+    * what doesn't. */
+  def streamHolt(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_holt_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_holt_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_holt_ck_$tag")
+    val feedSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .select(col("ts"), col("event_type")),
+      s"stream_holt_feed_build_$tag")
+    val stateSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("day", StringType),
+      StructField("n", LongType)))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(partials(batch.toDF()))
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("n")).as("n"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.Queries.holtBacktest(ss,
+      ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
+        .select(col("event_type"), to_date(col("day")).as("day"),
+          col("n").as("actual")))
+  }
+
   def streamDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     val tag = graft.ops.TempFiles.tag(sfDir)

@@ -133,7 +133,11 @@ class StressSpec extends AnyFunSuite {
       "tpch_q5",
       // span removal: positioned-gram explode + ownership join +
       // coverage anti-join + reassembly aggregate
-      "dedup_span_apply")
+      "dedup_span_apply",
+      // wave-AA structure carriers: the frontier-iterated BFS (per-round
+      // joins over a persisted edge list) and the Mann-Whitney doubled
+      // ranks through the distributed prefix scan
+      "graph_bfs", "dq_mannwhitney")
     for (n <- names) {
       // min-of-2 per scale point: a single GC/JIT pause on either side of
       // the ratio can push a healthy query past the bound (it flaked once

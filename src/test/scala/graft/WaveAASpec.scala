@@ -73,6 +73,64 @@ class WaveAASpec extends AnyFunSuite {
     }
   }
 
+  test("graph_modularity: stubs total 2m, intra edges total ≤ m, and " +
+    "each q_term is the double of its exact integer pair") {
+    val rows = Queries.graphModularity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val m = rows.head.getLong(4) / 4 match {
+      case sq => math.sqrt(sq.toDouble).round
+    }
+    assert(rows.map(_.getLong(2)).sum == 2 * m, "Σ stubs must be 2m")
+    assert(rows.map(_.getLong(1)).sum <= m, "Σ intra ≤ m")
+    rows.foreach { r =>
+      assert(r.getLong(4) == 4 * m * m)
+      assert(math.abs(r.getDouble(5) -
+        BigDecimal(r.getLong(3).toDouble / r.getLong(4).toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+  }
+
+  test("forecast_holt: 7 backtest days per type, and the fitted line " +
+    "matches a naive driver Holt recursion") {
+    val rows = Queries.forecastHolt(spark, sf).collect()
+    val types = rows.map(_.getString(0)).distinct
+    assert(rows.length == types.length * 7)
+    // driver recursion over the same daily counts
+    val daily = ops.Tables.table(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val cut = java.time.LocalDate.parse("2024-01-23")
+    types.foreach { tp =>
+      val xs = daily.filter(x => x._1 == tp && !x._2.isAfter(cut))
+        .sortBy(_._2.toEpochDay).map(_._3.toDouble)
+      var l = xs(0); var b = xs(1) - xs(0)
+      for (i <- 1 until xs.length) {
+        val ln = 0.5 * xs(i) + 0.5 * (l + b)
+        b = 0.3 * (ln - l) + 0.7 * b; l = ln
+      }
+      rows.filter(_.getString(0) == tp).foreach { r =>
+        val h = java.time.temporal.ChronoUnit.DAYS.between(
+          cut, java.time.LocalDate.parse(r.getString(1)))
+        assert(math.abs(r.getDouble(3) - (l + h * b)) < 1e-6,
+          s"$tp h=$h: ${r.getDouble(3)} vs ${l + h * b}")
+      }
+    }
+  }
+
+  test("stream_holt: the maintained daily-count MV yields the batch " +
+    "Holt backtest exactly") {
+    val streamed = streaming.StreamTwins.streamHolt(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val batch = Queries.forecastHolt(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("survival_km: S is non-increasing from < 1e6, at-risk counts are " +
     "non-increasing, and the curve differentials a naive driver KM") {
     val rows = Queries.survivalKm(spark, sf).collect()
