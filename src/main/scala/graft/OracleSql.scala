@@ -1448,6 +1448,107 @@ object OracleSql {
          FROM stubs s LEFT JOIN intra i USING (lang), mm
          ORDER BY s.lang""",
 
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+               AS BIGINT) AS m
+           FROM embeddings),
+           st AS (SELECT dim, min(m) mn, max(m) mx FROM e GROUP BY dim),
+           c AS (SELECT e.vec_id, e.m, st.mn, st.mx,
+               CASE WHEN st.mx = st.mn THEN 0
+                    ELSE ((e.m - st.mn) * 255) // (st.mx - st.mn) END AS code
+             FROM e JOIN st USING (dim)),
+           d AS (SELECT vec_id, m, code,
+               CASE WHEN mx = mn THEN mn
+                    ELSE mn + (code * (mx - mn)) // 255 END AS deq
+             FROM c)
+         SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+             CAST(sum(abs(m - deq)) AS BIGINT) AS l1_err_micro,
+             CAST(max(abs(m - deq)) AS BIGINT) AS linf_err_micro,
+             CAST(sum(code) AS BIGINT) AS code_sum
+         FROM d GROUP BY vec_id ORDER BY vec_id""",
+
+    "graph_clustering_coeff" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           p AS (SELECT a_id, b_id FROM (
+             SELECT a.doc_id a_id, b.doc_id b_id,
+                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jaccard
+             FROM t a JOIN t b ON a.doc_id < b.doc_id)
+             WHERE jaccard >= 0.8),
+           und AS (SELECT a_id u, b_id w FROM p
+             UNION ALL SELECT b_id, a_id FROM p),
+           deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY 1),
+           tri AS (SELECT w1.u AS node, count(*) AS tr
+             FROM und w1 JOIN und w2 ON w1.u = w2.u AND w1.w < w2.w
+             JOIN p ON p.a_id = w1.w AND p.b_id = w2.w GROUP BY 1)
+         SELECT deg.node AS doc_id, CAST(deg.d AS BIGINT) AS deg,
+             CAST(coalesce(tri.tr, 0) AS BIGINT) AS tri,
+             round(CAST(2 * coalesce(tri.tr, 0) AS DOUBLE) /
+               CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS coeff
+         FROM deg LEFT JOIN tri USING (node)
+         WHERE deg.d >= 2 ORDER BY doc_id""",
+
+    "trend_theilsen" ->
+      """WITH d AS (SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS x, count(*) AS y
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+           s AS (SELECT a.event_type, b.y - a.y AS p, b.x - a.x AS q,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sval
+             FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x),
+           r AS (SELECT event_type, p, q,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY sval, p, q) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+             FROM s),
+           mid AS (SELECT * FROM r
+             WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2),
+           agg AS (SELECT event_type, max(cnt) AS n_pairs,
+               count(*) AS n_mid,
+               min_by(p, rn) AS p1, min_by(q, rn) AS q1,
+               max_by(p, rn) AS p2, max_by(q, rn) AS q2
+             FROM mid GROUP BY event_type)
+         SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+             CAST(CASE WHEN n_mid = 2 THEN p1*q2 + p2*q1 ELSE p1 END
+               AS BIGINT) AS med_num,
+             CAST(CASE WHEN n_mid = 2 THEN 2*q1*q2 ELSE q1 END
+               AS BIGINT) AS med_den,
+             round(CAST(CASE WHEN n_mid = 2 THEN p1*q2 + p2*q1 ELSE p1 END
+                 AS DOUBLE) /
+               CAST(CASE WHEN n_mid = 2 THEN 2*q1*q2 ELSE q1 END
+                 AS DOUBLE), 9) AS slope
+         FROM agg ORDER BY event_type""",
+
+    "eval_confusion" ->
+      """WITH s AS (SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '), x -> x = 'the')) s_en,
+             len(list_filter(string_split(text,' '), x -> x = 'a')) s_es,
+             len(list_filter(string_split(text,' '), x -> x = 'data')) s_de,
+             len(list_filter(string_split(text,' '), x -> x = 'key')) s_fr,
+             len(list_filter(string_split(text,' '), x -> x = 'spark')) s_zh
+           FROM documents),
+           pr AS (SELECT lang,
+             CASE WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'es'
+                  WHEN s_de = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'de'
+                  WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'fr'
+                  ELSE 'zh' END AS predicted_lang
+           FROM s),
+           cells AS (SELECT lang, predicted_lang, count(*) AS n
+             FROM pr GROUP BY 1, 2),
+           tot AS (SELECT lang, sum(n) AS n_true FROM cells GROUP BY 1)
+         SELECT c.lang, c.predicted_lang, CAST(c.n AS BIGINT) AS n,
+             CAST(t.n_true AS BIGINT) AS n_true,
+             round(CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE), 6)
+               AS share_of_true
+         FROM cells c JOIN tot t USING (lang)
+         ORDER BY c.lang, c.predicted_lang""",
+
     "forecast_holt" ->
       """WITH RECURSIVE d AS (SELECT event_type, CAST(ts AS DATE) AS day,
              count(*) AS actual FROM events GROUP BY 1, 2),

@@ -6535,6 +6535,144 @@ object Queries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** N35 — int8 scalar quantization of the embedding corpus with exact
+    * reconstruction-error accounting — the vector-compression step a
+    * 100 TB ANN index actually ships (4× smaller than f32 before PQ even
+    * enters). Per-dim (min, max) corpus stats on the ⌊v·1e6⌋ micro-unit
+    * long grid (the [[embedCentroids]] exactness discipline), code
+    * c = ((m − mn)·255) div (mx − mn) with a degenerate-dim guard, then
+    * dequantize back ON THE SAME integer grid so per-vector L1/L∞
+    * reconstruction error is an EXACT long the oracle hash-checks.
+    * Shape: the stats frame is dim-sized (one partial-agg shuffle) and
+    * rides a BROADCAST back onto the exploded corpus; the only other
+    * exchange is the per-vector regroup. Both scale linearly — nothing
+    * here ever holds more than (dims × 2) longs of model state. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
+        floor(col("v").cast(DoubleType) * lit(1000000.0)).cast(LongType)
+          .as("m"))
+    val stats = e.groupBy(col("dim"))
+      .agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+    e.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(expr("((m - mn) * 255L) div (mx - mn)")))
+      .withColumn("deq",
+        when(col("mx") === col("mn"), col("mn"))
+          .otherwise(col("mn") + expr("(code * (mx - mn)) div 255")))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(abs(col("m") - col("deq"))).as("l1_err_micro"),
+        max(abs(col("m") - col("deq"))).as("linf_err_micro"),
+        sum(col("code")).as("code_sum"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** N14m — local clustering coefficient over the near-dup graph: per
+    * node, 2·tri / (deg·(deg−1)) — the density signal that separates
+    * tight boilerplate cliques (coeff → 1) from hub-shaped template
+    * families (coeff → 0) when deciding which dup clusters to collapse
+    * wholesale vs sample. Wedges pair each node's neighbors through ONE
+    * self-equi-join on the center ([[graphCommonNeighbors]]' shape);
+    * closure is a LEFT SEMI against the canonical edge list, so nothing
+    * wider than the wedge set ever exists. Per-center fanout is deg² —
+    * bounded by the LSH spam-cap discipline upstream, the same bound
+    * [[ops.Triangles]] leans on. Counts stay integral; the coefficient
+    * is one rounded double over exact longs, hash-checked end to end. */
+  def graphClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = text.NearDup.minhashDupPairsCached(
+      t(spark, dir, "documents"), "doc_id", "text", 0.8, dir)
+      .select(col("a_id"), col("b_id"))
+    val adj = pairs.select(col("a_id").as("node"), col("b_id").as("nbr"))
+      .unionAll(pairs.select(col("b_id").as("node"), col("a_id").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wa = adj.select(col("node").as("v"), col("nbr").as("a_id"))
+    val wb = adj.select(col("node").as("v"), col("nbr").as("b_id"))
+    val tri = wa.join(wb, Seq("v")).filter(col("a_id") < col("b_id"))
+      .join(pairs, Seq("a_id", "b_id"), "left_semi")
+      .groupBy(col("v").as("node")).agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("node"), "left").na.fill(0L, Seq("tri"))
+      .filter(col("deg") >= 2)
+      .select(col("node").as("doc_id"), col("deg"), col("tri"),
+        round((lit(2L) * col("tri")).cast(DoubleType) /
+          (col("deg") * (col("deg") - 1)).cast(DoubleType), 6).as("coeff"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X74 — Theil–Sen robust trend: the median of all pairwise slopes of
+    * the per-type daily count series — the estimator that shrugs off the
+    * outlier days OLS chases (29.3% breakdown point; Sen 1968). Slopes
+    * stay EXACT rationals (Δy, Δx longs); ranking orders by the IEEE
+    * double Δy/Δx (bit-identical cross-engine for identical long inputs)
+    * with (Δy, Δx) tie-breaks, so both engines pick the same middle
+    * rows; the median re-emerges as an exact (num, den) pair — averaged
+    * cross-multiplied when the pair count is even — plus one identical
+    * rounded division. The pair join is calendar-bounded (days²/2 per
+    * type ≈ 435 rows), keyed on event_type — never corpus-shaped; the
+    * rank window is partitioned per type (no global window). */
+  def trendTheilsen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast(DateType))
+          .cast(LongType).as("x"), col("y"))
+    val a = d.select(col("event_type"), col("x").as("xi"), col("y").as("yi"))
+    val b = d.select(col("event_type"), col("x").as("xj"), col("y").as("yj"))
+    val slopes = a.join(b, Seq("event_type")).filter(col("xi") < col("xj"))
+      .select(col("event_type"), (col("yj") - col("yi")).as("p"),
+        (col("xj") - col("xi")).as("q"))
+      .withColumn("sval", col("p").cast(DoubleType) / col("q").cast(DoubleType))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("sval"), col("p"), col("q"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === (col("cnt") + 1) / 2 ||
+        col("rn") === (col("cnt") + 2) / 2)
+    ranked.groupBy(col("event_type"))
+      .agg(max(col("cnt")).as("n_pairs"), count(lit(1)).as("n_mid"),
+        min_by(col("p"), col("rn")).as("p1"),
+        min_by(col("q"), col("rn")).as("q1"),
+        max_by(col("p"), col("rn")).as("p2"),
+        max_by(col("q"), col("rn")).as("q2"))
+      .select(col("event_type"), col("n_pairs"),
+        when(col("n_mid") === 2, col("p1") * col("q2") + col("p2") * col("q1"))
+          .otherwise(col("p1")).as("med_num"),
+        when(col("n_mid") === 2, lit(2L) * col("q1") * col("q2"))
+          .otherwise(col("q1")).as("med_den"))
+      .withColumn("slope",
+        round(col("med_num").cast(DoubleType) /
+          col("med_den").cast(DoubleType), 9))
+      .orderBy(col("event_type"))
+  }
+
+  /** N8e — classifier evaluation as an engine op: the confusion matrix
+    * of [[langId]]'s marker-token prediction against the labeled lang
+    * column, each cell carrying its true-class total and exact-ratio
+    * recall share — the eval loop a filtering pipeline runs after every
+    * classifier change, expressed as two aggregates (cell counts, then a
+    * class-sized broadcast of row totals). Integral counts + one
+    * identical division keep it hash-checked. */
+  def evalConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = t(spark, dir, "documents")
+      .select(col("lang"),
+        text.TextOps.predictedLang(text.TextOps.tokens(col("text")))
+          .as("predicted_lang"))
+    val cells = pred.groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("predicted_lang"), col("n"), col("n_true"),
+        round(col("n").cast(DoubleType) / col("n_true").cast(DoubleType), 6)
+          .as("share_of_true"))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
   /** Partial-pivot Gaussian elimination for the driver-side k×k normal
     * equations (k = model width, single-digit). Deterministic pivot
     * choice: largest |value|, ties to the smallest row index. */
