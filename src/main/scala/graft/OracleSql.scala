@@ -1981,6 +1981,98 @@ object OracleSql {
              CAST(rnk AS BIGINT) AS rank, doc_id, round(score, 6) AS score
          FROM r WHERE rnk <= 5 ORDER BY query_id, rank""",
 
+    "search_hybrid_rrf" ->
+      """WITH q(query_id, term_idx, term) AS (VALUES
+             (1,1,'spark'),(1,2,'join'),(2,1,'hash'),(2,2,'merge'),
+             (2,3,'batch'),(3,1,'vector'),(3,2,'scan')),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1,2),
+         dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+         dfv AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs, sum(len) AS total_len FROM dl),
+         base AS (SELECT qq.query_id, qq.term_idx, f.doc_id,
+             ((22e0 * f.tf * t.total_len) /
+              (10 * f.tf * t.total_len + 3 * t.total_len + 9 * d.len * t.n_docs)) *
+             ((2 * t.n_docs - 2 * v.df + 1) / (2 * v.df + 1)) AS s_bm,
+             CAST(f.tf * (t.n_docs + 1) AS DOUBLE) /
+               CAST(d.len * (v.df + 1) AS DOUBLE) AS s_ti
+           FROM tf f JOIN q qq ON f.tok = qq.term
+           JOIN dl d ON f.doc_id = d.doc_id
+           JOIN dfv v ON f.tok = v.tok CROSS JOIN tot t),
+         bm AS (SELECT query_id, doc_id, rnk AS r_bm25 FROM (
+           SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+           FROM (SELECT query_id, doc_id,
+               coalesce(max(CASE WHEN term_idx=1 THEN s_bm END), 0e0)
+               + coalesce(max(CASE WHEN term_idx=2 THEN s_bm END), 0e0)
+               + coalesce(max(CASE WHEN term_idx=3 THEN s_bm END), 0e0) AS s
+             FROM base GROUP BY 1,2)) WHERE rnk <= 10),
+         ti AS (SELECT query_id, doc_id, rnk AS r_tfidf FROM (
+           SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+           FROM (SELECT query_id, doc_id,
+               coalesce(max(CASE WHEN term_idx=1 THEN s_ti END), 0e0)
+               + coalesce(max(CASE WHEN term_idx=2 THEN s_ti END), 0e0)
+               + coalesce(max(CASE WHEN term_idx=3 THEN s_ti END), 0e0) AS s
+             FROM base GROUP BY 1,2)) WHERE rnk <= 10),
+         fused AS (SELECT coalesce(bm.query_id, ti.query_id) AS query_id,
+             coalesce(bm.doc_id, ti.doc_id) AS doc_id,
+             coalesce(142813628717760 // (60 + bm.r_bm25), 0)
+               + coalesce(142813628717760 // (60 + ti.r_tfidf), 0) AS rrf_num
+           FROM bm FULL OUTER JOIN ti
+             ON bm.query_id = ti.query_id AND bm.doc_id = ti.doc_id),
+         rr AS (SELECT query_id, doc_id, rrf_num,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_num DESC, doc_id) AS rnk
+           FROM fused)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(rnk AS BIGINT) AS rank, doc_id,
+             CAST(rrf_num AS BIGINT) AS rrf_num,
+             round(CAST(rrf_num AS DOUBLE) / 142813628717760e0, 9) AS rrf
+         FROM rr WHERE rnk <= 5 ORDER BY query_id, rank""",
+
+    "dq_ljungbox" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d, count(*) AS x
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         st AS (SELECT event_type, count(*) AS n, sum(x) AS s
+           FROM daily GROUP BY 1),
+         dev AS (SELECT daily.event_type, daily.d, st.n,
+             CAST(st.n * daily.x - st.s AS BIGINT) AS v
+           FROM daily JOIN st USING (event_type)),
+         a0 AS (SELECT event_type, max(n) AS n, sum(v * v) AS a0
+           FROM dev GROUP BY 1),
+         lagged AS (SELECT event_type, d + k.k AS d, k.k, v AS vlag
+           FROM dev, (SELECT unnest(range(1, 8)) AS k) k),
+         ak AS (SELECT dev.event_type, lagged.k, sum(dev.v * lagged.vlag) AS ak
+           FROM dev JOIN lagged
+             ON dev.event_type = lagged.event_type AND dev.d = lagged.d
+           GROUP BY 1, 2),
+         piv AS (SELECT ak.event_type, a0.n, a0.a0,
+             coalesce(max(CASE WHEN k=1 THEN ak END), 0) AS k1,
+             coalesce(max(CASE WHEN k=2 THEN ak END), 0) AS k2,
+             coalesce(max(CASE WHEN k=3 THEN ak END), 0) AS k3,
+             coalesce(max(CASE WHEN k=4 THEN ak END), 0) AS k4,
+             coalesce(max(CASE WHEN k=5 THEN ak END), 0) AS k5,
+             coalesce(max(CASE WHEN k=6 THEN ak END), 0) AS k6,
+             coalesce(max(CASE WHEN k=7 THEN ak END), 0) AS k7
+           FROM ak JOIN a0 USING (event_type)
+           GROUP BY 1, 2, 3)
+         SELECT event_type, CAST(n AS BIGINT) AS n, CAST(a0 AS BIGINT) AS a0,
+             round(CAST(k1 AS DOUBLE) / CAST(a0 AS DOUBLE), 6) AS rho1,
+             round(
+               (CAST(k1 AS DOUBLE)/CAST(a0 AS DOUBLE))*(CAST(k1 AS DOUBLE)/CAST(a0 AS DOUBLE))*CAST(n*(n+2) AS DOUBLE)/CAST(n-1 AS DOUBLE)
+             + (CAST(k2 AS DOUBLE)/CAST(a0 AS DOUBLE))*(CAST(k2 AS DOUBLE)/CAST(a0 AS DOUBLE))*CAST(n*(n+2) AS DOUBLE)/CAST(n-2 AS DOUBLE)
+             + (CAST(k3 AS DOUBLE)/CAST(a0 AS DOUBLE))*(CAST(k3 AS DOUBLE)/CAST(a0 AS DOUBLE))*CAST(n*(n+2) AS DOUBLE)/CAST(n-3 AS DOUBLE)
+             + (CAST(k4 AS DOUBLE)/CAST(a0 AS DOUBLE))*(CAST(k4 AS DOUBLE)/CAST(a0 AS DOUBLE))*CAST(n*(n+2) AS DOUBLE)/CAST(n-4 AS DOUBLE)
+             + (CAST(k5 AS DOUBLE)/CAST(a0 AS DOUBLE))*(CAST(k5 AS DOUBLE)/CAST(a0 AS DOUBLE))*CAST(n*(n+2) AS DOUBLE)/CAST(n-5 AS DOUBLE)
+             + (CAST(k6 AS DOUBLE)/CAST(a0 AS DOUBLE))*(CAST(k6 AS DOUBLE)/CAST(a0 AS DOUBLE))*CAST(n*(n+2) AS DOUBLE)/CAST(n-6 AS DOUBLE)
+             + (CAST(k7 AS DOUBLE)/CAST(a0 AS DOUBLE))*(CAST(k7 AS DOUBLE)/CAST(a0 AS DOUBLE))*CAST(n*(n+2) AS DOUBLE)/CAST(n-7 AS DOUBLE)
+             , 6) AS q_lb
+         FROM piv ORDER BY event_type""",
+
     "chunk_documents" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),

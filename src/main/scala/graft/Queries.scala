@@ -6673,6 +6673,133 @@ object Queries {
       .orderBy(col("lang"), col("predicted_lang"))
   }
 
+  /** N24b — HYBRID retrieval via reciprocal rank fusion (Cormack et al.
+    * 2009): the two lexical rankers ([[searchBm25]]'s Robertson scorer
+    * and the tf-idf scorer) each produce a per-query top-10, and RRF
+    * re-ranks their union by Σ 1/(60 + rank) — the standard hybrid-
+    * search combiner RAG stacks run ahead of a reranker. The fusion
+    * score stays an EXACT long: contributions are L/(60+r) with
+    * L = lcm(61..70) = 142 813 628 717 760, so integer addition is
+    * order-free and the oracle hash-checks the fused ranking itself
+    * (the one double is a final identical division by L). Both base
+    * rankings order by deterministic doubles over exact integers with
+    * doc_id tie-breaks — identical cross-engine. Shape: the corpus
+    * shuffles once per ranker on its agg keys; query-term df and totals
+    * ride broadcasts; per-query top-10s are WindowGroupLimit-capped
+    * below the exchange, so the fusion join sees only 20 rows/query. */
+  def searchHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val L = 142813628717760L // lcm(61..70)
+    val qt = Seq((1L, 1, "spark"), (1L, 2, "join"),
+        (2L, 1, "hash"), (2L, 2, "merge"), (2L, 3, "batch"),
+        (3L, 1, "vector"), (3L, 2, "scan"))
+      .toDF("query_id", "term_idx", "term")
+    val tokens = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = tokens.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val docLen = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val nDocs = docLen.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("total_len"))
+    def topk(scored: DataFrame, rankName: String): DataFrame = scored
+      .withColumn(rankName, row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("s").desc, col("doc_id"))))
+      .filter(col(rankName) <= 10)
+      .select(col("query_id"), col("doc_id"), col(rankName))
+    // ranker 1: the shared BM25 term scorer, fixed-pivot term order
+    val dfTab = tf.join(broadcast(qt.select(col("term")).distinct()),
+        col("tok") === col("term"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val Lt = col("total_len"); val nD = col("n_docs")
+    val sBm = ((lit(22.0) * col("tf") * Lt) /
+        (lit(10) * col("tf") * Lt + lit(3) * Lt + lit(9) * col("len") * nD)) *
+      ((lit(2) * nD - lit(2) * col("df") + lit(1)) /
+        (lit(2) * col("df") + lit(1)))
+    val base = tf.join(broadcast(qt), col("tok") === col("term"))
+      .join(docLen, "doc_id")
+      .join(broadcast(dfTab.withColumnRenamed("tok", "dtok")),
+        col("tok") === col("dtok"))
+      .crossJoin(broadcast(nDocs))
+    def pivotSum(scoreCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(max(when(col("term_idx") === 1, scoreCol)), lit(0.0)) +
+        coalesce(max(when(col("term_idx") === 2, scoreCol)), lit(0.0)) +
+        coalesce(max(when(col("term_idx") === 3, scoreCol)), lit(0.0))
+    val bm = topk(base.groupBy(col("query_id"), col("doc_id"))
+      .agg(pivotSum(sBm).as("s")), "r_bm25")
+    // ranker 2: tf-idf with the SAME smoothed idf as text_tfidf
+    val sTi = (col("tf") * (nD + lit(1))).cast(DoubleType) /
+      (col("len") * (col("df") + lit(1))).cast(DoubleType)
+    val ti = topk(base.groupBy(col("query_id"), col("doc_id"))
+      .agg(pivotSum(sTi).as("s")), "r_tfidf")
+    bm.join(ti, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"${L}L div (60 + r_bm25)"), lit(0L)) +
+          coalesce(expr(s"${L}L div (60 + r_tfidf)"), lit(0L)))
+          .as("rrf_num"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("rrf_num").desc, col("doc_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("doc_id"), col("rrf_num"),
+        round(col("rrf_num").cast(DoubleType) / lit(L.toDouble), 9)
+          .as("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** X75 — Ljung–Box white-noise test over the per-type daily series:
+    * Q = n(n+2) Σ_{k=1..7} ρ_k²/(n−k), the residual-diagnostic gate a
+    * forecasting pipeline ([[forecastHolt]], [[forecastSeasonalNaive]])
+    * runs on what its model left behind. ACF numerators stay EXACT
+    * longs via the scaled-deviation identity (n·x_t − S replaces
+    * x_t − x̄, so ρ_k = A_k/A_0 with A_k = Σ(n·x_t − S)(n·x_{t+k} − S)
+    * — no float mean anywhere); each Q term is (A_k/A_0)² · n(n+2)/(n−k)
+    * with the division order fixed by a 7-column pivot, so the sum is
+    * an identical double expression cross-engine. The lag join rides
+    * ONE equi-join on (type, d+k) after a 7-way posexplode of the
+    * days-sized aggregate — never the event log. */
+  def dqLjungbox(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast(DateType))
+          .cast(LongType).as("d"), col("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val dev = daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("d"), col("n"),
+        (col("n") * col("x") - col("s")).as("v"))
+    val a0 = dev.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), sum(col("v") * col("v")).as("a0"))
+    val lagged = dev
+      .select(col("event_type"), col("d"), col("v"),
+        explode(sequence(lit(1L), lit(7L))).as("k"))
+      .select(col("event_type"), (col("d") + col("k")).as("d"),
+        col("k"), col("v").as("vlag"))
+    val ak = dev.join(lagged, Seq("event_type", "d"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(sum(col("v") * col("vlag")).as("ak"))
+    def term(k: Int): org.apache.spark.sql.Column = {
+      val rho = coalesce(max(when(col("k") === k, col("ak"))), lit(0L))
+        .cast(DoubleType) / col("a0").cast(DoubleType)
+      rho * rho * (col("n") * (col("n") + 2)).cast(DoubleType) /
+        (col("n") - k).cast(DoubleType)
+    }
+    ak.join(a0, Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("a0"))
+      .agg(round(max(when(col("k") === 1, col("ak"))).cast(DoubleType) /
+          col("a0").cast(DoubleType), 6).as("rho1"),
+        round(term(1) + term(2) + term(3) + term(4) + term(5) + term(6) +
+          term(7), 6).as("q_lb"))
+      .select(col("event_type"), col("n"), col("a0"), col("rho1"),
+        col("q_lb"))
+      .orderBy(col("event_type"))
+  }
+
   /** Partial-pivot Gaussian elimination for the driver-side k×k normal
     * equations (k = model width, single-digit). Deterministic pivot
     * choice: largest |value|, ties to the smallest row index. */
