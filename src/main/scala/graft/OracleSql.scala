@@ -3765,6 +3765,54 @@ object OracleSql {
          GROUP BY n.n_name
          ORDER BY revenue DESC, n.n_name""",
 
+    "tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(CAST(l.l_shipdate AS TIMESTAMP)) AS BIGINT) AS l_year,
+             CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+               AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         WHERE CAST(l.l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+           AND CAST(l.l_shipdate AS TIMESTAMP) < TIMESTAMP '1998-01-01'
+           AND ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+             OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "tpch_q8" ->
+      """SELECT CAST(year(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT)
+               AS o_year,
+             coalesce(CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l.l_discount AS DECIMAL(12,2))) END)
+               AS DECIMAL(18,4)) AS DOUBLE), 0e0) AS nation_volume,
+             CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+               AS DECIMAL(18,4)) AS DOUBLE) AS total_volume,
+             round(coalesce(CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l.l_discount AS DECIMAL(12,2))) END)
+               AS DECIMAL(18,4)) AS DOUBLE), 0e0) /
+               CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+               AS DECIMAL(18,4)) AS DOUBLE), 6) AS mkt_share
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         JOIN region r ON cn.n_regionkey = r.r_regionkey
+           AND r.r_name = 'AMERICA'
+         WHERE CAST(o.o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+           AND CAST(o.o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY 1""",
+
     "tpch_q10" ->
       """SELECT c.c_custkey, c.c_name, n.n_name,
              CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *

@@ -88,7 +88,10 @@ object PlanSweep {
       // totals broadcast onto the value/risk tables
       "dq_mannwhitney", "survival_km",
       // modularity: the one-row edge-count total broadcast per lang row
-      "graph_modularity")
+      "graph_modularity",
+      // hybrid RRF: search_bm25's one-row (n_docs, total_len) totals
+      // broadcast — both base rankers share the scorer frame
+      "search_hybrid_rrf")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact

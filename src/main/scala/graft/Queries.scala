@@ -6800,6 +6800,95 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** X76 — TPC-H Q7 (volume shipping): bilateral trade revenue between
+    * two nations by ship year — the two-dimension-roles join (nation
+    * decorates BOTH the supplier and the customer side of the same
+    * fact). Each side's nation dim is pre-filtered to the pair BEFORE
+    * its broadcast, so the disjunctive pair residual only removes the
+    * two same-nation combos; the ship-date range reaches the lineitem
+    * scan; revenue stays exact DECIMAL to the final [[decOut]]. The
+    * only fact-sized exchange is lineitem⋈orders on orderkey. */
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_18", "NATION_19")
+    val nat = t(spark, dir, "nation")
+      .filter(col("n_name").isin(nations: _*))
+    val s = t(spark, dir, "supplier")
+      .join(broadcast(nat.select(col("n_nationkey"),
+          col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val c = t(spark, dir, "customer")
+      .join(broadcast(nat.select(col("n_nationkey").as("nk2"),
+          col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("nk2"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"),
+        (Cleanse.dec2(col("l_extendedprice")) *
+          (lit(1) - Cleanse.dec2(col("l_discount")))).as("rev"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === nations(0) &&
+          col("cust_nation") === nations(1)) ||
+        (col("supp_nation") === nations(1) &&
+          col("cust_nation") === nations(0)))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(decOut(sum(col("rev"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** X77 — TPC-H Q8 (national market share): one nation's share of
+    * regional import volume for a part type, by order year — the
+    * conditional-aggregate-over-a-five-way-join shape. part and both
+    * nation decorations ride broadcasts; the region gate prunes the
+    * CUSTOMER side before its join; the share is a ratio of two exact
+    * decimal sums surfaced via [[decOut]] + one identical division
+    * (never a per-row float). Fact exchanges: lineitem⋈orders on
+    * orderkey, then custkey — everything else dimension-sized. */
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val amer = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")
+          .filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val c = t(spark, dir, "customer")
+      .join(broadcast(amer), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+    val p = t(spark, dir, "part").filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val s = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_name"))),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (Cleanse.dec2(col("l_extendedprice")) *
+          (lit(1) - Cleanse.dec2(col("l_discount")))).as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        coalesce(decOut(sum(when(col("supp_nation") === "NATION_3",
+          col("rev")))), lit(0.0)).as("nation_volume"),
+        decOut(sum(col("rev"))).as("total_volume"))
+      .withColumn("mkt_share",
+        round(col("nation_volume") / col("total_volume"), 6))
+      .orderBy(col("o_year"))
+  }
+
   /** Partial-pivot Gaussian elimination for the driver-side k×k normal
     * equations (k = model width, single-digit). Deterministic pivot
     * choice: largest |value|, ties to the smallest row index. */

@@ -155,4 +155,44 @@ class WaveWSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.map(_.getLong(1)).sum > 0)
   }
+
+  test("tpch_q7: the ship-date range reaches the lineitem scan, both " +
+    "nation-decorated dims broadcast, and only cross-nation pairs appear") {
+    val df = Queries.tpchQ7(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") ||
+      plan.contains("GreaterThan(l_shipdate"),
+      s"l_shipdate filter not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "nation-decorated dims must broadcast")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, c) = (r.getString(0), r.getString(1))
+      assert(Set(("NATION_18", "NATION_19"), ("NATION_19", "NATION_18"))((s, c)),
+        s"unexpected pair ($s,$c)")
+      assert(r.getLong(2) >= 1996L && r.getLong(2) <= 1997L)
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("tpch_q8: part/supplier dims broadcast, the order-date range is " +
+    "pushed, and the share is consistent with its two volumes") {
+    val df = Queries.tpchQ8(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(p_type,ECONOMY)"),
+      s"p_type filter not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") ||
+      plan.contains("GreaterThan(o_orderdate"),
+      s"o_orderdate filter not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nv, tv, sh) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(nv >= 0.0 && nv <= tv)
+      assert(math.abs(sh - BigDecimal(nv / tv)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+  }
 }
