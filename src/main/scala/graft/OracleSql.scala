@@ -2032,6 +2032,60 @@ object OracleSql {
              round(CAST(rrf_num AS DOUBLE) / 142813628717760e0, 9) AS rrf
          FROM rr WHERE rnk <= 5 ORDER BY query_id, rank""",
 
+    "agg_winsorized_mean" ->
+      """WITH v AS (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         grid AS (SELECT event_type, cents, count(*) AS m
+           FROM v GROUP BY 1, 2),
+         cum AS (SELECT event_type, cents, m,
+             sum(m) OVER (PARTITION BY event_type ORDER BY cents) AS cm
+           FROM grid),
+         nn AS (SELECT event_type, sum(m) AS n, sum(m) // 10 AS k
+           FROM grid GROUP BY 1),
+         b AS (SELECT cum.event_type,
+             min(CASE WHEN cm >= k + 1 THEN cents END) AS lo,
+             min(CASE WHEN cm >= n - k THEN cents END) AS hi
+           FROM cum JOIN nn USING (event_type) GROUP BY 1)
+         SELECT g.event_type, CAST(nn.n AS BIGINT) AS n,
+             CAST(nn.k AS BIGINT) AS k, CAST(b.lo AS BIGINT) AS lo,
+             CAST(b.hi AS BIGINT) AS hi,
+             CAST(sum(g.m * greatest(b.lo, least(b.hi, g.cents)))
+               AS BIGINT) AS wsum,
+             round(CAST(sum(g.m * greatest(b.lo, least(b.hi, g.cents)))
+                 AS DOUBLE) / CAST(nn.n AS DOUBLE), 6) AS wmean
+         FROM grid g JOIN nn USING (event_type)
+         JOIN b ON g.event_type = b.event_type
+         GROUP BY g.event_type, nn.n, nn.k, b.lo, b.hi ORDER BY 1""",
+
+    "dq_runs_test" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS x FROM events GROUP BY 1, 2),
+         s0 AS (SELECT event_type, day, x,
+             lag(x) OVER (PARTITION BY event_type ORDER BY day) AS xp
+           FROM daily),
+         signs AS (SELECT event_type, day,
+             CASE WHEN x > xp THEN 1 ELSE -1 END AS s
+           FROM s0 WHERE xp IS NOT NULL AND x != xp),
+         r0 AS (SELECT event_type, s,
+             lag(s) OVER (PARTITION BY event_type ORDER BY day) AS sp
+           FROM signs),
+         runs AS (SELECT event_type, count(*) AS n,
+             sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n_pos,
+             sum(CASE WHEN sp IS NOT NULL AND s != sp THEN 1 ELSE 0 END) + 1
+               AS r
+           FROM r0 GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+             CAST(n_pos AS BIGINT) AS n_pos,
+             CAST(n - n_pos AS BIGINT) AS n_neg, CAST(r AS BIGINT) AS r,
+             round((CAST(r AS DOUBLE) -
+               (1e0 + 2e0 * CAST(n_pos * (n - n_pos) AS DOUBLE) /
+                 CAST(n AS DOUBLE))) /
+               sqrt(2e0 * CAST(n_pos * (n - n_pos) AS DOUBLE) *
+                 CAST(2 * n_pos * (n - n_pos) - n AS DOUBLE) /
+                 (CAST(n * n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) AS z
+         FROM runs ORDER BY event_type""",
+
     "dq_ljungbox" ->
       """WITH daily AS (SELECT event_type,
              CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))

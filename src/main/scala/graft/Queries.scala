@@ -6889,6 +6889,85 @@ object Queries {
       .orderBy(col("o_year"))
   }
 
+  /** X78 — 10%-winsorized mean per event type: the robust location
+    * estimate that clamps each tail to its decile boundary instead of
+    * dropping it (the trimmed-mean sibling that keeps n constant).
+    * Everything reduces to the (cents, m) VALUE GRID: per-type counts n
+    * pick k = ⌊n/10⌋, the clamp boundaries are the (k+1)-th and
+    * (n−k)-th order statistics read off the grid's partitioned
+    * cumulative counts (a per-type window over the value grid — never a
+    * row-level rank), and the winsorized sum is ONE aggregate
+    * Σ m·clamp(v) of exact longs. The grid is bounded by distinct
+    * values, not rows — at 100 TB the windows and joins run on the
+    * aggregate. One identical division emits the mean. */
+  def aggWinsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = t(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+    val grid = v.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val cum = grid.withColumn("cm", sum(col("m")).over(w))
+    val n = grid.groupBy(col("event_type")).agg(sum(col("m")).as("n"))
+      .withColumn("k", expr("n div 10"))
+    val withN = cum.join(broadcast(n), "event_type")
+    val bounds = withN
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cm") >= col("k") + 1, col("cents"))).as("lo"),
+        min(when(col("cm") >= col("n") - col("k"), col("cents"))).as("hi"))
+    grid.join(broadcast(n), "event_type")
+      .join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"), col("n"), col("k"), col("lo"), col("hi"))
+      .agg(sum(col("m") *
+        greatest(col("lo"), least(col("hi"), col("cents")))).as("wsum"))
+      .select(col("event_type"), col("n"), col("k"), col("lo"), col("hi"),
+        col("wsum"),
+        round(col("wsum").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("wmean"))
+      .orderBy(col("event_type"))
+  }
+
+  /** X79 — Wald–Wolfowitz runs test on the per-type daily series: are
+    * day-over-day ups and downs RANDOM, or does the series trend/mean-
+    * revert? Signs of consecutive differences (zeros dropped — the
+    * standard treatment) via one partitioned lag window over the
+    * days-sized aggregate; the run count R is Σ sign-changes + 1,
+    * another lag window; n₊/n₋/R stay exact longs and
+    * z = (R − μ)/σ with μ = 1 + 2n₊n₋/n, σ² = 2n₊n₋(2n₊n₋ − n)/(n²(n−1))
+    * is one identical double expression over those integers. Every
+    * window is partitioned per type over the calendar-bounded daily
+    * frame — nothing row-scaled, nothing global. */
+  def dqRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val signs = daily.withColumn("xp", lag(col("x"), 1).over(w))
+      .filter(col("xp").isNotNull && col("x") =!= col("xp"))
+      .select(col("event_type"), col("day"),
+        when(col("x") > col("xp"), 1L).otherwise(-1L).as("s"))
+    val runs = signs.withColumn("sp", lag(col("s"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_pos"),
+        (sum(when(col("sp").isNotNull && col("s") =!= col("sp"), 1L)
+          .otherwise(0L)) + 1L).as("r"))
+    val np = col("n_pos"); val nm = col("n") - col("n_pos")
+    val mu = lit(1.0) + lit(2.0) * (np * nm).cast(DoubleType) /
+      col("n").cast(DoubleType)
+    val sig2 = lit(2.0) * (np * nm).cast(DoubleType) *
+      (lit(2) * np * nm - col("n")).cast(DoubleType) /
+      ((col("n") * col("n")).cast(DoubleType) *
+        (col("n") - 1).cast(DoubleType))
+    runs
+      .select(col("event_type"), col("n"), col("n_pos"),
+        nm.as("n_neg"), col("r"),
+        round((col("r").cast(DoubleType) - mu) / sqrt(sig2), 6).as("z"))
+      .orderBy(col("event_type"))
+  }
+
   /** Partial-pivot Gaussian elimination for the driver-side k×k normal
     * equations (k = model width, single-digit). Deterministic pivot
     * choice: largest |value|, ties to the smallest row index. */
