@@ -2058,6 +2058,34 @@ object OracleSql {
          JOIN b ON g.event_type = b.event_type
          GROUP BY g.event_type, nn.n, nn.k, b.lo, b.hi ORDER BY 1""",
 
+    // the streaming maintained value-grid MV derives through the same
+    // winsorizeFromGrid as the batch query -- shared oracle
+    "stream_winsorized" ->
+      """WITH v AS (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         grid AS (SELECT event_type, cents, count(*) AS m
+           FROM v GROUP BY 1, 2),
+         cum AS (SELECT event_type, cents, m,
+             sum(m) OVER (PARTITION BY event_type ORDER BY cents) AS cm
+           FROM grid),
+         nn AS (SELECT event_type, sum(m) AS n, sum(m) // 10 AS k
+           FROM grid GROUP BY 1),
+         b AS (SELECT cum.event_type,
+             min(CASE WHEN cm >= k + 1 THEN cents END) AS lo,
+             min(CASE WHEN cm >= n - k THEN cents END) AS hi
+           FROM cum JOIN nn USING (event_type) GROUP BY 1)
+         SELECT g.event_type, CAST(nn.n AS BIGINT) AS n,
+             CAST(nn.k AS BIGINT) AS k, CAST(b.lo AS BIGINT) AS lo,
+             CAST(b.hi AS BIGINT) AS hi,
+             CAST(sum(g.m * greatest(b.lo, least(b.hi, g.cents)))
+               AS BIGINT) AS wsum,
+             round(CAST(sum(g.m * greatest(b.lo, least(b.hi, g.cents)))
+                 AS DOUBLE) / CAST(nn.n AS DOUBLE), 6) AS wmean
+         FROM grid g JOIN nn USING (event_type)
+         JOIN b ON g.event_type = b.event_type
+         GROUP BY g.event_type, nn.n, nn.k, b.lo, b.hi ORDER BY 1""",
+
     "dq_runs_test" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
              count(*) AS x FROM events GROUP BY 1, 2),

@@ -6901,12 +6901,19 @@ object Queries {
     * values, not rows — at 100 TB the windows and joins run on the
     * aggregate. One identical division emits the mean. */
   def aggWinsorizedMean(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = t(spark, dir, "events").filter(col("value").isNotNull)
       .select(col("event_type"),
         (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
-    val grid = v.groupBy(col("event_type"), col("cents"))
-      .agg(count(lit(1)).as("m"))
+    winsorizeFromGrid(v.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("m")))
+  }
+
+  /** The winsorization derive chain over a (event_type, cents, m) value
+    * grid — shared VERBATIM by [[aggWinsorizedMean]] and its streaming
+    * twin (which replays it over the maintained additive grid MV), so
+    * both hash-match the same oracle. */
+  private[graft] def winsorizeFromGrid(grid: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
     val cum = grid.withColumn("cm", sum(col("m")).over(w))
     val n = grid.groupBy(col("event_type")).agg(sum(col("m")).as("n"))

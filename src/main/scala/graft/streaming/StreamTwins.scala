@@ -1697,6 +1697,60 @@ object StreamTwins {
           col("n").as("actual")))
   }
 
+  /** STREAMING maintained winsorized mean — the twin of
+    * [[graft.Queries.aggWinsorizedMean]]. The (event_type, cents, m)
+    * VALUE GRID is an ADDITIVE MV (occurrence counts sum across any
+    * batching), folded through the batchId-versioned seam exactly like
+    * the Holt daily-count MV; the order-statistic boundaries and the
+    * clamped sum — which a late value anywhere can shift — are NOT
+    * maintained: they derive on read through the SAME
+    * [[graft.Queries.winsorizeFromGrid]] chain the batch query uses,
+    * so any batching hash-matches the batch oracle. State is bounded by
+    * DISTINCT values per type, never the event log. Fold what merges,
+    * derive what doesn't. */
+  def streamWinsorized(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_wins_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_wins_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_wins_ck_$tag")
+    val feedSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("cents", LongType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("ts"), col("event_type"),
+        (graft.ops.Cleanse.dec2(col("value")) * 100).cast(LongType)
+          .as("cents")),
+      s"stream_wins_feed_build_$tag")
+    val stateSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("cents", LongType),
+      StructField("m", LongType)))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(batch.toDF()
+            .groupBy(col("event_type"), col("cents"))
+            .agg(count(lit(1)).as("m")))
+          .groupBy(col("event_type"), col("cents"))
+          .agg(sum(col("m")).as("m"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.Queries.winsorizeFromGrid(
+      ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
+  }
+
   def streamDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     val tag = graft.ops.TempFiles.tag(sfDir)

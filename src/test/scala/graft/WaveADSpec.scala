@@ -41,6 +41,18 @@ class WaveADSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_winsorized: the maintained value-grid MV yields the batch " +
+    "winsorization exactly") {
+    val streamed = streaming.StreamTwins.streamWinsorized(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val batch = Queries.aggWinsorizedMean(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("dq_runs_test differentials a naive driver runs count, and " +
     "n_pos + n_neg = n") {
     val daily = ops.Tables.table(spark, sf, "events")
