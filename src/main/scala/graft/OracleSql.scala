@@ -1549,6 +1549,33 @@ object OracleSql {
          FROM cells c JOIN tot t USING (lang)
          ORDER BY c.lang, c.predicted_lang""",
 
+    // the streaming maintained confusion-cell MV derives through the same
+    // confusionShares as the batch query -- shared oracle
+    "stream_confusion" ->
+      """WITH s AS (SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '), x -> x = 'the')) s_en,
+             len(list_filter(string_split(text,' '), x -> x = 'a')) s_es,
+             len(list_filter(string_split(text,' '), x -> x = 'data')) s_de,
+             len(list_filter(string_split(text,' '), x -> x = 'key')) s_fr,
+             len(list_filter(string_split(text,' '), x -> x = 'spark')) s_zh
+           FROM documents),
+           pr AS (SELECT lang,
+             CASE WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'es'
+                  WHEN s_de = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'de'
+                  WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'fr'
+                  ELSE 'zh' END AS predicted_lang
+           FROM s),
+           cells AS (SELECT lang, predicted_lang, count(*) AS n
+             FROM pr GROUP BY 1, 2),
+           tot AS (SELECT lang, sum(n) AS n_true FROM cells GROUP BY 1)
+         SELECT c.lang, c.predicted_lang, CAST(c.n AS BIGINT) AS n,
+             CAST(t.n_true AS BIGINT) AS n_true,
+             round(CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE), 6)
+               AS share_of_true
+         FROM cells c JOIN tot t USING (lang)
+         ORDER BY c.lang, c.predicted_lang""",
+
     "forecast_holt" ->
       """WITH RECURSIVE d AS (SELECT event_type, CAST(ts AS DATE) AS day,
              count(*) AS actual FROM events GROUP BY 1, 2),

@@ -6663,8 +6663,15 @@ object Queries {
       .select(col("lang"),
         text.TextOps.predictedLang(text.TextOps.tokens(col("text")))
           .as("predicted_lang"))
-    val cells = pred.groupBy(col("lang"), col("predicted_lang"))
-      .agg(count(lit(1)).as("n"))
+    confusionShares(pred.groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** The recall-share derive over a (lang, predicted_lang, n) cell frame
+    * — shared VERBATIM by [[evalConfusion]] and its streaming twin
+    * (which replays it over the maintained additive cell MV), so both
+    * hash-match the same oracle. */
+  private[graft] def confusionShares(cells: DataFrame): DataFrame = {
     val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
     cells.join(broadcast(totals), Seq("lang"))
       .select(col("lang"), col("predicted_lang"), col("n"), col("n_true"),

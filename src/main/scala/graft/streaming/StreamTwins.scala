@@ -1751,6 +1751,81 @@ object StreamTwins {
       ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
   }
 
+  /** STREAMING maintained classifier-monitoring MV — the twin of
+    * [[graft.Queries.evalConfusion]], the shape a production filtering
+    * pipeline runs to watch its lang-ID classifier as documents land:
+    * confusion CELLS (lang, predicted_lang, n) are ADDITIVE partials
+    * (each doc contributes one cell count, counts sum across any
+    * batching), folded through the batchId-versioned seam; the
+    * true-class totals and recall shares — ratios a late doc anywhere
+    * shifts — derive on read through the SAME
+    * [[graft.Queries.confusionShares]] chain the batch query uses, so
+    * any batching hash-matches the batch oracle. State is (classes)²
+    * rows forever. The documents feed lands as THREE doc_id-sliced
+    * files (staged, crash-safe), so AvailableNow exercises a genuine
+    * multi-batch fold. */
+  def streamConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_conf_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_conf_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_conf_ck_$tag")
+    val slices = Seq(0, 1, 2)
+    val complete = slices.forall(i =>
+      java.nio.file.Files.exists(landing.resolve(s"s$i.parquet")))
+    if (!complete) {
+      val docs = graft.ops.Tables.table(ss, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      slices.foreach { i =>
+        val part = java.nio.file.Paths.get(graft.ops.TempFiles.dir(
+          s"stream_conf_feed_build_$tag/staging/s$i"))
+        docs.filter(col("doc_id") % 3 === i)
+          .repartition(1).write.mode("overwrite").parquet(part.toString)
+        val one = java.nio.file.Files.list(part)
+        val src = try {
+          import scala.jdk.CollectionConverters._
+          one.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        } finally one.close()
+        java.nio.file.Files.createDirectories(landing)
+        java.nio.file.Files.move(src, landing.resolve(s"s$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val feedSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val stateSchema = StructType(Seq(
+      StructField("lang", StringType),
+      StructField("predicted_lang", StringType), StructField("n", LongType)))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        val delta = batch.toDF()
+          .select(col("lang"),
+            graft.text.TextOps.predictedLang(
+              graft.text.TextOps.tokens(col("text"))).as("predicted_lang"))
+          .groupBy(col("lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n"))
+        state.unionByName(delta)
+          .groupBy(col("lang"), col("predicted_lang"))
+          .agg(sum(col("n")).as("n"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.Queries.confusionShares(
+      ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
+  }
+
   def streamDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     val tag = graft.ops.TempFiles.tag(sfDir)

@@ -53,6 +53,26 @@ class WaveADSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_confusion: the maintained cell MV yields the batch " +
+    "confusion matrix exactly, and state stays classes-squared-sized") {
+    val streamed = streaming.StreamTwins.streamConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val batch = Queries.evalConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+    // state bound: the final state version holds at most classes² rows
+    val tag = ops.TempFiles.tag(sf)
+    val root = ops.TempFiles.dir(s"stream_conf_state_$tag")
+    val versions = new java.io.File(root).list().filter(_.startsWith("v"))
+    assert(versions.nonEmpty)
+    val last = spark.read.parquet(
+      s"$root/v${versions.map(_.drop(1).toLong).max}")
+    assert(last.count() <= 25, "state must stay classes²-sized")
+  }
+
   test("dq_runs_test differentials a naive driver runs count, and " +
     "n_pos + n_neg = n") {
     val daily = ops.Tables.table(spark, sf, "events")
