@@ -1747,6 +1747,40 @@ object OracleSql {
          FROM r JOIN q ON r.lang = q.lang WHERE r.rn <= q.quota
          ORDER BY r.lang, r.doc_id""",
 
+    "vocab_oov_rate" ->
+      """WITH toks AS (SELECT lang, doc_id,
+             unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT lang, doc_id, tok FROM toks WHERE len(tok) > 0),
+         vocab AS (SELECT tok FROM (
+             SELECT tok, count(*) AS n FROM tf WHERE doc_id % 10 < 8
+             GROUP BY tok ORDER BY n DESC, tok LIMIT 500)),
+         test AS (SELECT t.lang, t.tok, v.tok AS vt
+           FROM tf t LEFT JOIN vocab v ON t.tok = v.tok
+           WHERE t.doc_id % 10 >= 8)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             round(CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+         FROM test GROUP BY lang ORDER BY lang""",
+
+    "text_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+         tri AS (SELECT doc_id, lang, unnest(sh) AS s FROM t),
+         train AS (SELECT DISTINCT s FROM tri WHERE doc_id % 10 < 8),
+         test AS (SELECT tri.lang, tri.s, tr.s AS seen
+           FROM tri LEFT JOIN train tr ON tri.s = tr.s
+           WHERE tri.doc_id % 10 >= 8)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_trigrams,
+             CAST(sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+             round(CAST(sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+         FROM test GROUP BY lang ORDER BY lang""",
+
     "vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents)

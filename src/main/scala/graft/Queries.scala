@@ -6982,6 +6982,65 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** N16f — out-of-vocabulary rate of a held-out split against the
+    * train-split top-500 vocabulary, per language — the tokenizer-eval
+    * loop run after every vocab rebuild ("what fraction of incoming
+    * tokens will we shatter into bytes?"). Split is the deterministic
+    * doc_id ≡ k mod 10 framing every incremental op here uses (8/10
+    * train); the vocab is a total-order top-500 (count desc, token asc
+    * — no boundary ties cross-engine); test tokens probe it via ONE
+    * broadcast join carrying a presence flag, so the corpus shuffles
+    * once (the vocab count) and the eval pass is narrow. Exact token
+    * counts + one identical division per language. */
+  def vocabOovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.filter(col("doc_id") % 10 < 8)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(500)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.filter(col("doc_id") % 10 >= 8)
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("oov_rate"))
+      .orderBy(col("lang"))
+  }
+
+  /** N16g — n-gram NOVELTY of the held-out split: what fraction of the
+    * test split's distinct-per-doc trigrams never occur in the train
+    * split — the corpus-diversity / leakage-surface metric (the inverse
+    * of [[decontaminate]]'s overlap: high novelty = the held-out slice
+    * actually tests generalization). Same doc_id mod-10 framing and the
+    * SAME trigram shingle space as the whole dedup family; the train
+    * set reduces to DISTINCT shingles once, the probe is one shingle-
+    * keyed join (shuffle bounded by the shingle vocabulary, never doc
+    * pairs). Exact counts + one division per language. */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = text.NearDup.shingleTableCached(
+      t(spark, dir, "documents"), "doc_id", "text", dir)
+    val lang = t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val tri = sh.select(col("id").as("doc_id"), explode(col("sh")).as("s"))
+    val trainSet = tri.filter(col("doc_id") % 10 < 8)
+      .select(col("s")).distinct()
+      .select(col("s"), lit(1L).as("seen"))
+    tri.filter(col("doc_id") % 10 >= 8)
+      .join(trainSet, Seq("s"), "left")
+      .join(lang, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("lang"), col("n_trigrams"), col("n_novel"),
+        round(col("n_novel").cast(DoubleType) /
+          col("n_trigrams").cast(DoubleType), 6).as("novelty_rate"))
+      .orderBy(col("lang"))
+  }
+
   /** Partial-pivot Gaussian elimination for the driver-side k×k normal
     * equations (k = model width, single-digit). Deterministic pivot
     * choice: largest |value|, ties to the smallest row index. */
