@@ -1493,6 +1493,46 @@ object OracleSql {
          FROM deg LEFT JOIN tri USING (node)
          WHERE deg.d >= 2 ORDER BY doc_id""",
 
+    "trend_mann_kendall" ->
+      """WITH d AS (SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS dd, count(*) AS x
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         s AS (SELECT a.event_type,
+             sum(CAST(sign(b.x - a.x) AS BIGINT)) AS s
+           FROM d a JOIN d b ON a.event_type = b.event_type AND a.dd < b.dd
+           GROUP BY 1),
+         ties AS (SELECT event_type, sum(tcnt) AS n,
+             sum(tcnt * (tcnt - 1) * (2 * tcnt + 5)) AS tie18
+           FROM (SELECT event_type, x, count(*) AS tcnt FROM d GROUP BY 1, 2)
+           GROUP BY 1)
+         SELECT s.event_type, CAST(ties.n AS BIGINT) AS n,
+             CAST(s.s AS BIGINT) AS s,
+             CAST(ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tie18
+               AS BIGINT) AS var18,
+             round((CASE WHEN s.s > 0 THEN CAST(s.s - 1 AS DOUBLE)
+                    WHEN s.s < 0 THEN CAST(s.s + 1 AS DOUBLE)
+                    ELSE 0e0 END) /
+               sqrt(CAST(ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tie18
+                 AS DOUBLE) / 18e0), 6) AS z
+         FROM s JOIN ties USING (event_type) ORDER BY s.event_type""",
+
+    "dq_srm" ->
+      """WITH arms AS (SELECT CASE WHEN
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))::UBIGINT
+               % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+           FROM (SELECT DISTINCT user_id FROM events)),
+         c AS (SELECT arm, count(*) AS n FROM arms GROUP BY 1)
+         SELECT CAST(sum(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b,
+             round(CAST((sum(CASE WHEN arm = 'A' THEN n END) -
+                 sum(CASE WHEN arm = 'B' THEN n END)) *
+                 (sum(CASE WHEN arm = 'A' THEN n END) -
+                 sum(CASE WHEN arm = 'B' THEN n END)) AS DOUBLE) /
+               CAST(sum(CASE WHEN arm = 'A' THEN n END) +
+                 sum(CASE WHEN arm = 'B' THEN n END) AS DOUBLE), 6) AS chi2
+         FROM c""",
+
     "trend_theilsen" ->
       """WITH d AS (SELECT event_type,
              CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))

@@ -7041,6 +7041,66 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** X80 — Mann–Kendall trend test: the nonparametric significance
+    * companion to [[trendTheilsen]] (same pair space, same robustness) —
+    * S = Σ_{i<j} sign(x_j − x_i) over the per-type daily series, with
+    * the tie-corrected variance 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    * kept as an EXACT long (the /18 moves inside the one double sqrt),
+    * and the continuity-corrected z = (S ∓ 1)/√(Var18/18) as one
+    * identical expression. The pair join is calendar-bounded per type
+    * (days²/2 rows); the tie table is a values-sized aggregate. */
+  def trendMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast(DateType))
+          .cast(LongType).as("d"), col("x"))
+    val a = d.select(col("event_type"), col("d").as("di"), col("x").as("xi"))
+    val b = d.select(col("event_type"), col("d").as("dj"), col("x").as("xj"))
+    val s = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+      .groupBy(col("event_type"))
+      .agg(sum(signum(col("xj") - col("xi")).cast(LongType)).as("s"))
+    val ties = d.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("tcnt"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("tcnt")).as("n"),
+        sum(col("tcnt") * (col("tcnt") - 1) *
+          (lit(2) * col("tcnt") + 5)).as("tie18"))
+    s.join(ties, "event_type")
+      .select(col("event_type"), col("n"), col("s"),
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie18"))
+          .as("var18"))
+      .withColumn("z", round(
+        when(col("s") > 0, (col("s") - 1).cast(DoubleType))
+          .when(col("s") < 0, (col("s") + 1).cast(DoubleType))
+          .otherwise(lit(0.0)) /
+        sqrt(col("var18").cast(DoubleType) / lit(18.0)), 6))
+      .orderBy(col("event_type"))
+  }
+
+  /** X81 — deterministic A/B assignment with a sample-ratio-mismatch
+    * gate: users hash into arms by content (first md5 nibble parity —
+    * the engine's portable hash family, so assignment is reproducible
+    * across runs/engines/partitionings), and the 1-df chi-square
+    * (n_a − n_b)²/(n_a + n_b) flags allocation drift — the health check
+    * every experimentation pipeline runs BEFORE [[dqAbWelch]] reads an
+    * effect. One user-distinct aggregate; counts exact, chi² one
+    * identical division. */
+  def dqSrm(spark: SparkSession, dir: String): DataFrame = {
+    val arms = t(spark, dir, "events")
+      .select(col("user_id")).distinct()
+      .select(when(conv(substring(md5(col("user_id").cast(StringType)), 1, 1),
+        16, 10).cast(LongType) % 2 === 0, "A").otherwise("B").as("arm"))
+    arms.groupBy(col("arm")).agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("arm") === "A", col("n"))).as("n_a"),
+        sum(when(col("arm") === "B", col("n"))).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast(DoubleType) /
+          (col("n_a") + col("n_b")).cast(DoubleType), 6).as("chi2"))
+  }
+
   /** Partial-pivot Gaussian elimination for the driver-side k×k normal
     * equations (k = model width, single-digit). Deterministic pivot
     * choice: largest |value|, ties to the smallest row index. */
