@@ -1324,6 +1324,13 @@ object OracleSql {
              CAST(0 AS INTEGER) AS hamming
          FROM documents ORDER BY new_id""",
 
+    // the streaming phash gate probes the same base index through the
+    // same block join -- shared oracle
+    "stream_phash" ->
+      """SELECT doc_id + 1048576 AS new_id, doc_id AS base_id,
+             CAST(0 AS INTEGER) AS hamming
+         FROM documents ORDER BY new_id""",
+
     "mm_resize" ->
       """SELECT doc_id,
              CAST(4 + n_chars % 29 AS INTEGER) AS src_width,

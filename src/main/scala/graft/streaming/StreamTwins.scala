@@ -494,6 +494,46 @@ object StreamTwins {
       .orderBy(col("new_id"), col("base_id"))
   }
 
+  /** STREAMING multimodal near-dup gate — the twin of
+    * [[graft.Queries.mmPhashIncremental]], the shape an image-ingest
+    * pipeline runs in real time: arriving media are header-decoded and
+    * pHashed with the SAME [[graft.mm.Multimodal.phashFeatures]] kernel
+    * (a narrow per-partition codec map — stream-safe), then probe the
+    * session-cached base pHash multi-index through the SAME
+    * Norouzi block join ([[graft.text.NearDup.hammingDupPairsIncremental]])
+    * the batch op uses — stream-static, never broadcast-corpus. The only
+    * streaming state is the candidate-pair dedup. The delta (2×-upscaled
+    * media — same content, different bytes) lands as parquet once, so
+    * the declared run is deterministic and shares
+    * `mm_phash_incremental`'s oracle. */
+  def streamPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val media = graft.mm.Multimodal.asMedia(
+      graft.ops.Tables.table(ss, sfDir, "documents"))
+    val basePh = graft.mm.Multimodal.phashFeatures(ss, media)
+      .filter(col("phash").isNotNull)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_phash_delta_$tag"))
+    val hasFiles = {
+      val s = java.nio.file.Files.list(landing)
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (!hasFiles)
+      graft.mm.Multimodal.upscaledMedia(ss, media, 2)
+        .repartition(1).write.mode("overwrite").parquet(landing.toString)
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val deltaPh = graft.mm.Multimodal.phashFeatures(ss,
+        ss.readStream.schema(mediaSchema).parquet(landing.toString))
+      .filter(col("phash").isNotNull)
+    val verified = graft.text.NearDup.hammingDupPairsIncremental(
+      basePh, deltaPh, "doc_id", "phash", maxHamming = 4)
+    runToMemory(verified,
+      s"stream_phash_sink_${tag.replace(".", "_")}", "append")
+      .orderBy(col("new_id"), col("base_id"))
+  }
+
   /** STREAMING distribution-drift gate: each arriving micro-batch is
     * KS-tested against the static baseline slice — the monitor a corpus
     * ingest runs continuously ("has the length distribution of what we're

@@ -40,6 +40,16 @@ class WaveAFSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_phash: the streaming pHash gate equals the batch " +
+    "incremental result exactly") {
+    val streamed = streaming.StreamTwins.streamPhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val batch = Queries.mmPhashIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("dq_srm: arms tile the user universe, and assignment is " +
     "deterministic (recomputing flips nothing)") {
     val r1 = Queries.dqSrm(spark, sf).collect().head
