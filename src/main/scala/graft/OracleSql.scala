@@ -1524,6 +1524,35 @@ object OracleSql {
                  AS DOUBLE) / 18e0), 6) AS z
          FROM s JOIN ties USING (event_type) ORDER BY s.event_type""",
 
+    "sink_quarantine" ->
+      """WITH f AS (SELECT
+             (user_id IS NULL) AS f_user_null,
+             coalesce(event_type NOT IN
+               ('view','click','purchase','signup','error'), TRUE)
+               AS f_type_unknown,
+             coalesce(CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01' OR
+               CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-02-01', TRUE)
+               AS f_ts_range,
+             coalesce(CAST(value AS DECIMAL(12,2)) <= 0, FALSE)
+               AS f_value_nonpos
+           FROM events)
+         SELECT
+             CAST(sum(CASE WHEN NOT (f_user_null OR f_type_unknown OR
+               f_ts_range OR f_value_nonpos) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_valid,
+             CAST(sum(CASE WHEN f_user_null OR f_type_unknown OR
+               f_ts_range OR f_value_nonpos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quarantined,
+             CAST(sum(CASE WHEN f_user_null THEN 1 ELSE 0 END) AS BIGINT)
+               AS q_user_null,
+             CAST(sum(CASE WHEN f_type_unknown THEN 1 ELSE 0 END) AS BIGINT)
+               AS q_type_unknown,
+             CAST(sum(CASE WHEN f_ts_range THEN 1 ELSE 0 END) AS BIGINT)
+               AS q_ts_range,
+             CAST(sum(CASE WHEN f_value_nonpos THEN 1 ELSE 0 END) AS BIGINT)
+               AS q_value_nonpos
+         FROM f""",
+
     "dq_srm" ->
       """WITH arms AS (SELECT CASE WHEN
              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))::UBIGINT

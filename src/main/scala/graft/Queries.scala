@@ -7101,6 +7101,63 @@ object Queries {
           (col("n_a") + col("n_b")).cast(DoubleType), 6).as("chi2"))
   }
 
+  /** K10 — write-side rule gate with DEAD-LETTER routing: the sink form
+    * of [[dqChecks]] — rows failing any row-level rule land in a
+    * quarantine table (with their violation flags) instead of the silver
+    * sink, so bad data is SHUNTED, not silently dropped and not allowed
+    * to poison downstream aggregates. One narrow flag projection, one
+    * filter per side, two file sinks; the declared result re-reads BOTH
+    * sinks (the files are the contract, as in every K-row) and reports
+    * the routing census — totals and per-rule quarantine counts (rules
+    * overlap, so counts sum ≥ quarantined). At 100 TB this is a single
+    * pass with two writers; the quarantine side is tiny by construction
+    * and the silver side carries no extra columns. */
+  def sinkQuarantine(spark: SparkSession, dir: String): DataFrame =
+    quarantineRouting(spark, t(spark, dir, "events"),
+      TempFiles.dir(s"sink_quar_valid_${TempFiles.tag(dir)}"),
+      TempFiles.dir(s"sink_quar_dead_${TempFiles.tag(dir)}"))
+
+  /** The rule-gate + dead-letter routing over an events-shaped frame —
+    * exposed so the spec can drive it with injected dirty rows and
+    * assert the routing itself (the gate corpus is clean, so the
+    * declared run proves the zero-quarantine path). */
+  private[graft] def quarantineRouting(spark: SparkSession, ev: DataFrame,
+                                       validPath: String,
+                                       quarPath: String): DataFrame = {
+    val flags = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      col("ts"), col("value"),
+      col("user_id").isNull.as("f_user_null"),
+      coalesce(!col("event_type").isin("view", "click", "purchase",
+        "signup", "error"), lit(true)).as("f_type_unknown"),
+      coalesce(col("ts") < lit("2024-01-01").cast(TimestampType) ||
+        col("ts") >= lit("2024-02-01").cast(TimestampType), lit(true))
+        .as("f_ts_range"),
+      coalesce(Cleanse.dec2(col("value")) <= 0, lit(false))
+        .as("f_value_nonpos"))
+    val bad = col("f_user_null") || col("f_type_unknown") ||
+      col("f_ts_range") || col("f_value_nonpos")
+    flags.filter(!bad)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .write.mode("overwrite").parquet(validPath)
+    flags.filter(bad).write.mode("overwrite").parquet(quarPath)
+    val nValid = spark.read.parquet(validPath)
+      .agg(count(lit(1)).as("n_valid"))
+    val q = spark.read.parquet(quarPath)
+    q.agg(count(lit(1)).as("n_quarantined"),
+        coalesce(sum(when(col("f_user_null"), 1L).otherwise(0L)), lit(0L))
+          .as("q_user_null"),
+        coalesce(sum(when(col("f_type_unknown"), 1L).otherwise(0L)), lit(0L))
+          .as("q_type_unknown"),
+        coalesce(sum(when(col("f_ts_range"), 1L).otherwise(0L)), lit(0L))
+          .as("q_ts_range"),
+        coalesce(sum(when(col("f_value_nonpos"), 1L).otherwise(0L)), lit(0L))
+          .as("q_value_nonpos"))
+      .crossJoin(broadcast(nValid))
+      .select(col("n_valid"), col("n_quarantined"), col("q_user_null"),
+        col("q_type_unknown"), col("q_ts_range"), col("q_value_nonpos"))
+  }
+
   /** Partial-pivot Gaussian elimination for the driver-side k×k normal
     * equations (k = model width, single-digit). Deterministic pivot
     * choice: largest |value|, ties to the smallest row index. */

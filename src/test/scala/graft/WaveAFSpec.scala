@@ -50,6 +50,39 @@ class WaveAFSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("sink_quarantine routes injected dirty rows to the dead-letter " +
+    "sink with their violation flags, and valid rows stay clean") {
+    import spark.implicits._
+    val base = ops.Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value")).limit(10)
+    val dirty = Seq(
+      (900001L, null.asInstanceOf[java.lang.Long], "view",
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), "10.00"),
+      (900002L, java.lang.Long.valueOf(7L), "teleport",
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), "10.00"),
+      (900003L, java.lang.Long.valueOf(7L), "view",
+        java.sql.Timestamp.valueOf("2023-12-31 00:00:00"), "10.00"),
+      (900004L, java.lang.Long.valueOf(7L), "view",
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), "-1.00"))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("value").cast("decimal(12,2)").cast(base.schema("value").dataType))
+    val vp = ops.TempFiles.dir("quar_spec_valid")
+    val qp = ops.TempFiles.dir("quar_spec_dead")
+    val r = Queries.quarantineRouting(spark,
+      base.unionByName(dirty), vp, qp).collect().head
+    assert(r.getLong(0) == 10, s"10 clean rows expected, got ${r.getLong(0)}")
+    assert(r.getLong(1) == 4)
+    assert(r.getLong(2) == 1 && r.getLong(3) == 1 && r.getLong(4) == 1 &&
+      r.getLong(5) == 1)
+    // the dead-letter table carries the flags for triage
+    val q = spark.read.parquet(qp)
+    assert(q.columns.contains("f_user_null") &&
+      q.columns.contains("f_value_nonpos"))
+    assert(q.count() == 4)
+  }
+
   test("dq_srm: arms tile the user universe, and assignment is " +
     "deterministic (recomputing flips nothing)") {
     val r1 = Queries.dqSrm(spark, sf).collect().head
