@@ -4338,9 +4338,13 @@ object Queries {
     a.join(b, Seq("k")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"))
       .dropDuplicates("a_id", "b_id")
+      // banded DP: the threshold form computes an O(L·k) diagonal band
+      // with early exit (yielding -1 past the bound) instead of the full
+      // O(L²) matrix — same kept rows and distances as the unbounded call
       .select(col("a_id"), col("b_id"),
-        levenshtein(col("a_name"), col("b_name")).cast(LongType).as("dist"))
-      .filter(col("dist") <= 1)
+        levenshtein(col("a_name"), col("b_name"), 1).cast(LongType)
+          .as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
       .orderBy(col("a_id"), col("b_id"))
   }
 
