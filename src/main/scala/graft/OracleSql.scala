@@ -1319,6 +1319,17 @@ object OracleSql {
              CAST(0 AS INTEGER) AS hamming
          FROM documents ORDER BY a_id""",
 
+    // digest clusters == (text, n_chars) clusters: the BMP encoder is
+    // deterministic and injective in those inputs
+    "mm_exact_dedup" ->
+      """WITH c AS (SELECT text, n_chars, count(*) AS sz FROM documents
+           GROUP BY 1, 2)
+         SELECT CAST(sz AS BIGINT) AS cluster_size,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(sz) AS BIGINT) AS n_payloads,
+             CAST(sum(sz - 1) AS BIGINT) AS n_droppable
+         FROM c GROUP BY sz ORDER BY cluster_size""",
+
     "mm_phash_incremental" ->
       """SELECT doc_id + 1048576 AS new_id, doc_id AS base_id,
              CAST(0 AS INTEGER) AS hamming
@@ -2250,6 +2261,32 @@ object OracleSql {
                  CAST(2 * n_pos * (n - n_pos) - n AS DOUBLE) /
                  (CAST(n * n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) AS z
          FROM runs ORDER BY event_type""",
+
+    "dq_pettitt" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS x FROM events GROUP BY 1, 2),
+         ranked AS (SELECT event_type, day, x,
+             rank() OVER (PARTITION BY event_type ORDER BY x) AS rmin,
+             count(*) OVER (PARTITION BY event_type, x) AS ties,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM daily),
+         u AS (SELECT event_type, day, n,
+             sum(2 * (rmin - 1) + ties + 1 - n - 1)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ut
+           FROM ranked),
+         k AS (SELECT event_type, day, n, ut,
+             max(abs(ut)) OVER (PARTITION BY event_type) AS kk
+           FROM u)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(max(kk) AS BIGINT) AS k,
+             strftime(min(day), '%Y-%m-%d') AS cp_day,
+             round(least(1e0, 2e0 * exp(-6e0 *
+               CAST(max(kk) * max(kk) AS DOUBLE) /
+               CAST(max(n) * max(n) * (max(n) + 1) AS DOUBLE))), 6)
+               AS p_approx
+         FROM k WHERE abs(ut) = kk
+         GROUP BY event_type ORDER BY event_type""",
 
     "dq_ljungbox" ->
       """WITH daily AS (SELECT event_type,
@@ -3742,6 +3779,31 @@ object OracleSql {
              round(CAST(sum(micro) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
                AS mean_micro
          FROM e GROUP BY label, dim ORDER BY label, dim""",
+
+    "embed_silhouette" ->
+      """WITH p AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+               AS BIGINT) AS micro
+           FROM embeddings),
+         c AS (SELECT label AS clabel, dim,
+             CAST(floor(CAST(sum(micro) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE)) AS BIGINT) AS c
+           FROM p GROUP BY 1, 2),
+         d AS (SELECT p.vec_id, p.label, c.clabel,
+             CAST(sum((p.micro - c.c) * (p.micro - c.c)) AS BIGINT) AS d2
+           FROM p JOIN c ON p.dim = c.dim GROUP BY 1, 2, 3),
+         a AS (SELECT vec_id, label, d2 AS a2 FROM d WHERE label = clabel),
+         bm AS (SELECT vec_id, min(d2) AS b2 FROM d
+           WHERE label != clabel GROUP BY 1),
+         b AS (SELECT d.vec_id, bm.b2, min(d.clabel) AS nearest_other
+           FROM d JOIN bm ON d.vec_id = bm.vec_id AND d.d2 = bm.b2
+           WHERE d.label != d.clabel GROUP BY d.vec_id, bm.b2)
+         SELECT a.vec_id, a.label, b.nearest_other, a.a2, b.b2,
+             round(CASE WHEN greatest(a.a2, b.b2) = 0 THEN 0e0
+               ELSE CAST(b.b2 - a.a2 AS DOUBLE) /
+                 CAST(greatest(a.a2, b.b2) AS DOUBLE) END, 6) AS sil
+         FROM a JOIN b ON a.vec_id = b.vec_id ORDER BY a.vec_id""",
 
     "stream_components" ->
       """WITH RECURSIVE t AS (SELECT doc_id,

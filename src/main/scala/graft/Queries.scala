@@ -3556,6 +3556,21 @@ object Queries {
         mm.Multimodal.asAudio(t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** N12i — voice-activity detection over the WAV payloads: the
+    * speech/silence segmentation an audio-ingest pipeline runs to drop
+    * dead air before transcription pays per-second. 16-sample frame
+    * energies, EXACT integer threshold (2·e_f·F > Σe — no float
+    * boundary), islands → segments; per doc the frame census, first
+    * speech frame, longest run, and speech ppm. Same `mapPartitions`
+    * codec seam and −1 corrupt-payload sentinels as [[mmAudioFeatures]];
+    * narrow end-to-end. Rows-only at the driver gate (SQL cannot
+    * byte-address PCM); the spec recomputes the segmentation driver-side
+    * from the raw text bytes and matches exactly. */
+  def mmAudioVad(spark: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.audioVad(spark,
+        mm.Multimodal.asAudio(t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
   /** N16d — BPE tokenizer training, round 1: the merge table a byte-pair
     * encoder learns first — adjacent character-pair counts over the
     * corpus, weighted by word frequency. The scale trick is the classic
@@ -7160,6 +7175,111 @@ object Queries {
       .crossJoin(broadcast(nValid))
       .select(col("n_valid"), col("n_quarantined"), col("q_user_null"),
         col("q_type_unknown"), col("q_ts_range"), col("q_value_nonpos"))
+  }
+
+  /** N12i — EXACT media dedup by content digest: step 0 of any media
+    * pipeline (byte-identical copies are the bulk of crawl duplication
+    * and cost nothing to find) — group payloads by md5, report the
+    * cluster-size histogram and the keep/drop census. One hash-groupBy
+    * over (digest) with map-side partial aggregation — the cheapest
+    * possible dedup shuffle; the perceptual tier ([[mmPhashDedup]]) only
+    * ever sees the survivors. Oracle equivalence: the BMP encoder is
+    * deterministic and injective in (text, n_chars), so digest clusters
+    * equal (text, n_chars) clusters — which IS SQL-expressible. */
+  def mmExactDedup(spark: SparkSession, dir: String): DataFrame =
+    mmExactDedupCore(mm.Multimodal.asMedia(t(spark, dir, "documents")))
+
+  /** Core of [[mmExactDedup]] over any media frame with a `payload`
+    * binary column — split out so specs can drive it with injected
+    * byte-identical copies (the gate corpus is digest-unique). */
+  def mmExactDedupCore(media: DataFrame): DataFrame =
+    media.select(md5(col("payload")).as("digest"))
+      .groupBy(col("digest")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_payloads"),
+        sum(col("sz") - 1).as("n_droppable"))
+      .orderBy(col("cluster_size"))
+
+  /** X82 — Pettitt changepoint test (Pettitt 1979) on the per-type daily
+    * count series: the rank-based "did the level shift, and when?" probe
+    * run on every ingested metric before trusting a trend. The statistic
+    * U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i−x_j) collapses to the EXACT-integer
+    * prefix sum Σ_{i≤t}(d_i − n − 1) over doubled tie-averaged ranks
+    * d_i = 2·#less + ties + 1 (the [[dqMannwhitney]] rank discipline), so
+    * K = max|U_t| and the changepoint day are integral and hash-exact;
+    * the approximate significance 2·exp(−6K²/(n³+n²)) is ONE identical
+    * double expression. All windows ride the calendar-bounded daily
+    * aggregate (days × types rows — model parameters, not data), so the
+    * only corpus-sized work is the daily partial-agg shuffle. */
+  def dqPettitt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wt = Window.partitionBy(col("event_type"))
+    val ranked = daily
+      .withColumn("rmin", rank().over(wt.orderBy(col("x"))))
+      .withColumn("ties", count(lit(1))
+        .over(Window.partitionBy(col("event_type"), col("x"))))
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("d", lit(2) * (col("rmin") - 1) + col("ties") + 1)
+    val u = ranked
+      .withColumn("u", sum(col("d") - col("n") - 1)
+        .over(wt.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k", max(abs(col("u"))).over(wt))
+    u.filter(abs(col("u")) === col("k"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).cast(LongType).as("n"),
+        max(col("k")).cast(LongType).as("k"),
+        date_format(min(col("day")), "yyyy-MM-dd").as("cp_day"))
+      .withColumn("p_approx", round(least(lit(1.0),
+        lit(2.0) * exp(lit(-6.0) * (col("k") * col("k")).cast(DoubleType) /
+          (col("n") * col("n") * (col("n") + 1)).cast(DoubleType))), 6))
+      .orderBy(col("event_type"))
+  }
+
+  /** N33c — centroid-based (simplified) silhouette per embedding: the
+    * clustering-quality score every labeled-embedding pipeline reports
+    * before trusting its labels — a(i) = squared distance to the OWN
+    * label's centroid, b(i) = min over other labels, s = (b−a)/max(a,b)
+    * on the squared scale. Everything integral until the last division:
+    * coordinates in ⌊v·10⁶⌋ micro-units, centroids FLOOR-QUANTIZED
+    * (⌊Σmicro/n⌋ — |Σ| < 2⁵³ so the double floor-division is exact on
+    * both engines), distances exact long Σ(micro−c)². The centroid table
+    * is k×dim rows (model parameters) and BROADCAST into the join — the
+    * corpus side is one explode + map-side-combined partial agg, so the
+    * only big shuffle carries k rows per vector (the [[annIvfTopk]]
+    * assignment-kernel shape). Nearest-other tie-break: smallest label. */
+  def embedSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val pts = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("v").cast(DoubleType) * lit(1000000.0)).cast(LongType)
+          .as("micro"))
+    val cents = pts.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(floor(sum(col("micro")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).cast(LongType).as("c"))
+    val d2 = pts.join(broadcast(cents), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum((col("micro") - col("c")) * (col("micro") - col("c")))
+        .as("d2"))
+    val a = d2.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("d2").as("a2"))
+    val b = d2.filter(col("label") =!= col("clabel"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("clabel"))).as("mb"))
+      .select(col("vec_id"), col("mb.d2").as("b2"),
+        col("mb.clabel").as("nearest_other"))
+    a.join(b, "vec_id")
+      .select(col("vec_id"), col("label"), col("nearest_other"),
+        col("a2"), col("b2"),
+        round(when(greatest(col("a2"), col("b2")) === 0, lit(0.0))
+          .otherwise((col("b2") - col("a2")).cast(DoubleType) /
+            greatest(col("a2"), col("b2")).cast(DoubleType)), 6).as("sil"))
+      .orderBy(col("vec_id"))
   }
 
   /** Partial-pivot Gaussian elimination for the driver-side k×k normal

@@ -31,6 +31,8 @@ case class AudioFeature(doc_id: Long, sample_rate: Int, n_samples: Long,
   * as the frame sequence, the [[FrameSample]] convention), how many shot
   * boundaries fired, the first boundary's frame index (−1 when none), and
   * the largest inter-frame luma delta — all exact integers. */
+case class VadResult(doc_id: Long, n_frames: Int, n_speech: Int,
+  n_segments: Int, first_speech: Int, longest_run: Int, speech_ppm: Long)
 case class SceneCut(doc_id: Long, n_frames: Int, n_cuts: Int,
                     first_cut: Int, max_delta: Long)
 
@@ -498,6 +500,67 @@ object Multimodal {
             i += 1
           }
           AudioFeature(id, le32(b, 24), n.toLong, zc, peak, energy)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Partition-wise energy-threshold voice-activity detection: frame the
+    * PCM-16 stream into 16-sample windows, per-frame energy Σs² (exact
+    * long), mark a frame SPEECH when its energy strictly beats half the
+    * per-doc mean frame energy by exact integer cross-multiplication
+    * (2·e_f·F > Σe — no float threshold, so the segmentation is
+    * deterministic), then reduce the speech mask to islands. The codec
+    * seam is the same `mapPartitions` as [[audioFeatures]] — one pass per
+    * payload, no state across rows, corrupt blobs yield −1 sentinels. */
+  def audioVad(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      def le32(b: Array[Byte], off: Int): Int =
+        (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+          ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+      def le16s(b: Array[Byte], off: Int): Int =
+        (((b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)) << 16) >> 16
+      val W = 16
+      it.map { case (id, b) =>
+        val ok = b.length >= 44 &&
+          b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+          le32(b, 40) >= 0 && 44L + le32(b, 40).toLong <= b.length.toLong
+        if (!ok) VadResult(id, -1, -1, -1, -1, -1, -1L)
+        else {
+          val n = le32(b, 40) / 2
+          val nf = n / W                    // trailing partial frame dropped
+          val e = new Array[Long](nf)
+          var f = 0
+          while (f < nf) {
+            var i = 0; var acc = 0L
+            while (i < W) {
+              val s = le16s(b, 44 + 2 * (f * W + i))
+              acc += s.toLong * s.toLong
+              i += 1
+            }
+            e(f) = acc; f += 1
+          }
+          val total = e.sum
+          var nSpeech = 0; var nSeg = 0; var first = -1
+          var run = 0; var longest = 0
+          f = 0
+          while (f < nf) {
+            val speech = 2L * e(f) * nf > total
+            if (speech) {
+              nSpeech += 1
+              if (first < 0) first = f
+              if (run == 0) nSeg += 1
+              run += 1
+              if (run > longest) longest = run
+            } else run = 0
+            f += 1
+          }
+          val ppm = if (nf == 0) 0L else nSpeech.toLong * 1000000L / nf
+          VadResult(id, nf, nSpeech, nSeg, first, longest, ppm)
         }
       }
     }.toDF()

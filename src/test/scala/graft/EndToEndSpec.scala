@@ -40,6 +40,9 @@ class EndToEndSpec extends AnyFunSuite {
       // SQL cannot byte-address UTF-8 text to recompute PCM-derived
       // stats; exact driver-side recompute spec in MultimodalSpec
       "mm_audio_features",
+      // same PCM seam: VAD segmentation recomputed driver-side exactly
+      // (MultimodalSpec)
+      "mm_audio_vad",
       // iterative floating-point fixpoint: last-ulp bits vary with
       // partitioning; invariants are property-spec'd (PageRankSpec)
       "graph_pagerank",

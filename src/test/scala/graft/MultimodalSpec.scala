@@ -248,4 +248,61 @@ class MultimodalSpec extends AnyFunSuite {
       assert(rows(i).getLong(2) == -1L && rows(i).getLong(5) == -1L)
     }
   }
+
+  test("audio VAD segmentation matches an independent driver recompute " +
+    "and flags corrupt payloads") {
+    val docs = Seq(
+      (1L, "hello world this is a longer sentence for vad", 45L, "en"),
+      (2L, "", 0L, "en"),
+      (3L, "short", 5L, "en"),
+      (4L, "x " * 120 + "tail", 244L, "en"))
+      .toDF("doc_id", "text", "n_chars", "lang")
+    val media = Multimodal.asAudio(docs)
+    val got = Multimodal.audioVad(spark, media).orderBy("doc_id").collect()
+    // independent recompute: decode the WAV we know asAudio built
+    docs.collect().sortBy(_.getLong(0)).zip(got).foreach { case (d, r) =>
+      val bytes = Multimodal.encodeWav(
+        d.getString(1).getBytes("UTF-8"), d.getLong(2).toInt)
+      val n = ((bytes(40) & 0xFF) | ((bytes(41) & 0xFF) << 8) |
+        ((bytes(42) & 0xFF) << 16) | ((bytes(43) & 0xFF) << 24)) / 2
+      val samples = (0 until n).map { i =>
+        (((bytes(44 + 2 * i) & 0xFF) |
+          ((bytes(45 + 2 * i) & 0xFF) << 8)) << 16) >> 16
+      }
+      val frames = samples.grouped(16).filter(_.length == 16)
+        .map(_.map(s => s.toLong * s.toLong).sum).toArray
+      val total = frames.sum
+      val mask = frames.map(e => 2L * e * frames.length > total)
+      val segs = mask.foldLeft((0, false)) { case ((k, prev), s) =>
+        (if (s && !prev) k + 1 else k, s) }._1
+      val runs = mask.foldLeft((0, 0)) { case ((best, cur), s) =>
+        val c = if (s) cur + 1 else 0; (math.max(best, c), c) }._1
+      assert(r.getInt(1) == frames.length, s"doc ${d.getLong(0)} n_frames")
+      assert(r.getInt(2) == mask.count(identity), s"doc ${d.getLong(0)}")
+      assert(r.getInt(3) == segs && r.getInt(5) == runs)
+      assert(r.getInt(4) == mask.indexWhere(identity))
+      assert(r.getLong(6) == (if (frames.isEmpty) 0L
+        else mask.count(identity).toLong * 1000000L / frames.length))
+    }
+    // corrupt payload → sentinel row
+    val bad = Multimodal.audioVad(spark,
+      Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")).collect()
+    assert(bad.head.getInt(1) == -1 && bad.head.getLong(6) == -1L)
+  }
+
+  test("exact media dedup finds injected byte-identical copies") {
+    // 4 distinct texts; "dup me" appears 3×, "pair" 2×, two singletons.
+    val docs = Seq(
+      (1L, "dup me", 6L, "en"), (2L, "dup me", 6L, "en"),
+      (3L, "dup me", 6L, "en"), (4L, "pair", 4L, "en"),
+      (5L, "pair", 4L, "en"), (6L, "solo one", 8L, "en"),
+      (7L, "solo two", 8L, "en"))
+      .toDF("doc_id", "text", "n_chars", "lang")
+    val out = Queries.mmExactDedupCore(Multimodal.asMedia(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // histogram rows: (cluster_size, n_clusters, n_payloads, n_droppable)
+    assert(out.toSeq == Seq((1L, 2L, 2L, 0L), (2L, 1L, 2L, 1L),
+      (3L, 1L, 3L, 2L)))
+  }
 }

