@@ -1785,6 +1785,33 @@ object OracleSql {
          FROM documents WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> c)
          GROUP BY lang ORDER BY lang""",
 
+    "sample_soft_dedup" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           p AS (
+             SELECT a.doc_id a_id, b.doc_id b_id
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+           e AS (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),
+           reach(id, r) AS (
+             SELECT u, u FROM e
+             UNION
+             SELECT e2.u, reach.r FROM e e2 JOIN reach ON reach.id = e2.v),
+           comp AS (SELECT id, min(r) c FROM reach GROUP BY id),
+           lab AS (SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS cluster
+             FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+           s AS (SELECT cluster, count(*) AS cluster_size
+             FROM lab GROUP BY 1)
+         SELECT lab.doc_id, lab.cluster,
+             CAST(s.cluster_size AS BIGINT) AS cluster_size,
+             CAST(floor(1000000 / CAST(s.cluster_size AS DOUBLE)) AS BIGINT)
+               AS weight_ppm
+         FROM lab JOIN s ON lab.cluster = s.cluster
+         ORDER BY lab.doc_id""",
+
     "sample_hash" ->
       """SELECT event_id, event_type FROM events
          WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '29'
@@ -2208,6 +2235,34 @@ object OracleSql {
 
     // the streaming maintained value-grid MV derives through the same
     // winsorizeFromGrid as the batch query -- shared oracle
+    // the streaming maintained Pettitt MV derives the identical statistic
+    // on read, so it shares dq_pettitt's oracle verbatim
+    "stream_pettitt" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS x FROM events GROUP BY 1, 2),
+         ranked AS (SELECT event_type, day, x,
+             rank() OVER (PARTITION BY event_type ORDER BY x) AS rmin,
+             count(*) OVER (PARTITION BY event_type, x) AS ties,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM daily),
+         u AS (SELECT event_type, day, n,
+             sum(2 * (rmin - 1) + ties + 1 - n - 1)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ut
+           FROM ranked),
+         k AS (SELECT event_type, day, n, ut,
+             max(abs(ut)) OVER (PARTITION BY event_type) AS kk
+           FROM u)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(max(kk) AS BIGINT) AS k,
+             strftime(min(day), '%Y-%m-%d') AS cp_day,
+             round(least(1e0, 2e0 * exp(-6e0 *
+               CAST(max(kk) * max(kk) AS DOUBLE) /
+               CAST(max(n) * max(n) * (max(n) + 1) AS DOUBLE))), 6)
+               AS p_approx
+         FROM k WHERE abs(ut) = kk
+         GROUP BY event_type ORDER BY event_type""",
+
     "stream_winsorized" ->
       """WITH v AS (SELECT event_type,
              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents

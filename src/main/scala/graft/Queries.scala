@@ -2062,6 +2062,35 @@ object Queries {
     * `TABLESAMPLE`/rand()) so the sample is stable across runs, engines,
     * and partitionings — the reproducibility property training-data
     * pipelines need when a corpus is resampled incrementally. */
+  /** N15l — SOFT dedup: keep every copy, down-weight by duplicate
+    * cluster size (w = ⌊10⁶/size⌋ ppm) — the training-mix alternative to
+    * hard dedup when repetition should cost, not kill (each near-dup
+    * CLUSTER contributes ~one doc's worth of gradient regardless of how
+    * many crawls re-captured it). Rides the cached MinHash pair list and
+    * the cached connected components (both already bucketed/log-round at
+    * scale); singletons label themselves via the left-join coalesce, and
+    * sizes come from ONE cluster-keyed partial agg joined back — shuffle
+    * cost is two cluster-keyed exchanges over id-sized rows, never
+    * payloads. Integer floor-division weight is hash-exact. */
+  def sampleSoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = text.NearDup.minhashDupPairsCached(
+      docs, "doc_id", "text", 0.8, dir)
+    val comp = Components.connectedComponentsCached(pairs, "a_id", "b_id", dir)
+    val lab = docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster"))
+    val sizes = lab.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        floor(lit(1000000L).cast(DoubleType) /
+          col("cluster_size").cast(DoubleType)).cast(LongType)
+          .as("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   def sampleHash(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .filter(substring(md5(col("event_id").cast(StringType)), 1, 2) < "29")
@@ -7212,11 +7241,17 @@ object Queries {
     * double expression. All windows ride the calendar-bounded daily
     * aggregate (days × types rows — model parameters, not data), so the
     * only corpus-sized work is the daily partial-agg shuffle. */
-  def dqPettitt(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = t(spark, dir, "events")
+  def dqPettitt(spark: SparkSession, dir: String): DataFrame =
+    pettittFromDaily(t(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")))
+
+  /** The rank/prefix derivation of [[dqPettitt]] over any
+    * (event_type, day: DATE, x: LONG) daily frame — shared verbatim by
+    * the streaming maintained twin, which derives it on read over the
+    * folded daily-count MV. */
+  private[graft] def pettittFromDaily(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wt = Window.partitionBy(col("event_type"))
     val ranked = daily
       .withColumn("rmin", rank().over(wt.orderBy(col("x"))))

@@ -1737,6 +1737,58 @@ object StreamTwins {
           col("n").as("actual")))
   }
 
+  /** STREAMING maintained Pettitt changepoint monitor — the twin of
+    * [[graft.Queries.dqPettitt]]. The per-(type, day) count grid is an
+    * ADDITIVE MV (counts sum across any batching) folded through the
+    * batchId-versioned seam; the rank/prefix U_t derivation — which any
+    * late event anywhere in the calendar can shift — is NOT maintained:
+    * it derives on read through the SAME
+    * [[graft.Queries.pettittFromDaily]] chain the batch query uses, so
+    * any batching hash-matches the batch oracle. State is bounded by
+    * days × types. Fold what merges, derive what doesn't. */
+  def streamPettitt(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_pettitt_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_pettitt_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_pettitt_ck_$tag")
+    val feedSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .select(col("ts"), col("event_type")),
+      s"stream_pettitt_feed_build_$tag")
+    val stateSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("day", StringType),
+      StructField("n", LongType)))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(partials(batch.toDF()))
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("n")).as("n"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.Queries.pettittFromDaily(
+      ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
+        .select(col("event_type"), to_date(col("day")).as("day"),
+          col("n").as("x")))
+  }
+
   /** STREAMING maintained winsorized mean — the twin of
     * [[graft.Queries.aggWinsorizedMean]]. The (event_type, cents, m)
     * VALUE GRID is an ADDITIVE MV (occurrence counts sum across any

@@ -65,6 +65,37 @@ class WaveAGSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_pettitt: the maintained daily-count MV yields the batch " +
+    "Pettitt statistic exactly") {
+    val streamed = streaming.StreamTwins.streamPettitt(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val batch = Queries.dqPettitt(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sample_soft_dedup: weights are a partition of ~1e6 per cluster, " +
+    "singletons keep full weight, and sizes agree with the CC clustering") {
+    val rows = Queries.sampleSoftDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = ops.Tables.table(spark, sf, "documents").count()
+    assert(rows.length.toLong == nDocs)
+    rows.groupBy(_._2).foreach { case (cl, g) =>
+      val size = g.head._3
+      assert(g.length.toLong == size, s"cluster $cl size")
+      assert(g.forall(_._4 == 1000000L / size))
+      val tot = g.map(_._4).sum
+      assert(tot <= 1000000L && tot > 1000000L - size,
+        s"cluster $cl weight mass $tot")
+      if (size == 1L) assert(g.head._4 == 1000000L)
+      // the representative is the min doc_id in the cluster
+      assert(cl == g.map(_._1).min)
+    }
+  }
+
   test("pettitt U_t prefix form equals the double-sum definition under " +
     "heavy ties (constant and two-level synthetic series)") {
     // pure-scala check of the rank identity the query relies on:
