@@ -1812,6 +1812,22 @@ object OracleSql {
          FROM lab JOIN s ON lab.cluster = s.cluster
          ORDER BY lab.doc_id""",
 
+    "sample_curriculum" ->
+      """WITH s AS (SELECT doc_id, source,
+             CAST(floor(1000000.0 *
+               len(list_distinct(string_split(text, ' '))) /
+               len(string_split(text, ' '))) AS BIGINT) AS score_ppm
+           FROM documents),
+         r AS (SELECT *, CAST(ntile(4) OVER
+             (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS phase
+           FROM s),
+         p AS (SELECT *, CAST(row_number() OVER (PARTITION BY phase
+             ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+               AS BIGINT) AS pos
+           FROM r)
+         SELECT doc_id, source, score_ppm, phase, pos
+         FROM p ORDER BY phase, pos""",
+
     "sample_hash" ->
       """SELECT event_id, event_type FROM events
          WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '29'

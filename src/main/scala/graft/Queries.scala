@@ -2091,6 +2091,35 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** N15m — curriculum ordering: the full training-order schedule —
+    * cleanest quartile first (curriculum learning, Bengio 2009), with a
+    * DETERMINISTIC within-phase shuffle so each phase is internally
+    * unordered but reproducible across engines and reruns. Quality =
+    * lexical diversity in exact ppm (⌊10⁶·distinct/total tokens⌋ — the
+    * [[sampleImportance]] proxy kept integral); phases are the exact
+    * 4-quantile over (quality DESC, doc_id) via the two-pass distributed
+    * rank + closed-form ntile (NO global window); within-phase position
+    * is the distributed per-group prefix count over the md5 shuffle key.
+    * Both passes are range-exchange + broadcast-offset — scale-safe where
+    * `ntile().over(Window.orderBy(...))` would bottleneck on one task. */
+  def sampleCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        floor(lit(1000000.0) *
+          size(array_distinct(split(col("text"), " "))).cast(DoubleType) /
+          size(split(col("text"), " ")).cast(DoubleType)).cast(LongType)
+          .as("score_ppm"))
+      .withColumn("neg_score", -col("score_ppm"))
+      .withColumn("shuf", substring(md5(col("doc_id").cast(StringType)), 1, 8))
+    val phased = PrefixSum.ntileGlobal(
+      scored, Seq("neg_score", "doc_id"), 4, "phase")
+    PrefixSum.cumSum(phased, Seq("phase"), Seq("shuf", "doc_id"),
+        lit(1L), "pos")
+      .select(col("doc_id"), col("source"), col("score_ppm"),
+        col("phase"), col("pos"))
+      .orderBy(col("phase"), col("pos"))
+  }
+
   def sampleHash(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .filter(substring(md5(col("event_id").cast(StringType)), 1, 2) < "29")
@@ -6196,6 +6225,37 @@ object Queries {
     * ⌊deg·10⁶/freq⌋ so phrase sums are exact Longs that hash-match the
     * oracle. Shuffles: the token count, the per-doc islands, the
     * vocab-sized word stats, one member join — all token-linear. */
+  /** N34b — TextRank keywords (Mihalcea & Tarau 2004): [[ops.PageRank]]
+    * REUSED at the word level — damped power iteration over the corpus
+    * word co-occurrence graph (adjacent non-stopword tokens, undirected,
+    * distinct pairs), top-20 by rank. Same corpus-own top-5 stopword list
+    * as [[vocabRake]]; the edge build is one narrow lead() over per-doc
+    * positions + a distinct on the (a,b) pair key, and the graph is
+    * VOCABULARY-sized (nodes = distinct tokens), so the iteration cost is
+    * independent of corpus row count once edges are reduced — the same
+    * vocabulary-reduction trick as [[vocabBpeMerges]]. Rows-only
+    * (iterative float fixpoint, the [[graphPagerank]] contract) with
+    * conservation/stopword-exclusion invariants spec'd. */
+  def vocabTextrank(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+    val stop = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(5)
+      .select(col("tok").as("sw"))
+    val ns = tok.join(broadcast(stop), col("tok") === col("sw"), "left_anti")
+    val nxt = ns.withColumn("ntok",
+        lead(col("tok"), 1).over(W.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .filter(col("ntok").isNotNull && col("tok") =!= col("ntok"))
+    val edges = nxt.select(least(col("tok"), col("ntok")).as("a"),
+        greatest(col("tok"), col("ntok")).as("b"))
+      .distinct()
+    PageRank.ranks(edges, "a", "b", iters = 10)
+      .select(col("node").as("token"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("token")).limit(20)
+  }
+
   def vocabRake(spark: SparkSession, dir: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val tok = t(spark, dir, "documents")

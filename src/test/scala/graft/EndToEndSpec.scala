@@ -46,6 +46,9 @@ class EndToEndSpec extends AnyFunSuite {
       // iterative floating-point fixpoint: last-ulp bits vary with
       // partitioning; invariants are property-spec'd (PageRankSpec)
       "graph_pagerank",
+      // the same PageRank fixpoint contract at the word level;
+      // conservation/stopword invariants spec'd in WaveAGSpec
+      "vocab_textrank",
       // HLL sketch registers are engine-internal; ±5% floor and
       // merge-consistency (union-of-daily == direct weekly) spec'd
       "agg_hll_merge",

@@ -96,6 +96,52 @@ class WaveAGSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_curriculum: phases tile the corpus into quartiles ordered " +
+    "by quality, and within-phase positions are a permutation") {
+    val rows = Queries.sampleCurriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = ops.Tables.table(spark, sf, "documents").count()
+    assert(rows.length.toLong == n)
+    val byPhase = rows.groupBy(_._3)
+    assert(byPhase.keySet == Set(1L, 2L, 3L, 4L))
+    // standard ntile split: sizes differ by at most 1
+    val sizes = byPhase.values.map(_.length).toSeq
+    assert(sizes.max - sizes.min <= 1)
+    // positions are 1..|phase| exactly
+    byPhase.foreach { case (ph, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq,
+        s"phase $ph positions")
+    }
+    // quality ordering across phases: min score of phase k >= max of k+1
+    // up to quantile-boundary ties
+    for (k <- 1L to 3L) {
+      val lo = byPhase(k).map(_._2).min
+      val hi = byPhase(k + 1).map(_._2).max
+      assert(lo >= hi, s"phase $k min $lo < phase ${k + 1} max $hi")
+    }
+  }
+
+  test("vocab_textrank: rank mass conservation on the word graph, " +
+    "stopwords excluded, deterministic top-20") {
+    val docs = ops.Tables.table(spark, sf, "documents")
+    val stop = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().orderBy(col("count").desc, col("tok"))
+      .limit(5).collect().map(_.getString(0)).toSet
+    val out = Queries.vocabTextrank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.length == 20)
+    assert(out.forall { case (t, r) => !stop.contains(t) && r > 0.0 })
+    // descending rank with token tie-break
+    out.sliding(2).foreach { case Array((t1, r1), (t2, r2)) =>
+      assert(r1 > r2 || (r1 == r2 && t1 < t2))
+    }
+    // two runs agree exactly (deterministic plan, cached lineage)
+    val again = Queries.vocabTextrank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("pettitt U_t prefix form equals the double-sum definition under " +
     "heavy ties (constant and two-level synthetic series)") {
     // pure-scala check of the rank identity the query relies on:
