@@ -7361,19 +7361,20 @@ object Queries {
       .groupBy(col("vec_id"), col("label"), col("clabel"))
       .agg(sum((col("micro") - col("c")) * (col("micro") - col("c")))
         .as("d2"))
-    val a = d2.filter(col("label") === col("clabel"))
-      .select(col("vec_id"), col("label"), col("d2").as("a2"))
-    val b = d2.filter(col("label") =!= col("clabel"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("clabel"))).as("mb"))
-      .select(col("vec_id"), col("mb.d2").as("b2"),
-        col("mb.clabel").as("nearest_other"))
-    a.join(b, "vec_id")
-      .select(col("vec_id"), col("label"), col("nearest_other"),
-        col("a2"), col("b2"),
-        round(when(greatest(col("a2"), col("b2")) === 0, lit(0.0))
-          .otherwise((col("b2") - col("a2")).cast(DoubleType) /
-            greatest(col("a2"), col("b2")).cast(DoubleType)), 6).as("sil"))
+    // own/other distances split in ONE conditional aggregation (label is
+    // constant per vec) — the d2 pipeline runs once, no self-join
+    d2.groupBy(col("vec_id"))
+      .agg(max(col("label")).as("label"),
+        max(when(col("label") === col("clabel"), col("d2"))).as("a2"),
+        min(when(col("label") =!= col("clabel"),
+          struct(col("d2"), col("clabel")))).as("mb"))
+      .select(col("vec_id"), col("label"),
+        col("mb.clabel").as("nearest_other"),
+        col("a2"), col("mb.d2").as("b2"),
+        round(when(greatest(col("a2"), col("mb.d2")) === 0, lit(0.0))
+          .otherwise((col("mb.d2") - col("a2")).cast(DoubleType) /
+            greatest(col("a2"), col("mb.d2")).cast(DoubleType)), 6)
+          .as("sil"))
       .orderBy(col("vec_id"))
   }
 
