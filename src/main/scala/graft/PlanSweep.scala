@@ -91,7 +91,10 @@ object PlanSweep {
       "graph_modularity",
       // hybrid RRF: search_bm25's one-row (n_docs, total_len) totals
       // broadcast — both base rankers share the scorer frame
-      "search_hybrid_rrf")
+      "search_hybrid_rrf",
+      // quarantine routing census: the ONE-row valid-count scalar
+      // cross-joined onto the one-row quarantine aggregate (1×1)
+      "sink_quarantine")
 
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact
