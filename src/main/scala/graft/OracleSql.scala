@@ -1785,6 +1785,35 @@ object OracleSql {
          FROM documents WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> c)
          GROUP BY lang ORDER BY lang""",
 
+    // the streaming maintained soft-dedup MV derives the identical census
+    // on read, so it shares sample_soft_dedup's oracle verbatim
+    "stream_soft_dedup" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           p AS (
+             SELECT a.doc_id a_id, b.doc_id b_id
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+           e AS (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),
+           reach(id, r) AS (
+             SELECT u, u FROM e
+             UNION
+             SELECT e2.u, reach.r FROM e e2 JOIN reach ON reach.id = e2.v),
+           comp AS (SELECT id, min(r) c FROM reach GROUP BY id),
+           lab AS (SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS cluster
+             FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+           s AS (SELECT cluster, count(*) AS cluster_size
+             FROM lab GROUP BY 1)
+         SELECT lab.doc_id, lab.cluster,
+             CAST(s.cluster_size AS BIGINT) AS cluster_size,
+             CAST(floor(1000000 / CAST(s.cluster_size AS DOUBLE)) AS BIGINT)
+               AS weight_ppm
+         FROM lab JOIN s ON lab.cluster = s.cluster
+         ORDER BY lab.doc_id""",
+
     "sample_soft_dedup" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),

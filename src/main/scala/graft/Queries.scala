@@ -2076,7 +2076,15 @@ object Queries {
     val docs = t(spark, dir, "documents")
     val pairs = text.NearDup.minhashDupPairsCached(
       docs, "doc_id", "text", 0.8, dir)
-    val comp = Components.connectedComponentsCached(pairs, "a_id", "b_id", dir)
+    softDedupWeights(docs,
+      Components.connectedComponentsCached(pairs, "a_id", "b_id", dir))
+  }
+
+  /** The cluster-size census + weight derivation of [[sampleSoftDedup]]
+    * over any (id, comp) label frame — shared verbatim by the streaming
+    * maintained twin, which derives it on read over the folded CC state. */
+  private[graft] def softDedupWeights(docs: DataFrame,
+                                      comp: DataFrame): DataFrame = {
     val lab = docs.select(col("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -6236,6 +6244,19 @@ object Queries {
     * vocabulary-reduction trick as [[vocabBpeMerges]]. Rows-only
     * (iterative float fixpoint, the [[graphPagerank]] contract) with
     * conservation/stopword-exclusion invariants spec'd. */
+  /** N16h — unigram subword tokenizer inference ([[text.Unigram]]): the
+    * SentencePiece-shaped second tokenizer beside the BPE family —
+    * top-200 character-n-gram vocab (one gram-keyed partial-agg shuffle,
+    * total-order cut) broadcast as a model parameter, then an exact
+    * integral-objective Viterbi DP per document in a narrow
+    * `mapPartitions` — zero shuffles after the vocab build, linear in
+    * corpus characters. Rows-only (SQL cannot express the DP); the spec
+    * replays the identical DP driver-side over every document. */
+  def tokenizeUnigram(spark: SparkSession, dir: String): DataFrame =
+    text.Unigram.tokenize(spark, t(spark, dir, "documents"),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   def vocabTextrank(spark: SparkSession, dir: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val tok = t(spark, dir, "documents")

@@ -1476,11 +1476,29 @@ object StreamTwins {
     * and hash-matches its oracle verbatim. */
   def streamComponents(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
+    val labels = ccStateFold(ss, sfDir, "stream_cc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+    labels
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The incremental-CC maintenance shared by [[streamComponents]] and
+    * [[streamSoftDedup]]: the near-dup pair table lands as 3 deterministic
+    * id-keyed slices, each batch folds its delta edges into the maintained
+    * node→label star-edge state (nodes-sized union-find compression), and
+    * the FINAL label frame is returned for the caller's on-read
+    * derivation. `prefix` keys the feed/state/checkpoint dirs so callers
+    * maintain independent MVs. */
+  private def ccStateFold(ss: SparkSession, sfDir: String,
+                          prefix: String): DataFrame = {
     val tag = graft.ops.TempFiles.tag(sfDir)
     val landing = java.nio.file.Paths.get(
-      graft.ops.TempFiles.dir(s"stream_cc_feed_$tag"))
-    val stateRoot = graft.ops.TempFiles.dir(s"stream_cc_state_$tag")
-    val ckDir = graft.ops.TempFiles.dir(s"stream_cc_ck_$tag")
+      graft.ops.TempFiles.dir(s"${prefix}_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"${prefix}_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"${prefix}_ck_$tag")
 
     // land the pair table as 3 deterministic id-keyed slice files
     val slices = Seq(0, 1, 2)
@@ -1493,7 +1511,7 @@ object StreamTwins {
         .select(col("a_id"), col("b_id"))
       slices.foreach { i =>
         val part = java.nio.file.Paths.get(graft.ops.TempFiles.dir(
-          s"stream_cc_feed_build_$tag/staging/s$i"))
+          s"${prefix}_feed_build_$tag/staging/s$i"))
         pairs.filter(pmod(col("a_id"), lit(3)) === i)
           .repartition(1).write.mode("overwrite").parquet(part.toString)
         val src = java.nio.file.Files.list(part)
@@ -1526,13 +1544,23 @@ object StreamTwins {
       .option("checkpointLocation", ckDir)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("component"))
     ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
-      .select(col("id").as("doc_id"), col("comp").as("component"))
-      .withColumn("n_members", count(lit(1)).over(w))
-      .orderBy(col("doc_id"))
+  }
+
+  /** STREAMING maintained soft-dedup weights — the twin of
+    * [[graft.Queries.sampleSoftDedup]]. The near-dup CC label state is
+    * the SAME incremental fold as [[streamComponents]] (own feed/state
+    * dirs, so the two MVs stay independent); the cluster sizes and the
+    * ⌊10⁶/size⌋ ppm weights — which any newly-arrived edge can shift by
+    * merging clusters — derive on read through the shared
+    * [[graft.Queries.softDedupWeights]] chain over the static documents
+    * table, so any batching hash-matches the batch oracle. Fold what
+    * merges (the union-find state), derive what doesn't (the census). */
+  def streamSoftDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val labels = ccStateFold(ss, sfDir, "stream_softdd")
+    graft.Queries.softDedupWeights(
+      graft.ops.Tables.table(ss, sfDir, "documents"), labels)
   }
 
   /** STREAMING maintained BM25 index — the twin of

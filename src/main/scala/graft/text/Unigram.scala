@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Unigram subword tokenizer INFERENCE at corpus scale — the
+  * SentencePiece-shaped second tokenizer beside the BPE family: a learned
+  * subword vocabulary is applied to every document by exact
+  * dynamic-programming segmentation (Viterbi over an integral objective).
+  *
+  * The 100 TB shape: the vocabulary is a MODEL PARAMETER (top-V character
+  * n-grams by corpus frequency — one partial-agg shuffle over the gram
+  * explode, then a total-order cut), collected once and BROADCAST; the
+  * segmentation pass is a narrow `mapPartitions` DP per document — zero
+  * shuffles after the vocab build, cost linear in corpus characters with a
+  * constant (maxLen²) per-position factor.
+  *
+  * Determinism contract: the objective is INTEGRAL — a vocab token of
+  * length L scores 1000·L, a single-character fallback scores 1 — and the
+  * DP breaks score ties by preferring the LONGER token at the earlier
+  * position (strict-greater fold over lengths iterated descending), so the
+  * segmentation is a pure function of (text, vocab) with no float anywhere.
+  * Rows-only at the driver gate (SQL cannot express the DP); the spec
+  * replays the identical DP driver-side over every document and also pins
+  * hand-computed segmentations on a fixture.
+  */
+object Unigram {
+
+  val MinLen = 2
+  val MaxLen = 5
+
+  /** Top-`v` character n-grams (lengths [[MinLen]]..[[MaxLen]]) by corpus
+    * frequency, total-ordered (count desc, gram asc) so the cut has no
+    * boundary ties cross-engine. One gram-keyed partial-agg shuffle. */
+  def vocab(docs: DataFrame, textCol: String, v: Int): Array[String] = {
+    val exploded = docs
+      .select(col(textCol).as("t"))
+      .select(explode(expr(
+        s"flatten(transform(sequence($MinLen, $MaxLen), l -> " +
+          "transform(sequence(1, greatest(length(t) - l + 1, 0)), " +
+          "i -> substring(t, i, l))))")).as("g"))
+    exploded.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("g")).limit(v)
+      .select(col("g")).collect().map(_.getString(0))
+  }
+
+  /** Exact DP segmentation of `text` under the integral objective; returns
+    * (nTokens, nVocabTokens, nFallback). Shared verbatim by the engine
+    * kernel and the spec's driver recompute. */
+  def segment(text: String, vocab: Set[String]): (Int, Int, Int) = {
+    val n = text.length
+    if (n == 0) return (0, 0, 0)
+    // best(i) = (score, tokens, vocabTokens) for suffix starting at i
+    val score = new Array[Long](n + 1)
+    val nTok = new Array[Int](n + 1)
+    val nVoc = new Array[Int](n + 1)
+    var i = n - 1
+    while (i >= 0) {
+      // fallback: single char, score 1
+      score(i) = 1L + score(i + 1)
+      nTok(i) = 1 + nTok(i + 1)
+      nVoc(i) = nVoc(i + 1)
+      // vocab tokens, longest first — strict > keeps the longer token on
+      // score ties (score is length-proportional so longer always wins
+      // when both segmentations cover the same span with vocab tokens)
+      var l = math.min(MaxLen, n - i)
+      while (l >= MinLen) {
+        if (vocab.contains(text.substring(i, i + l))) {
+          val s = 1000L * l + score(i + l)
+          if (s > score(i)) {
+            score(i) = s; nTok(i) = 1 + nTok(i + l); nVoc(i) = 1 + nVoc(i + l)
+          }
+        }
+        l -= 1
+      }
+      i -= 1
+    }
+    (nTok(0), nVoc(0), nTok(0) - nVoc(0))
+  }
+
+  /** Corpus-wide tokenization census: per doc the segment counts and the
+    * exact chars-per-token ppm. Vocab broadcast, narrow map — no shuffle
+    * until the gate's ORDER BY. */
+  def tokenize(spark: SparkSession, docs: DataFrame, idCol: String,
+               textCol: String, v: Int = 200): DataFrame = {
+    import spark.implicits._
+    val vb = spark.sparkContext.broadcast(
+      vocab(docs, textCol, v).toSet)
+    val in: Dataset[(Long, String)] =
+      docs.select(col(idCol), col(textCol)).as[(Long, String)]
+    in.mapPartitions { it =>
+      val voc = vb.value
+      it.map { case (id, t) =>
+        val (tok, inV, fb) = segment(if (t == null) "" else t, voc)
+        val chars = if (t == null) 0 else t.length
+        val ppm = if (tok == 0) 0L else chars.toLong * 1000000L / tok
+        (id, tok.toLong, inV.toLong, fb.toLong, ppm)
+      }
+    }.toDF(idCol, "n_tokens", "n_vocab_tokens", "n_fallback",
+      "chars_per_token_ppm")
+  }
+}

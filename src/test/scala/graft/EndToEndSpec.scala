@@ -49,6 +49,9 @@ class EndToEndSpec extends AnyFunSuite {
       // the same PageRank fixpoint contract at the word level;
       // conservation/stopword invariants spec'd in WaveAGSpec
       "vocab_textrank",
+      // Viterbi DP segmentation is not ANSI SQL; the identical DP is
+      // replayed driver-side over every document (WaveAGSpec)
+      "tokenize_unigram",
       // HLL sketch registers are engine-internal; ±5% floor and
       // merge-consistency (union-of-daily == direct weekly) spec'd
       "agg_hll_merge",

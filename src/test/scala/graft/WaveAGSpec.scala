@@ -142,6 +142,54 @@ class WaveAGSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("tokenize_unigram: hand-computed segmentations on a fixture, and " +
+    "the declared query replays the identical DP over every document") {
+    // hand fixture: vocab built from the fixture corpus itself
+    val voc = Set("abcd", "ab", "cd", "xyz")
+    // "abcd" → one 4-gram beats ab+cd on the longest-tie rule (both 4000)
+    assert(text.Unigram.segment("abcd", voc) == (1, 1, 0))
+    // "abq" → "ab" + fallback 'q'
+    assert(text.Unigram.segment("abq", voc) == (2, 1, 1))
+    // all-fallback and empty
+    assert(text.Unigram.segment("zz", voc) == (2, 0, 2))
+    assert(text.Unigram.segment("", voc) == (0, 0, 0))
+    // vocab-gram chosen even when it straddles a cheaper local choice:
+    // "xab" → 'x' + "ab" (score 2001) over three fallbacks (3)
+    assert(text.Unigram.segment("xab", voc) == (2, 1, 1))
+
+    val docs = ops.Tables.table(spark, sf, "documents")
+    val vocabSet = text.Unigram.vocab(docs, "text", 200).toSet
+    assert(vocabSet.size == 200)
+    val expect = docs.select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val t = r.getString(1)
+        val (tok, inV, fb) = text.Unigram.segment(t, vocabSet)
+        r.getLong(0) -> (tok.toLong, inV.toLong, fb.toLong,
+          if (tok == 0) 0L else t.length.toLong * 1000000L / tok)
+      }.toMap
+    val got = Queries.tokenizeUnigram(spark, sf).collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { r =>
+      val e = expect(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == e,
+        s"doc ${r.getLong(0)}")
+    }
+    // the learned vocab should actually cover most of the corpus
+    val inVocabShare = got.map(_.getLong(2)).sum.toDouble /
+      got.map(_.getLong(1)).sum
+    assert(inVocabShare > 0.5, s"vocab coverage $inVocabShare")
+  }
+
+  test("stream_soft_dedup: the incrementally folded CC state yields the " +
+    "batch soft-dedup census exactly") {
+    val streamed = streaming.StreamTwins.streamSoftDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = Queries.sampleSoftDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("pettitt U_t prefix form equals the double-sum definition under " +
     "heavy ties (constant and two-level synthetic series)") {
     // pure-scala check of the rank identity the query relies on:
