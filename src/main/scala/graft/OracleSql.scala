@@ -1787,6 +1787,363 @@ object OracleSql {
 
     // the streaming maintained soft-dedup MV derives the identical census
     // on read, so it shares sample_soft_dedup's oracle verbatim
+    "dq_kruskal" ->
+      """WITH v AS (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         grid AS (SELECT event_type, cents, count(*) AS cnt
+           FROM v GROUP BY 1, 2),
+         per AS (SELECT cents, sum(cnt) AS m FROM grid GROUP BY 1),
+         cum AS (SELECT cents, m,
+             sum(m) OVER (ORDER BY cents) - m AS cb FROM per),
+         r AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_a,
+             CAST(sum(cnt * (2*cb + m + 1)) AS BIGINT) AS r2
+           FROM grid JOIN cum USING (cents) GROUP BY 1),
+         g AS (SELECT CAST(sum(m) AS BIGINT) AS nall,
+             CAST(sum(m*m*m - m) AS BIGINT) AS tie FROM per),
+         one AS (SELECT
+             CAST(sum(CASE WHEN event_type = 'click' THEN r2 ELSE 0 END)
+               AS BIGINT) AS r_click,
+             CAST(sum(CASE WHEN event_type = 'click' THEN n_a ELSE 0 END)
+               AS BIGINT) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'error' THEN r2 ELSE 0 END)
+               AS BIGINT) AS r_error,
+             CAST(sum(CASE WHEN event_type = 'error' THEN n_a ELSE 0 END)
+               AS BIGINT) AS n_error,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN r2 ELSE 0 END)
+               AS BIGINT) AS r_purchase,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN n_a ELSE 0 END)
+               AS BIGINT) AS n_purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN r2 ELSE 0 END)
+               AS BIGINT) AS r_signup,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN n_a ELSE 0 END)
+               AS BIGINT) AS n_signup,
+             CAST(sum(CASE WHEN event_type = 'view' THEN r2 ELSE 0 END)
+               AS BIGINT) AS r_view,
+             CAST(sum(CASE WHEN event_type = 'view' THEN n_a ELSE 0 END)
+               AS BIGINT) AS n_view
+           FROM r),
+         oneb AS (SELECT o.*, g.nall, g.tie,
+             CAST(o.r_click AS DOUBLE) * CAST(o.r_click AS DOUBLE)
+               / CAST(o.n_click AS DOUBLE)
+             + CAST(o.r_error AS DOUBLE) * CAST(o.r_error AS DOUBLE)
+               / CAST(o.n_error AS DOUBLE)
+             + CAST(o.r_purchase AS DOUBLE) * CAST(o.r_purchase AS DOUBLE)
+               / CAST(o.n_purchase AS DOUBLE)
+             + CAST(o.r_signup AS DOUBLE) * CAST(o.r_signup AS DOUBLE)
+               / CAST(o.n_signup AS DOUBLE)
+             + CAST(o.r_view AS DOUBLE) * CAST(o.r_view AS DOUBLE)
+               / CAST(o.n_view AS DOUBLE) AS b
+           FROM one o, g)
+         SELECT r.event_type, r.n_a, r.r2,
+             round((12.0 * (o.b / 4.0)
+                 / (CAST(o.nall AS DOUBLE) * (CAST(o.nall AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(o.nall AS DOUBLE) + 1.0))
+               / (1.0 - CAST(o.tie AS DOUBLE)
+                 / (CAST(o.nall AS DOUBLE) * CAST(o.nall AS DOUBLE)
+                     * CAST(o.nall AS DOUBLE)
+                   - CAST(o.nall AS DOUBLE))), 6) AS h
+         FROM r, oneb o ORDER BY r.event_type""",
+
+    // the streaming maintained Kruskal-Wallis MV derives the identical
+    // statistic on read, so it shares dq_kruskal's oracle verbatim
+    "stream_kruskal" ->
+      """WITH v AS (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         grid AS (SELECT event_type, cents, count(*) AS cnt
+           FROM v GROUP BY 1, 2),
+         per AS (SELECT cents, sum(cnt) AS m FROM grid GROUP BY 1),
+         cum AS (SELECT cents, m,
+             sum(m) OVER (ORDER BY cents) - m AS cb FROM per),
+         r AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_a,
+             CAST(sum(cnt * (2*cb + m + 1)) AS BIGINT) AS r2
+           FROM grid JOIN cum USING (cents) GROUP BY 1),
+         g AS (SELECT CAST(sum(m) AS BIGINT) AS nall,
+             CAST(sum(m*m*m - m) AS BIGINT) AS tie FROM per),
+         one AS (SELECT
+             CAST(sum(CASE WHEN event_type = 'click' THEN r2 ELSE 0 END)
+               AS BIGINT) AS r_click,
+             CAST(sum(CASE WHEN event_type = 'click' THEN n_a ELSE 0 END)
+               AS BIGINT) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'error' THEN r2 ELSE 0 END)
+               AS BIGINT) AS r_error,
+             CAST(sum(CASE WHEN event_type = 'error' THEN n_a ELSE 0 END)
+               AS BIGINT) AS n_error,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN r2 ELSE 0 END)
+               AS BIGINT) AS r_purchase,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN n_a ELSE 0 END)
+               AS BIGINT) AS n_purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN r2 ELSE 0 END)
+               AS BIGINT) AS r_signup,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN n_a ELSE 0 END)
+               AS BIGINT) AS n_signup,
+             CAST(sum(CASE WHEN event_type = 'view' THEN r2 ELSE 0 END)
+               AS BIGINT) AS r_view,
+             CAST(sum(CASE WHEN event_type = 'view' THEN n_a ELSE 0 END)
+               AS BIGINT) AS n_view
+           FROM r),
+         oneb AS (SELECT o.*, g.nall, g.tie,
+             CAST(o.r_click AS DOUBLE) * CAST(o.r_click AS DOUBLE)
+               / CAST(o.n_click AS DOUBLE)
+             + CAST(o.r_error AS DOUBLE) * CAST(o.r_error AS DOUBLE)
+               / CAST(o.n_error AS DOUBLE)
+             + CAST(o.r_purchase AS DOUBLE) * CAST(o.r_purchase AS DOUBLE)
+               / CAST(o.n_purchase AS DOUBLE)
+             + CAST(o.r_signup AS DOUBLE) * CAST(o.r_signup AS DOUBLE)
+               / CAST(o.n_signup AS DOUBLE)
+             + CAST(o.r_view AS DOUBLE) * CAST(o.r_view AS DOUBLE)
+               / CAST(o.n_view AS DOUBLE) AS b
+           FROM one o, g)
+         SELECT r.event_type, r.n_a, r.r2,
+             round((12.0 * (o.b / 4.0)
+                 / (CAST(o.nall AS DOUBLE) * (CAST(o.nall AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(o.nall AS DOUBLE) + 1.0))
+               / (1.0 - CAST(o.tie AS DOUBLE)
+                 / (CAST(o.nall AS DOUBLE) * CAST(o.nall AS DOUBLE)
+                     * CAST(o.nall AS DOUBLE)
+                   - CAST(o.nall AS DOUBLE))), 6) AS h
+         FROM r, oneb o ORDER BY r.event_type""",
+
+    "dq_friedman" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS x FROM events
+           WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-29 00:00:00'
+           GROUP BY 1, 2),
+         b AS (SELECT event_type, day, x,
+             datediff('day', DATE '2024-01-01', day) // 7 AS block,
+             datediff('day', DATE '2024-01-01', day) % 7 AS dow
+           FROM daily),
+         ranked AS (SELECT event_type, block, dow, x,
+             rank() OVER (PARTITION BY event_type, block ORDER BY x)
+               AS rmin,
+             count(*) OVER (PARTITION BY event_type, block, x) AS ties
+           FROM b),
+         d AS (SELECT event_type, block, dow,
+             2 * (rmin - 1) + ties + 1 AS d FROM ranked),
+         perdow AS (SELECT event_type, CAST(dow AS BIGINT) AS dow,
+             CAST(sum(d) AS BIGINT) AS r2 FROM d GROUP BY 1, 2),
+         pertype AS (SELECT d.event_type,
+             CAST(sum(d.d * d.d) AS BIGINT) AS a4 FROM d GROUP BY 1),
+         num AS (SELECT event_type,
+             CAST(sum((r2 - 32) * (r2 - 32)) AS BIGINT) AS numsq
+           FROM perdow GROUP BY 1)
+         SELECT p.event_type, p.dow, p.r2, t.a4, num.numsq,
+             round(6.0 * CAST(num.numsq AS DOUBLE)
+               / CAST(t.a4 - 1792 AS DOUBLE), 6) AS q
+         FROM perdow p JOIN pertype t USING (event_type)
+         JOIN num USING (event_type)
+         ORDER BY p.event_type, p.dow""",
+
+    "dq_durbin_watson" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS y FROM events GROUP BY 1, 2),
+         d2 AS (SELECT event_type, day, y,
+             datediff('day', DATE '2024-01-01', day) + 1 AS t FROM daily),
+         fit AS (SELECT event_type, count(*) AS n, sum(t) AS st,
+             sum(y) AS sy, sum(t*t) AS stt, sum(t*y) AS sty
+           FROM d2 GROUP BY 1),
+         f2 AS (SELECT event_type, n, st, sy,
+             n*sty - st*sy AS bnum, n*stt - st*st AS dd FROM fit),
+         e AS (SELECT d2.event_type, d2.day,
+             f.n*f.dd*d2.y - (f.dd*f.sy - f.bnum*f.st)
+               - f.n*f.bnum*d2.t AS ee
+           FROM d2 JOIN f2 f USING (event_type)),
+         l AS (SELECT event_type, ee,
+             ee - lag(ee) OVER (PARTITION BY event_type ORDER BY day)
+               AS de FROM e)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(ee*ee) AS BIGINT) AS ss_res,
+             CAST(sum(de*de) AS BIGINT) AS ss_diff,
+             round(CAST(sum(de*de) AS DOUBLE)
+               / CAST(sum(ee*ee) AS DOUBLE), 6) AS dw
+         FROM l GROUP BY 1 ORDER BY 1""",
+
+    "vocab_coverage" ->
+      """WITH wc AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         f AS (SELECT lang, w, count(*) AS f FROM wc GROUP BY 1, 2),
+         per AS (SELECT lang, CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(f) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+           FROM f GROUP BY 1)
+         SELECT lang, v, n, f1, f2,
+             CAST((f1 * 1000000) // n AS BIGINT) AS p0_ppm,
+             CASE WHEN f2 > 0 THEN
+               round(CAST(v AS DOUBLE)
+                 + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+                   / (2.0 * CAST(f2 AS DOUBLE)), 4)
+             END AS chao1
+         FROM per ORDER BY lang""",
+
+    "dq_kanonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 500)
+               AS BIGINT) AS band,
+             count(*) AS sz
+           FROM customer GROUP BY 1, 2, 3),
+         one AS (SELECT
+             CAST(sum(CASE WHEN sz < 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+             CAST(sum(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT) AS r2,
+             CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS g5,
+             CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS r5,
+             CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS g10,
+             CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+               AS r10,
+             CAST(sum(CASE WHEN sz < 25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS g25,
+             CAST(sum(CASE WHEN sz < 25 THEN sz ELSE 0 END) AS BIGINT)
+               AS r25,
+             CAST(sum(sz) AS BIGINT) AS total FROM g)
+         SELECT k, n_groups_below, n_rows_below, total,
+             CAST((n_rows_below * 1000000) // total AS BIGINT)
+               AS share_ppm
+         FROM (
+           SELECT CAST(2 AS BIGINT) AS k, g2 AS n_groups_below,
+               r2 AS n_rows_below, total FROM one
+           UNION ALL SELECT CAST(5 AS BIGINT), g5, r5, total FROM one
+           UNION ALL SELECT CAST(10 AS BIGINT), g10, r10, total FROM one
+           UNION ALL SELECT CAST(25 AS BIGINT), g25, r25, total FROM one)
+         ORDER BY k""",
+
+    "eval_auc" ->
+      """WITH v AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+           FROM events WHERE value IS NOT NULL),
+         grid AS (SELECT day, cents, sum(lab) AS m1,
+             count(*) - sum(lab) AS m0 FROM v GROUP BY 1, 2),
+         c AS (SELECT day, cents, m1, m0,
+             sum(m1) OVER (PARTITION BY day ORDER BY cents DESC) AS c1
+           FROM grid),
+         a AS (SELECT day, CAST(sum(m1) AS BIGINT) AS n_pos,
+             CAST(sum(m0) AS BIGINT) AS n_neg,
+             CAST(sum(m0 * (2*c1 - m1)) AS BIGINT) AS a2
+           FROM c GROUP BY 1)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n_pos, n_neg, a2,
+             CAST((1000000 * a2) // (2 * n_pos * n_neg) AS BIGINT)
+               AS auc_ppm
+         FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY day""",
+
+    // the streaming maintained daily-AUC MV derives the identical series
+    // on read, so it shares eval_auc's oracle verbatim
+    "stream_auc" ->
+      """WITH v AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+           FROM events WHERE value IS NOT NULL),
+         grid AS (SELECT day, cents, sum(lab) AS m1,
+             count(*) - sum(lab) AS m0 FROM v GROUP BY 1, 2),
+         c AS (SELECT day, cents, m1, m0,
+             sum(m1) OVER (PARTITION BY day ORDER BY cents DESC) AS c1
+           FROM grid),
+         a AS (SELECT day, CAST(sum(m1) AS BIGINT) AS n_pos,
+             CAST(sum(m0) AS BIGINT) AS n_neg,
+             CAST(sum(m0 * (2*c1 - m1)) AS BIGINT) AS a2
+           FROM c GROUP BY 1)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n_pos, n_neg, a2,
+             CAST((1000000 * a2) // (2 * n_pos * n_neg) AS BIGINT)
+               AS auc_ppm
+         FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY day""",
+
+    "text_readability" ->
+      """WITH c AS (SELECT doc_id,
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS BIGINT) AS n_words,
+             CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+               s -> len(trim(s)) > 0)) AS BIGINT) AS n_sentences,
+             CAST(len(regexp_split_to_array(text, '[aeiouAEIOU]+')) - 1
+               AS BIGINT) AS n_vowel_groups
+           FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+             CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+               round(206.835
+                 - 1.015 * CAST(n_words AS DOUBLE)
+                   / CAST(n_sentences AS DOUBLE)
+                 - 84.6 * CAST(n_vowel_groups AS DOUBLE)
+                   / CAST(n_words AS DOUBLE), 4)
+             END AS flesch
+         FROM c ORDER BY doc_id""",
+
+    "dq_levene" ->
+      """WITH c AS (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         med AS (SELECT event_type,
+             CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+           FROM c GROUP BY 1),
+         dev AS (SELECT c.event_type, abs(2 * c.cents - m.med2) AS d
+           FROM c JOIN med m USING (event_type)),
+         per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS s2,
+             CAST(sum(d*d) AS BIGINT) AS q4
+           FROM dev GROUP BY 1),
+         one AS (SELECT
+             CAST(sum(CASE WHEN event_type = 'click' THEN s2 ELSE 0 END)
+               AS BIGINT) AS s_click,
+             CAST(sum(CASE WHEN event_type = 'click' THEN n ELSE 0 END)
+               AS BIGINT) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'error' THEN s2 ELSE 0 END)
+               AS BIGINT) AS s_error,
+             CAST(sum(CASE WHEN event_type = 'error' THEN n ELSE 0 END)
+               AS BIGINT) AS n_error,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN s2 ELSE 0 END)
+               AS BIGINT) AS s_purchase,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN n ELSE 0 END)
+               AS BIGINT) AS n_purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN s2 ELSE 0 END)
+               AS BIGINT) AS s_signup,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN n ELSE 0 END)
+               AS BIGINT) AS n_signup,
+             CAST(sum(CASE WHEN event_type = 'view' THEN s2 ELSE 0 END)
+               AS BIGINT) AS s_view,
+             CAST(sum(CASE WHEN event_type = 'view' THEN n ELSE 0 END)
+               AS BIGINT) AS n_view,
+             CAST(sum(n) AS BIGINT) AS nall,
+             CAST(sum(s2) AS BIGINT) AS sall,
+             CAST(sum(q4) AS BIGINT) AS qall
+           FROM per),
+         oneb AS (SELECT *,
+             CAST(s_click AS DOUBLE) * CAST(s_click AS DOUBLE)
+               / CAST(n_click AS DOUBLE)
+             + CAST(s_error AS DOUBLE) * CAST(s_error AS DOUBLE)
+               / CAST(n_error AS DOUBLE)
+             + CAST(s_purchase AS DOUBLE) * CAST(s_purchase AS DOUBLE)
+               / CAST(n_purchase AS DOUBLE)
+             + CAST(s_signup AS DOUBLE) * CAST(s_signup AS DOUBLE)
+               / CAST(n_signup AS DOUBLE)
+             + CAST(s_view AS DOUBLE) * CAST(s_view AS DOUBLE)
+               / CAST(n_view AS DOUBLE) AS b
+           FROM one)
+         SELECT p.event_type, p.n, p.s2, p.q4,
+             round((CAST(o.nall - 5 AS DOUBLE) / 4.0)
+               * (o.b - CAST(o.sall AS DOUBLE) * CAST(o.sall AS DOUBLE)
+                   / CAST(o.nall AS DOUBLE))
+               / (CAST(o.qall AS DOUBLE) - o.b), 6) AS w
+         FROM per p, oneb o ORDER BY p.event_type""",
+
+    "agg_hhi" ->
+      """WITH per AS (SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+               AS BIGINT)) AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+         d AS (SELECT n.n_name, per.c
+           FROM per JOIN customer cu ON per.o_custkey = cu.c_custkey
+           JOIN nation n ON cu.c_nationkey = n.n_nationkey),
+         tot AS (SELECT n_name, CAST(sum(c) AS BIGINT) AS tt,
+             CAST(count(*) AS BIGINT) AS n_customers FROM d GROUP BY 1),
+         sh AS (SELECT d.n_name, t.n_customers, t.tt,
+             (d.c * 1000000) // t.tt AS share_ppm
+           FROM d JOIN tot t USING (n_name))
+         SELECT n_name, n_customers, tt AS total_cents,
+             CAST(sum(share_ppm * share_ppm) AS BIGINT) AS hhi_e12,
+             round(CAST(sum(share_ppm * share_ppm) AS DOUBLE) / 1e12, 6)
+               AS hhi
+         FROM sh GROUP BY 1, 2, 3 ORDER BY 1""",
+
     "stream_soft_dedup" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),

@@ -87,6 +87,11 @@ object PlanSweep {
       // Mann-Whitney / Kaplan-Meier: the one-row (N, tie-term) and N
       // totals broadcast onto the value/risk tables
       "dq_mannwhitney", "survival_km",
+      // Brown-Forsythe / Kruskal-Wallis: the pivoted one-row (per-type
+      // sums + totals) cross-group statistics broadcast onto the 5
+      // per-type rows (kruskal additionally folds the one-row (N, tie)
+      // totals into the pivot — two stacked 1-row scalar joins)
+      "dq_levene", "dq_kruskal", "stream_kruskal",
       // modularity: the one-row edge-count total broadcast per lang row
       "graph_modularity",
       // hybrid RRF: search_bm25's one-row (n_docs, total_len) totals

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ops._
@@ -7444,5 +7444,435 @@ object Queries {
       .unionAll(stage(c, 2, "click"))
       .unionAll(stage(p, 3, "purchase"))
       .orderBy(col("step"))
+  }
+
+  // ── Wave AH: classifier AUC monitor, readability, Levene, HHI,
+  //            k-center coreset, CDC chunk dedup, wordpiece ────────────
+
+  /** X84 — daily ROC-AUC monitor: trapezoid area under the ROC curve of
+    * the score "event value" predicting the label "event is a purchase",
+    * one row per day — the ranking-quality series a production scorer is
+    * monitored by. All EXACT integers: the (day, cents) value grid with
+    * per-cell positive/negative counts, cumulative positives over
+    * DESCENDING score via one distributed prefix scan
+    * ([[ops.PrefixSum.cumSum]] on the negated key — never a global
+    * window), and the doubled trapezoid sum A2 = Σ m0·(2·c1 − m1)
+    * (each tied score block contributes its exact trapezoid), so
+    * A2 = 2·AUC·n1·n0 is a hash-exact long and
+    * auc_ppm = ⌊10⁶·A2 / (2·n1·n0)⌋ is integer division. Shuffles: the
+    * grid partial-agg + the prefix scan's range exchange — both bounded
+    * by distinct (day, value) cells, not rows. */
+  def evalAuc(spark: SparkSession, dir: String): DataFrame =
+    aucFromGrid(t(spark, dir, "events").filter(col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("m1"),
+        sum(when(col("event_type") === "purchase", 0L).otherwise(1L))
+          .as("m0")))
+
+  /** The AUC derivation of [[evalAuc]] over any (day, cents, m1, m0)
+    * value grid — shared verbatim by the streaming maintained twin,
+    * which derives it on read over the folded additive grid. */
+  private[graft] def aucFromGrid(grid: DataFrame): DataFrame = {
+    val cum = PrefixSum.cumSum(
+      grid.withColumn("negc", -col("cents")),
+      Seq("day"), Seq("negc"), col("m1"), "c1")
+    cum.groupBy(col("day"))
+      .agg(sum(col("m1")).as("n_pos"), sum(col("m0")).as("n_neg"),
+        sum(col("m0") * (lit(2) * col("c1") - col("m1"))).as("a2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(Cleanse.dateStr(col("day")).as("day"), col("n_pos"),
+        col("n_neg"), col("a2"),
+        expr("1000000 * a2 div (2 * n_pos * n_neg)").as("auc_ppm"))
+      .orderBy(col("day"))
+  }
+
+  /** N9d — readability scoring over documents: Flesch reading ease with
+    * the standard vowel-group syllable approximation. The three counts
+    * are EXACT integers from codegen'd regex splits (words on
+    * whitespace, sentences on [.!?]+ runs with empty parts dropped,
+    * syllable proxy = maximal vowel runs); the score itself is ONE
+    * identical closed-form double expression over those integers on both
+    * engines. Pure narrow map — zero shuffles before the gate's ORDER
+    * BY. */
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    textReadabilityCore(t(spark, dir, "documents"))
+
+  /** Core of [[textReadability]] over any (doc_id, text) frame — split
+    * out so specs can drive it with injected punctuation/edge fixtures
+    * (the gate corpus has no sentence punctuation). */
+  private[graft] def textReadabilityCore(docs: DataFrame): DataFrame = {
+    val words = when(length(trim(col("text"))) === 0, 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast(LongType))
+    val sentences = size(filter(split(col("text"), "[.!?]+"),
+      x => length(trim(x)) > 0)).cast(LongType)
+    val vgroups =
+      (size(split(col("text"), "[aeiouAEIOU]+")) - 1).cast(LongType)
+    docs
+      .select(col("doc_id"), words.as("n_words"),
+        sentences.as("n_sentences"), vgroups.as("n_vowel_groups"))
+      .withColumn("flesch",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          round(lit(206.835)
+            - lit(1.015) * col("n_words").cast(DoubleType)
+              / col("n_sentences").cast(DoubleType)
+            - lit(84.6) * col("n_vowel_groups").cast(DoubleType)
+              / col("n_words").cast(DoubleType), 4)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X85 — Brown–Forsythe variance-homogeneity test (Levene with group
+    * medians) across event types over value cents: the gate run before
+    * trusting a pooled-variance comparison ([[dqAbWelch]] assumes it
+    * away per pair; this tests all k groups at once). Deviations ride
+    * DOUBLED integers d = |2·cents − 2·median| (group medians are
+    * .0/.5-exact interpolated percentiles, so 2·median is an exact
+    * long — the [[dqMad]] precedent), making every per-group sum
+    * hash-exact. The W statistic needs cross-group Σ s_g²/n_g — a
+    * float whose ADDITION ORDER must match cross-engine — so the five
+    * per-type aggregates pivot into ONE row and W is a single
+    * fixed-order closed-form expression over exact longs, identical
+    * text on both engines. Two corpus passes (median, then deviation
+    * aggregate), each a partial-agg shuffle bounded by groups. */
+  def dqLevene(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cents = t(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+    val med = cents.groupBy(col("event_type"))
+      .agg((expr("percentile(cents, 0.5)") * 2).cast(LongType).as("med2"))
+    val dev = cents.join(broadcast(med), "event_type")
+      .select(col("event_type"),
+        abs(lit(2) * col("cents") - col("med2")).as("d"))
+    val per = dev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s2"),
+        sum(col("d") * col("d")).as("q4"))
+    val aggs = types.flatMap { tp =>
+      Seq(sum(when(col("event_type") === tp, col("n")).otherwise(0L))
+          .as(s"n_$tp"),
+        sum(when(col("event_type") === tp, col("s2")).otherwise(0L))
+          .as(s"s_$tp"))
+    } ++ Seq(sum(col("n")).as("nall"), sum(col("s2")).as("sall"),
+      sum(col("q4")).as("qall"))
+    val one = per.agg(aggs.head, aggs.tail: _*)
+    def dbl(c: Column) = c.cast(DoubleType)
+    val b = types.map(tp =>
+        dbl(col(s"s_$tp")) * dbl(col(s"s_$tp")) / dbl(col(s"n_$tp")))
+      .reduceLeft(_ + _)
+    per.crossJoin(broadcast(one))
+      .select(col("event_type"), col("n"), col("s2"), col("q4"),
+        round((dbl(col("nall") - lit(5)) / lit(4.0))
+          * (b - dbl(col("sall")) * dbl(col("sall")) / dbl(col("nall")))
+          / (dbl(col("qall")) - b), 6).as("w"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A13 — Herfindahl–Hirschman concentration of customer spend per
+    * nation: how concentrated is each market in its biggest customers?
+    * Shares as exact integer ppm (⌊10⁶·cᵢ/T⌋ — integer division of
+    * longs), HHI = Σ share_ppm² an exact long (≤ 10¹² per customer),
+    * surfaced also as one identical double division. Shape: one
+    * customer partial-agg shuffle, nation totals broadcast back (25
+    * rows — a model-parameter join, never a second corpus shuffle). */
+  def aggHhi(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        (Cleanse.dec2(col("o_totalprice")) * 100).cast(LongType)
+          .as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("c"))
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey")
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+    val tot = per.groupBy(col("n_name"))
+      .agg(sum(col("c")).as("tt"), count(lit(1)).as("n_customers"))
+    per.join(broadcast(tot), "n_name")
+      .withColumn("share_ppm", expr("c * 1000000 div tt"))
+      .groupBy(col("n_name"), col("n_customers"), col("tt"))
+      .agg(sum(col("share_ppm") * col("share_ppm")).as("hhi_e12"))
+      .select(col("n_name"), col("n_customers"),
+        col("tt").as("total_cents"), col("hhi_e12"),
+        round(col("hhi_e12").cast(DoubleType) / lit(1e12), 6).as("hhi"))
+      .orderBy(col("n_name"))
+  }
+
+  /** N15n — k-center greedy coreset over the embedding corpus (Gonzalez
+    * 1985, the 2-approximation): the diversity-sampling step a
+    * training-data pipeline runs to pick maximally-spread exemplars.
+    * Embeddings quantize once to micro-unit longs (exact, deterministic
+    * — no float comparison anywhere); each of the k rounds folds ONE
+    * narrow min-distance update against the last-picked center (a
+    * dim-sized literal — k·dim model parameters, never data-sized) and
+    * takes the argmax by (distance, vec_id) via TakeOrdered. k passes
+    * over the corpus, zero shuffles per pass, lineage truncated per
+    * round ([[ops.Components]] discipline). Rows-only (iterative
+    * argmax-fold is not ANSI SQL); the spec replays the identical greedy
+    * selection driver-side. */
+  def sampleKcenter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 16
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1000000.0" +
+          " AS BIGINT))").as("q"))
+    val seed = emb.orderBy(col("vec_id")).limit(1).collect()(0)
+    var cur: Seq[Long] = seed.getSeq[Long](1)
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (0L, seed.getLong(0), 0L))
+    var state = emb.withColumn("mind", lit(Long.MaxValue))
+    var r = 1
+    while (r < k) {
+      val cq = typedLit(cur)
+      state = state.withColumn("mind",
+        least(col("mind"), aggregate(
+          zip_with(col("q"), cq, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)))
+        .localCheckpoint(true)
+      val top = state.orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      picked += ((r.toLong, top.getLong(0), top.getLong(2)))
+      cur = top.getSeq[Long](1)
+      r += 1
+    }
+    picked.toSeq.toDF("sel_order", "vec_id", "radius_sq")
+      .orderBy(col("sel_order"))
+  }
+
+  /** N12k — content-defined-chunk dedup over media payloads
+    * ([[mm.Multimodal.cdcChunks]]): the storage-dedup tier below
+    * [[mmExactDedup]] — byte-identical RUNS shared between non-identical
+    * payloads (near-dup documents' encoded images) re-align to identical
+    * chunks, so per-item shared-bytes quantify sub-file redundancy the
+    * whole-file digest can't see. Shape: one codec-seam narrow chunk
+    * pass, one digest-keyed partial-agg census, one digest-keyed join
+    * back — all bucketed by chunk hash, never all-pairs. Rows-only (the
+    * rolling-hash boundary rule is not SQL); the spec replays the
+    * chunker driver-side over every payload. */
+  def mmChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = mm.Multimodal.chunked(
+      mm.Multimodal.asMedia(t(spark, dir, "documents")))
+    val census = chunks.groupBy(col("chunk_digest"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(census, "chunk_digest")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("total_bytes"),
+        sum(when(col("n_docs") >= 2, col("chunk_len")).otherwise(0L))
+          .as("shared_bytes"))
+      .withColumn("shared_ppm",
+        expr("shared_bytes * 1000000 div total_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** N16i — WordPiece-style greedy longest-match tokenizer inference
+    * ([[text.Unigram.greedySegment]]): the MaxMatch rule over the same
+    * broadcast top-200 n-gram vocabulary as [[tokenizeUnigram]] — the
+    * third tokenizer family beside BPE and unigram-Viterbi, and the
+    * cheap O(chars·maxLen) inference production tokenizers actually run.
+    * Same zero-shuffle narrow-map shape. Rows-only; the spec replays the
+    * greedy matcher driver-side and asserts its objective never exceeds
+    * the Viterbi optimum corpus-wide. */
+  def tokenizeWordpiece(spark: SparkSession, dir: String): DataFrame =
+    text.Unigram.tokenize(spark, t(spark, dir, "documents"),
+        "doc_id", "text", greedy = true)
+      .orderBy(col("doc_id"))
+
+  // ── Wave AI: rank/blocked nonparametrics, residual autocorrelation,
+  //            vocabulary coverage, k-anonymity ───────────────────────
+
+  /** X86 — Kruskal–Wallis H across all event types over value cents:
+    * the k-group generalization of [[dqMannwhitney]] (same doubled
+    * tie-averaged rank discipline, same one-prefix-scan shape). Per-type
+    * doubled rank-sums 2R_g are hash-exact longs; the cross-group
+    * Σ R_g²/n_g — a float whose ADDITION ORDER must match cross-engine —
+    * pivots the five types into ONE row ([[dqLevene]] discipline) so the
+    * tie-corrected H is a single fixed-order closed-form expression. */
+  def dqKruskal(spark: SparkSession, dir: String): DataFrame =
+    kruskalFromGrid(t(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The H derivation of [[dqKruskal]] over any (event_type, cents, cnt)
+    * value grid — shared verbatim by the streaming maintained twin. */
+  private[graft] def kruskalFromGrid(grid: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val per = grid.groupBy(col("cents")).agg(sum(col("cnt")).as("m"))
+    val cum = PrefixSum.cumSum(per, Nil, Seq("cents"), col("m"), "cm")
+      .withColumn("cb", col("cm") - col("m"))
+    val r = grid.join(cum, "cents")
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_a"),
+        sum(col("cnt") * (lit(2) * col("cb") + col("m") + lit(1)))
+          .as("r2"))
+    val g = per.agg(sum(col("m")).as("nall"),
+      sum(col("m") * col("m") * col("m") - col("m")).as("tie"))
+    val aggs = types.flatMap { tp =>
+      Seq(sum(when(col("event_type") === tp, col("r2")).otherwise(0L))
+          .as(s"r_$tp"),
+        sum(when(col("event_type") === tp, col("n_a")).otherwise(0L))
+          .as(s"n_$tp"))
+    }
+    val one = r.agg(aggs.head, aggs.tail: _*).crossJoin(broadcast(g))
+    def dbl(c: Column) = c.cast(DoubleType)
+    val b = types.map(tp =>
+        dbl(col(s"r_$tp")) * dbl(col(s"r_$tp")) / dbl(col(s"n_$tp")))
+      .reduceLeft(_ + _)
+    r.crossJoin(broadcast(one))
+      .select(col("event_type"), col("n_a"), col("r2"),
+        round((lit(12.0) * (b / lit(4.0))
+            / (dbl(col("nall")) * (dbl(col("nall")) + lit(1.0)))
+          - lit(3.0) * (dbl(col("nall")) + lit(1.0)))
+          / (lit(1.0) - dbl(col("tie"))
+            / (dbl(col("nall")) * dbl(col("nall")) * dbl(col("nall"))
+              - dbl(col("nall")))), 6).as("h"))
+      .orderBy(col("event_type"))
+  }
+
+  /** X87 — Friedman blocked seasonality test per event type: do daily
+    * counts depend on the day-of-cycle once week blocks are controlled
+    * for? Four complete 7-day blocks (days 1–28 — calendar-bounded),
+    * counts ranked WITHIN each (type, block) via doubled tie-averaged
+    * ranks; because the block design is balanced, BOTH the numerator
+    * Σ_j (2R_j − n(k+1))² and the tie-corrected denominator A4 − C4
+    * stay EXACT LONGS (the ×4 doubling cancels), so Q is one double
+    * division of two hash-checked integers — no float summation
+    * anywhere. All windows ride the 28·k-cell grid. */
+  def dqFriedman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 7L
+    val n = 4L
+    val daily = t(spark, dir, "events")
+      .filter(col("ts") < lit("2024-01-29").cast(TimestampType))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dd", datediff(col("day"), lit("2024-01-01").cast("date")))
+      .withColumn("block", expr("dd div 7"))
+      .withColumn("dow", col("dd") % 7)
+    val wb = Window.partitionBy(col("event_type"), col("block"))
+    val ranked = daily
+      .withColumn("rmin", rank().over(wb.orderBy(col("x"))))
+      .withColumn("ties", count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("block"), col("x"))))
+      .withColumn("d", lit(2) * (col("rmin") - 1) + col("ties") + 1)
+    val perDow = ranked.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("d")).as("r2"))
+    val perType = ranked.groupBy(col("event_type"))
+      .agg(sum(col("d") * col("d")).as("a4"))
+      .join(perDow.groupBy(col("event_type"))
+        .agg(sum((col("r2") - lit(n * (k + 1)))
+          * (col("r2") - lit(n * (k + 1)))).as("numsq")), "event_type")
+      .select(col("event_type"), col("a4"), col("numsq"),
+        round(lit((k - 1).toDouble) * col("numsq").cast(DoubleType)
+          / (col("a4") - lit(n * k * (k + 1) * (k + 1)))
+            .cast(DoubleType), 6).as("q"))
+    perDow.join(perType, "event_type")
+      .select(col("event_type"), col("dow").cast(LongType).as("dow"),
+        col("r2"), col("a4"), col("numsq"), col("q"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** X88 — Durbin–Watson residual autocorrelation per event type: fit
+    * the per-type daily-count trend line, then DW = Σ(Δe)²/Σe² over the
+    * day-ordered residuals — the "are the residuals independent?" gate
+    * run before trusting [[agg_ols]]-style fits. The residuals scale by
+    * n·D (D = n·Σt²−(Σt)², the normal-equation determinant) into EXACT
+    * LONGS E_t = n·D·y_t − (D·Σy − b_num·Σt) − n·b_num·t, and the scale
+    * CANCELS in the ratio — so both quadratic sums are hash-checked
+    * integers and DW is one double division. Bounds: |E| ≤ n·D·|resid|
+    * keeps Σ E² under 2⁶³ for calendar-bounded daily series (30 days ×
+    * residuals < ~10⁴); larger regimes would move the sums to
+    * DECIMAL(38,0). All work rides the days×types aggregate. */
+  def dqDurbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("t",
+        datediff(col("day"), lit("2024-01-01").cast("date")) + 1)
+    val fit = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("y")).as("sy"), sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("y")).as("sty"))
+      .select(col("event_type"), col("n"),
+        (col("n") * col("sty") - col("st") * col("sy")).as("bnum"),
+        (col("n") * col("stt") - col("st") * col("st")).as("dd"),
+        col("st"), col("sy"))
+    val e = daily.join(broadcast(fit), "event_type")
+      .select(col("event_type"), col("day"),
+        (col("n") * col("dd") * col("y")
+          - (col("dd") * col("sy") - col("bnum") * col("st"))
+          - col("n") * col("bnum") * col("t")).as("ee"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    e.withColumn("de", col("ee") - lag(col("ee"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ee") * col("ee")).as("ss_res"),
+        sum(col("de") * col("de")).as("ss_diff"))
+      .select(col("event_type"), col("n_days"), col("ss_res"),
+        col("ss_diff"),
+        round(col("ss_diff").cast(DoubleType)
+          / col("ss_res").cast(DoubleType), 6).as("dw"))
+      .orderBy(col("event_type"))
+  }
+
+  /** N16j — vocabulary coverage estimators per language: Good–Turing
+    * unseen-probability mass p₀ = f₁/N (how much of the language the
+    * corpus has NOT seen — the coverage number a training-mix decision
+    * reads) and the Chao1 richness estimate V + f₁²/(2f₂). One
+    * token-keyed partial-agg shuffle to word counts, one lang-keyed
+    * aggregate to the frequency-of-frequency stats; p₀ as exact ppm by
+    * integer division, Chao1 as one identical double expression over
+    * exact longs. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("f"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("v"), sum(col("f")).as("n"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("f") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("lang"), col("v"), col("n"), col("f1"), col("f2"),
+        expr("f1 * 1000000 div n").as("p0_ppm"),
+        when(col("f2") > 0,
+          round(col("v").cast(DoubleType)
+            + col("f1").cast(DoubleType) * col("f1").cast(DoubleType)
+              / (lit(2.0) * col("f2").cast(DoubleType)), 4)).as("chao1"))
+      .orderBy(col("lang"))
+
+  /** X89 — k-anonymity census over the customer quasi-identifier tuple
+    * (nation, market segment, 500-unit account-balance band): for each
+    * privacy threshold k, how many QI groups — and what share of rows —
+    * sit in groups smaller than k and would need suppression before the
+    * table could be published k-anonymous. One QI-keyed partial-agg
+    * shuffle; the per-k census is a conditional aggregate over the
+    * (QI-cardinality-bounded) group-size table UNPIVOTED via stack — no
+    * join against the data anywhere. Exact longs + ppm by integer
+    * division. */
+  def dqKanonymity(spark: SparkSession, dir: String): DataFrame = {
+    val g = t(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 500) " +
+          "AS BIGINT)").as("band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+      .agg(count(lit(1)).as("sz"))
+    val ks = Seq(2L, 5L, 10L, 25L)
+    val aggs = ks.flatMap { kk =>
+      Seq(sum(when(col("sz") < kk, 1L).otherwise(0L)).as(s"g$kk"),
+        sum(when(col("sz") < kk, col("sz")).otherwise(0L)).as(s"r$kk"))
+    } ++ Seq(sum(col("sz")).as("total"))
+    g.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("stack(4, " + ks.map(kk =>
+        s"${kk}L, g$kk, r$kk, total").mkString(", ") +
+        ") as (k, n_groups_below, n_rows_below, total)")
+      .select(col("k"), col("n_groups_below"), col("n_rows_below"),
+        col("total"),
+        expr("n_rows_below * 1000000 div total").as("share_ppm"))
+      .orderBy(col("k"))
   }
 }

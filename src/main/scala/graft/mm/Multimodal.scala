@@ -565,4 +565,71 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** Content-defined chunk boundaries over a byte payload — the
+    * storage-dedup primitive (Muthitacharoen 2001 LBFS shape): a rolling
+    * polynomial hash over a [[CdcWindow]]-byte window declares a boundary
+    * wherever `hash & (avg-1) == avg-1`, clamped to [min, max] chunk
+    * sizes, so a byte edit only reshapes the chunks around it and every
+    * shared run between two payloads re-aligns to identical chunks.
+    * Returns (offset, length, digestHex) per chunk. Pure function of the
+    * bytes — the spec replays it driver-side verbatim. */
+  val CdcWindow = 16
+  val CdcMin = 32
+  val CdcMax = 256
+  val CdcMask = 63L // avg 64-byte chunks
+
+  def cdcChunks(bytes: Array[Byte]): Seq[(Int, Int, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var start = 0
+    var h = 0L
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      // rolling poly hash: h = h*31 + b, with the byte leaving the
+      // window removed (31^(w-1) factor precomputed)
+      h = h * 31 + (bytes(i) & 0xff)
+      if (i - start + 1 > CdcWindow)
+        h -= Pow31W * (bytes(i - CdcWindow) & 0xff)
+      val len = i - start + 1
+      if (len >= CdcMax ||
+          (len >= CdcMin && (h & CdcMask) == CdcMask)) {
+        out += emit(md, bytes, start, len)
+        start = i + 1; h = 0L
+      }
+      i += 1
+    }
+    if (start < n) out += emit(md, bytes, start, n - start)
+    out.toSeq
+  }
+
+  private val Pow31W: Long = {
+    var p = 1L; var i = 0
+    while (i < CdcWindow) { p *= 31; i += 1 }
+    p
+  }
+
+  private def emit(md: java.security.MessageDigest, bytes: Array[Byte],
+                   off: Int, len: Int): (Int, Int, String) = {
+    md.reset(); md.update(bytes, off, len)
+    (off, len, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  /** Explode a media frame into its content-defined chunks:
+    * (doc_id, chunk_digest, chunk_len). The codec-seam `mapPartitions`
+    * (same seam as decode — no Catalyst expression chunks binaries); one
+    * narrow pass, linear in payload bytes. */
+  def chunked(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          cdcChunks(if (payload == null) Array.emptyByteArray else payload)
+            .map { case (_, len, dig) => (id, dig, len.toLong) }
+        }
+      }.toDF("doc_id", "chunk_digest", "chunk_len")
+  }
 }

@@ -1871,6 +1871,115 @@ object StreamTwins {
       ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
   }
 
+  /** STREAMING maintained daily-AUC monitor — the twin of
+    * [[graft.Queries.evalAuc]], the shape a production scorer is watched
+    * with as events land: the (day, cents) value grid with per-cell
+    * positive/negative counts is ADDITIVE (each event contributes one
+    * cell increment; counts sum across any batching), folded through the
+    * batchId-versioned seam; the descending-score cumulative positives
+    * and the trapezoid A2 — which a late event at any score shifts —
+    * derive on read through the SAME [[graft.Queries.aucFromGrid]] chain
+    * the batch query uses, so any batching hash-matches the batch
+    * oracle. State is bounded by days × distinct values. The events feed
+    * lands as THREE date-sliced files (staged, crash-safe), so
+    * AvailableNow exercises a genuine multi-batch fold. */
+  def streamAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_auc_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_auc_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_auc_ck_$tag")
+    val feedSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("cents", LongType),
+      StructField("pos", LongType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("ts"),
+        (graft.ops.Cleanse.dec2(col("value")) * 100).cast(LongType)
+          .as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos")),
+      s"stream_auc_feed_build_$tag")
+    val stateSchema = StructType(Seq(
+      StructField("day", DateType), StructField("cents", LongType),
+      StructField("m1", LongType), StructField("m0", LongType)))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(batch.toDF()
+            .groupBy(to_date(col("ts")).as("day"), col("cents"))
+            .agg(sum(col("pos")).as("m1"),
+              sum(lit(1L) - col("pos")).as("m0")))
+          .groupBy(col("day"), col("cents"))
+          .agg(sum(col("m1")).as("m1"), sum(col("m0")).as("m0"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.Queries.aucFromGrid(
+      ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
+  }
+
+  /** STREAMING maintained Kruskal–Wallis monitor — the twin of
+    * [[graft.Queries.dqKruskal]]: the (event_type, cents) value grid is
+    * ADDITIVE (one cell increment per event), folded through the
+    * batchId-versioned seam; the global doubled ranks and the
+    * tie-corrected H — which a late event at any value shifts — derive
+    * on read through the SAME [[graft.Queries.kruskalFromGrid]] chain
+    * the batch query uses, so any batching hash-matches the batch
+    * oracle. State bounded by types × distinct values. */
+  def streamKruskal(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_kw_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_kw_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_kw_ck_$tag")
+    val feedSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("cents", LongType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("ts"), col("event_type"),
+        (graft.ops.Cleanse.dec2(col("value")) * 100).cast(LongType)
+          .as("cents")),
+      s"stream_kw_feed_build_$tag")
+    val stateSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("cents", LongType),
+      StructField("cnt", LongType)))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(batch.toDF()
+            .groupBy(col("event_type"), col("cents"))
+            .agg(count(lit(1)).as("cnt")))
+          .groupBy(col("event_type"), col("cents"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.Queries.kruskalFromGrid(
+      ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
+  }
+
   /** STREAMING maintained classifier-monitoring MV — the twin of
     * [[graft.Queries.evalConfusion]], the shape a production filtering
     * pipeline runs to watch its lang-ID classifier as documents land:

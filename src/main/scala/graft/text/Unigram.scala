@@ -79,11 +79,36 @@ object Unigram {
     (nTok(0), nVoc(0), nTok(0) - nVoc(0))
   }
 
+  /** GREEDY longest-match-first segmentation (the WordPiece/MaxMatch
+    * inference rule): at each position take the longest vocab token
+    * starting there (lengths [[MaxLen]]..[[MinLen]]), else consume one
+    * fallback character. Same (nTokens, nVocabTokens, nFallback) contract
+    * as [[segment]]; by construction its objective value (1000 per
+    * vocab-covered char, 1 per fallback) never exceeds the Viterbi
+    * optimum — an invariant the spec asserts corpus-wide. */
+  def greedySegment(text: String, vocab: Set[String]): (Int, Int, Int) = {
+    val n = text.length
+    var i = 0; var tok = 0; var voc = 0
+    while (i < n) {
+      var l = math.min(MaxLen, n - i)
+      var matched = 0
+      while (l >= MinLen && matched == 0) {
+        if (vocab.contains(text.substring(i, i + l))) matched = l
+        l -= 1
+      }
+      if (matched > 0) { voc += 1; i += matched } else i += 1
+      tok += 1
+    }
+    (tok, voc, tok - voc)
+  }
+
   /** Corpus-wide tokenization census: per doc the segment counts and the
     * exact chars-per-token ppm. Vocab broadcast, narrow map — no shuffle
-    * until the gate's ORDER BY. */
+    * until the gate's ORDER BY. `greedy` switches the per-doc kernel from
+    * the Viterbi DP to the WordPiece-style greedy matcher. */
   def tokenize(spark: SparkSession, docs: DataFrame, idCol: String,
-               textCol: String, v: Int = 200): DataFrame = {
+               textCol: String, v: Int = 200,
+               greedy: Boolean = false): DataFrame = {
     import spark.implicits._
     val vb = spark.sparkContext.broadcast(
       vocab(docs, textCol, v).toSet)
@@ -92,9 +117,10 @@ object Unigram {
     in.mapPartitions { it =>
       val voc = vb.value
       it.map { case (id, t) =>
-        val (tok, inV, fb) = segment(if (t == null) "" else t, voc)
-        val chars = if (t == null) 0 else t.length
-        val ppm = if (tok == 0) 0L else chars.toLong * 1000000L / tok
+        val s = if (t == null) "" else t
+        val (tok, inV, fb) =
+          if (greedy) greedySegment(s, voc) else segment(s, voc)
+        val ppm = if (tok == 0) 0L else s.length.toLong * 1000000L / tok
         (id, tok.toLong, inV.toLong, fb.toLong, ppm)
       }
     }.toDF(idCol, "n_tokens", "n_vocab_tokens", "n_fallback",

@@ -52,6 +52,15 @@ class EndToEndSpec extends AnyFunSuite {
       // Viterbi DP segmentation is not ANSI SQL; the identical DP is
       // replayed driver-side over every document (WaveAGSpec)
       "tokenize_unigram",
+      // greedy longest-match segmentation is not ANSI SQL; driver
+      // replay + greedy-never-beats-Viterbi invariant (WaveAHSpec)
+      "tokenize_wordpiece",
+      // iterative k-center greedy argmax-fold is not ANSI SQL; the
+      // identical selection is replayed driver-side (WaveAHSpec)
+      "sample_kcenter",
+      // rolling-hash chunk boundaries are not ANSI SQL; the chunker is
+      // replayed driver-side over every payload (WaveAHSpec)
+      "mm_chunk_dedup",
       // HLL sketch registers are engine-internal; ±5% floor and
       // merge-consistency (union-of-daily == direct weekly) spec'd
       "agg_hll_merge",
