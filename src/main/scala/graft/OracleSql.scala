@@ -1787,6 +1787,118 @@ object OracleSql {
 
     // the streaming maintained soft-dedup MV derives the identical census
     // on read, so it shares sample_soft_dedup's oracle verbatim
+    "split_group_safe" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           p AS (
+             SELECT a.doc_id a_id, b.doc_id b_id
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+           e AS (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),
+           reach(id, r) AS (
+             SELECT u, u FROM e
+             UNION
+             SELECT e2.u, reach.r FROM e e2 JOIN reach ON reach.id = e2.v),
+           comp AS (SELECT id, min(r) c FROM reach GROUP BY id),
+           lab AS (SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS cluster
+             FROM documents d LEFT JOIN comp ON d.doc_id = comp.id)
+         SELECT doc_id, cluster,
+             CAST(CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) < '40' THEN 0
+               WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) < '80' THEN 1
+               WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'c0' THEN 2
+               ELSE 3 END AS BIGINT) AS fold
+         FROM lab ORDER BY doc_id""",
+
+    "dedup_cluster_density" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+           p AS (
+             SELECT a.doc_id a_id, b.doc_id b_id
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+           e AS (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),
+           reach(id, r) AS (
+             SELECT u, u FROM e
+             UNION
+             SELECT e2.u, reach.r FROM e e2 JOIN reach ON reach.id = e2.v),
+           comp AS (SELECT id, min(r) c FROM reach GROUP BY id),
+           sizes AS (SELECT c, count(*) AS sz FROM comp GROUP BY 1),
+           edges AS (SELECT comp.c, count(*) AS e
+             FROM p JOIN comp ON p.a_id = comp.id GROUP BY 1),
+           per AS (SELECT s.sz, coalesce(edges.e, 0) AS e
+             FROM sizes s LEFT JOIN edges ON s.c = edges.c),
+           band AS (SELECT sz AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(e) AS BIGINT) AS n_edges
+             FROM per WHERE sz >= 2 GROUP BY 1)
+         SELECT cluster_size, n_clusters, n_edges,
+             CAST((n_edges * 2000000) // (n_clusters * cluster_size *
+               (cluster_size - 1)) AS BIGINT) AS density_ppm
+         FROM band ORDER BY cluster_size""",
+
+    "dq_power" ->
+      """WITH v AS (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+           FROM events WHERE value IS NOT NULL),
+         a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x*x) AS BIGINT) AS sxx
+           FROM v GROUP BY 1)
+         SELECT event_type, n,
+             round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS mean_cents,
+             round((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+               AS var_cents,
+             CAST(ceil(7.84886698
+               * (2.0 * ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+               / ((0.05 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                 * (0.05 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))))
+               AS BIGINT) AS n_per_arm
+         FROM a ORDER BY event_type""",
+
+    // the streaming maintained k-anonymity MV derives the identical
+    // census on read, so it shares dq_kanonymity's oracle verbatim
+    "stream_kanonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 500)
+               AS BIGINT) AS band,
+             count(*) AS sz
+           FROM customer GROUP BY 1, 2, 3),
+         one AS (SELECT
+             CAST(sum(CASE WHEN sz < 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+             CAST(sum(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT) AS r2,
+             CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS g5,
+             CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS r5,
+             CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS g10,
+             CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+               AS r10,
+             CAST(sum(CASE WHEN sz < 25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS g25,
+             CAST(sum(CASE WHEN sz < 25 THEN sz ELSE 0 END) AS BIGINT)
+               AS r25,
+             CAST(sum(sz) AS BIGINT) AS total FROM g)
+         SELECT k, n_groups_below, n_rows_below, total,
+             CAST((n_rows_below * 1000000) // total AS BIGINT)
+               AS share_ppm
+         FROM (
+           SELECT CAST(2 AS BIGINT) AS k, g2 AS n_groups_below,
+               r2 AS n_rows_below, total FROM one
+           UNION ALL SELECT CAST(5 AS BIGINT), g5, r5, total FROM one
+           UNION ALL SELECT CAST(10 AS BIGINT), g10, r10, total FROM one
+           UNION ALL SELECT CAST(25 AS BIGINT), g25, r25, total FROM one)
+         ORDER BY k""",
+
     "dq_kruskal" ->
       """WITH v AS (SELECT event_type,
              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents

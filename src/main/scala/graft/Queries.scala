@@ -6254,7 +6254,7 @@ object Queries {
     * replays the identical DP driver-side over every document. */
   def tokenizeUnigram(spark: SparkSession, dir: String): DataFrame =
     text.Unigram.tokenize(spark, t(spark, dir, "documents"),
-        "doc_id", "text")
+        "doc_id", "text", cacheKey = TempFiles.tag(dir))
       .orderBy(col("doc_id"))
 
   def vocabTextrank(spark: SparkSession, dir: String): DataFrame = {
@@ -7678,7 +7678,7 @@ object Queries {
     * the Viterbi optimum corpus-wide. */
   def tokenizeWordpiece(spark: SparkSession, dir: String): DataFrame =
     text.Unigram.tokenize(spark, t(spark, dir, "documents"),
-        "doc_id", "text", greedy = true)
+        "doc_id", "text", greedy = true, cacheKey = TempFiles.tag(dir))
       .orderBy(col("doc_id"))
 
   // ── Wave AI: rank/blocked nonparametrics, residual autocorrelation,
@@ -7854,13 +7854,19 @@ object Queries {
     * (QI-cardinality-bounded) group-size table UNPIVOTED via stack — no
     * join against the data anywhere. Exact longs + ppm by integer
     * division. */
-  def dqKanonymity(spark: SparkSession, dir: String): DataFrame = {
-    val g = t(spark, dir, "customer")
+  def dqKanonymity(spark: SparkSession, dir: String): DataFrame =
+    kanonymityFromSizes(t(spark, dir, "customer")
       .select(col("c_nationkey"), col("c_mktsegment"),
         expr("CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 500) " +
           "AS BIGINT)").as("band"))
       .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
-      .agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("sz")))
+
+  /** The per-k census derivation of [[dqKanonymity]] over any QI
+    * group-size frame with an `sz` column — shared verbatim by the
+    * streaming maintained twin, which derives it on read over the
+    * folded additive group-count MV. */
+  private[graft] def kanonymityFromSizes(g: DataFrame): DataFrame = {
     val ks = Seq(2L, 5L, 10L, 25L)
     val aggs = ks.flatMap { kk =>
       Seq(sum(when(col("sz") < kk, 1L).otherwise(0L)).as(s"g$kk"),
@@ -7874,5 +7880,95 @@ object Queries {
         col("total"),
         expr("n_rows_below * 1000000 div total").as("share_ppm"))
       .orderBy(col("k"))
+  }
+
+  // ── Wave AJ: leakage-safe splits, dup-graph audit, power analysis ──
+
+  /** N15o — leakage-safe train split: fold assignment by the near-dup
+    * CLUSTER representative instead of the document ([[splitKfold]]'s
+    * md5-band rule applied to the CC label), so near-duplicates can
+    * never straddle a train/eval boundary — the split discipline that
+    * makes held-out metrics honest after dedup (Lee et al. 2022's
+    * leakage failure mode). Rides the cached MinHash pairs + cached CC
+    * labels (id-sized shuffles only); singletons self-label via the
+    * left-join coalesce. Per-doc (cluster, fold) is fully
+    * hash-checked — the oracle replays the clustering as a recursive
+    * CTE and the SAME md5 rule. */
+  def splitGroupSafe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val comp = Components.connectedComponentsCached(
+      text.NearDup.minhashDupPairsCached(docs, "doc_id", "text", 0.8, dir),
+      "a_id", "b_id", dir)
+    val lab = docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster"))
+    val b = substring(md5(col("cluster").cast(StringType)), 1, 2)
+    lab.select(col("doc_id"), col("cluster"),
+        when(b < "40", 0L).when(b < "80", 1L)
+          .when(b < "c0", 2L).otherwise(3L).as("fold"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** N14n — dup-cluster density audit: within each near-dup cluster,
+    * what fraction of member PAIRS are direct edges? Density 1 means
+    * tight all-pairs clusters; low density means CHAINED clusters where
+    * transitivity (a~b~c but a≁c) merged non-duplicates — the quality
+    * number that decides whether the clustering threshold needs
+    * raising. Edges count per cluster via ONE label join of the
+    * (narrow) pair list; per size band the exact pooled density
+    * 10⁶·2E / Σ sz(sz−1) by integer division. All shuffles id- or
+    * cluster-keyed. */
+  def dedupClusterDensity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = text.NearDup.minhashDupPairsCached(
+      docs, "doc_id", "text", 0.8, dir).select(col("a_id"), col("b_id"))
+    val comp = Components.connectedComponentsCached(
+      pairs, "a_id", "b_id", dir)
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+    val edges = pairs
+      .join(comp.select(col("id").as("a_id"), col("comp")), "a_id")
+      .groupBy(col("comp")).agg(count(lit(1)).as("e"))
+    sizes.join(edges, Seq("comp"), "left")
+      .select(col("sz"), coalesce(col("e"), lit(0L)).as("e"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("e")).as("n_edges"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("cluster_size"), col("n_clusters"), col("n_edges"),
+        expr("n_edges * 2000000 div (n_clusters * cluster_size * " +
+          "(cluster_size - 1))").as("density_ppm"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** X90 — A/B power analysis per event type: the sample size each arm
+    * needs to detect a 5%-of-mean lift at α=0.05 (two-sided), power
+    * 0.80 — the calculator run BEFORE an experiment so [[dqAbWelch]] is
+    * read with enough data. Variance from the exact (n, Σx, Σx²) sums;
+    * n_per_arm = ⌈(z_{α/2}+z_β)²·2s²/δ²⌉ is one identical closed-form
+    * double expression over exact longs on both engines (the z-sum
+    * squared is the literal 7.84886698), so even the ceiling matches.
+    * One partial-agg shuffle. */
+  def dqPower(spark: SparkSession, dir: String): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    t(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        round(dbl(col("sx")) / dbl(col("n")), 6).as("mean_cents"),
+        round((dbl(col("n")) * dbl(col("sxx"))
+            - dbl(col("sx")) * dbl(col("sx")))
+          / (dbl(col("n")) * (dbl(col("n")) - lit(1.0))), 6)
+          .as("var_cents"),
+        ceil(lit(7.84886698)
+          * (lit(2.0) * ((dbl(col("n")) * dbl(col("sxx"))
+              - dbl(col("sx")) * dbl(col("sx")))
+            / (dbl(col("n")) * (dbl(col("n")) - lit(1.0)))))
+          / ((lit(0.05) * (dbl(col("sx")) / dbl(col("n"))))
+            * (lit(0.05) * (dbl(col("sx")) / dbl(col("n"))))))
+          .cast(LongType).as("n_per_arm"))
+      .orderBy(col("event_type"))
   }
 }

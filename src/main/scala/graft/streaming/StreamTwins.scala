@@ -1980,6 +1980,79 @@ object StreamTwins {
       ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
   }
 
+  /** STREAMING maintained k-anonymity census — the twin of
+    * [[graft.Queries.dqKanonymity]], the privacy monitor a publishing
+    * pipeline runs as customer rows land: the QI group-count grid
+    * (nation, segment, band, cnt) is ADDITIVE, folded through the
+    * batchId-versioned seam; the per-threshold suppression census —
+    * which any arriving row shifts (a group crossing k flips whole
+    * groups between buckets) — derives on read through the SAME
+    * [[graft.Queries.kanonymityFromSizes]] chain, so any batching
+    * hash-matches the batch oracle. State bounded by QI cardinality.
+    * The customer feed (no event time) lands as THREE custkey-sliced
+    * files (staged, crash-safe), so AvailableNow exercises a genuine
+    * multi-batch fold. */
+  def streamKanonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_kanon_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_kanon_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_kanon_ck_$tag")
+    val feed = graft.ops.Tables.table(ss, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 500) " +
+          "AS BIGINT)").as("band"))
+    val slices = Seq(0, 1, 2)
+    val complete = slices.forall { i =>
+      java.nio.file.Files.exists(landing.resolve(s"s$i.parquet"))
+    }
+    if (!complete) {
+      slices.foreach { i =>
+        val part = java.nio.file.Paths.get(graft.ops.TempFiles.dir(
+          s"stream_kanon_feed_build_$tag/staging/s$i"))
+        feed.filter(pmod(col("c_custkey"), lit(3)) === i)
+          .repartition(1).write.mode("overwrite").parquet(part.toString)
+        val src = java.nio.file.Files.list(part)
+        val f = try src.filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get() finally src.close()
+        java.nio.file.Files.move(f, landing.resolve(s"s$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val feedSchema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_mktsegment", StringType),
+      StructField("band", LongType)))
+    val stateSchema = StructType(Seq(
+      StructField("c_nationkey", IntegerType),
+      StructField("c_mktsegment", StringType),
+      StructField("band", LongType), StructField("sz", LongType)))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(batch.toDF()
+            .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+            .agg(count(lit(1)).as("sz")))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+          .agg(sum(col("sz")).as("sz"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.Queries.kanonymityFromSizes(
+      ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
+  }
+
   /** STREAMING maintained classifier-monitoring MV — the twin of
     * [[graft.Queries.evalConfusion]], the shape a production filtering
     * pipeline runs to watch its lang-ID classifier as documents land:

@@ -32,7 +32,10 @@ object Unigram {
 
   /** Top-`v` character n-grams (lengths [[MinLen]]..[[MaxLen]]) by corpus
     * frequency, total-ordered (count desc, gram asc) so the cut has no
-    * boundary ties cross-engine. One gram-keyed partial-agg shuffle. */
+    * boundary ties cross-engine. One gram-keyed partial-agg shuffle over
+    * ~4 rows per character of the TRAINING frame — which is why callers
+    * train on a sample ([[trainSample]]), the way production tokenizers
+    * are fit. */
   def vocab(docs: DataFrame, textCol: String, v: Int): Array[String] = {
     val exploded = docs
       .select(col(textCol).as("t"))
@@ -43,6 +46,30 @@ object Unigram {
     exploded.groupBy(col("g")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("g")).limit(v)
       .select(col("g")).collect().map(_.getString(0))
+  }
+
+  /** The deterministic 10% vocab-training sample (id ≡ 0 mod 10): the
+    * gram explode is ~4 rows per character, so fitting on the full
+    * corpus would shuffle 4× the corpus characters for a model that a
+    * sample fits identically in practice — production tokenizers train
+    * on a sample and apply everywhere. Shared by the engine and the
+    * spec's driver replay. */
+  def trainSample(docs: DataFrame, idCol: String): DataFrame =
+    docs.filter(pmod(col(idCol), lit(10)) === 0)
+
+  // the fitted vocab is a MODEL PARAMETER (v strings): cache per
+  // (data-epoch key, v) so the two tokenizer families — and repeat runs
+  // in one JVM — fit it once instead of re-shuffling the gram explode
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Set[String]]()
+
+  /** Sample-trained vocab as a cached model parameter. `cacheKey` keys
+    * the fit to the data epoch (empty = never cache). */
+  def vocabSetCached(docs: DataFrame, idCol: String, textCol: String,
+                     v: Int, cacheKey: String): Set[String] = {
+    def fit() = vocab(trainSample(docs, idCol), textCol, v).toSet
+    if (cacheKey.isEmpty) fit()
+    else vocabCache.computeIfAbsent((cacheKey, v), _ => fit())
   }
 
   /** Exact DP segmentation of `text` under the integral objective; returns
@@ -103,15 +130,17 @@ object Unigram {
   }
 
   /** Corpus-wide tokenization census: per doc the segment counts and the
-    * exact chars-per-token ppm. Vocab broadcast, narrow map — no shuffle
-    * until the gate's ORDER BY. `greedy` switches the per-doc kernel from
-    * the Viterbi DP to the WordPiece-style greedy matcher. */
+    * exact chars-per-token ppm. Vocab fit on the 10% [[trainSample]]
+    * (cached per data epoch via `cacheKey`) and broadcast; the
+    * segmentation pass is a narrow map — no shuffle until the gate's
+    * ORDER BY. `greedy` switches the per-doc kernel from the Viterbi DP
+    * to the WordPiece-style greedy matcher. */
   def tokenize(spark: SparkSession, docs: DataFrame, idCol: String,
                textCol: String, v: Int = 200,
-               greedy: Boolean = false): DataFrame = {
+               greedy: Boolean = false, cacheKey: String = ""): DataFrame = {
     import spark.implicits._
     val vb = spark.sparkContext.broadcast(
-      vocab(docs, textCol, v).toSet)
+      vocabSetCached(docs, idCol, textCol, v, cacheKey))
     val in: Dataset[(Long, String)] =
       docs.select(col(idCol), col(textCol)).as[(Long, String)]
     in.mapPartitions { it =>

@@ -158,7 +158,8 @@ class WaveAGSpec extends AnyFunSuite {
     assert(text.Unigram.segment("xab", voc) == (2, 1, 1))
 
     val docs = ops.Tables.table(spark, sf, "documents")
-    val vocabSet = text.Unigram.vocab(docs, "text", 200).toSet
+    val vocabSet = text.Unigram.vocab(
+      text.Unigram.trainSample(docs, "doc_id"), "text", 200).toSet
     assert(vocabSet.size == 200)
     val expect = docs.select(col("doc_id"), col("text")).collect()
       .map { r =>

@@ -248,7 +248,8 @@ class WaveAHSpec extends AnyFunSuite {
     assert(text.Unigram.greedySegment("zz", voc) == ((2, 0, 2)))
 
     val docs = ops.Tables.table(spark, sf, "documents")
-    val vocabSet = text.Unigram.vocab(docs, "text", 200).toSet
+    val vocabSet = text.Unigram.vocab(
+      text.Unigram.trainSample(docs, "doc_id"), "text", 200).toSet
     val expect = docs.select(col("doc_id"), col("text")).collect()
       .map { r =>
         val t = r.getString(1)

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave AJ: leakage-safe splits, dup-graph density audit, power
+  * analysis, streaming k-anonymity MV. */
+class WaveAJSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("split_group_safe: every near-dup cluster lands in exactly one " +
+    "fold, and folds follow the md5 band rule on the cluster label") {
+    val got = Queries.splitGroupSafe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = ops.Tables.table(spark, sf, "documents").count()
+    assert(got.length == nDocs && got.nonEmpty)
+    // leakage safety: one fold per cluster
+    got.groupBy(_._2).foreach { case (c, g) =>
+      assert(g.map(_._3).distinct.length == 1, s"cluster $c straddles folds")
+    }
+    // md5 band rule replayed driver-side
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (id, c, fold) =>
+      md.reset()
+      val h = md.digest(c.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      val exp = if (h < "40") 0L else if (h < "80") 1L
+        else if (h < "c0") 2L else 3L
+      assert(fold == exp, s"doc $id cluster $c")
+    }
+    // folds are genuinely used (4-way split over enough clusters)
+    assert(got.map(_._3).distinct.length == 4)
+  }
+
+  test("split_group_safe puts every member of a dedup cluster in the " +
+    "same fold as its dedup_components counterpart") {
+    val folds = Queries.splitGroupSafe(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val comp = Queries.dedupComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    comp.groupBy(_._2).foreach { case (c, g) =>
+      val fs = g.map(x => folds(x._1)._2).distinct
+      assert(fs.length == 1, s"component $c members split across folds $fs")
+    }
+  }
+
+  test("dedup_cluster_density matches a driver recompute and is bounded " +
+    "by the all-pairs ceiling") {
+    val pairs = text.NearDup.minhashDupPairsCached(
+      ops.Tables.table(spark, sf, "documents"), "doc_id", "text", 0.8, sf)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comp = ops.Components.connectedComponentsCached(
+      text.NearDup.minhashDupPairsCached(
+        ops.Tables.table(spark, sf, "documents"), "doc_id", "text", 0.8, sf),
+      "a_id", "b_id", sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sizes = comp.values.groupBy(identity).map { case (c, g) =>
+      c -> g.size.toLong
+    }
+    val edges = pairs.groupBy(p => comp(p._1)).map { case (c, g) =>
+      c -> g.length.toLong
+    }
+    val expect = sizes.filter(_._2 >= 2).toSeq.groupBy(_._2)
+      .map { case (sz, g) =>
+        val e = g.map(x => edges.getOrElse(x._1, 0L)).sum
+        sz -> (g.length.toLong, e,
+          e * 2000000L / (g.length.toLong * sz * (sz - 1)))
+      }
+    val got = Queries.dedupClusterDensity(spark, sf).collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { r =>
+      val (nc, e, d) = expect(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((nc, e, d)),
+        s"size ${r.getLong(0)}")
+      assert(r.getLong(3) <= 1000000L) // density can't exceed all-pairs
+    }
+  }
+
+  test("dq_power matches a driver recompute of the closed-form sample " +
+    "size from exact sums") {
+    val rows = ops.Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (ops.Cleanse.dec2(col("value")) * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = rows.groupBy(_._1).map { case (tp, g) =>
+      val n = g.length.toLong
+      val sx = g.map(_._2).sum
+      val sxx = g.map(x => x._2 * x._2).sum
+      val varc = (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) /
+        (n.toDouble * (n.toDouble - 1.0))
+      val delta = 0.05 * (sx.toDouble / n.toDouble)
+      tp -> (n, math.ceil(7.84886698 * (2.0 * varc) /
+        (delta * delta)).toLong)
+    }
+    val got = Queries.dqPower(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, npa) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(4) == npa,
+        s"type ${r.getString(0)}: got ${r.getLong(4)} want $npa")
+      assert(r.getLong(4) > 0L)
+    }
+  }
+
+  test("stream_kanonymity: the incrementally folded QI group counts " +
+    "yield the batch census exactly") {
+    val streamed = streaming.StreamTwins.streamKanonymity(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val batch = Queries.dqKanonymity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+}
