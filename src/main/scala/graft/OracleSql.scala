@@ -1787,6 +1787,132 @@ object OracleSql {
 
     // the streaming maintained soft-dedup MV derives the identical census
     // on read, so it shares sample_soft_dedup's oracle verbatim
+    "sample_preference_pairs" ->
+      """WITH scored AS (SELECT doc_id, lang, source,
+             CAST(floor(1000000.0 *
+               len(list_distinct(string_split(text, ' '))) /
+               len(string_split(text, ' '))) AS BIGINT) AS score_ppm
+           FROM documents),
+         m AS (SELECT *,
+             count(*) OVER (PARTITION BY lang, source) AS n_docs,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY score_ppm DESC, doc_id) AS rb,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY score_ppm, doc_id DESC) AS rw
+           FROM scored)
+         SELECT c.lang, c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+             c.doc_id AS chosen_id, c.score_ppm AS chosen_ppm,
+             w.doc_id AS rejected_id, w.score_ppm AS rejected_ppm,
+             c.score_ppm - w.score_ppm AS gap_ppm
+         FROM (SELECT * FROM m WHERE rb = 1 AND n_docs >= 2) c
+         JOIN (SELECT * FROM m WHERE rw = 1) w USING (lang, source)
+         ORDER BY c.lang, c.source""",
+
+    "eval_ndcg" ->
+      """WITH q(query_id, term_idx, term) AS (VALUES
+             (1,1,'spark'),(1,2,'join'),(2,1,'hash'),(2,2,'merge'),
+             (2,3,'batch'),(3,1,'vector'),(3,2,'scan')),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1,2),
+         dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+         dfv AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs, sum(len) AS total_len FROM dl),
+         term AS (SELECT qq.query_id, qq.term_idx, f.doc_id,
+             ((22e0 * f.tf * t.total_len) /
+              (10 * f.tf * t.total_len + 3 * t.total_len + 9 * d.len * t.n_docs)) *
+             ((2 * t.n_docs - 2 * v.df + 1) / (2 * v.df + 1)) AS s
+           FROM tf f JOIN q qq ON f.tok = qq.term
+           JOIN dl d ON f.doc_id = d.doc_id
+           JOIN dfv v ON f.tok = v.tok CROSS JOIN tot t),
+         sc AS (SELECT query_id, doc_id,
+             coalesce(max(CASE WHEN term_idx=1 THEN s END), 0e0)
+             + coalesce(max(CASE WHEN term_idx=2 THEN s END), 0e0)
+             + coalesce(max(CASE WHEN term_idx=3 THEN s END), 0e0) AS score
+           FROM term GROUP BY 1,2),
+         r AS (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rnk
+           FROM sc),
+         rel AS (SELECT qq.query_id, f.doc_id,
+             count(DISTINCT qq.term) AS rel
+           FROM tf f JOIN q qq ON f.tok = qq.term GROUP BY 1, 2),
+         gret AS (SELECT r.query_id, r.rnk,
+             CASE WHEN rel.rel = 1 THEN 1 WHEN rel.rel = 2 THEN 3
+               WHEN rel.rel = 3 THEN 7 ELSE 0 END AS g
+           FROM r LEFT JOIN rel ON r.query_id = rel.query_id
+             AND r.doc_id = rel.doc_id
+           WHERE r.rnk <= 5),
+         gp AS (SELECT query_id,
+             CAST(coalesce(max(CASE WHEN rnk=1 THEN g END), 0) AS BIGINT) AS g1,
+             CAST(coalesce(max(CASE WHEN rnk=2 THEN g END), 0) AS BIGINT) AS g2,
+             CAST(coalesce(max(CASE WHEN rnk=3 THEN g END), 0) AS BIGINT) AS g3,
+             CAST(coalesce(max(CASE WHEN rnk=4 THEN g END), 0) AS BIGINT) AS g4,
+             CAST(coalesce(max(CASE WHEN rnk=5 THEN g END), 0) AS BIGINT) AS g5
+           FROM gret GROUP BY 1),
+         irk AS (SELECT query_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rel DESC, doc_id) AS irn,
+             CASE WHEN rel = 1 THEN 1 WHEN rel = 2 THEN 3
+               WHEN rel = 3 THEN 7 ELSE 0 END AS g
+           FROM rel),
+         ip AS (SELECT query_id,
+             CAST(coalesce(max(CASE WHEN irn=1 THEN g END), 0) AS BIGINT) AS i1,
+             CAST(coalesce(max(CASE WHEN irn=2 THEN g END), 0) AS BIGINT) AS i2,
+             CAST(coalesce(max(CASE WHEN irn=3 THEN g END), 0) AS BIGINT) AS i3,
+             CAST(coalesce(max(CASE WHEN irn=4 THEN g END), 0) AS BIGINT) AS i4,
+             CAST(coalesce(max(CASE WHEN irn=5 THEN g END), 0) AS BIGINT) AS i5
+           FROM irk WHERE irn <= 5 GROUP BY 1)
+         SELECT CAST(gp.query_id AS BIGINT) AS query_id,
+             CAST(g1 + g2 + g3 + g4 + g5 AS BIGINT) AS gain_sum,
+             round(CAST(g1 AS DOUBLE)
+               + CAST(g2 AS DOUBLE) / 1.584962500721156
+               + CAST(g3 AS DOUBLE) / 2.0
+               + CAST(g4 AS DOUBLE) / 2.321928094887362
+               + CAST(g5 AS DOUBLE) / 2.584962500721156, 6) AS dcg,
+             round(CAST(i1 AS DOUBLE)
+               + CAST(i2 AS DOUBLE) / 1.584962500721156
+               + CAST(i3 AS DOUBLE) / 2.0
+               + CAST(i4 AS DOUBLE) / 2.321928094887362
+               + CAST(i5 AS DOUBLE) / 2.584962500721156, 6) AS idcg,
+             round((CAST(g1 AS DOUBLE)
+               + CAST(g2 AS DOUBLE) / 1.584962500721156
+               + CAST(g3 AS DOUBLE) / 2.0
+               + CAST(g4 AS DOUBLE) / 2.321928094887362
+               + CAST(g5 AS DOUBLE) / 2.584962500721156)
+               / (CAST(i1 AS DOUBLE)
+               + CAST(i2 AS DOUBLE) / 1.584962500721156
+               + CAST(i3 AS DOUBLE) / 2.0
+               + CAST(i4 AS DOUBLE) / 2.321928094887362
+               + CAST(i5 AS DOUBLE) / 2.584962500721156), 6) AS ndcg
+         FROM gp JOIN ip ON gp.query_id = ip.query_id
+         ORDER BY query_id""",
+
+    "dq_adf" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS y FROM events GROUP BY 1, 2),
+         lagd AS (SELECT event_type, day, y,
+             lag(y) OVER (PARTITION BY event_type ORDER BY day) AS x
+           FROM daily),
+         p AS (SELECT event_type, x, y - x AS z FROM lagd
+           WHERE x IS NOT NULL),
+         a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(z) AS BIGINT) AS sz,
+             CAST(sum(x*x) AS BIGINT) AS sxx,
+             CAST(sum(z*z) AS BIGINT) AS szz,
+             CAST(sum(x*z) AS BIGINT) AS sxz
+           FROM p GROUP BY 1),
+         c AS (SELECT event_type, m,
+             CAST(m*sxz - sx*sz AS BIGINT) AS a,
+             CAST(m*sxx - sx*sx AS BIGINT) AS b,
+             CAST(m*szz - sz*sz AS BIGINT) AS c
+           FROM a)
+         SELECT event_type, m, a, b, c,
+             round(CAST(a AS DOUBLE) * sqrt((CAST(m AS DOUBLE) - 2.0)
+               / (CAST(c AS DOUBLE) * CAST(b AS DOUBLE)
+                 - CAST(a AS DOUBLE) * CAST(a AS DOUBLE))), 6) AS t_stat
+         FROM c ORDER BY event_type""",
+
     "split_group_safe" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),

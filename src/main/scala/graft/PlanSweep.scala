@@ -33,6 +33,9 @@ object PlanSweep {
       "vocab_pmi", "dq_drift", "dq_drift_js", "agg_histogram",
       "window_rolling_distinct", "window_rolling_median", "window_ewma",
       "sample_temperature", "search_bm25", "window_allocation",
+      // ndcg eval wraps search_bm25's scorer, inheriting its one-row
+      // corpus-totals broadcast cross join
+      "eval_ndcg",
       "customer_rfm", "dq_benford", "sample_balanced",
       "session_concurrency",
       // PSI: the min/max stats row and the (n_a, n_b) totals row, both

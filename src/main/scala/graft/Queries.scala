@@ -7971,4 +7971,131 @@ object Queries {
           .cast(LongType).as("n_per_arm"))
       .orderBy(col("event_type"))
   }
+
+  // ── Wave AK: preference pairs, retrieval eval, unit-root test ───────
+
+  /** N15p — preference-pair construction (the DPO/RLHF data shape): per
+    * (lang, source) bucket, the highest- and lowest-quality document by
+    * the exact lexical-diversity ppm ([[sampleCurriculum]]'s score) form
+    * a (chosen, rejected) pair — deterministic tie-breaks (chosen:
+    * lowest id among ties; rejected: highest id) so the pair is a pure
+    * function of the corpus, and disjoint whenever the bucket has ≥ 2
+    * docs. Two keyed row_number windows over the bucket partitioning +
+    * one self-join of the two 1-row-per-bucket frames — never a global
+    * window, never a cross join. Fully hash-checked. */
+  def samplePreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        floor(lit(1000000.0) *
+          size(array_distinct(split(col("text"), " "))).cast(DoubleType) /
+          size(split(col("text"), " ")).cast(DoubleType)).cast(LongType)
+          .as("score_ppm"))
+    val w = Window.partitionBy(col("lang"), col("source"))
+    val marked = scored
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .withColumn("rb", row_number().over(
+        w.orderBy(col("score_ppm").desc, col("doc_id"))))
+      .withColumn("rw", row_number().over(
+        w.orderBy(col("score_ppm"), col("doc_id").desc)))
+      .filter(col("n_docs") >= 2)
+    marked.filter(col("rb") === 1)
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("doc_id").as("chosen_id"), col("score_ppm").as("chosen_ppm"))
+      .join(marked.filter(col("rw") === 1)
+        .select(col("lang"), col("source"),
+          col("doc_id").as("rejected_id"),
+          col("score_ppm").as("rejected_ppm")),
+        Seq("lang", "source"))
+      .withColumn("gap_ppm", col("chosen_ppm") - col("rejected_ppm"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** N24c — NDCG@5 of the BM25 ranking ([[searchBm25]]) against the
+    * graded relevance "how many of the query's terms does the doc
+    * contain" (0–3) — the retrieval-eval loop run whenever the index or
+    * scorer changes. Gains 2^rel − 1 are exact ints via a CASE; both
+    * DCG and the ideal DCG are FIXED-ORDER five-term sums (pivot on
+    * rank, explicit 1/log₂(i+1) double literals — never a float sum in
+    * partition order), so the whole metric hash-matches. Ideal ranking
+    * = corpus-wide top-5 relevance per query (rel desc, doc_id) via one
+    * keyed row_number over the (tiny) rel>0 table. */
+  def evalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qt = Seq((1L, "spark"), (1L, "join"), (2L, "hash"),
+        (2L, "merge"), (2L, "batch"), (3L, "vector"), (3L, "scan"))
+      .toDF("query_id", "term")
+    val rel = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(qt), col("tok") === col("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("rel"))
+    val gain = when(col("rel") === 1, 1L).when(col("rel") === 2, 3L)
+      .when(col("rel") === 3, 7L).otherwise(0L)
+    def pivot5(df: DataFrame, rankCol: String, prefix: String) = {
+      val cols = (1 to 5).map(i =>
+        coalesce(max(when(col(rankCol) === i, col("g"))), lit(0L))
+          .as(s"$prefix$i"))
+      df.groupBy(col("query_id")).agg(cols.head, cols.tail: _*)
+    }
+    def dcg5(prefix: String): Column =
+      col(s"${prefix}1").cast(DoubleType) +
+        col(s"${prefix}2").cast(DoubleType) / lit(1.584962500721156) +
+        col(s"${prefix}3").cast(DoubleType) / lit(2.0) +
+        col(s"${prefix}4").cast(DoubleType) / lit(2.321928094887362) +
+        col(s"${prefix}5").cast(DoubleType) / lit(2.584962500721156)
+    val got = pivot5(searchBm25(spark, dir)
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("rank"), gain.as("g")), "rank", "g")
+    val ideal = pivot5(rel
+      .withColumn("irn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("doc_id"))))
+      .filter(col("irn") <= 5)
+      .select(col("query_id"), col("irn"), gain.as("g")), "irn", "i")
+    got.join(ideal, "query_id")
+      .select(col("query_id"),
+        (col("g1") + col("g2") + col("g3") + col("g4") + col("g5"))
+          .as("gain_sum"),
+        round(dcg5("g"), 6).as("dcg"),
+        round(dcg5("i"), 6).as("idcg"),
+        round(dcg5("g") / dcg5("i"), 6).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  /** X91 — (simplified, lag-0) Dickey–Fuller unit-root test per event
+    * type: regress Δy_t on y_{t−1} over the daily series and report the
+    * β t-statistic — "is this metric mean-reverting or a random walk?",
+    * the stationarity gate before trend models ([[forecastHolt]],
+    * [[dqDurbinWatson]]) are trusted. The whole statistic collapses to
+    * t = A·√((m−2)/(C·B − A²)) over three EXACT centered co-moment
+    * integers A = mΣxz − ΣxΣz, B = mΣx² − (Σx)², C = mΣz² − (Σz)²
+    * (x = lagged level, z = difference, m = pairs) — all hash-checked,
+    * one identical sqrt expression. One keyed lag over the
+    * calendar-bounded daily aggregate, one partial-agg shuffle. */
+  def dqAdf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pairs = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", lag(col("y"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .withColumn("z", col("y") - col("x"))
+    def dbl(c: Column) = c.cast(DoubleType)
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("z")).as("sz"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("z")).as("sxz"))
+      .select(col("event_type"), col("m"),
+        (col("m") * col("sxz") - col("sx") * col("sz")).as("a"),
+        (col("m") * col("sxx") - col("sx") * col("sx")).as("b"),
+        (col("m") * col("szz") - col("sz") * col("sz")).as("c"))
+      .select(col("event_type"), col("m"), col("a"), col("b"), col("c"),
+        round(dbl(col("a")) * sqrt((dbl(col("m")) - lit(2.0))
+          / (dbl(col("c")) * dbl(col("b"))
+            - dbl(col("a")) * dbl(col("a")))), 6).as("t_stat"))
+      .orderBy(col("event_type"))
+  }
 }
