@@ -1787,6 +1787,59 @@ object OracleSql {
 
     // the streaming maintained soft-dedup MV derives the identical census
     // on read, so it shares sample_soft_dedup's oracle verbatim
+    "dq_table_diff" ->
+      """WITH old AS (SELECT c_custkey, c_name AS o_name,
+             CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(18,4))
+               AS DOUBLE) AS o_bal,
+             c_mktsegment AS o_seg
+           FROM customer),
+         updates AS (SELECT c_custkey, c_name,
+             CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 1000
+               AS DECIMAL(18,4)) AS DOUBLE) AS acctbal,
+             c_mktsegment
+           FROM customer WHERE c_custkey % 10 = 0),
+         inserts AS (SELECT c_custkey + 1000000 AS c_custkey, c_name,
+             CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(18,4))
+               AS DOUBLE) AS acctbal,
+             c_mktsegment
+           FROM customer WHERE c_custkey <= 5),
+         merged AS (SELECT c_custkey, c_name,
+             CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(18,4))
+               AS DOUBLE) AS acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 10 <> 0
+           UNION ALL SELECT * FROM updates
+           UNION ALL SELECT * FROM inserts),
+         neu AS (SELECT c_custkey, c_name AS n_name, acctbal AS n_bal,
+             c_mktsegment AS n_seg
+           FROM merged WHERE c_custkey % 97 <> 3),
+         j AS (SELECT
+             CASE WHEN o.o_name IS NULL THEN 'added'
+               WHEN n.n_name IS NULL THEN 'removed'
+               WHEN o.o_name <> n.n_name OR o.o_bal <> n.n_bal
+                 OR o.o_seg <> n.n_seg THEN 'changed'
+               ELSE 'unchanged' END AS status,
+             CASE WHEN o.o_name <> n.n_name THEN 1 ELSE 0 END AS dn,
+             CASE WHEN o.o_bal <> n.n_bal THEN 1 ELSE 0 END AS db,
+             CASE WHEN o.o_seg <> n.n_seg THEN 1 ELSE 0 END AS ds
+           FROM old o FULL OUTER JOIN neu n USING (c_custkey))
+         SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(dn) AS BIGINT) AS n_name_diff,
+             CAST(sum(db) AS BIGINT) AS n_acctbal_diff,
+             CAST(sum(ds) AS BIGINT) AS n_mktsegment_diff
+         FROM j GROUP BY 1 ORDER BY 1""",
+
+    "join_dpp_pruned" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(CAST(sum(CAST(value AS DECIMAL(12,2)))
+               AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+         FROM events
+         -- NOT an IN list: DuckDB 1.0 IN-coerces the TIMESTAMP_NS column
+         -- against the DATE list and matches nothing; equality is fine
+         WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+            OR CAST(ts AS DATE) = DATE '2024-01-12'
+            OR CAST(ts AS DATE) = DATE '2024-01-19'
+         GROUP BY 1 ORDER BY 1""",
+
     "sample_preference_pairs" ->
       """WITH scored AS (SELECT doc_id, lang, source,
              CAST(floor(1000000.0 *

@@ -353,7 +353,14 @@ object Queries {
     * change batch — every 10th customer's balance bumped by 1000, five new
     * customers inserted under shifted keys — applied via one union + one
     * keyed window (see [[Dedup.upsert]]). */
-  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame =
+    upsertedCustomer(spark, dir).orderBy(col("c_custkey"))
+
+  /** The upserted-customer frame of [[mergeUpsert]] (updates on key%10,
+    * 5 key-shifted inserts) — shared by [[dqTableDiff]], which diffs it
+    * against the base table. */
+  private[graft] def upsertedCustomer(spark: SparkSession,
+                                      dir: String): DataFrame = {
     val base = t(spark, dir, "customer")
     val updates = base.filter(pmod(col("c_custkey"), lit(10)) === 0)
       .withColumn("c_acctbal",
@@ -365,7 +372,6 @@ object Queries {
       .select(col("c_custkey"), col("c_name"),
         decOut(Cleanse.dec2(col("c_acctbal"))).as("acctbal"),
         col("c_mktsegment"))
-      .orderBy(col("c_custkey"))
   }
 
   // ── §2.2 Sinks ───────────────────────────────────────────────────────
@@ -8096,6 +8102,89 @@ object Queries {
         round(dbl(col("a")) * sqrt((dbl(col("m")) - lit(2.0))
           / (dbl(col("c")) * dbl(col("b"))
             - dbl(col("a")) * dbl(col("a")))), 6).as("t_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  // ── Wave AL: migration data-diff, dynamic partition pruning ─────────
+
+  /** X92 — table diff census (the data-diff every migration/backfill is
+    * verified with): base customer vs its upserted-and-purged successor
+    * ([[upsertedCustomer]] minus a deterministic key%97 purge slice),
+    * FULL OUTER joined on the key and classified added / removed /
+    * changed / unchanged, with per-column change counts for the changed
+    * class. ONE key-keyed shuffle join; value equality runs on the same
+    * exact-decimal-derived doubles both versions were built from, so
+    * the census hash-matches. At 100 TB this is the shape that verifies
+    * a rewrite touched exactly what it claimed. */
+  def dqTableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name").as("o_name"),
+        decOut(Cleanse.dec2(col("c_acctbal"))).as("o_bal"),
+        col("c_mktsegment").as("o_seg"))
+    val neu = upsertedCustomer(spark, dir)
+      .filter(pmod(col("c_custkey"), lit(97)) =!= 3)
+      .select(col("c_custkey"), col("c_name").as("n_name"),
+        col("acctbal").as("n_bal"), col("c_mktsegment").as("n_seg"))
+    old.join(neu, Seq("c_custkey"), "full_outer")
+      .select(
+        when(col("o_name").isNull, "added")
+          .when(col("n_name").isNull, "removed")
+          .when(col("o_name") =!= col("n_name") ||
+            col("o_bal") =!= col("n_bal") ||
+            col("o_seg") =!= col("n_seg"), "changed")
+          .otherwise("unchanged").as("status"),
+        when(col("o_name") =!= col("n_name"), 1L).otherwise(0L)
+          .as("dn"),
+        when(col("o_bal") =!= col("n_bal"), 1L).otherwise(0L).as("db"),
+        when(col("o_seg") =!= col("n_seg"), 1L).otherwise(0L).as("ds"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("dn")).as("n_name_diff"),
+        sum(col("db")).as("n_acctbal_diff"),
+        sum(col("ds")).as("n_mktsegment_diff"))
+      .orderBy(col("status"))
+  }
+
+  /** J7 — DYNAMIC partition pruning: the fact table is day-partitioned
+    * on disk; the campaign dim arrives as a FILTERED broadcast, and the
+    * join key is the partition column — so Catalyst injects a
+    * dynamicpruning subquery that reuses the broadcast to prune fact
+    * PARTITIONS at runtime (3 of 30 read; the spec asserts the
+    * `dynamicpruning` expression in the plan). This is the 100 TB
+    * mechanism [[scanPartitionPruned]]'s static literal can't express:
+    * the pruning days are only known from another table. The
+    * partitioned fixture builds once per data epoch (`_SUCCESS`
+    * sentinel). */
+  def joinDppPruned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = TempFiles.dir(s"dpp_tbl_${TempFiles.tag(dir)}")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "_SUCCESS"))) {
+      t(spark, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(root)
+    }
+    val fact = spark.read.parquet(root)
+    // the dim must be a real SCAN: a literal LocalRelation would have its
+    // filter constant-folded away, and Catalyst only injects the
+    // dynamicpruning subquery when the build side keeps a selective
+    // predicate over a source
+    // the filter must also be "likely selective" to the PartitionPruning
+    // rule: a bare boolean attribute is simplified out of EqualTo form,
+    // so the campaign flag is a string kind compared by equality
+    val dimRoot = TempFiles.dir(s"dpp_dim_${TempFiles.tag(dir)}")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dimRoot, "_SUCCESS"))) {
+      Seq(("2024-01-05", "campaign"), ("2024-01-12", "campaign"),
+          ("2024-01-19", "campaign"), ("2024-01-26", "normal"))
+        .toDF("day_s", "kind")
+        .select(to_date(col("day_s")).as("day"), col("kind"))
+        .repartition(1).write.mode("overwrite").parquet(dimRoot)
+    }
+    val dim = spark.read.parquet(dimRoot)
+    fact.join(broadcast(dim.filter(col("kind") === "campaign")), "day")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        decOut(sum(Cleanse.dec2(col("value")))).as("sum_value"))
       .orderBy(col("event_type"))
   }
 }

@@ -137,7 +137,12 @@ class StressSpec extends AnyFunSuite {
       // wave-AA structure carriers: the frontier-iterated BFS (per-round
       // joins over a persisted edge list) and the Mann-Whitney doubled
       // ranks through the distributed prefix scan
-      "graph_bfs", "dq_mannwhitney")
+      "graph_bfs", "dq_mannwhitney",
+      // wave-AH/AK structure carriers: the day-grouped descending prefix
+      // scan (AUC), the CDC chunk explode + digest census, the
+      // sample-trained Viterbi tokenizer, and the k-round min-distance
+      // fold of the k-center coreset
+      "eval_auc", "mm_chunk_dedup", "tokenize_unigram", "sample_kcenter")
     for (n <- names) {
       // min-of-2 per scale point: a single GC/JIT pause on either side of
       // the ratio can push a healthy query past the bound (it flaked once
