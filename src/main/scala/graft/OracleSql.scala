@@ -1787,6 +1787,54 @@ object OracleSql {
 
     // the streaming maintained soft-dedup MV derives the identical census
     // on read, so it shares sample_soft_dedup's oracle verbatim
+    "feature_target_encode" ->
+      """WITH v AS (SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+           FROM events WHERE value IS NOT NULL),
+         per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(x) AS BIGINT) AS sg FROM v GROUP BY 1),
+         tot AS (SELECT CAST(sum(ng) AS BIGINT) AS nn,
+             CAST(sum(sg) AS BIGINT) AS ss FROM per)
+         SELECT v.event_id, v.event_type,
+             round(CAST((per.sg - v.x) * t.nn + 10 * t.ss AS DOUBLE)
+               / CAST(t.nn * (per.ng + 9) AS DOUBLE), 6) AS enc
+         FROM v JOIN per USING (event_type), tot t
+         ORDER BY v.event_id""",
+
+    // the streaming maintained feature table derives the identical
+    // smoothed encodings on read from the folded (n, s) cells
+    "stream_feature_encode" ->
+      """WITH v AS (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+           FROM events WHERE value IS NOT NULL),
+         per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s FROM v GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s) AS BIGINT) AS ss FROM per)
+         SELECT per.event_type, per.n, per.s,
+             round(CAST(per.s * t.nn + 10 * t.ss AS DOUBLE)
+               / CAST(t.nn * (per.n + 10) AS DOUBLE), 6) AS enc
+         FROM per, tot t ORDER BY per.event_type""",
+
+    "agg_lorenz" ->
+      """WITH per AS (SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+               AS BIGINT)) AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+         tiled AS (SELECT c,
+             CAST(ntile(10) OVER (ORDER BY c, o_custkey) AS BIGINT)
+               AS decile FROM per),
+         dec AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(c) AS BIGINT) AS decile_cents
+           FROM tiled GROUP BY 1),
+         cum AS (SELECT decile, n_customers, decile_cents,
+             CAST(sum(decile_cents) OVER (ORDER BY decile) AS BIGINT)
+               AS cum_cents FROM dec),
+         tot AS (SELECT CAST(sum(decile_cents) AS BIGINT) AS tt FROM dec)
+         SELECT decile, n_customers, decile_cents,
+             CAST((cum_cents * 1000000) // tt AS BIGINT) AS cum_share_ppm
+         FROM cum, tot ORDER BY decile""",
+
     "dq_table_diff" ->
       """WITH old AS (SELECT c_custkey, c_name AS o_name,
              CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(18,4))

@@ -95,6 +95,9 @@ object PlanSweep {
       // per-type rows (kruskal additionally folds the one-row (N, tie)
       // totals into the pivot — two stacked 1-row scalar joins)
       "dq_levene", "dq_kruskal", "stream_kruskal",
+      // target encoding / Lorenz: the one-row global (N, S) prior /
+      // grand-total broadcast onto the category table or decile rows
+      "feature_target_encode", "stream_feature_encode", "agg_lorenz",
       // modularity: the one-row edge-count total broadcast per lang row
       "graph_modularity",
       // hybrid RRF: search_bm25's one-row (n_docs, total_len) totals

@@ -8187,4 +8187,72 @@ object Queries {
         decOut(sum(Cleanse.dec2(col("value")))).as("sum_value"))
       .orderBy(col("event_type"))
   }
+
+  // ── Wave AM: target encoding, serving-feature MV, Lorenz curve ──────
+
+  /** F1 — leave-one-out target encoding of event_type against value
+    * cents with additive smoothing (m = 10 pseudo-observations of the
+    * global mean) — the categorical feature an ML pipeline derives
+    * WITHOUT leaking each row's own target. Cross-multiplied into one
+    * exact integer numerator/denominator pair per row:
+    * enc = ((S_g − x)·N + 10·S) / (N·(n_g + 9)), so the only float is
+    * one identical rounded division. Shape: one per-category partial
+    * agg broadcast back over the fact (category cardinality = model
+    * size), global totals a one-row broadcast — the corpus never
+    * shuffles. */
+  def featureTargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val v = t(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("x"))
+    val per = v.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
+    val tot = per.agg(sum(col("ng")).as("nn"), sum(col("sg")).as("ss"))
+    v.join(broadcast(per), "event_type").crossJoin(broadcast(tot))
+      .select(col("event_id"), col("event_type"),
+        round(((col("sg") - col("x")) * col("nn")
+            + lit(10) * col("ss")).cast(DoubleType)
+          / (col("nn") * (col("ng") + lit(9))).cast(DoubleType), 6)
+          .as("enc"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The smoothed per-category encoding TABLE (no leave-one-out — the
+    * SERVING shape written to a feature store) over any
+    * (event_type, n, s) aggregate — shared by the streaming maintained
+    * twin. enc = (S_g·N + 10·S)/(N·(n_g + 10)). */
+  private[graft] def encodeFromAgg(agg: DataFrame): DataFrame = {
+    val tot = agg.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n"), col("s"),
+        round((col("s") * col("nn") + lit(10) * col("ss"))
+            .cast(DoubleType)
+          / (col("nn") * (col("n") + lit(10))).cast(DoubleType), 6)
+          .as("enc"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A14 — Lorenz concentration curve of customer spend: the decile
+    * view behind [[aggGiniSpend]]'s scalar — "the top decile holds X%
+    * of revenue". Customer totals ranked by the TWO-PASS distributed
+    * ntile ([[ops.PrefixSum.ntileGlobal]], the curriculum discipline —
+    * no global window), per-decile sums, cumulative share over the
+    * 10-row decile table as exact ⌊10⁶·cum/T⌋ ppm. */
+  def aggLorenz(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        (Cleanse.dec2(col("o_totalprice")) * 100).cast(LongType)
+          .as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("c"))
+    val tiled = PrefixSum.ntileGlobal(per, Seq("c", "o_custkey"), 10,
+      "decile")
+    val dec = tiled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("c")).as("decile_cents"))
+    val tot = dec.agg(sum(col("decile_cents")).as("tt"))
+    val cum = PrefixSum.cumSum(dec, Nil, Seq("decile"),
+      col("decile_cents"), "cum_cents")
+    cum.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_customers"), col("decile_cents"),
+        expr("cum_cents * 1000000 div tt").as("cum_share_ppm"))
+      .orderBy(col("decile"))
+  }
 }

@@ -2053,6 +2053,57 @@ object StreamTwins {
       ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
   }
 
+  /** STREAMING maintained serving-feature table — the feature-store
+    * write path: the per-category (n, Σ target) cells are ADDITIVE,
+    * folded through the batchId-versioned seam as events land; the
+    * smoothed encoding — which every arriving event shifts through both
+    * its own category and the global prior — derives on read via the
+    * shared [[graft.Queries.encodeFromAgg]], so any batching
+    * hash-matches the batch oracle. State is category-cardinality rows
+    * forever. */
+  def streamFeatureEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_enc_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_enc_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_enc_ck_$tag")
+    val feedSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("x", LongType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("ts"), col("event_type"),
+        (graft.ops.Cleanse.dec2(col("value")) * 100).cast(LongType)
+          .as("x")),
+      s"stream_enc_feed_build_$tag")
+    val stateSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("n", LongType),
+      StructField("s", LongType)))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(batch.toDF()
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("x")).as("s")))
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.Queries.encodeFromAgg(
+      ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
+  }
+
   /** STREAMING maintained classifier-monitoring MV — the twin of
     * [[graft.Queries.evalConfusion]], the shape a production filtering
     * pipeline runs to watch its lang-ID classifier as documents land:
