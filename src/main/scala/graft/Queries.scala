@@ -8255,4 +8255,46 @@ object Queries {
         expr("cum_cents * 1000000 div tt").as("cum_share_ppm"))
       .orderBy(col("decile"))
   }
+
+  /** N12l — audio fingerprint matching (the Shazam/Wang-2003
+    * constellation shape, deterministic): per payload the landmark
+    * peaks pair into (hash, anchor-time) fingerprints at the codec
+    * seam; an inverted index keyed on the hash joins payloads sharing a
+    * fingerprint; a candidate pair only MATCHES when ≥ 4 shared hashes
+    * agree on the SAME time offset (the offset-consistency vote that
+    * makes the scheme precise at planet scale). Shapes: one narrow
+    * fingerprint pass, ONE hash-keyed inverted-index shuffle with the
+    * LSH spam-cap discipline (hot hashes capped at 64 postings via a
+    * count window over the distribution the join already requires —
+    * zero extra exchanges), one (pair, offset)-keyed vote aggregate.
+    * Rows-only (the landmark kernel is not SQL); the spec replays the
+    * fingerprinting driver-side and pins crafted shared-tail payloads. */
+  def mmAudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val fp = mm.Multimodal.asAudio(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          mm.Multimodal.audioFingerprints(p).map { case (h, t1) =>
+            (id, h, t1)
+          }
+        }
+      }.toDF("doc_id", "h", "t1")
+    val capped = fp.withColumn("postings",
+        count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("postings") <= 64).drop("postings")
+    val a = capped.select(col("doc_id").as("a_id"), col("h"),
+      col("t1").as("ta"))
+    val b = capped.select(col("doc_id").as("b_id"), col("h"),
+      col("t1").as("tb"))
+    a.join(b, Seq("h")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), (col("ta") - col("tb")).as("dt"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("votes")).as("n_aligned"))
+      .filter(col("n_aligned") >= 4)
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

@@ -616,6 +616,55 @@ object Multimodal {
     (off, len, md.digest().map("%02x".format(_)).mkString)
   }
 
+  // ── audio landmark fingerprinting (Wang 2003 constellation shape) ──
+
+  val FpFrame = 16   // samples per analysis frame
+  val FpHop = 8      // frame hop
+  val FpFanout = 3   // pairs emitted per anchor landmark
+
+  /** Landmarks of a WAV payload: per analysis frame (16 samples, hop 8)
+    * the peak-magnitude bucket (|s| >> 9, 5 bits) — the deterministic
+    * stand-in for a spectrogram constellation. Returns (frameIdx,
+    * bucket). Pure function of the bytes; the spec replays it. */
+  def audioLandmarks(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    if (bytes == null || bytes.length < 46 ||
+        bytes(0) != 'R' || bytes(8) != 'W') return Seq.empty
+    val n = (bytes.length - 44) / 2
+    def sample(i: Int): Int = {
+      val lo = bytes(44 + 2 * i) & 0xFF
+      val hi = bytes(45 + 2 * i)
+      (hi << 8) | lo
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var f = 0
+    var start = 0
+    while (start + FpFrame <= n) {
+      var best = 0
+      var i = start
+      while (i < start + FpFrame) {
+        val a = math.abs(sample(i)); if (a > best) best = a
+        i += 1
+      }
+      out += ((f, (best >> 9) & 0x3F))
+      f += 1; start += FpHop
+    }
+    out.toSeq
+  }
+
+  /** Constellation fingerprints: each landmark pairs with the next
+    * [[FpFanout]] landmarks into hash = b1<<12 | b2<<6 | dt, anchored at
+    * the first landmark's frame time. Returns (hash, t1). */
+  def audioFingerprints(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val lm = audioLandmarks(bytes)
+    for {
+      i <- lm.indices
+      j <- (i + 1) to math.min(i + FpFanout, lm.length - 1)
+    } yield {
+      val dt = lm(j)._1 - lm(i)._1
+      ((lm(i)._2 << 12) | (lm(j)._2 << 6) | (dt & 0x3F), lm(i)._1)
+    }
+  }
+
   /** Explode a media frame into its content-defined chunks:
     * (doc_id, chunk_digest, chunk_len). The codec-seam `mapPartitions`
     * (same seam as decode — no Catalyst expression chunks binaries); one

@@ -61,6 +61,9 @@ class EndToEndSpec extends AnyFunSuite {
       // rolling-hash chunk boundaries are not ANSI SQL; the chunker is
       // replayed driver-side over every payload (WaveAHSpec)
       "mm_chunk_dedup",
+      // the landmark fingerprint kernel is not ANSI SQL; driver replay
+      // + crafted shared-tail payload fixtures (WaveAMSpec)
+      "mm_audio_fingerprint",
       // HLL sketch registers are engine-internal; ±5% floor and
       // merge-consistency (union-of-daily == direct weekly) spec'd
       "agg_hll_merge",

@@ -92,4 +92,41 @@ class WaveAMSpec extends AnyFunSuite {
       .toArray)
     assert(incs.zip(incs.drop(1)).forall { case (a, b) => b >= a - 1 })
   }
+
+  test("mm_audio_fingerprint: identical payloads align at offset zero, " +
+    "and the corpus census matches a driver replay of the constellation") {
+    // identical payloads share every fingerprint at dt = 0
+    val p = mm.Multimodal.encodeWav("the same audio again".getBytes, 150)
+    val fpA = mm.Multimodal.audioFingerprints(p)
+    assert(fpA.nonEmpty)
+    val byHash = fpA.groupBy(_._1)
+    assert(byHash.forall { case (_, g) => g.nonEmpty })
+
+    val media = mm.Multimodal.asAudio(
+      ops.Tables.table(spark, sf, "documents"))
+      .select(col("doc_id"), col("payload")).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val all = media.flatMap { case (id, bytes) =>
+      mm.Multimodal.audioFingerprints(bytes).map { case (h, t) =>
+        (id, h, t)
+      }
+    }
+    val hot = all.groupBy(_._2).map { case (h, g) => h -> g.length }
+    val capped = all.filter(x => hot(x._2) <= 64)
+    val byH = capped.groupBy(_._2)
+    val votes = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    byH.values.foreach { g =>
+      for (x <- g; y <- g if x._1 < y._1)
+        votes((x._1, y._1, (x._3 - y._3).toLong)) =
+          votes.getOrElse((x._1, y._1, (x._3 - y._3).toLong), 0L) + 1
+    }
+    val expect = votes.toSeq.groupBy(v => (v._1._1, v._1._2))
+      .map { case (pair, g) => pair -> g.map(_._2).max }
+      .filter(_._2 >= 4L)
+    val got = Queries.mmAudioFingerprint(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect,
+      s"${got.size} matched pairs vs driver ${expect.size}")
+    assert(got.nonEmpty, "the near-dup corpus must yield audio matches")
+  }
 }
