@@ -1787,6 +1787,36 @@ object OracleSql {
 
     // the streaming maintained soft-dedup MV derives the identical census
     // on read, so it shares sample_soft_dedup's oracle verbatim
+    "sample_weighted" ->
+      """WITH v AS (SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         vp AS (SELECT * FROM v WHERE cents > 0),
+         k AS (SELECT *,
+             ln(CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                 1, 12))::UBIGINT AS BIGINT) + 1 AS DOUBLE)
+               / 281474976710657.0) / CAST(cents AS DOUBLE) AS k
+           FROM vp),
+         top AS (SELECT * FROM k ORDER BY k DESC, event_id LIMIT 200)
+         SELECT event_id, event_type, cents, round(k, 12) AS key
+         FROM top ORDER BY event_id""",
+
+    // the streaming maintained A-ES candidate fold derives the identical
+    // draw on read, so it shares sample_weighted's oracle verbatim
+    "stream_weighted_sample" ->
+      """WITH v AS (SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         vp AS (SELECT * FROM v WHERE cents > 0),
+         k AS (SELECT *,
+             ln(CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                 1, 12))::UBIGINT AS BIGINT) + 1 AS DOUBLE)
+               / 281474976710657.0) / CAST(cents AS DOUBLE) AS k
+           FROM vp),
+         top AS (SELECT * FROM k ORDER BY k DESC, event_id LIMIT 200)
+         SELECT event_id, event_type, cents, round(k, 12) AS key
+         FROM top ORDER BY event_id""",
+
     "feature_target_encode" ->
       """WITH v AS (SELECT event_id, event_type,
              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x

@@ -8256,6 +8256,40 @@ object Queries {
       .orderBy(col("decile"))
   }
 
+  /** N15q — weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES, 2006): exactly k rows drawn with inclusion probability
+    * proportional to weight, in ONE distributed pass — the
+    * quality-weighted corpus draw a training mix actually needs (the
+    * Bernoulli [[sampleImportance]] can't hit an exact k; the uniform
+    * [[sampleReservoir]] ignores weight). Each row's key is
+    * ln(u)/w with u a deterministic md5-derived uniform — one identical
+    * closed-form expression on both engines (the `trend_theilsen` IEEE
+    * rank-order discipline), and the draw is the global top-k by key —
+    * `TakeOrderedAndProject`, never a full sort. Fully hash-checked. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleFromRows(t(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .filter(col("cents") > 0))
+
+  /** The A-ES key + top-k selection of [[sampleWeighted]] over any
+    * (event_id, event_type, cents) frame — shared by the streaming
+    * maintained twin (top-k by a per-row deterministic key is a
+    * MERGEABLE fold: any batching of union-then-truncate yields the
+    * same final set). */
+  private[graft] def weightedSampleFromRows(v: DataFrame): DataFrame = {
+    val h = expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 12)," +
+      " 16, 10) AS BIGINT)")
+    val key = log((h + lit(1)).cast(DoubleType) / lit(281474976710657.0))
+      .cast(DoubleType) / col("cents").cast(DoubleType)
+    v.withColumn("k", key)
+      .orderBy(col("k").desc, col("event_id")).limit(200)
+      .select(col("event_id"), col("event_type"), col("cents"),
+        round(col("k"), 12).as("key"))
+      .orderBy(col("event_id"))
+  }
+
   /** N12l — audio fingerprint matching (the Shazam/Wang-2003
     * constellation shape, deterministic): per payload the landmark
     * peaks pair into (hash, anchor-time) fingerprints at the codec

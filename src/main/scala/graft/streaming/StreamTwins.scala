@@ -2104,6 +2104,67 @@ object StreamTwins {
       ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
   }
 
+  /** STREAMING maintained weighted sample — the twin of
+    * [[graft.Queries.sampleWeighted]]: A-ES top-k by a per-row
+    * DETERMINISTIC key is a mergeable fold (union the batch with the
+    * kept candidates, truncate to k — any batching yields the same
+    * final set), so the state is exactly k candidate rows folded
+    * through the batchId-versioned seam, and the output derives on
+    * read through the SAME [[graft.Queries.weightedSampleFromRows]]
+    * chain, hash-matching the batch oracle. */
+  def streamWeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_ws_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_ws_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_ws_ck_$tag")
+    val feedSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("cents", LongType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("ts"), col("event_id"), col("event_type"),
+        (graft.ops.Cleanse.dec2(col("value")) * 100).cast(LongType)
+          .as("cents"))
+      .filter(col("cents") > 0),
+      s"stream_ws_feed_build_$tag")
+    val stateSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("cents", LongType)))
+    def topK(df: DataFrame): DataFrame = {
+      val h = expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, " +
+        "12), 16, 10) AS BIGINT)")
+      val key = (log((h + lit(1)).cast(DoubleType)
+          / lit(281474976710657.0)).cast(DoubleType)
+        / col("cents").cast(DoubleType))
+      df.withColumn("k", key)
+        .orderBy(col("k").desc, col("event_id")).limit(200)
+        .select(col("event_id"), col("event_type"), col("cents"))
+    }
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        topK(state.unionByName(batch.toDF()
+            .select(col("event_id"), col("event_type"), col("cents"))))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.Queries.weightedSampleFromRows(
+      ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
+  }
+
   /** STREAMING maintained classifier-monitoring MV — the twin of
     * [[graft.Queries.evalConfusion]], the shape a production filtering
     * pipeline runs to watch its lang-ID classifier as documents land:
