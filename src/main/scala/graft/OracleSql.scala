@@ -1787,6 +1787,38 @@ object OracleSql {
 
     // the streaming maintained soft-dedup MV derives the identical census
     // on read, so it shares sample_soft_dedup's oracle verbatim
+    "dq_sprt" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             sum(CASE WHEN CAST(CAST(value AS DECIMAL(12,2)) * 100
+               AS BIGINT) >= 20000 THEN 1 ELSE 0 END) AS k
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         base AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n0,
+             CAST(sum(k) AS BIGINT) AS k0
+           FROM daily WHERE day < DATE '2024-01-11' GROUP BY 1),
+         cum AS (SELECT event_type, day,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS nt,
+             CAST(sum(k) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS kt
+           FROM daily WHERE day >= DATE '2024-01-11'),
+         j AS (SELECT c.event_type, c.day, c.nt, c.kt,
+             CAST(c.kt AS DOUBLE) * ln(1.2) +
+               (CAST(c.nt AS DOUBLE) - CAST(c.kt AS DOUBLE)) *
+               ln((10.0 * CAST(b.n0 AS DOUBLE)
+                   - 12.0 * CAST(b.k0 AS DOUBLE))
+                 / (10.0 * (CAST(b.n0 AS DOUBLE)
+                   - CAST(b.k0 AS DOUBLE)))) AS llr
+           FROM cum c JOIN base b USING (event_type))
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day, nt, kt,
+             round(llr, 6) AS llr,
+             CASE WHEN llr >= ln(19.0) THEN 'reject_h0'
+               WHEN llr <= -ln(19.0) THEN 'accept_h0'
+               ELSE 'continue' END AS decision
+         FROM j ORDER BY event_type, day""",
+
     "sample_weighted" ->
       """WITH v AS (SELECT event_id, event_type,
              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents

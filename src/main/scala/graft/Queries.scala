@@ -8290,6 +8290,49 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** X93 — SPRT sequential conversion monitor (Wald 1945): the
+    * experiment-monitoring loop that may stop EARLY — per event type,
+    * H₀: conversion rate = the first-10-days baseline p₀ vs H₁:
+    * p₁ = 1.2·p₀, evaluated daily over the monitoring window with
+    * Wald's ±ln(19) boundaries (α = β = 0.05). The log-likelihood
+    * ratio FACTORS over integer cumulative counts —
+    * llr_t = K_t·ln(1.2) + (N_t−K_t)·ln((10·N₀−12·K₀)/(10·(N₀−K₀))) —
+    * so the only floats are two per-type constants from exact longs and
+    * one closed-form expression per row; the cumulative sums are
+    * INTEGER keyed windows over the calendar-bounded daily frame (never
+    * a float accumulated in engine-specific order — DuckDB's
+    * segment-tree window summation would not match a left-to-right
+    * float fold). Fully hash-checked including the decision column. */
+  def dqSprt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir, "events").filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when((Cleanse.dec2(col("value")) * 100).cast(LongType)
+          >= 20000L, 1L).otherwise(0L)).as("k"))
+    val cut = lit("2024-01-11").cast(DateType)
+    val base = daily.filter(col("day") < cut)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n0"), sum(col("k")).as("k0"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.filter(col("day") >= cut)
+      .withColumn("nt", sum(col("n")).over(w))
+      .withColumn("kt", sum(col("k")).over(w))
+    def dbl(c: Column) = c.cast(DoubleType)
+    val llr = dbl(col("kt")) * log(lit(1.2)) +
+      (dbl(col("nt")) - dbl(col("kt"))) *
+        log((lit(10.0) * dbl(col("n0")) - lit(12.0) * dbl(col("k0")))
+          / (lit(10.0) * (dbl(col("n0")) - dbl(col("k0")))))
+    cum.join(broadcast(base), "event_type")
+      .select(col("event_type"), Cleanse.dateStr(col("day")).as("day"),
+        col("nt"), col("kt"), round(llr, 6).as("llr"),
+        when(llr >= log(lit(19.0)), "reject_h0")
+          .when(llr <= -log(lit(19.0)), "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** N12l — audio fingerprint matching (the Shazam/Wang-2003
     * constellation shape, deterministic): per payload the landmark
     * peaks pair into (hash, anchor-time) fingerprints at the codec

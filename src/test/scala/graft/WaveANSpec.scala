@@ -43,6 +43,52 @@ class WaveANSpec extends AnyFunSuite {
       s"sample mean $samMean vs population $popMean")
   }
 
+  test("dq_sprt matches a driver replay of the factored log-likelihood " +
+    "ratio and its Wald decisions") {
+    val daily = ops.Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when((ops.Cleanse.dec2(col("value")) * 100).cast("long")
+          >= 20000L, 1L).otherwise(0L)).as("k"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
+        r.getLong(3)))
+    val cutoff = java.time.LocalDate.parse("2024-01-11")
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (tp, g) =>
+      val n0 = g.filter(_._2.isBefore(cutoff)).map(_._3).sum
+      val k0 = g.filter(_._2.isBefore(cutoff)).map(_._4).sum
+      val b = math.log((10.0 * n0 - 12.0 * k0) / (10.0 * (n0 - k0)))
+      var nt = 0L; var kt = 0L
+      g.filter(!_._2.isBefore(cutoff)).sortBy(_._2.toEpochDay).map {
+        case (_, day, n, k) =>
+          nt += n; kt += k
+          val llr = kt * math.log(1.2) + (nt - kt) * b
+          val dec = if (llr >= math.log(19.0)) "reject_h0"
+            else if (llr <= -math.log(19.0)) "accept_h0" else "continue"
+          (tp, day.toString) -> (nt, kt,
+            BigDecimal(llr).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble, dec)
+      }
+    }.toMap
+    val got = Queries.dqSprt(spark, sf).collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { r =>
+      val (nt, kt, llr, dec) = expect((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == nt && r.getLong(3) == kt,
+        s"${r.getString(0)} ${r.getString(1)}")
+      assert(math.abs(r.getDouble(4) - llr) < 1e-9)
+      assert(r.getString(5) == dec)
+    }
+    // LLR is cumulative: per type, nt/kt are non-decreasing in day order
+    got.groupBy(_.getString(0)).foreach { case (tp, g) =>
+      val s = g.sortBy(_.getString(1)).map(r => (r.getLong(2), r.getLong(3)))
+      assert(s.zip(s.drop(1)).forall { case (a, b) =>
+        b._1 >= a._1 && b._2 >= a._2
+      }, tp)
+    }
+  }
+
   test("stream_weighted_sample: the folded candidate state yields the " +
     "batch draw exactly") {
     val streamed = streaming.StreamTwins.streamWeightedSample(spark, sf)
