@@ -2076,6 +2076,33 @@ object OracleSql {
                  - CAST(a AS DOUBLE) * CAST(a AS DOUBLE))), 6) AS t_stat
          FROM c ORDER BY event_type""",
 
+// the streaming maintained daily-count MV derives the identical
+    // Dickey-Fuller statistic on read, sharing dq_adf's oracle verbatim
+    "stream_adf" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS y FROM events GROUP BY 1, 2),
+         lagd AS (SELECT event_type, day, y,
+             lag(y) OVER (PARTITION BY event_type ORDER BY day) AS x
+           FROM daily),
+         p AS (SELECT event_type, x, y - x AS z FROM lagd
+           WHERE x IS NOT NULL),
+         a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(z) AS BIGINT) AS sz,
+             CAST(sum(x*x) AS BIGINT) AS sxx,
+             CAST(sum(z*z) AS BIGINT) AS szz,
+             CAST(sum(x*z) AS BIGINT) AS sxz
+           FROM p GROUP BY 1),
+         c AS (SELECT event_type, m,
+             CAST(m*sxz - sx*sz AS BIGINT) AS a,
+             CAST(m*sxx - sx*sx AS BIGINT) AS b,
+             CAST(m*szz - sz*sz AS BIGINT) AS c
+           FROM a)
+         SELECT event_type, m, a, b, c,
+             round(CAST(a AS DOUBLE) * sqrt((CAST(m AS DOUBLE) - 2.0)
+               / (CAST(c AS DOUBLE) * CAST(b AS DOUBLE)
+                 - CAST(a AS DOUBLE) * CAST(a AS DOUBLE))), 6) AS t_stat
+         FROM c ORDER BY event_type""",
+
     "split_group_safe" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
@@ -2337,6 +2364,32 @@ object OracleSql {
          ORDER BY p.event_type, p.dow""",
 
     "dq_durbin_watson" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS y FROM events GROUP BY 1, 2),
+         d2 AS (SELECT event_type, day, y,
+             datediff('day', DATE '2024-01-01', day) + 1 AS t FROM daily),
+         fit AS (SELECT event_type, count(*) AS n, sum(t) AS st,
+             sum(y) AS sy, sum(t*t) AS stt, sum(t*y) AS sty
+           FROM d2 GROUP BY 1),
+         f2 AS (SELECT event_type, n, st, sy,
+             n*sty - st*sy AS bnum, n*stt - st*st AS dd FROM fit),
+         e AS (SELECT d2.event_type, d2.day,
+             f.n*f.dd*d2.y - (f.dd*f.sy - f.bnum*f.st)
+               - f.n*f.bnum*d2.t AS ee
+           FROM d2 JOIN f2 f USING (event_type)),
+         l AS (SELECT event_type, ee,
+             ee - lag(ee) OVER (PARTITION BY event_type ORDER BY day)
+               AS de FROM e)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(ee*ee) AS BIGINT) AS ss_res,
+             CAST(sum(de*de) AS BIGINT) AS ss_diff,
+             round(CAST(sum(de*de) AS DOUBLE)
+               / CAST(sum(ee*ee) AS DOUBLE), 6) AS dw
+         FROM l GROUP BY 1 ORDER BY 1""",
+
+// the streaming maintained daily-count MV derives the identical
+    // Durbin-Watson statistic on read, sharing dq_durbin_watson's oracle verbatim
+    "stream_dw" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
              count(*) AS y FROM events GROUP BY 1, 2),
          d2 AS (SELECT event_type, day, y,

@@ -7794,11 +7794,18 @@ object Queries {
     * keeps Σ E² under 2⁶³ for calendar-bounded daily series (30 days ×
     * residuals < ~10⁴); larger regimes would move the sums to
     * DECIMAL(38,0). All work rides the days×types aggregate. */
-  def dqDurbinWatson(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = t(spark, dir, "events")
+  def dqDurbinWatson(spark: SparkSession, dir: String): DataFrame =
+    dwFromDaily(t(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("y"))
+      .agg(count(lit(1)).as("y")))
+
+  /** The determinant-scaled residual derivation of [[dqDurbinWatson]]
+    * over any (event_type, day, y) daily frame — shared verbatim by the
+    * streaming maintained twin, which derives it on read over the
+    * folded daily-count MV. */
+  private[graft] def dwFromDaily(dailyIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyIn
       .withColumn("t",
         datediff(col("day"), lit("2024-01-01").cast("date")) + 1)
     val fit = daily.groupBy(col("event_type"))
@@ -8079,12 +8086,17 @@ object Queries {
     * (x = lagged level, z = difference, m = pairs) — all hash-checked,
     * one identical sqrt expression. One keyed lag over the
     * calendar-bounded daily aggregate, one partial-agg shuffle. */
-  def dqAdf(spark: SparkSession, dir: String): DataFrame = {
+  def dqAdf(spark: SparkSession, dir: String): DataFrame =
+    adfFromDaily(t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y")))
+
+  /** The co-moment derivation of [[dqAdf]] over any (event_type, day, y)
+    * daily frame — shared verbatim by the streaming maintained twin. */
+  private[graft] def adfFromDaily(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val pairs = t(spark, dir, "events")
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("y"))
+    val pairs = daily
       .withColumn("x", lag(col("y"), 1).over(w))
       .filter(col("x").isNotNull)
       .withColumn("z", col("y") - col("x"))

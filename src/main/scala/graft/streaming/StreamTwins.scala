@@ -1817,6 +1817,72 @@ object StreamTwins {
           col("n").as("x")))
   }
 
+  /** The additive (event_type, day, n) daily-count MV fold shared by the
+    * time-series monitors ([[streamAdf]], [[streamDurbinWatson]] — same
+    * state shape as [[streamPettitt]], own feed/state dirs per caller so
+    * the MVs stay independent). Returns the FINAL daily frame for the
+    * caller's on-read derivation. */
+  private def dailyCountFold(ss: SparkSession, sfDir: String,
+                             prefix: String): DataFrame = {
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"${prefix}_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"${prefix}_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"${prefix}_ck_$tag")
+    val feedSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType)))
+    buildDateSlicedFeed(landing, graft.ops.Tables.table(ss, sfDir, "events")
+      .select(col("ts"), col("event_type")),
+      s"${prefix}_feed_build_$tag")
+    val stateSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("day", StringType),
+      StructField("n", LongType)))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(batch.toDF()
+            .groupBy(col("event_type"),
+              date_format(col("ts"), "yyyy-MM-dd").as("day"))
+            .agg(count(lit(1)).as("n")))
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("n")).as("n"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}")
+      .select(col("event_type"), to_date(col("day")).as("day"),
+        col("n").as("y"))
+  }
+
+  /** STREAMING maintained Dickey–Fuller monitor — the twin of
+    * [[graft.Queries.dqAdf]]: the daily-count grid is ADDITIVE, folded
+    * through the batchId-versioned seam; the lag pairs and centered
+    * co-moments — which any late event shifts through its day's count —
+    * derive on read via the shared [[graft.Queries.adfFromDaily]],
+    * hash-matching the batch oracle. State bounded by days × types. */
+  def streamAdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Queries.adfFromDaily(dailyCountFold(ss, sfDir, "stream_adf"))
+  }
+
+  /** STREAMING maintained Durbin–Watson monitor — the twin of
+    * [[graft.Queries.dqDurbinWatson]], same additive daily-count MV
+    * (own dirs), residual autocorrelation derived on read via the
+    * shared [[graft.Queries.dwFromDaily]]. */
+  def streamDurbinWatson(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Queries.dwFromDaily(dailyCountFold(ss, sfDir, "stream_dw"))
+  }
+
   /** STREAMING maintained winsorized mean — the twin of
     * [[graft.Queries.aggWinsorizedMean]]. The (event_type, cents, m)
     * VALUE GRID is an ADDITIVE MV (occurrence counts sum across any

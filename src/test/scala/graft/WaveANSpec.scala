@@ -89,6 +89,22 @@ class WaveANSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_adf and stream_dw: the folded daily-count MV yields the " +
+    "batch time-series statistics exactly") {
+    def flat(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val sadf = flat(streaming.StreamTwins.streamAdf(spark, sf))
+    assert(sadf.nonEmpty && sadf.toSeq == flat(Queries.dqAdf(spark, sf)).toSeq)
+    val sdw = streaming.StreamTwins.streamDurbinWatson(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val bdw = Queries.dqDurbinWatson(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(sdw.toSeq == bdw.toSeq)
+  }
+
   test("stream_weighted_sample: the folded candidate state yields the " +
     "batch draw exactly") {
     val streamed = streaming.StreamTwins.streamWeightedSample(spark, sf)
