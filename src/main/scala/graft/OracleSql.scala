@@ -2338,29 +2338,35 @@ object OracleSql {
              count(*) AS x FROM events
            WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-29 00:00:00'
            GROUP BY 1, 2),
-         b AS (SELECT event_type, day, x,
+         b0 AS (SELECT event_type, day, x,
              datediff('day', DATE '2024-01-01', day) // 7 AS block,
              datediff('day', DATE '2024-01-01', day) % 7 AS dow
            FROM daily),
+         b AS (SELECT *, count(*) OVER (PARTITION BY event_type, block)
+             AS cells FROM b0),
+         bc AS (SELECT * FROM b WHERE cells = 7),
          ranked AS (SELECT event_type, block, dow, x,
              rank() OVER (PARTITION BY event_type, block ORDER BY x)
                AS rmin,
              count(*) OVER (PARTITION BY event_type, block, x) AS ties
-           FROM b),
+           FROM bc),
          d AS (SELECT event_type, block, dow,
              2 * (rmin - 1) + ties + 1 AS d FROM ranked),
+         nb AS (SELECT event_type, count(DISTINCT block) AS nb
+           FROM d GROUP BY 1),
          perdow AS (SELECT event_type, CAST(dow AS BIGINT) AS dow,
              CAST(sum(d) AS BIGINT) AS r2 FROM d GROUP BY 1, 2),
          pertype AS (SELECT d.event_type,
              CAST(sum(d.d * d.d) AS BIGINT) AS a4 FROM d GROUP BY 1),
-         num AS (SELECT event_type,
-             CAST(sum((r2 - 32) * (r2 - 32)) AS BIGINT) AS numsq
-           FROM perdow GROUP BY 1)
+         num AS (SELECT p.event_type,
+             CAST(sum((p.r2 - nb.nb * 8) * (p.r2 - nb.nb * 8))
+               AS BIGINT) AS numsq
+           FROM perdow p JOIN nb USING (event_type) GROUP BY 1)
          SELECT p.event_type, p.dow, p.r2, t.a4, num.numsq,
              round(6.0 * CAST(num.numsq AS DOUBLE)
-               / CAST(t.a4 - 1792 AS DOUBLE), 6) AS q
+               / CAST(t.a4 - nb.nb * 448 AS DOUBLE), 6) AS q
          FROM perdow p JOIN pertype t USING (event_type)
-         JOIN num USING (event_type)
+         JOIN num USING (event_type) JOIN nb USING (event_type)
          ORDER BY p.event_type, p.dow""",
 
     "dq_durbin_watson" ->

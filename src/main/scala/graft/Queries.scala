@@ -6767,8 +6767,8 @@ object Queries {
       .withColumn("rn", row_number().over(w))
       .withColumn("cnt",
         count(lit(1)).over(Window.partitionBy(col("event_type"))))
-      .filter(col("rn") === (col("cnt") + 1) / 2 ||
-        col("rn") === (col("cnt") + 2) / 2)
+      .filter(col("rn") === expr("(cnt + 1) div 2") ||
+        col("rn") === expr("(cnt + 2) div 2"))
     ranked.groupBy(col("event_type"))
       .agg(max(col("cnt")).as("n_pairs"), count(lit(1)).as("n_mid"),
         min_by(col("p"), col("rn")).as("p1"),
@@ -7752,7 +7752,6 @@ object Queries {
   def dqFriedman(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 7L
-    val n = 4L
     val daily = t(spark, dir, "events")
       .filter(col("ts") < lit("2024-01-29").cast(TimestampType))
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -7760,6 +7759,12 @@ object Queries {
       .withColumn("dd", datediff(col("day"), lit("2024-01-01").cast("date")))
       .withColumn("block", expr("dd div 7"))
       .withColumn("dow", col("dd") % 7)
+      // balanced-design guard: a block missing any day-of-cycle cell
+      // would silently skew the centering constants, so incomplete
+      // (type, block) groups are dropped rather than mis-ranked
+      .withColumn("cells", count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("block"))))
+      .filter(col("cells") === lit(k))
     val wb = Window.partitionBy(col("event_type"), col("block"))
     val ranked = daily
       .withColumn("rmin", rank().over(wb.orderBy(col("x"))))
@@ -7768,14 +7773,22 @@ object Queries {
       .withColumn("d", lit(2) * (col("rmin") - 1) + col("ties") + 1)
     val perDow = ranked.groupBy(col("event_type"), col("dow"))
       .agg(sum(col("d")).as("r2"))
+    // n = observed complete-block count per type (not a hardcoded 4):
+    // centering 2R̄ = n(k+1) and the A4 − n·k·(k+1)² correction both
+    // derive from it, so a type with a dropped block stays exact
+    val nBlocks = ranked.select(col("event_type"), col("block")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("nb"))
     val perType = ranked.groupBy(col("event_type"))
       .agg(sum(col("d") * col("d")).as("a4"))
-      .join(perDow.groupBy(col("event_type"))
-        .agg(sum((col("r2") - lit(n * (k + 1)))
-          * (col("r2") - lit(n * (k + 1)))).as("numsq")), "event_type")
+      .join(nBlocks, "event_type")
+      .join(perDow.join(nBlocks, "event_type")
+        .groupBy(col("event_type"))
+        .agg(sum((col("r2") - col("nb") * lit(k + 1))
+          * (col("r2") - col("nb") * lit(k + 1))).as("numsq")),
+        "event_type")
       .select(col("event_type"), col("a4"), col("numsq"),
         round(lit((k - 1).toDouble) * col("numsq").cast(DoubleType)
-          / (col("a4") - lit(n * k * (k + 1) * (k + 1)))
+          / (col("a4") - col("nb") * lit(k * (k + 1) * (k + 1)))
             .cast(DoubleType), 6).as("q"))
     perDow.join(perType, "event_type")
       .select(col("event_type"), col("dow").cast(LongType).as("dow"),

@@ -627,9 +627,19 @@ object Multimodal {
     * stand-in for a spectrogram constellation. Returns (frameIdx,
     * bucket). Pure function of the bytes; the spec replays it. */
   def audioLandmarks(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    // full RIFF/WAVE magic + declared data-chunk bounds, mirroring
+    // audioVad: a truncated/padded payload is rejected, never
+    // fingerprinted from junk trailing bytes
     if (bytes == null || bytes.length < 46 ||
-        bytes(0) != 'R' || bytes(8) != 'W') return Seq.empty
-    val n = (bytes.length - 44) / 2
+        bytes(0) != 'R' || bytes(1) != 'I' ||
+        bytes(2) != 'F' || bytes(3) != 'F' ||
+        bytes(8) != 'W' || bytes(9) != 'A' ||
+        bytes(10) != 'V' || bytes(11) != 'E') return Seq.empty
+    val dataLen = (bytes(40) & 0xFF) | ((bytes(41) & 0xFF) << 8) |
+      ((bytes(42) & 0xFF) << 16) | ((bytes(43) & 0xFF) << 24)
+    if (dataLen < 0 || 44L + dataLen.toLong > bytes.length.toLong)
+      return Seq.empty
+    val n = dataLen / 2
     def sample(i: Int): Int = {
       val lo = bytes(44 + 2 * i) & 0xFF
       val hi = bytes(45 + 2 * i)

@@ -40,9 +40,14 @@ object Unigram {
     val exploded = docs
       .select(col(textCol).as("t"))
       .select(explode(expr(
+        // guard: sequence(1, 0) is DESCENDING [1, 0], so a doc shorter
+        // than l would emit two junk grams instead of zero — emit an
+        // empty array for those docs instead
         s"flatten(transform(sequence($MinLen, $MaxLen), l -> " +
-          "transform(sequence(1, greatest(length(t) - l + 1, 0)), " +
-          "i -> substring(t, i, l))))")).as("g"))
+          "case when length(t) >= l then " +
+          "transform(sequence(1, length(t) - l + 1), " +
+          "i -> substring(t, i, l)) " +
+          "else cast(array() as array<string>) end))")).as("g"))
     exploded.groupBy(col("g")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("g")).limit(v)
       .select(col("g")).collect().map(_.getString(0))

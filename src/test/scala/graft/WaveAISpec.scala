@@ -72,7 +72,11 @@ class WaveAISpec extends AnyFunSuite {
         r.getLong(2)))
     val expect = daily.groupBy(_._1).map { case (tp, g) =>
       val cells = g.map { case (_, dd, x) => (dd / 7, dd % 7, x) }
-      val d = cells.groupBy(_._1).toSeq.flatMap { case (blk, bg) =>
+      // mirror the engine's balanced-design guard: only complete
+      // 7-cell blocks rank, and the centering derives from their count
+      val complete = cells.groupBy(_._1).filter(_._2.length == 7)
+      val nb = complete.size.toLong
+      val d = complete.toSeq.flatMap { case (blk, bg) =>
         bg.map { case (_, dow, x) =>
           val less = bg.count(_._3 < x).toLong
           val ties = bg.count(_._3 == x).toLong
@@ -83,7 +87,7 @@ class WaveAISpec extends AnyFunSuite {
         dow -> g2.map(_._2).sum
       }
       val a4 = d.map(x => x._2 * x._2).sum
-      val numsq = r2.values.map(v => (v - 32) * (v - 32)).sum
+      val numsq = r2.values.map(v => (v - 8 * nb) * (v - 8 * nb)).sum
       tp -> (r2, a4, numsq)
     }
     val got = Queries.dqFriedman(spark, sf).collect()
