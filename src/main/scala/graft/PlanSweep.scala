@@ -107,6 +107,70 @@ object PlanSweep {
       // cross-joined onto the one-row quarantine aggregate (1×1)
       "sink_quarantine")
 
+  /** Static bound for the scalar-subquery BNLJ shape: a build side whose
+    * LOGICAL maxRows is provably ≤ this (grouping-free aggregates → 1,
+    * explicit limits) passes without running anything. */
+  val ScalarBuildCap: Long = 16L
+
+  /** Runtime bound for the documented filter-bounded tiers (the 8-row
+    * `id < 8` query sets, the two O(n²) ground-truth tiers over the
+    * fixed-500-row documents/embeddings tables): their bound is a filter,
+    * invisible to static maxRows, so the sweep COUNTS the build side and
+    * fails anything corpus-shaped (lineitem is ~6k rows at the sweep's
+    * sf0.001 — well past this cap). */
+  val BoundedBuildRowCap: Long = 600L
+
+  /** Round-6 hardening (VERDICT r5 #2): the allowlist above is no longer
+    * name-TRUST. For every allowlisted query this walks the physical
+    * plan's nested-loop nodes and proves each one's bounded side is
+    * actually bounded — statically (maxRows ≤ [[ScalarBuildCap]]) or by
+    * runtime count (≤ [[BoundedBuildRowCap]]). An edit that turns a
+    * one-row scalar broadcast into a real corpus-sized cartesian now
+    * fails `sbt test` even though the query name stays allowlisted. */
+  def bnljShapeViolations(spark: SparkSession, sf: String): Seq[(String, String)] =
+    Allowlist.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries.get(name).toSeq.flatMap { fn =>
+        try violationsOf(fn(spark, sf), name)
+        catch {
+          case e: Throwable =>
+            Seq(name -> s"PLAN_ERROR ${e.getMessage.take(80)}")
+        }
+      }
+    }
+
+  /** The per-DataFrame BNLJ shape audit behind [[bnljShapeViolations]] —
+    * public so the spec can feed it a deliberately-mutated plan and
+    * assert the mutation is caught. */
+  def violationsOf(df: org.apache.spark.sql.DataFrame,
+                   name: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    val spark = df.sparkSession
+    def bounded(p: SparkPlan): Boolean = {
+      val link = p.collectFirst {
+        case q if q.logicalLink.isDefined => q.logicalLink.get
+      }
+      link.exists { lp =>
+        lp.maxRows.exists(_ <= ScalarBuildCap) || {
+          org.apache.spark.sql.GraftPlanBridge.ofRows(spark, lp)
+            .count() <= BoundedBuildRowCap
+        }
+      }
+    }
+    df.queryExecution.sparkPlan.collect {
+      case j: BroadcastNestedLoopJoinExec =>
+        val b = if (j.buildSide == BuildLeft) j.left else j.right
+        if (bounded(b)) None
+        else Some(name -> "UNBOUNDED_BNLJ_BUILD")
+      case c: CartesianProductExec =>
+        // a cartesian is fine iff at least ONE side is bounded (the
+        // scalar-subquery shape can plan as CartesianProduct pre-AQE)
+        if (bounded(c.left) || bounded(c.right)) None
+        else Some(name -> "UNBOUNDED_CARTESIAN")
+    }.flatten
+  }
+
   /** Queries allowed to plan a global (empty-partition-spec) window: NONE.
     * quality_deciles — the one query that used to — now runs its exact
     * ntile through the two-pass distributed scan

@@ -121,8 +121,68 @@ object StreamTwins {
     * projection, per-partition consumption stats under `complete` output.
     * Shares `scan_kafka_envelope`'s oracle verbatim — the batch and
     * streaming reads of the same topic dump must agree. */
-  def streamKafkaEnvelope(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The EXACT row schema `readStream.format("kafka")` produces
+    * (spark-sql-kafka-0-10's record-to-row conversion: key/value binary,
+    * topic string, partition int, offset long, timestamp + timestampType).
+    * The file-backed stand-in below shapes its stream to THIS schema
+    * before any decode, and `KafkaSchemaSpec` pins the equality — so
+    * swapping in the real connector on a cluster is a one-line source
+    * change with everything downstream proven compatible by test. */
+  val KafkaSourceSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** The payload carried in each Kafka message value (the reference's
+    * card-application order events). */
+  val KafkaPayloadSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)))
+
+  /** Decode a Kafka-schema frame (real connector or the stand-in — both
+    * satisfy [[KafkaSourceSchema]]) into the parsed envelope columns:
+    * binary key/value → string key + `from_json` payload. This is the
+    * ONLY decode path; batch `scan_kafka_envelope`'s oracle applies. */
+  def decodeKafkaEnvelope(kafka: DataFrame): DataFrame =
+    kafka.select(col("topic"),
+      col("partition").cast(LongType).as("partition"), col("offset"),
+      col("key").cast(StringType).as("key"),
+      from_json(col("value").cast(StringType), KafkaPayloadSchema).as("v"))
+      .select(col("topic"), col("partition"), col("offset"), col("key"),
+        col("v.*"))
+
+  /** The file-backed Kafka stand-in stream, shaped to
+    * [[KafkaSourceSchema]] — one NDJSON landing file per Kafka partition,
+    * `maxFilesPerTrigger=1` → four real micro-batches. On a cluster the
+    * body of this method is replaced by
+    * `spark.readStream.format("kafka").option("subscribe", …).load()`. */
+  def kafkaShapedStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
+    val landing = kafkaLanding(ss, sfDir)
+    val envelope = StructType(Seq(
+      StructField("topic", StringType), StructField("partition", LongType),
+      StructField("offset", LongType), StructField("key", StringType),
+      StructField("value", KafkaPayloadSchema)))
+    ss.readStream.option("maxFilesPerTrigger", "1")
+      .text(landing.toString)
+      .select(from_json(col("value"), envelope).as("m"))
+      .select(col("m.key").cast(BinaryType).as("key"),
+        to_json(col("m.value")).cast(BinaryType).as("value"),
+        col("m.topic").as("topic"),
+        col("m.partition").cast(IntegerType).as("partition"),
+        col("m.offset").as("offset"),
+        lit("2024-01-01 00:00:00").cast(TimestampType).as("timestamp"),
+        lit(0).as("timestampType"))
+  }
+
+  private def kafkaLanding(ss: SparkSession,
+                           sfDir: String): java.nio.file.Path = {
     val tag = graft.ops.TempFiles.tag(sfDir)
     val landing = java.nio.file.Paths.get(
       graft.ops.TempFiles.dir(s"stream_kafka_feed_$tag"))
@@ -152,19 +212,12 @@ object StreamTwins {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    val envelope = StructType(Seq(
-      StructField("topic", StringType), StructField("partition", LongType),
-      StructField("offset", LongType), StructField("key", StringType),
-      StructField("value", StructType(Seq(
-        StructField("o_orderkey", LongType),
-        StructField("o_custkey", LongType),
-        StructField("o_orderstatus", StringType),
-        StructField("o_totalprice", DoubleType))))))
-    val parsed = ss.readStream.option("maxFilesPerTrigger", "1")
-      .text(landing.toString)
-      .select(from_json(col("value"), envelope).as("m"))
-      .select(col("m.topic"), col("m.partition"), col("m.offset"),
-        col("m.key"), col("m.value.*"))
+    landing
+  }
+
+  def streamKafkaEnvelope(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val parsed = decodeKafkaEnvelope(kafkaShapedStream(ss, sfDir))
     runToMemory(
       parsed.groupBy(col("partition"))
         .agg(count(lit(1)).as("n_msgs"), max(col("offset")).as("max_offset"),

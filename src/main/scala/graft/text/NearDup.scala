@@ -513,6 +513,54 @@ object NearDup {
       .dropDuplicates("new_id", "base_id")
   }
 
+  /** Session-cached MANAGED Hamming signature-index table, bucketed on
+    * the block key — the deployment shape of the incremental pHash dedup,
+    * mirroring [[bucketedBandIndexCached]]: the corpus's exact-keyed
+    * (id, sim, k) table persists as a bucketed managed table, so every
+    * arriving image batch's candidate join reads the index
+    * pre-partitioned on k and shuffles ONLY the delta's probe keys. The
+    * one-time bucketed write (which also pays the expensive decode+hash
+    * once) is amortized across every batch probed against it. */
+  def bucketedHammingIndexCached(base: DataFrame, idCol: String,
+                                 hashCol: String,
+                                 cacheKey: String): DataFrame =
+    cacheFor(base.sparkSession).getOrElseUpdate(
+      s"hammidx|$cacheKey|$idCol|$hashCol", {
+        val spark = base.sparkSession
+        val exact = exactKeyed(
+          base.select(col(idCol).as("id"), col(hashCol).as("sim")))
+        val tbl = (s"graft_hamming_index_${cacheKey}_${idCol}_$hashCol")
+          .replaceAll("[^A-Za-z0-9]", "_")
+        graft.ops.SinkDdl.dropManagedTable(spark, tbl)
+        exact.write.bucketBy(16, "k").format("parquet").saveAsTable(tbl)
+        spark.table(tbl)
+      })
+
+  /** [[hammingDupPairsIncremental]] probing the BUCKETED managed index:
+    * identical semantics, but the base side arrives pre-partitioned on k
+    * from its bucketed table, and the spam-bucket cap rides a COUNT
+    * WINDOW over k — the distribution the candidate join already
+    * requires — so the whole probe adds exactly ONE exchange (the
+    * delta's ball keys). */
+  def hammingDupPairsIncrementalBucketed(baseIdx: DataFrame,
+                                         delta: DataFrame, idCol: String,
+                                         hashCol: String, maxHamming: Int,
+                                         maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val radius = hammingRadius(maxHamming)
+    val deltaSim = delta.select(col(idCol).as("id"), col(hashCol).as("sim"))
+    val base = baseIdx
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("k")))
+      .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    ballKeyed(deltaSim, radius).as("a")
+      .join(base.as("b"),
+        col("a.k") === col("b.k") &&
+          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= maxHamming)
+      .select(col("a.id").as("new_id"), col("b.id").as("base_id"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .dropDuplicates("new_id", "base_id")
+  }
+
   /** SimHash candidates re-verified with exact Jaccard — same precision
     * contract as the MinHash path, so the two approaches are directly
     * comparable on recall. Eager-materialized like [[minhashDupPairs]].

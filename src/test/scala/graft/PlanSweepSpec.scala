@@ -41,6 +41,35 @@ class PlanSweepSpec extends AnyFunSuite {
       s"oversized plan literals in: $lit")
   }
 
+  test("every allowlisted BNLJ's build side is PROVABLY bounded " +
+    "(scalar maxRows or runtime row cap) — the allowlist is not name-trust") {
+    val violations =
+      PlanSweep.bnljShapeViolations(spark, "/root/testdata/sf0.001")
+    assert(violations.isEmpty,
+      s"allowlisted queries whose nested-loop side is no longer bounded: " +
+        s"$violations")
+  }
+
+  test("the BNLJ shape checker catches a deliberate corpus×corpus mutation") {
+    val dir = "/root/testdata/sf0.001"
+    val li = ops.Tables.table(spark, dir, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"))
+    // a corpus-sized cartesian — the mutation the name-trusting allowlist
+    // used to wave through
+    val mutant = li.crossJoin(li.select(
+      org.apache.spark.sql.functions.col("l_orderkey").as("r_orderkey")))
+    val flagged = PlanSweep.violationsOf(mutant, "mutant")
+    assert(flagged.nonEmpty,
+      "shape checker failed to flag an unbounded cartesian")
+    // while a genuine one-row scalar broadcast passes
+    val scalarSide = li.agg(
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("l_orderkey")).as("mx"))
+    val scalar = li.crossJoin(scalarSide)
+    assert(PlanSweep.violationsOf(scalar, "scalar").isEmpty,
+      "shape checker wrongly flagged a one-row scalar broadcast")
+  }
+
   test("decontaminate joins the benchmark side as a broadcast, never a shuffle") {
     val plan = Queries.decontaminate(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
@@ -98,6 +127,25 @@ class PlanSweepSpec extends AnyFunSuite {
     val bandShuffles = "hashpartitioning\\(band".r.findAllIn(plan).size
     assert(bandShuffles == 1,
       s"expected ONE (delta-only) band-key exchange, got $bandShuffles:\n$plan")
+  }
+
+  test("declared mm_phash_incremental probes the BUCKETED hamming index " +
+    "with a delta-only key shuffle (the 100 TB deployment shape)") {
+    val dir = "/root/testdata/sf0.001"
+    Queries.mmPhashIncremental(spark, dir).count() // build the bucketed index
+    val plan = Queries.mmPhashIncremental(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_hamming_index"),
+      s"incremental pHash dedup should read the bucketed index:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"the index scan must ride its bucketing (no re-shuffle):\n$plan")
+    // the index side arrives pre-partitioned from its bucketed table
+    // (its spam-cap window reuses that distribution), so at most the
+    // DELTA side may exchange on the block key — at fixture scale the
+    // delta broadcasts and the count is zero
+    val kShuffles = "hashpartitioning\\(k#".r.findAllIn(plan).size
+    assert(kShuffles <= 1,
+      s"index side must never re-shuffle on k, got $kShuffles:\n$plan")
   }
 
   test("dq_checks audits every rule in exactly ONE table scan") {

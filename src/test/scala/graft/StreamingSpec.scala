@@ -8,6 +8,28 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("kafka stand-in stream is schema-compatible with the real " +
+    "spark-sql-kafka source (one-line connector swap proven by test)") {
+    val shaped = StreamTwins.kafkaShapedStream(spark, sf)
+    val got = shaped.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val want = StreamTwins.KafkaSourceSchema.fields
+      .map(f => (f.name, f.dataType)).toSeq
+    // name + type + ORDER must match the connector's row schema exactly
+    // (nullability differs only on the stand-in's literal timestamp cols)
+    assert(got == want,
+      s"stand-in schema diverged from the Kafka connector's:\n" +
+        s"  got  $got\n  want $want")
+    // and the decode path consumes exactly that schema: binary value →
+    // from_json payload with every payload field surfaced
+    val decoded = StreamTwins.decodeKafkaEnvelope(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StreamTwins.KafkaSourceSchema))
+    val payloadCols = StreamTwins.KafkaPayloadSchema.fieldNames.toSet
+    assert(payloadCols.subsetOf(decoded.columns.toSet),
+      s"decode must surface payload columns: ${decoded.columns.toSeq}")
+  }
+
   test("appendAvailableNow is incremental: second run appends nothing new") {
     val out = Files.createTempDirectory("graft_append_out").toString
     val ckpt = Files.createTempDirectory("graft_append_ckpt").toString
