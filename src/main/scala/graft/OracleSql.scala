@@ -1225,6 +1225,174 @@ object OracleSql {
            FROM t a JOIN t b ON a.doc_id < b.doc_id)
          WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
 
+    // Kaplan-Meier: risk table in plain SQL, then the engine's documented
+    // iterated ⌊s·(n−d)/n⌋ ppm recurrence replayed row-by-row by a
+    // recursive CTE — exact BIGINT arithmetic at every step
+    "survival_km" ->
+      """WITH RECURSIVE per AS (
+           SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+           FROM orders GROUP BY 1),
+         lt AS (SELECT datediff('day', CAST(f AS DATE), CAST(l AS DATE)) AS t,
+             CASE WHEN CAST(l AS TIMESTAMP) < TIMESTAMP '2001-05-01 00:00:00'
+               THEN 1 ELSE 0 END AS ev
+           FROM per),
+         risk AS (SELECT t, count(*) AS m, sum(ev) AS d FROM lt GROUP BY 1),
+         w AS (SELECT t, m, d, sum(m) OVER (ORDER BY t) AS cm,
+             sum(m) OVER () AS nall FROM risk),
+         ev AS (SELECT t, nall - (cm - m) AS n_risk, d,
+             row_number() OVER (ORDER BY t) AS rn
+           FROM w WHERE d > 0),
+         km(rn, t, n_risk, d, s) AS (
+           SELECT rn, t, n_risk, d,
+             (1000000 * (n_risk - d)) // n_risk
+           FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT e.rn, e.t, e.n_risk, e.d,
+             (km.s * (e.n_risk - e.d)) // e.n_risk
+           FROM km JOIN ev e ON e.rn = km.rn + 1)
+         SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+             CAST(d AS BIGINT) AS d_events, CAST(s AS BIGINT) AS s_ppm
+         FROM km ORDER BY t""",
+
+    // isotonic calibration: the 20-bin score table in plain SQL, then PAV
+    // replayed by a recursive CTE that merges the FIRST violating
+    // adjacent pool per step (the PAV solution is unique, so first-merge
+    // and the engine's stack fold reach the same pools); all pool
+    // comparisons are exact integer cross-products
+    "calibrate_isotonic" ->
+      """WITH RECURSIVE raw AS (
+           SELECT doc_id,
+             CAST(n_chars AS DOUBLE) / 1000.0 -
+               2.0 * length(regexp_replace(text, '[aeiou]', '', 'g')) /
+               CAST(n_chars + 1 AS DOUBLE) AS s,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS flip
+           FROM documents),
+         thr AS (SELECT quantile_cont(s, 0.5) AS thr FROM raw),
+         scored AS (SELECT doc_id, s,
+             CASE WHEN (s > thr.thr) <> flip THEN 1 ELSE 0 END AS y
+           FROM raw, thr),
+         binned AS (SELECT ntile(20) OVER (ORDER BY s, doc_id) AS bin, y
+           FROM scored),
+         bins AS (SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+           FROM binned GROUP BY 1),
+         pav(it, lo, hi, n, pos) AS (
+           SELECT 0 AS it, bin, bin, n, pos FROM bins
+           UNION ALL
+           SELECT it, lo, hi, n, pos FROM (
+             WITH w AS (SELECT it, lo, hi, n, pos,
+                 lead(lo) OVER (ORDER BY lo) AS nlo,
+                 lead(hi) OVER (ORDER BY lo) AS nhi,
+                 lead(n) OVER (ORDER BY lo) AS nn,
+                 lead(pos) OVER (ORDER BY lo) AS npos
+               FROM pav),
+             v AS (SELECT lo AS vlo, nlo AS vnext FROM w
+               WHERE nlo IS NOT NULL AND pos * nn >= npos * n
+               ORDER BY lo LIMIT 1)
+             SELECT w.it + 1 AS it, w.lo,
+               CASE WHEN w.lo = v.vlo THEN w.nhi ELSE w.hi END AS hi,
+               CASE WHEN w.lo = v.vlo THEN w.n + w.nn ELSE w.n END AS n,
+               CASE WHEN w.lo = v.vlo THEN w.pos + w.npos ELSE w.pos END AS pos
+             FROM w, v
+             WHERE w.lo <> v.vnext)),
+         final AS (SELECT * FROM pav
+           WHERE it = (SELECT max(it) FROM pav))
+         SELECT b.bin, b.n, b.pos AS n_pos,
+             (b.pos * 1000000) // b.n AS raw_ppm,
+             (f.pos * 1000000) // f.n AS iso_ppm
+         FROM bins b JOIN final f ON b.bin BETWEEN f.lo AND f.hi
+         ORDER BY b.bin""",
+
+    // k-core profile: the same exact pair list, peeled to each k's
+    // fixpoint by a recursive CTE (one strict-decrease step per
+    // recursion; a -1 sentinel row keeps empty cores representable),
+    // cores seeded nested (2 → 3 → 4) exactly as the engine peels
+    "graph_k_core" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+         p AS (SELECT a.doc_id a_id, b.doc_id b_id
+           FROM t a JOIN t b ON a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+         peel2(it, x, y) AS (
+           SELECT 0 AS it, x, y FROM (
+             SELECT CAST(a_id AS BIGINT) AS x, CAST(b_id AS BIGINT) AS y FROM p
+             UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))
+           UNION ALL
+           SELECT it, x, y FROM (
+             WITH prev AS (SELECT * FROM peel2),
+               cur AS (SELECT * FROM prev WHERE x <> -1),
+               deg AS (SELECT nd, count(*) AS d FROM (
+                   SELECT x AS nd FROM cur UNION ALL SELECT y FROM cur) GROUP BY 1),
+               keep AS (SELECT nd FROM deg WHERE d >= 2),
+               nxt AS (SELECT c.it + 1 AS it, c.x, c.y FROM cur c
+                   JOIN keep kx ON c.x = kx.nd JOIN keep ky ON c.y = ky.nd)
+             SELECT it, x, y FROM (
+               SELECT it, x, y FROM nxt
+               UNION ALL
+               SELECT (SELECT max(it) + 1 FROM prev),
+                 CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))
+             WHERE (SELECT count(*) FROM nxt) < (SELECT count(*) FROM cur))),
+         core2 AS (SELECT x, y FROM peel2
+           WHERE it = (SELECT max(it) FROM peel2) AND x <> -1),
+         peel3(it, x, y) AS (
+           SELECT 0 AS it, x, y FROM (
+             SELECT x, y FROM core2
+             UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))
+           UNION ALL
+           SELECT it, x, y FROM (
+             WITH prev AS (SELECT * FROM peel3),
+               cur AS (SELECT * FROM prev WHERE x <> -1),
+               deg AS (SELECT nd, count(*) AS d FROM (
+                   SELECT x AS nd FROM cur UNION ALL SELECT y FROM cur) GROUP BY 1),
+               keep AS (SELECT nd FROM deg WHERE d >= 3),
+               nxt AS (SELECT c.it + 1 AS it, c.x, c.y FROM cur c
+                   JOIN keep kx ON c.x = kx.nd JOIN keep ky ON c.y = ky.nd)
+             SELECT it, x, y FROM (
+               SELECT it, x, y FROM nxt
+               UNION ALL
+               SELECT (SELECT max(it) + 1 FROM prev),
+                 CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))
+             WHERE (SELECT count(*) FROM nxt) < (SELECT count(*) FROM cur))),
+         core3 AS (SELECT x, y FROM peel3
+           WHERE it = (SELECT max(it) FROM peel3) AND x <> -1),
+         peel4(it, x, y) AS (
+           SELECT 0 AS it, x, y FROM (
+             SELECT x, y FROM core3
+             UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))
+           UNION ALL
+           SELECT it, x, y FROM (
+             WITH prev AS (SELECT * FROM peel4),
+               cur AS (SELECT * FROM prev WHERE x <> -1),
+               deg AS (SELECT nd, count(*) AS d FROM (
+                   SELECT x AS nd FROM cur UNION ALL SELECT y FROM cur) GROUP BY 1),
+               keep AS (SELECT nd FROM deg WHERE d >= 4),
+               nxt AS (SELECT c.it + 1 AS it, c.x, c.y FROM cur c
+                   JOIN keep kx ON c.x = kx.nd JOIN keep ky ON c.y = ky.nd)
+             SELECT it, x, y FROM (
+               SELECT it, x, y FROM nxt
+               UNION ALL
+               SELECT (SELECT max(it) + 1 FROM prev),
+                 CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))
+             WHERE (SELECT count(*) FROM nxt) < (SELECT count(*) FROM cur))),
+         core4 AS (SELECT x, y FROM peel4
+           WHERE it = (SELECT max(it) FROM peel4) AND x <> -1)
+         SELECT k, n_nodes, n_edges FROM (
+           SELECT CAST(2 AS BIGINT) AS k,
+             CAST((SELECT count(*) FROM (SELECT x FROM core2 UNION SELECT y FROM core2)) AS BIGINT) AS n_nodes,
+             CAST((SELECT count(*) FROM core2) AS BIGINT) AS n_edges
+           UNION ALL
+           SELECT CAST(3 AS BIGINT),
+             CAST((SELECT count(*) FROM (SELECT x FROM core3 UNION SELECT y FROM core3)) AS BIGINT),
+             CAST((SELECT count(*) FROM core3) AS BIGINT)
+           UNION ALL
+           SELECT CAST(4 AS BIGINT),
+             CAST((SELECT count(*) FROM (SELECT x FROM core4 UNION SELECT y FROM core4)) AS BIGINT),
+             CAST((SELECT count(*) FROM core4) AS BIGINT))
+         ORDER BY k""",
+
     "graph_triangles" ->
       """WITH t AS (SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),

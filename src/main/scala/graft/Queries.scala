@@ -975,9 +975,12 @@ object Queries {
     * size of the k-core for k = 2..4 — a k-core member has ≥ k neighbors
     * INSIDE the core, so cores isolate genuinely dense duplicate clusters
     * (spam farms, boilerplate families) from the incidental threshold-
-    * bleed chains connected components cannot distinguish. Rows-only
-    * (iterative fixpoint isn't ANSI SQL); `WaveQSpec` pins closed-form
-    * graphs (clique, star, barbell) and core-nesting monotonicity. */
+    * bleed chains connected components cannot distinguish. Hash-checked:
+    * the DuckDB oracle peels each k to its fixpoint with a recursive CTE
+    * (one strict-decrease step per recursion, sentinel-rowed so empty
+    * cores stay representable), cores seeded nested 2 → 3 → 4 exactly as
+    * this peel does; `WaveQSpec` additionally pins closed-form graphs
+    * (clique, star, barbell) and core-nesting monotonicity. */
   def graphKCore(spark: SparkSession, dir: String): DataFrame = {
     val pairs = text.NearDup.minhashDupPairsCached(
       t(spark, dir, "documents"), "doc_id", "text",
@@ -1971,7 +1974,13 @@ object Queries {
     val deltaPh = mm.Multimodal.phashFeatures(spark,
         mm.Multimodal.upscaledMedia(spark, media, 2))
       .filter(col("phash").isNotNull)
-    text.NearDup.hammingDupPairsIncremental(basePh, deltaPh,
+    // the base index is the BUCKETED managed signature table an ingest
+    // pipeline maintains (the text tier's graft_band_index promotion,
+    // round 5, applied to the pHash tier): probes read it
+    // pre-partitioned on k and only the delta side shuffles
+    val baseIdx = text.NearDup.bucketedHammingIndexCached(basePh,
+      "doc_id", "phash", cacheKey = dir)
+    text.NearDup.hammingDupPairsIncrementalBucketed(baseIdx, deltaPh,
         "doc_id", "phash", maxHamming = 4)
       .orderBy(col("new_id"), col("base_id"))
   }
@@ -6415,9 +6424,12 @@ object Queries {
     * on the driver, exact rationals pooled as integer sums so the
     * calibrated ppm column is deterministic to the last digit. Score =
     * the documented teacher combination (x1 − 2·x5) against the noisy
-    * teacher labels, so the expected curve is known: rows-only (PAV is
-    * not ANSI SQL); WaveZSpec differentials a full driver PAV and pins
-    * monotonicity + mass conservation. */
+    * teacher labels, so the expected curve is known. Hash-checked: the
+    * DuckDB oracle replays PAV as a recursive CTE merging the first
+    * violating adjacent pool per step (the PAV fixpoint is unique, so
+    * first-merge and this stack fold agree pool-for-pool); WaveZSpec
+    * additionally differentials a full driver PAV and pins monotonicity
+    * + mass conservation. */
   def calibrateIsotonic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 20
@@ -6553,10 +6565,13 @@ object Queries {
     * distributed prefix scan, and the inherently-sequential product
     * S(t) = Π(1 − dᵢ/nᵢ) folded over the collected risk table — risk
     * rows are bounded by DISTINCT lifetime days (calendar-bounded model
-    * parameters, not data-sized), and the fold is EXACT BigInt rationals
-    * emitted as ppm, so the curve is deterministic to the last digit.
-    * KM is not ANSI SQL (rows-only); WaveAASpec differentials a naive
-    * driver recompute from raw lifetimes and pins monotonicity. */
+    * parameters, not data-sized). The fold is the ITERATED integer
+    * recurrence s ← ⌊s·(n−d)/n⌋ from 1e6 — exact Long arithmetic,
+    * monotone, within |risk-rows| ppm of the exact rational product, and
+    * (the point of this form) replayed step-for-step by the DuckDB
+    * oracle's recursive CTE, so the whole curve hash-checks. WaveAASpec
+    * additionally differentials a naive driver recompute from raw
+    * lifetimes and pins monotonicity. */
   def survivalKm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cutoff = lit("2001-05-01").cast(TimestampType)
@@ -6575,11 +6590,17 @@ object Queries {
       .filter(col("d") > 0)
       .select(col("t"), col("n_risk"), col("d"))
       .orderBy(col("t")).collect()
-    var num = BigInt(1); var den = BigInt(1)
+    // ITERATED fixed-point survival: s ← ⌊s·(n−d)/n⌋ from 1e6 — exact
+    // Long arithmetic (s·n ≤ 1e6·|customers|, far under 2⁶³), monotone,
+    // within ~|event-days| ppm of the exact rational product, and — the
+    // reason for this form — replayable step-for-step by the DuckDB
+    // oracle's recursive CTE, which a BigInt product (denominator
+    // ~n^30 ≫ HUGEINT) is not
+    var s = 1000000L
     val out = rt.map { r =>
       val (tt, n, dd) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      num *= BigInt(n - dd); den *= BigInt(n)
-      (tt, n, dd, (num * 1000000 / den).toLong)
+      s = s * (n - dd) / n
+      (tt, n, dd, s)
     }
     out.toSeq.toDF("t", "n_risk", "d_events", "s_ppm").orderBy(col("t"))
   }

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** One-decade-higher slope gate (round-6, VERDICT r5 #4): the sf0.01→sf0.1
+  * pair can hide constant-dominated regimes, so the five steepest catalog
+  * queries from the round-5 slope audit re-measure at sf0.1→sf1 over a
+  * GENERATED 10× slice of the sf0.1 tables. Copies are made disjoint in a
+  * structure-preserving way — every token/name/key carries a per-copy
+  * suffix or offset, so within-copy dup/join structure mirrors the
+  * original corpus while cross-copy similarity collapses to zero. A
+  * dup-heavy byte-identical 10× would instead charge the queries for
+  * output-size growth (pair counts ×100), which is load, not slope. */
+class StressSf1Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sfBase = "/root/testdata/sf0.1"
+
+  /** Build (once per data epoch) the sf1 slice with the three tables the
+    * five steepest queries read. The `_built` sentinel guards the build;
+    * the epoch-keyed dir self-invalidates on lake regeneration. */
+  private lazy val sf1Dir: String = {
+    val dir = ops.TempFiles.dir(s"sf1_slice_${ops.TempFiles.tag(sfBase)}")
+    val sentinel = java.nio.file.Paths.get(dir, "_built")
+    if (!java.nio.file.Files.exists(sentinel)) {
+      def tenfold(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+        val base = ops.Tables.table(spark, sfBase, name)
+        (0 until 10).map(i => f(base, i)).reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      }
+      tenfold("documents") { (d, i) =>
+        // suffix EVERY token: shingle spaces of distinct copies are
+        // disjoint, so near-dup structure is exactly 10 disjoint replicas
+        d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", "$1_" + i))
+      }
+      tenfold("customer") { (d, i) =>
+        // doubled-letter suffix keeps cross-copy edit distance ≥ 2, so
+        // the fuzzy join's deletion neighborhoods never collide across
+        // copies (a 1-char suffix would put every name's 10 copies
+        // within edit distance 1 of each other)
+        val c = ('a' + i).toChar.toString
+        d.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+          .withColumn("c_name", concat(col("c_name"), lit(c + c)))
+      }
+      tenfold("lineitem") { (d, i) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L))
+      }
+      java.nio.file.Files.createFile(sentinel)
+    }
+    dir
+  }
+
+  test("the five steepest round-5 queries stay sub-linear per row one " +
+    "decade higher (sf0.1 -> sf1, 10x rows)") {
+    // round-5 measured sf0.01->sf0.1 slopes: join_fuzzy_edit 5.41x,
+    // dedup_prefix_filter 2.72x, text_dup_ngrams 2.39x,
+    // recommend_item_knn 2.31x, dedup_boilerplate 2.11x
+    val names = Seq("join_fuzzy_edit", "dedup_prefix_filter",
+      "text_dup_ngrams", "recommend_item_knn", "dedup_boilerplate")
+    for (n <- names) {
+      val times = Seq(sfBase, sf1Dir).map { dir =>
+        Seq.fill(2) {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val slope = times(1) / times(0)
+      info(f"$n: ${times(0)}%.2f s -> ${times(1)}%.2f s, " +
+        f"growth $slope%.2fx on 10x rows")
+      assert(slope < 10.0, s"$n grew ${slope}x on 10x rows — super-linear")
+    }
+  }
+}

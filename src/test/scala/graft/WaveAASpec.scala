@@ -152,12 +152,13 @@ class WaveAASpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getBoolean(1)))
     val byT = per.groupBy(_._1)
     val eventTimes = byT.filter(_._2.exists(_._2)).keys.toSeq.sorted
-    var num = BigInt(1); var den = BigInt(1)
+    // the engine's documented iterated ⌊s·(n−d)/n⌋ fixed-point recurrence
+    var s = 1000000L
     val expect = eventTimes.map { tt =>
       val n = per.count(_._1 >= tt).toLong
       val dd = byT(tt).count(_._2).toLong
-      num *= BigInt(n - dd); den *= BigInt(n)
-      (tt, n, dd, (num * 1000000 / den).toLong)
+      s = s * (n - dd) / n
+      (tt, n, dd, s)
     }
     assert(rows.toSeq == expect,
       s"KM mismatch:\n engine ${rows.toSeq}\n driver $expect")
