@@ -1225,6 +1225,92 @@ object OracleSql {
            FROM t a JOIN t b ON a.doc_id < b.doc_id)
          WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
 
+    // fixed-point PageRank over the exact dup-pair graph: 10 damped
+    // rounds of the engine's integer iteration (contrib ⌊r/deg⌋, update
+    // ⌊3·1e12/(20n)⌋ + ⌊17·inflow/20⌋) replayed by a recursive CTE —
+    // every step integer, so the pico-rank column hash-checks
+    "graph_pagerank" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
+           FROM documents),
+         p AS (SELECT a.doc_id a_id, b.doc_id b_id
+           FROM t a JOIN t b ON a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+         e AS (SELECT s, d FROM (
+             SELECT CAST(a_id AS BIGINT) s, CAST(b_id AS BIGINT) d FROM p
+             UNION ALL
+             SELECT CAST(b_id AS BIGINT), CAST(a_id AS BIGINT) FROM p)
+           GROUP BY 1, 2),
+         deg AS (SELECT s, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+         nodes AS (SELECT DISTINCT s AS node FROM e),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         pr(it, node, r) AS (
+           SELECT 0 AS it, node,
+             (SELECT 1000000000000 // n FROM nn) AS r FROM nodes
+           UNION ALL
+           SELECT it, node, r FROM (
+             WITH prev AS (SELECT * FROM pr),
+               i AS (SELECT min(it) AS it FROM prev),
+               c AS (SELECT e.d AS node,
+                   CAST(sum(p2.r // dg.dg) AS BIGINT) AS inflow
+                 FROM e JOIN prev p2 ON p2.node = e.s
+                   JOIN deg dg ON dg.s = e.s
+                 GROUP BY 1)
+             SELECT (SELECT it FROM i) + 1 AS it, nd.node,
+               (SELECT (3 * 1000000000000) // (20 * n) FROM nn)
+                 + (17 * coalesce(c.inflow, 0)) // 20 AS r
+             FROM nodes nd LEFT JOIN c ON c.node = nd.node
+             WHERE (SELECT it FROM i) < 10))
+         SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_pp12,
+             round(CAST(r AS DOUBLE) / 1e12, 6) AS rank
+         FROM pr WHERE it = 10
+         ORDER BY rank_pp12 DESC, doc_id""",
+
+    // fixed-point TextRank: the stopword-pruned token bigram graph in
+    // plain SQL (vocab_rake's tokenization), then the same integer
+    // PageRank recursive CTE, top-20
+    "vocab_textrank" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+             CAST(generate_subscripts(t, 1) AS BIGINT) AS p, unnest(t) AS tk
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         stop AS (SELECT tk FROM tok GROUP BY tk
+           ORDER BY count(*) DESC, tk LIMIT 5),
+         ns AS (SELECT doc_id, p, tk FROM tok
+           WHERE tk NOT IN (SELECT tk FROM stop)),
+         nx AS (SELECT tk, lead(tk) OVER
+             (PARTITION BY doc_id ORDER BY p) AS ntk FROM ns),
+         e0 AS (SELECT DISTINCT least(tk, ntk) a, greatest(tk, ntk) b
+           FROM nx WHERE ntk IS NOT NULL AND tk <> ntk),
+         e AS (SELECT s, d FROM (
+             SELECT a s, b d FROM e0 UNION ALL SELECT b, a FROM e0)
+           GROUP BY 1, 2),
+         deg AS (SELECT s, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+         nodes AS (SELECT DISTINCT s AS node FROM e),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         pr(it, node, r) AS (
+           SELECT 0 AS it, node,
+             (SELECT 1000000000000 // n FROM nn) AS r FROM nodes
+           UNION ALL
+           SELECT it, node, r FROM (
+             WITH prev AS (SELECT * FROM pr),
+               i AS (SELECT min(it) AS it FROM prev),
+               c AS (SELECT e.d AS node,
+                   CAST(sum(p2.r // dg.dg) AS BIGINT) AS inflow
+                 FROM e JOIN prev p2 ON p2.node = e.s
+                   JOIN deg dg ON dg.s = e.s
+                 GROUP BY 1)
+             SELECT (SELECT it FROM i) + 1 AS it, nd.node,
+               (SELECT (3 * 1000000000000) // (20 * n) FROM nn)
+                 + (17 * coalesce(c.inflow, 0)) // 20 AS r
+             FROM nodes nd LEFT JOIN c ON c.node = nd.node
+             WHERE (SELECT it FROM i) < 10))
+         SELECT node AS token, CAST(r AS BIGINT) AS rank_pp12,
+             round(CAST(r AS DOUBLE) / 1e12, 6) AS rank
+         FROM pr WHERE it = 10
+         ORDER BY rank_pp12 DESC, token LIMIT 20""",
+
     // Kaplan-Meier: risk table in plain SQL, then the engine's documented
     // iterated ⌊s·(n−d)/n⌋ ppm recurrence replayed row-by-row by a
     // recursive CTE — exact BIGINT arithmetic at every step

@@ -910,17 +910,20 @@ object Queries {
     * weighted by how embedded they are in duplicate clusters — the
     * graph-importance quality signal (Common Crawl publishes exactly this
     * shape for hosts). Edges are the session-cached MinHash-verified pairs
-    * (deterministic), ranks after 10 damped rounds. Rows-only: the inflow
-    * sum is floating-point (partitioning-dependent last bits) — the honest
-    * contract for an iterative numeric fixpoint; invariants
-    * (mass conservation, symmetry, closed forms) are property-spec'd. */
+    * (deterministic), ranks after 10 damped rounds of the EXACT
+    * fixed-point iteration ([[ops.PageRank.ranksFixedPoint]]): every
+    * step integer, so the published pico-rank column is deterministic to
+    * the last unit and the DuckDB oracle replays all 10 rounds as a
+    * recursive CTE — hash-checked (round 6; previously rows-only because
+    * the float inflow sum carried partitioning-dependent last bits). */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     val pairs = text.NearDup.minhashDupPairsCached(
       t(spark, dir, "documents"), "doc_id", "text",
       threshold = 0.8, cacheKey = dir)
-    ops.PageRank.ranks(pairs, "a_id", "b_id", iters = 10)
-      .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
-      .orderBy(col("rank").desc, col("doc_id"))
+    ops.PageRank.ranksFixedPoint(pairs, "a_id", "b_id", iters = 10)
+      .select(col("node").as("doc_id"), col("r").as("rank_pp12"),
+        round(col("r").cast(DoubleType) / lit(1e12), 6).as("rank"))
+      .orderBy(col("rank_pp12").desc, col("doc_id"))
   }
 
   /** N14e — triangles of the verified near-dup pair graph
@@ -6287,9 +6290,10 @@ object Queries {
     val edges = nxt.select(least(col("tok"), col("ntok")).as("a"),
         greatest(col("tok"), col("ntok")).as("b"))
       .distinct()
-    PageRank.ranks(edges, "a", "b", iters = 10)
-      .select(col("node").as("token"), round(col("rank"), 6).as("rank"))
-      .orderBy(col("rank").desc, col("token")).limit(20)
+    PageRank.ranksFixedPoint(edges, "a", "b", iters = 10)
+      .select(col("node").as("token"), col("r").as("rank_pp12"),
+        round(col("r").cast(DoubleType) / lit(1e12), 6).as("rank"))
+      .orderBy(col("rank_pp12").desc, col("token")).limit(20)
   }
 
   def vocabRake(spark: SparkSession, dir: String): DataFrame = {

@@ -18,12 +18,64 @@ import org.apache.spark.sql.functions._
   * every round (teleport + damped inflow; an undirected graph has no
   * dangling nodes), which [[graft.PageRankSpec]] asserts.
   *
-  * The in-flow sum is a floating-point aggregate, so last-ulp bits can
-  * vary with partitioning — PageRank is a fixpoint approximation, not an
-  * exact query; the declared catalog entry is rows-only with
-  * property-spec'd invariants (conservation, symmetry, known closed
-  * forms), the honest contract for an iterative numeric op. */
+  * Two variants: [[ranks]] (float — the in-flow sum's last-ulp bits can
+  * vary with partitioning; kept for the convergence/contract specs) and
+  * [[ranksFixedPoint]] (exact integer arithmetic at a 1e12 scale —
+  * deterministic on any engine and partitioning, which is what lets the
+  * declared catalog entries hash-check against recursive-CTE DuckDB
+  * oracles instead of shipping rows-only). */
 object PageRank {
+
+  /** Fixed-point scale for [[ranksFixedPoint]]: ranks as integer
+    * pico-units of mass (1e12 = all the mass). 12 digits keeps every
+    * intermediate (17·inflow ≤ 1.7e13) far under 2⁶³ while leaving the
+    * published 6-decimal rank unchanged by the ≤ n·iters unit floor
+    * loss. */
+  val Scale: Long = 1000000000000L
+
+  /** EXACT fixed-point PageRank: the same damped power iteration with
+    * every arithmetic step integer — contributions ⌊r/deg⌋, inflow an
+    * exact Long sum (order-independent, so partitioning cannot move a
+    * bit), update ⌊3·Scale/(20n)⌋ + ⌊17·inflow/20⌋ (damping 0.85 =
+    * 17/20). Same per-round plan shape as [[ranks]] (one edge equi-join
+    * + one keyed aggregation, lineage localCheckpoint-truncated). The
+    * point of the integer form: the iterate is deterministic to the last
+    * unit on ANY engine, so a recursive-CTE DuckDB oracle replays all
+    * `iters` rounds and the declared queries hash-check — the float
+    * variant's last-ulp partitioning sensitivity was the one thing
+    * keeping PageRank rows-only. Mass is conserved up to the documented
+    * floor loss (< n units per round); [[graft.PageRankSpec]] pins
+    * agreement with the float fixpoint and the exact symmetry
+    * invariants. Returns (node, r) with r in Scale units. */
+  def ranksFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                      iters: Int = 10): DataFrame = {
+    val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nodes = dir.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "PageRank over an empty graph")
+    val teleport = 3L * Scale / (20L * n)
+    var r = nodes.withColumn("r", lit(Scale / n))
+    for (_ <- 0 until iters) {
+      val contrib = dir
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr("(17 * coalesce(inflow, CAST(0 AS BIGINT))) div 20"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    r
+  }
 
   /** Ranks after `iters` damped power-iteration rounds over the undirected
     * edges (srcCol, dstCol). Returns (node, rank). */

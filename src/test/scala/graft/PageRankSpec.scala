@@ -44,6 +44,31 @@ class PageRankSpec extends AnyFunSuite {
     assert(math.abs(r(1L) - r(2L)) < 1e-12)
   }
 
+  test("fixed-point ranks track the float fixpoint, conserve mass up to " +
+    "floor loss, and are exactly symmetric") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val fx = PageRank.ranksFixedPoint(
+        edges.toDF("src", "dst"), "src", "dst", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fl = PageRank.ranks(edges.toDF("src", "dst"), "src", "dst", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // integer iterate = float iterate to well past the published 6 digits
+    fx.foreach { case (k, v) =>
+      assert(math.abs(v.toDouble / PageRank.Scale - fl(k)) < 1e-9,
+        s"node $k: fixed $v vs float ${fl(k)}")
+    }
+    // mass conserved up to the documented floor loss (a few units per
+    // node per round, geometrically damped)
+    val total = fx.values.sum
+    assert(total <= PageRank.Scale && total > PageRank.Scale - 10000L)
+    // a cycle's symmetry is EXACT in integers — every node identical
+    val cyc = (0 until 6).map(i => (i.toLong, ((i + 1) % 6).toLong))
+    val r6 = PageRank.ranksFixedPoint(
+        cyc.toDF("src", "dst"), "src", "dst", iters = 10)
+      .collect().map(_.getLong(1))
+    assert(r6.distinct.length == 1)
+  }
+
   test("more iterations converge: consecutive rounds move less") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
     val a = ranksOf(edges, iters = 5)

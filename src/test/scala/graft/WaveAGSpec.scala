@@ -129,16 +129,16 @@ class WaveAGSpec extends AnyFunSuite {
       .groupBy("tok").count().orderBy(col("count").desc, col("tok"))
       .limit(5).collect().map(_.getString(0)).toSet
     val out = Queries.vocabTextrank(spark, sf).collect()
-      .map(r => (r.getString(0), r.getDouble(1)))
+      .map(r => (r.getString(0), r.getLong(1)))
     assert(out.length == 20)
-    assert(out.forall { case (t, r) => !stop.contains(t) && r > 0.0 })
-    // descending rank with token tie-break
+    assert(out.forall { case (t, r) => !stop.contains(t) && r > 0L })
+    // descending pico-rank with token tie-break
     out.sliding(2).foreach { case Array((t1, r1), (t2, r2)) =>
       assert(r1 > r2 || (r1 == r2 && t1 < t2))
     }
-    // two runs agree exactly (deterministic plan, cached lineage)
+    // two runs agree exactly (deterministic integer fixpoint)
     val again = Queries.vocabTextrank(spark, sf).collect()
-      .map(r => (r.getString(0), r.getDouble(1)))
+      .map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == again.toSeq)
   }
 
