@@ -62,16 +62,15 @@ object PageRank {
     val teleport = 3L * Scale / (20L * n)
     var r = nodes.withColumn("r", lit(Scale / n))
     for (_ <- 0 until iters) {
-      val contrib = dir
+      // the symmetrized edge list gives every node an incoming edge, so
+      // the contribution aggregate already covers the full node set —
+      // no nodes-side outer join needed (one join per round, not two)
+      r = dir
         .join(r.withColumnRenamed("node", "src"), "src")
         .join(deg, "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr("(17 * coalesce(inflow, CAST(0 AS BIGINT))) div 20"))
-            .as("r"))
+        .groupBy(col("node")).agg(
+          (lit(teleport) + expr("(17 * sum(c)) div 20")).as("r"))
         .localCheckpoint(true)
     }
     r
