@@ -1225,6 +1225,203 @@ object OracleSql {
            FROM t a JOIN t b ON a.doc_id < b.doc_id)
          WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
 
+    // audio features: the WAV fixture's samples re-derived from the
+    // SOURCE text (s_i = 64·(b_i − b_{i+1}) over the cycled bytes —
+    // the byte-exact synthesis contract), then the same integer
+    // zero-crossing/peak/energy pass in SQL
+    "mm_audio_features" ->
+      """WITH samp AS (
+           SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+             64 * (ord(substr(text, CAST((u.i % length(text)) + 1 AS INT), 1))
+                 - ord(substr(text, CAST(((u.i + 1) % length(text)) + 1 AS INT), 1)))
+               AS s
+           FROM documents,
+             unnest(range(0, 64 + n_chars % 193)) AS u(i)),
+         lagd AS (
+           SELECT doc_id, i, s,
+             lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+           FROM samp)
+         SELECT doc_id, 8000 AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(CASE WHEN ps IS NOT NULL AND ((s < 0) <> (ps < 0))
+             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(max(abs(s)) AS INT) AS peak,
+           CAST(sum(s * s) AS BIGINT) AS energy
+         FROM lagd GROUP BY 1 ORDER BY doc_id""",
+
+    // voice-activity detection: 16-sample frame energies over the same
+    // re-derived samples, the exact integer 2·e·F > Σe threshold, and
+    // gaps-and-islands for the segment census
+    "mm_audio_vad" ->
+      """WITH docs AS (SELECT doc_id, text,
+             64 + n_chars % 193 AS ns,
+             (64 + n_chars % 193) // 16 AS nf FROM documents),
+         samp AS (
+           SELECT doc_id, nf, CAST(u.i AS BIGINT) AS i,
+             CAST(64 * (ord(substr(text, CAST((u.i % length(text)) + 1 AS INT), 1))
+                 - ord(substr(text, CAST(((u.i + 1) % length(text)) + 1 AS INT), 1)))
+               AS BIGINT) AS s
+           FROM docs, unnest(range(0, ns)) AS u(i)
+           WHERE u.i < nf * 16),
+         fr AS (
+           SELECT doc_id, nf, i // 16 AS f, sum(s * s) AS e
+           FROM samp GROUP BY 1, 2, 3),
+         tot AS (SELECT doc_id, sum(e) AS total FROM fr GROUP BY 1),
+         flags AS (
+           SELECT fr.doc_id, fr.nf, fr.f,
+             CASE WHEN 2 * fr.e * fr.nf > t.total THEN 1 ELSE 0 END AS sp
+           FROM fr JOIN tot t USING (doc_id)),
+         isl AS (
+           SELECT doc_id, f, sp,
+             f - row_number() OVER (PARTITION BY doc_id, sp ORDER BY f)
+               AS grp
+           FROM flags),
+         runs AS (
+           SELECT doc_id, grp, count(*) AS run
+           FROM isl WHERE sp = 1 GROUP BY doc_id, grp),
+         runagg AS (
+           SELECT doc_id, CAST(count(*) AS INT) AS n_seg,
+               CAST(max(run) AS INT) AS longest
+           FROM runs GROUP BY 1)
+         SELECT f.doc_id,
+           CAST(max(f.nf) AS INT) AS n_frames,
+           CAST(sum(f.sp) AS INT) AS n_speech,
+           coalesce(r.n_seg, 0) AS n_segments,
+           CAST(coalesce(min(CASE WHEN f.sp = 1 THEN f.f END), -1) AS INT)
+             AS first_speech,
+           coalesce(r.longest, 0) AS longest_run,
+           CAST(CASE WHEN max(f.nf) = 0 THEN 0
+             ELSE sum(f.sp) * 1000000 // max(f.nf) END AS BIGINT)
+             AS speech_ppm
+         FROM flags f LEFT JOIN runagg r USING (doc_id)
+         GROUP BY f.doc_id, r.n_seg, r.longest
+         ORDER BY f.doc_id""",
+
+    // scene-cut detection: the BMP fixture's row sums re-derived from
+    // the source text (pixel bytes are the text cycled over stride·h;
+    // row sums cover only the 3w channel bytes, skipping stride pad),
+    // then the same integer threshold census
+    "mm_scene_cut" ->
+      """WITH docs AS (SELECT doc_id, text, length(text) AS L,
+             4 + n_chars % 29 AS w, 4 + n_chars % 17 AS h,
+             ((4 + n_chars % 29) * 3 + 3) // 4 * 4 AS stride
+           FROM documents),
+         px AS (
+           SELECT doc_id, CAST(u.y AS BIGINT) AS y, sum(
+               ord(substr(text, CAST(((u.y * stride + v.x) % L) + 1 AS INT), 1))
+             ) AS rowsum
+           FROM docs, unnest(range(0, h)) AS u(y),
+             unnest(range(0, 3 * w)) AS v(x)
+           GROUP BY doc_id, u.y),
+         tot AS (SELECT doc_id, sum(rowsum) AS total, count(*) AS h
+           FROM px GROUP BY 1),
+         d AS (
+           SELECT p.doc_id, p.y,
+             abs(p.rowsum - lag(p.rowsum) OVER
+               (PARTITION BY p.doc_id ORDER BY p.y)) AS dd
+           FROM px p),
+         j AS (
+           SELECT d.doc_id, d.y, d.dd, t.total, t.h
+           FROM d JOIN tot t USING (doc_id) WHERE d.dd IS NOT NULL)
+         SELECT doc_id, CAST(max(h) AS INT) AS n_frames,
+           CAST(sum(CASE WHEN 3 * dd * h > 2 * total THEN 1 ELSE 0 END)
+             AS INT) AS n_cuts,
+           CAST(coalesce(min(CASE WHEN 3 * dd * h > 2 * total THEN y END),
+             -1) AS INT) AS first_cut,
+           CAST(max(dd) AS BIGINT) AS max_delta
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    // audio constellation fingerprints: landmarks (per-frame peak
+    // buckets) and anchor-pair hashes re-derived from the source text,
+    // then the same cap/join/offset-vote pipeline in SQL
+    "mm_audio_fingerprint" ->
+      """WITH docs AS (SELECT doc_id, text,
+             64 + n_chars % 193 AS ns FROM documents),
+         samp AS (
+           SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+             CAST(64 * (ord(substr(text, CAST((u.i % length(text)) + 1 AS INT), 1))
+                 - ord(substr(text, CAST(((u.i + 1) % length(text)) + 1 AS INT), 1)))
+               AS BIGINT) AS s
+           FROM docs, unnest(range(0, ns)) AS u(i)),
+         frames AS (
+           SELECT d.doc_id, CAST(u.f AS BIGINT) AS f
+           FROM docs d,
+             unnest(range(0, greatest((ns - 16) // 8 + 1, 0))) AS u(f)
+           WHERE u.f * 8 + 16 <= d.ns),
+         lm AS (
+           SELECT fr.doc_id, fr.f, (max(abs(sa.s)) // 512) % 64 AS bucket
+           FROM frames fr JOIN samp sa ON sa.doc_id = fr.doc_id
+             AND sa.i >= fr.f * 8 AND sa.i < fr.f * 8 + 16
+           GROUP BY 1, 2),
+         fp AS (
+           SELECT l1.doc_id,
+             l1.bucket * 4096 + l2.bucket * 64 + (l2.f - l1.f) AS h,
+             l1.f AS t1
+           FROM lm l1 JOIN lm l2 ON l2.doc_id = l1.doc_id
+             AND l2.f > l1.f AND l2.f <= l1.f + 3),
+         capped AS (
+           SELECT * FROM (
+             SELECT doc_id, h, t1,
+               count(*) OVER (PARTITION BY h) AS postings FROM fp)
+           WHERE postings <= 64),
+         votes AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.t1 - b.t1 AS dt,
+             count(*) AS votes
+           FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3)
+         SELECT a_id, b_id, CAST(max(votes) AS BIGINT) AS n_aligned
+         FROM votes GROUP BY 1, 2 HAVING max(votes) >= 4
+         ORDER BY a_id, b_id""",
+
+    // winnowing fingerprints: the k=5/w=4 scheme replayed in SQL — the
+    // Java-long wrapping polynomial hash computed directly per gram in
+    // HUGEINT then reduced mod 2^64 back to signed (wrap-per-step and
+    // sum-mod-2^64 agree: ring homomorphism), per-window rightmost min
+    // via min over (h, -gi) structs, distinct survivors per doc
+    "doc_winnow" ->
+      """WITH chars AS (
+           SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+               ord(substr(text, CAST(u.i AS INT), 1)) AS b,
+               length(text) AS n
+           FROM documents, unnest(range(1, length(text) + 1)) AS u(i)),
+         grams AS (
+           SELECT doc_id, i AS gi, n - 4 AS ngrams,
+             CAST(CASE WHEN hm >= 9223372036854775808::HUGEINT
+               THEN hm - 18446744073709551616::HUGEINT ELSE hm END
+               AS BIGINT) AS h
+           FROM (
+             SELECT c0.doc_id, c0.i, c0.n,
+               (CAST(c0.b AS HUGEINT) * 1000012000054000108000081::HUGEINT
+                + CAST(c1.b AS HUGEINT) * 1000009000027000027::HUGEINT
+                + CAST(c2.b AS HUGEINT) * 1000006000009::HUGEINT
+                + CAST(c3.b AS HUGEINT) * 1000003::HUGEINT
+                + CAST(c4.b AS HUGEINT))
+                % 18446744073709551616::HUGEINT AS hm
+             FROM chars c0
+             JOIN chars c1 ON c1.doc_id = c0.doc_id AND c1.i = c0.i + 1
+             JOIN chars c2 ON c2.doc_id = c0.doc_id AND c2.i = c0.i + 2
+             JOIN chars c3 ON c3.doc_id = c0.doc_id AND c3.i = c0.i + 3
+             JOIN chars c4 ON c4.doc_id = c0.doc_id AND c4.i = c0.i + 4
+             ) t(doc_id, i, n, hm)),
+         win AS (
+           SELECT doc_id, gi, ngrams,
+             min(ROW(h, -gi)) OVER (PARTITION BY doc_id ORDER BY gi
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+           FROM grams),
+         sel1 AS (
+           SELECT doc_id, sel[1] AS h FROM win
+           WHERE ngrams > 4 AND gi <= ngrams - 3
+           UNION
+           SELECT doc_id, min(ROW(h, -gi))[1] AS h FROM grams
+           WHERE ngrams <= 4 GROUP BY doc_id),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+               CAST(min(h) AS BIGINT) AS fp_min
+           FROM (SELECT DISTINCT doc_id, h FROM sel1) GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.n_fps, 0) AS n_fps, a.fp_min
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
+
     // fixed-point PageRank over the exact dup-pair graph: 10 damped
     // rounds of the engine's integer iteration (contrib ⌊r/deg⌋, update
     // ⌊3·1e12/(20n)⌋ + ⌊17·inflow/20⌋) replayed by a recursive CTE —

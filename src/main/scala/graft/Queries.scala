@@ -1566,8 +1566,12 @@ object Queries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
-  /** Winnowing rolling-hash fingerprints — rows-only (the hash values are
-    * engine-internal); KernelSpec asserts the winnowing guarantees. */
+  /** Winnowing rolling-hash fingerprints — hash-checked (round 6): the
+    * kernel's Java-long wrapping polynomial hash is replayed by the
+    * DuckDB oracle in HUGEINT reduced mod 2⁶⁴ (wrap-per-step and
+    * sum-mod-2⁶⁴ agree — ring homomorphism), the w-window rightmost-min
+    * selection as a min over (h, −i) structs. KernelSpec additionally
+    * asserts the winnowing guarantees. */
   def docWinnow(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
@@ -3632,9 +3636,11 @@ object Queries {
     * silence/clipping gates an audio-ingest pipeline runs before paying
     * for a codec: zero crossings, peak |sample|, Σ sample² — ALL exact
     * integers. `mapPartitions` codec seam, narrow end-to-end; invalid
-    * payloads surface as −1 sentinels. Rows-only at the driver gate (the
-    * oracle cannot byte-address UTF-8 in SQL); the spec recomputes every
-    * feature driver-side from the raw text and matches exactly. */
+    * payloads surface as −1 sentinels. Hash-checked (round 6): the WAV
+    * fixture's synthesis contract is byte-exact, so the DuckDB oracle
+    * re-derives the samples from the SOURCE text (64·adjacent-byte
+    * differences over the cycled bytes) and runs the same integer pass;
+    * the spec additionally recomputes every feature driver-side. */
   def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame =
     mm.Multimodal.audioFeatures(spark,
         mm.Multimodal.asAudio(t(spark, dir, "documents")))
@@ -3647,9 +3653,10 @@ object Queries {
     * boundary), islands → segments; per doc the frame census, first
     * speech frame, longest run, and speech ppm. Same `mapPartitions`
     * codec seam and −1 corrupt-payload sentinels as [[mmAudioFeatures]];
-    * narrow end-to-end. Rows-only at the driver gate (SQL cannot
-    * byte-address PCM); the spec recomputes the segmentation driver-side
-    * from the raw text bytes and matches exactly. */
+    * narrow end-to-end. Hash-checked (round 6): the DuckDB oracle
+    * re-derives the samples from the source text and replays the frame
+    * energies, integer threshold, and gaps-and-islands census; the spec
+    * additionally recomputes the segmentation driver-side. */
   def mmAudioVad(spark: SparkSession, dir: String): DataFrame =
     mm.Multimodal.audioVad(spark,
         mm.Multimodal.asAudio(t(spark, dir, "documents")))
@@ -3722,9 +3729,11 @@ object Queries {
     * frame and a cross-product mean-relative cut test — exact integers end
     * to end, `mapPartitions` codec seam, narrow plan. The video-pipeline
     * stage before frame dedup: sample one frame per SHOT, not per stride
-    * (`mm_frame_sample` is the stride form). Rows-only at the driver gate
-    * (SQL cannot byte-address the payload); MultimodalSpec recomputes
-    * every field driver-side from the same bytes and matches exactly. */
+    * (`mm_frame_sample` is the stride form). Hash-checked (round 6): the
+    * BMP fixture synthesis is byte-exact, so the DuckDB oracle
+    * re-derives the row sums from the SOURCE text and replays the
+    * integer threshold census; MultimodalSpec additionally recomputes
+    * every field driver-side from the same bytes. */
   def mmSceneCut(spark: SparkSession, dir: String): DataFrame =
     mm.Multimodal.sceneCutFeatures(spark,
         mm.Multimodal.asMedia(t(spark, dir, "documents")))
@@ -8394,7 +8403,9 @@ object Queries {
     * LSH spam-cap discipline (hot hashes capped at 64 postings via a
     * count window over the distribution the join already requires —
     * zero extra exchanges), one (pair, offset)-keyed vote aggregate.
-    * Rows-only (the landmark kernel is not SQL); the spec replays the
+    * Hash-checked (round 6): the oracle re-derives landmarks and
+    * anchor-pair hashes from the source text and replays the
+    * cap/join/vote pipeline; the spec additionally replays the
     * fingerprinting driver-side and pins crafted shared-tail payloads. */
   def mmAudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -26,8 +26,12 @@ class EndToEndSpec extends AnyFunSuite {
   test("every query name has an oracle or is documented rows-only") {
     // Probabilistic candidate-generation ops whose exact result is not
     // ANSI-SQL-expressible; the driver records a rows-only check for them.
+    // (round 6 promoted to hash-checked oracles and REMOVED from this
+    // list: doc_winnow, mm_audio_features, mm_audio_vad, graph_pagerank,
+    // vocab_textrank, mm_audio_fingerprint, mm_scene_cut, graph_k_core,
+    // calibrate_isotonic, survival_km)
     val rowsOnly = Set("dedup_simhash", "ann_lsh_topk", "ann_lsh_recall",
-      "ann_ivf_topk", "ann_ivf_recall", "agg_hll_sketch", "doc_winnow",
+      "ann_ivf_topk", "ann_ivf_recall", "agg_hll_sketch",
       // sketch internals: estimates beside exact counts, bounds spec-asserted
       "vocab_cms_topk",
       // cluster-then-compare: cell assignment is the k-means kernel, not SQL
@@ -37,18 +41,6 @@ class EndToEndSpec extends AnyFunSuite {
       // approx_percentile cut points are engine-internal (G-K sketch);
       // agreement with the exact decile scan is spec-floored
       "quality_deciles_approx",
-      // SQL cannot byte-address UTF-8 text to recompute PCM-derived
-      // stats; exact driver-side recompute spec in MultimodalSpec
-      "mm_audio_features",
-      // same PCM seam: VAD segmentation recomputed driver-side exactly
-      // (MultimodalSpec)
-      "mm_audio_vad",
-      // iterative floating-point fixpoint: last-ulp bits vary with
-      // partitioning; invariants are property-spec'd (PageRankSpec)
-      "graph_pagerank",
-      // the same PageRank fixpoint contract at the word level;
-      // conservation/stopword invariants spec'd in WaveAGSpec
-      "vocab_textrank",
       // Viterbi DP segmentation is not ANSI SQL; the identical DP is
       // replayed driver-side over every document (WaveAGSpec)
       "tokenize_unigram",
@@ -61,15 +53,9 @@ class EndToEndSpec extends AnyFunSuite {
       // rolling-hash chunk boundaries are not ANSI SQL; the chunker is
       // replayed driver-side over every payload (WaveAHSpec)
       "mm_chunk_dedup",
-      // the landmark fingerprint kernel is not ANSI SQL; driver replay
-      // + crafted shared-tail payload fixtures (WaveAMSpec)
-      "mm_audio_fingerprint",
       // HLL sketch registers are engine-internal; ±5% floor and
       // merge-consistency (union-of-daily == direct weekly) spec'd
       "agg_hll_merge",
-      // SQL cannot byte-address the BMP payload; independent driver-side
-      // parse spec in MultimodalSpec
-      "mm_scene_cut",
       // streaming twin of agg_hll_merge: sketch-internal estimates;
       // exact equality to the batch query spec'd in StreamingSpec
       "stream_hll_merge",
@@ -93,9 +79,6 @@ class EndToEndSpec extends AnyFunSuite {
       // filesystem GC effect (no table to oracle); orphan-collection and
       // referenced-file-survival spec'd in WaveQSpec
       "sink_vacuum",
-      // iterative peeling fixpoint isn't ANSI SQL; closed-form graphs
-      // (clique/star/barbell) and core nesting spec'd in WaveQSpec
-      "graph_k_core",
       // eigensolves aren't ANSI SQL; the distributed half (the exact
       // integer moment matrix) IS oracle-checked as embed_gram, and the
       // eigenvector invariants (unit norm, orthogonality, Cv = λv
@@ -104,15 +87,7 @@ class EndToEndSpec extends AnyFunSuite {
       // iterative IRLS float fixpoint isn't ANSI SQL; AUC floor,
       // descending loss, and the normal-equations residual are spec'd
       // in WaveZSpec
-      "train_logreg",
-      // pool-adjacent-violators is a sequential merge loop, not ANSI
-      // SQL; a full driver PAV differential + monotonicity/mass specs
-      // run in WaveZSpec
-      "calibrate_isotonic",
-      // the Kaplan-Meier product over the risk table is sequential and
-      // not ANSI SQL (exp(sum(ln)) would trade exactness for libm
-      // agreement); WaveAASpec differentials a naive driver recompute
-      "survival_km")
+      "train_logreg")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")
   }
