@@ -1297,6 +1297,82 @@ object OracleSql {
          GROUP BY f.doc_id, r.n_seg, r.longest
          ORDER BY f.doc_id""",
 
+    // Markov removal-effect attribution: the transition counts in plain
+    // SQL, then the engine's 400-round exact integer fixed-point
+    // absorption iterate replayed for EVERY removal scenario in one
+    // recursive CTE (scenario × state rows; the per-source normalizer
+    // divides once per update, so every step is integer)
+    "attribution_markov" ->
+      """WITH RECURSIVE ev0 AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS tts, event_id,
+             event_type FROM events),
+         r0 AS (SELECT *,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tts, event_id)
+               AS convrank FROM ev0),
+         kept AS (SELECT * FROM r0
+           WHERE convrank = 0
+             OR (convrank = 1 AND event_type = 'purchase')),
+         tr0 AS (SELECT
+             coalesce(lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY tts, event_id), 'start') AS f,
+             event_type AS t,
+             lead(event_type) OVER
+               (PARTITION BY user_id ORDER BY tts, event_id) IS NULL
+               AND event_type <> 'purchase' AS openend
+           FROM kept),
+         counts AS (
+           SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT f, t FROM tr0
+             UNION ALL SELECT t AS f, 'null' AS t FROM tr0 WHERE openend)
+           GROUP BY 1, 2),
+         chans AS (SELECT DISTINCT s AS c FROM (
+             SELECT f AS s FROM counts UNION SELECT t FROM counts)
+           WHERE s NOT IN ('start', 'purchase', 'null')),
+         scen AS (SELECT '' AS removed UNION ALL SELECT c FROM chans),
+         sts AS (SELECT 'start' AS st UNION ALL SELECT c FROM chans),
+         tots AS (SELECT f, sum(n) AS tot FROM counts GROUP BY 1),
+         purch AS (SELECT f, sum(n) AS np FROM counts
+           WHERE t = 'purchase' GROUP BY 1),
+         fp(it, removed, st, tv) AS (
+           SELECT 0 AS it, s.removed, x.st, CAST(0 AS BIGINT) AS tv
+           FROM scen s CROSS JOIN sts x
+           UNION ALL
+           SELECT it, removed, st, tv FROM (
+             WITH prev AS (SELECT * FROM fp),
+               i AS (SELECT min(it) AS it FROM prev),
+               qsum AS (
+                 SELECT c.f, pr.removed, sum(c.n * pr.tv) AS sq
+                 FROM counts c
+                 JOIN prev pr ON pr.st = c.t AND c.t <> pr.removed
+                 WHERE c.t NOT IN ('purchase', 'null')
+                 GROUP BY 1, 2)
+             SELECT (SELECT it FROM i) + 1 AS it, pr2.removed, pr2.st,
+               CASE WHEN pr2.st = pr2.removed
+                   OR coalesce(tt.tot, 0) = 0 THEN 0
+                 ELSE (coalesce(p.np, 0) * 1000000000000
+                   + coalesce(q.sq, 0)) // tt.tot
+               END AS tv
+             FROM prev pr2
+             LEFT JOIN tots tt ON tt.f = pr2.st
+             LEFT JOIN purch p ON p.f = pr2.st
+             LEFT JOIN qsum q ON q.f = pr2.st AND q.removed = pr2.removed
+             WHERE (SELECT it FROM i) < 400)),
+         base AS (SELECT tv FROM fp
+           WHERE it = 400 AND removed = '' AND st = 'start'),
+         ab AS (SELECT removed AS channel, tv FROM fp
+           WHERE it = 400 AND removed <> '' AND st = 'start'),
+         d AS (SELECT channel, (SELECT tv FROM base) - tv AS dn FROM ab),
+         t2 AS (SELECT sum(dn) AS s FROM d)
+         SELECT channel,
+           CAST(CASE WHEN (SELECT tv FROM base) > 0
+             THEN dn * 1000000 // (SELECT tv FROM base) ELSE 0 END
+             AS BIGINT) AS re_ppm,
+           CAST(CASE WHEN (SELECT s FROM t2) > 0
+             THEN dn * 1000000 // (SELECT s FROM t2) ELSE 0 END
+             AS BIGINT) AS attribution_ppm
+         FROM d ORDER BY channel""",
+
     // scene-cut detection: the BMP fixture's row sums re-derived from
     // the source text (pixel bytes are the text cycled over stride·h;
     // row sums cover only the 3w channel bytes, skipping stride pad),

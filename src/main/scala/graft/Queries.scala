@@ -2796,10 +2796,12 @@ object Queries {
     * per-user journeys + one partial-agg shuffle); the collected
     * transition matrix is |states|² ≤ ~50 counts — a model parameter —
     * and the absorption solves are |states|³ driver arithmetic on exact
-    * Long counts (deterministic: Gaussian elimination with fixed pivot
-    * order, no data-dependent float accumulation). Rows-only (matrix
-    * solves are not ANSI SQL); `WaveQSpec` recomputes absorption by
-    * independent power iteration and pins conservation invariants. */
+    * Long counts, run as the EXACT integer fixed-point iterate
+    * ([[ops.Markov.absorptionFixedPointScaled]]) — which is what makes
+    * this hash-checked (round 6): the DuckDB oracle replays the same
+    * 400 scaled-integer rounds per removal scenario in one recursive
+    * CTE; `WaveQSpec` additionally diffs the fixed point against the
+    * direct Gauss-Jordan solve and pins conservation invariants. */
   def attributionMarkov(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
@@ -2827,8 +2829,8 @@ object Queries {
       .groupBy(col("from"), col("to")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .toSeq
-    ops.Markov.attribute(counts)
-      .toDF("channel", "removal_effect", "attribution")
+    ops.Markov.attributeFixedPoint(counts)
+      .toDF("channel", "re_ppm", "attribution_ppm")
       .orderBy(col("channel"))
   }
 

@@ -84,6 +84,83 @@ object Markov {
     t(start)
   }
 
+  /** Fixed-point scale (1e12) and iteration count for the EXACT integer
+    * absorption iterate. 400 rounds cover a contraction rate up to
+    * ~0.935 at full 1e12 resolution; both the engine and the DuckDB
+    * oracle run the same fixed count, so the published integers agree
+    * bit-for-bit regardless of convergence state. */
+  val FpScale: Long = 1000000000000L
+  val FpIters: Int = 400
+
+  /** EXACT fixed-point absorption, scaled by [[FpScale]]: the update
+    * t'ᵢ = (nᵢ→purchase·S + Σⱼ nᵢⱼ·tⱼ) div totᵢ is pure integer because
+    * each source state's normalizer divides ONCE per update. From t = 0
+    * the map is monotone nondecreasing and bounded by S, so the iterate
+    * is deterministic on any engine — the property that turns this
+    * query's oracle from "matrix solves aren't SQL" into a recursive
+    * CTE. Overflow bound: counts·S must stay under 2⁶³ (counts < ~9e5);
+    * planet-scale count tables would move the fold to BigInt — the
+    * matrix is a model parameter either way. */
+  def absorptionFixedPointScaled(counts: Seq[(String, String, Long)],
+                                 removed: Set[String],
+                                 iters: Int = FpIters): Long = {
+    val channels = counts.flatMap(t => Seq(t._1, t._2))
+      .filter(s => s != "start" && s != "purchase" && s != "null")
+      .distinct.sorted
+    val states = "start" +: channels
+    val idx = states.zipWithIndex.toMap
+    val nS = states.length
+    val tot = new Array[Long](nS)
+    val toPurchase = new Array[Long](nS)
+    val qn = Array.ofDim[Long](nS, nS)
+    for (s <- states; if !removed.contains(s)) {
+      val out = counts.filter(_._1 == s)
+      tot(idx(s)) = out.map(_._3).sum
+      out.foreach { case (_, to, n) =>
+        if (to == "purchase") toPurchase(idx(s)) += n
+        else if (to != "null" && idx.contains(to) && !removed.contains(to))
+          qn(idx(s))(idx(to)) += n
+      }
+    }
+    var t = new Array[Long](nS)
+    for (_ <- 0 until iters) {
+      val next = new Array[Long](nS)
+      var i = 0
+      while (i < nS) {
+        if (tot(i) > 0) {
+          var s: Long = toPurchase(i) * FpScale
+          var j = 0
+          while (j < nS) { s += qn(i)(j) * t(j); j += 1 }
+          next(i) = s / tot(i)
+        }
+        i += 1
+      }
+      t = next
+    }
+    t(idx("start"))
+  }
+
+  /** (channel, removal-effect ppm, attribution-share ppm) — the exact
+    * integer form of [[attribute]]: re = (t_base − t_without_c)·1e6 div
+    * t_base, shares normalized over the exact scaled differences.
+    * Effects are ≥ 0 by construction (removing mass can only lower the
+    * monotone iterate). Channels sorted. */
+  def attributeFixedPoint(counts: Seq[(String, String, Long)])
+      : Seq[(String, Long, Long)] = {
+    val channels = counts.flatMap(t => Seq(t._1, t._2))
+      .filter(s => s != "start" && s != "purchase" && s != "null")
+      .distinct.sorted
+    val tBase = absorptionFixedPointScaled(counts, Set.empty)
+    val diffs = channels.map(c =>
+      c -> (tBase - absorptionFixedPointScaled(counts, Set(c))))
+    val totDiff = diffs.map(_._2).sum
+    diffs.map { case (c, d) =>
+      (c,
+        if (tBase > 0) d * 1000000L / tBase else 0L,
+        if (totDiff > 0) d * 1000000L / totDiff else 0L)
+    }
+  }
+
   /** (channel, removal effect, normalized attribution share), channels
     * sorted; effects floored at 0 (sampling noise can nudge a useless
     * channel's removal marginally "helpful"). */

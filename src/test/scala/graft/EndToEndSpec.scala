@@ -72,10 +72,6 @@ class EndToEndSpec extends AnyFunSuite {
       // recall of an approximate structure isn't ANSI-SQL-expressible;
       // floors spec'd in WaveQSpec
       "ann_pq_recall", "ann_ivfpq_recall",
-      // absorbing-chain matrix solves are not ANSI SQL; the pure math is
-      // pinned on closed-form chains and diffed against an independent
-      // power-iteration recompute in WaveQSpec
-      "attribution_markov",
       // filesystem GC effect (no table to oracle); orphan-collection and
       // referenced-file-survival spec'd in WaveQSpec
       "sink_vacuum",

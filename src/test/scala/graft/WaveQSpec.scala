@@ -151,11 +151,13 @@ class WaveQSpec extends AnyFunSuite {
     "independent power iteration; shares conserve") {
     val out = Queries.attributionMarkov(spark, sf).collect()
     assert(out.nonEmpty)
-    val shareSum = out.map(_.getAs[Double]("attribution")).sum
-    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    // integer ppm shares conserve up to the documented floor slack
+    val shareSum = out.map(_.getAs[Long]("attribution_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - 100L * out.length,
+      s"shares sum to $shareSum ppm")
     out.foreach { r =>
-      val re = r.getAs[Double]("removal_effect")
-      assert(re >= 0.0 && re <= 1.0)
+      val re = r.getAs[Long]("re_ppm")
+      assert(re >= 0L && re <= 1000000L)
     }
     // independent recompute: rebuild the transition counts the same way
     // and diff Gauss-Jordan vs power iteration on base + each removal
@@ -183,6 +185,11 @@ class WaveQSpec extends AnyFunSuite {
       val iter = ops.Markov.absorptionIterative(counts, rm)
       assert(math.abs(direct - iter) < 1e-9,
         s"removal $rm: solve $direct vs iterate $iter")
+      // and the declared query's exact integer fixed point tracks the
+      // float solve to well past ppm resolution
+      val fp = ops.Markov.absorptionFixedPointScaled(counts, rm)
+      assert(math.abs(fp.toDouble / ops.Markov.FpScale - direct) < 1e-9,
+        s"removal $rm: fixed point $fp vs solve $direct")
     }
   }
 
