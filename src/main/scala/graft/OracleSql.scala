@@ -1297,6 +1297,48 @@ object OracleSql {
          GROUP BY f.doc_id, r.n_seg, r.longest
          ORDER BY f.doc_id""",
 
+    // WordPiece greedy tokenizer: the sample-trained top-200 gram vocab
+    // rebuilt in SQL, then the longest-match cursor walked by a
+    // recursive CTE — each doc advances one token per recursion, the
+    // match is a max over the 2..5-gram vocab joins
+    "tokenize_wordpiece" ->
+      """WITH RECURSIVE grams AS (
+           SELECT substr(text, CAST(u.i AS INT), CAST(v.l AS INT)) AS g
+           FROM documents, unnest([2, 3, 4, 5]) AS v(l),
+             unnest(range(1, length(text) - v.l + 2)) AS u(i)
+           WHERE doc_id % 10 = 0 AND length(text) >= v.l),
+         voc AS (SELECT g FROM grams GROUP BY g
+           ORDER BY count(*) DESC, g LIMIT 200),
+         seg(it, doc_id, i, n, tok, vc) AS (
+           SELECT 0 AS it, doc_id, CAST(1 AS BIGINT),
+             CAST(length(text) AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           FROM documents
+           UNION ALL
+           SELECT it, doc_id, i, n, tok, vc FROM (
+             WITH prev AS (SELECT * FROM seg),
+             alive AS (SELECT p.*, d.text FROM prev p
+               JOIN documents d USING (doc_id) WHERE p.i <= p.n),
+             m AS (SELECT a.doc_id, max(v.l) AS l
+               FROM alive a, unnest([2, 3, 4, 5]) AS v(l)
+               JOIN voc ON voc.g =
+                 substr(a.text, CAST(a.i AS INT), CAST(v.l AS INT))
+               WHERE a.i + v.l - 1 <= a.n
+               GROUP BY a.doc_id)
+             SELECT a.it + 1 AS it, a.doc_id,
+               a.i + coalesce(m.l, 1) AS i, a.n,
+               a.tok + 1 AS tok,
+               a.vc + CASE WHEN m.l IS NOT NULL THEN 1 ELSE 0 END AS vc
+             FROM alive a LEFT JOIN m USING (doc_id)))
+         SELECT doc_id, CAST(arg_max(tok, it) AS BIGINT) AS n_tokens,
+           CAST(arg_max(vc, it) AS BIGINT) AS n_vocab_tokens,
+           CAST(arg_max(tok, it) - arg_max(vc, it) AS BIGINT)
+             AS n_fallback,
+           CAST(CASE WHEN arg_max(tok, it) = 0 THEN 0
+             ELSE max(n) * 1000000 // arg_max(tok, it) END AS BIGINT)
+             AS chars_per_token_ppm
+         FROM seg GROUP BY doc_id ORDER BY doc_id""",
+
     // Markov removal-effect attribution: the transition counts in plain
     // SQL, then the engine's 400-round exact integer fixed-point
     // absorption iterate replayed for EVERY removal scenario in one

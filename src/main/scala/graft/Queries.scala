@@ -7715,9 +7715,12 @@ object Queries {
     * broadcast top-200 n-gram vocabulary as [[tokenizeUnigram]] — the
     * third tokenizer family beside BPE and unigram-Viterbi, and the
     * cheap O(chars·maxLen) inference production tokenizers actually run.
-    * Same zero-shuffle narrow-map shape. Rows-only; the spec replays the
-    * greedy matcher driver-side and asserts its objective never exceeds
-    * the Viterbi optimum corpus-wide. */
+    * Same zero-shuffle narrow-map shape. Hash-checked (round 6): the
+    * DuckDB oracle rebuilds the sample-trained vocab and walks the
+    * longest-match cursor with a recursive CTE (one token per doc per
+    * recursion); the spec additionally replays the greedy matcher
+    * driver-side and asserts its objective never exceeds the Viterbi
+    * optimum corpus-wide. */
   def tokenizeWordpiece(spark: SparkSession, dir: String): DataFrame =
     text.Unigram.tokenize(spark, t(spark, dir, "documents"),
         "doc_id", "text", greedy = true, cacheKey = TempFiles.tag(dir))

@@ -44,9 +44,6 @@ class EndToEndSpec extends AnyFunSuite {
       // Viterbi DP segmentation is not ANSI SQL; the identical DP is
       // replayed driver-side over every document (WaveAGSpec)
       "tokenize_unigram",
-      // greedy longest-match segmentation is not ANSI SQL; driver
-      // replay + greedy-never-beats-Viterbi invariant (WaveAHSpec)
-      "tokenize_wordpiece",
       // iterative k-center greedy argmax-fold is not ANSI SQL; the
       // identical selection is replayed driver-side (WaveAHSpec)
       "sample_kcenter",
