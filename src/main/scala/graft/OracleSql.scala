@@ -7,6 +7,19 @@ package graft
   * BIGINT (DuckDB sums of integers widen to HUGEINT otherwise); timestamps
   * leave the query as formatted strings so physical precision (ns vs µs)
   * can never skew the comparison.
+  *
+  * FIXTURE COUPLING (round-7, ADVICE r6): the byte-derived oracles
+  * (mm_audio_features, mm_audio_vad, mm_audio_fingerprint, mm_scene_cut,
+  * doc_winnow) and the tokenizer-cursor oracles (tokenize_wordpiece,
+  * tokenize_unigram) re-derive samples/pixels/grams via DuckDB
+  * length()/substr()/ord(), which are CODEPOINT-based, while the engine
+  * indexes `text.getBytes("UTF-8")` (audio/scene/winnow) or Java UTF-16
+  * chars (tokenizers). The two units agree exactly iff every document text
+  * is ASCII-only, and `u.i % length(text)` requires non-empty text. That
+  * invariant holds for the generated corpus and is GATED, not assumed:
+  * `OracleCouplingSpec` fails with a pointed message if a regenerated
+  * corpus ever carries non-ASCII or empty text, naming the oracles that
+  * would silently diverge.
   */
 object OracleSql {
 
@@ -1338,6 +1351,276 @@ object OracleSql {
              ELSE max(n) * 1000000 // arg_max(tok, it) END AS BIGINT)
              AS chars_per_token_ppm
          FROM seg GROUP BY doc_id ORDER BY doc_id""",
+
+    // Iterative BPE trainer (round-7 promotion): the 10-round driver
+    // merge loop replayed as ONE recursive CTE — per recursion: the
+    // adjacent-symbol pair aggregate over the current segmentation, the
+    // (count DESC, pair ASC) argmax, and the literal replace that
+    // re-segments every word; merge rows ride the same working table
+    // tagged kind=1 (the tokenize_bpe_apply precedent run in reverse)
+    "vocab_bpe_iterative" ->
+      """WITH RECURSIVE vocab0 AS (
+           SELECT CAST(count(*) AS BIGINT) AS wc,
+             '(' || list_aggregate(list_filter(string_split(w, ''), c -> c <> ''),
+               'string_agg', ')(') || ')' AS s
+           FROM (
+             SELECT u.w FROM documents, unnest(string_split(text, ' ')) AS u(w))
+           WHERE regexp_full_match(w, '[a-z]{2,}')
+           GROUP BY w),
+         st(it, kind, wc, s, l, r, m, n) AS (
+           SELECT 0, 0, wc, s, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+           FROM vocab0
+           UNION ALL
+           SELECT it, kind, wc, s, l, r, m, n FROM (
+             WITH prev AS (SELECT * FROM st),
+             words AS (SELECT * FROM prev WHERE kind = 0 AND it < 10),
+             syms AS (
+               SELECT wc, s, string_split(substr(s, 2, length(s) - 2), ')(') AS sy
+               FROM words),
+             pr AS (
+               SELECT '(' || sy[CAST(u.i AS INT)] || ')(' ||
+                   sy[CAST(u.i AS INT) + 1] || ')' AS pair,
+                 CAST(sum(wc) AS BIGINT) AS pn
+               FROM syms, unnest(range(1, len(sy))) AS u(i)
+               GROUP BY 1),
+             best AS (
+               SELECT pair, pn,
+                 substr(pair, 2, length(pair) - 2) AS pinner
+               FROM pr ORDER BY pn DESC, pair LIMIT 1),
+             bparts AS (
+               SELECT pair, pn,
+                 string_split(pinner, ')(')[1] AS bl,
+                 string_split(pinner, ')(')[2] AS br
+               FROM best)
+             SELECT w.it + 1 AS it, 0 AS kind, w.wc,
+               replace(w.s, b.pair, '(' || b.bl || b.br || ')') AS s,
+               CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
+               CAST(NULL AS VARCHAR) AS m, CAST(NULL AS BIGINT) AS n
+             FROM words w CROSS JOIN bparts b
+             UNION ALL
+             SELECT min(w.it) + 1, 1, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               b.bl, b.br, b.bl || b.br, b.pn
+             FROM words w CROSS JOIN bparts b
+             GROUP BY b.bl, b.br, b.pn))
+         SELECT CAST(it AS BIGINT) AS rank, l AS "left", r AS "right",
+           m AS merged, n
+         FROM st WHERE kind = 1 ORDER BY rank""",
+
+    // CDC chunk dedup (round-7 promotion): the BMP payload re-derived
+    // byte-exactly from the source text (recipe: header fields from
+    // n_chars, pixels = text bytes cycled), then the LBFS boundary rule
+    // replayed WITHOUT a per-byte cursor — after the first 16 bytes of a
+    // chunk the rolling hash is exactly the 16-byte-window hash, and
+    // 31^2 ≡ 1 (mod 64) collapses `(h & 63) == 63` to a parity-weighted
+    // window sum (wrapping preserves the low 6 bits), so boundary flags
+    // are position-local and the recursion advances one CHUNK per step
+    // via a next-marked-position table. Chunk identity groups by the
+    // byte list itself (md5 equality ⟺ byte equality)
+    "mm_chunk_dedup" ->
+      """WITH RECURSIVE dims AS (
+           SELECT doc_id, text, n_chars,
+             4 + n_chars % 29 AS w, 4 + n_chars % 17 AS h
+           FROM documents),
+         dims2 AS (SELECT *, (w * 3 + 3) // 4 * 4 AS stride FROM dims),
+         dims3 AS (SELECT *, 54 + stride * h AS sz FROM dims2),
+         hdr AS (
+           SELECT doc_id, [66, 77,
+             sz % 256, (sz // 256) % 256, (sz // 65536) % 256,
+             (sz // 16777216) % 256,
+             0, 0, 0, 0,  54, 0, 0, 0,  40, 0, 0, 0,
+             w % 256, (w // 256) % 256, 0, 0,
+             h % 256, (h // 256) % 256, 0, 0,
+             1, 0,  24, 0,  0, 0, 0, 0,
+             (stride * h) % 256, (stride * h // 256) % 256,
+             (stride * h // 65536) % 256, (stride * h // 16777216) % 256,
+             19, 11, 0, 0,  19, 11, 0, 0,
+             0, 0, 0, 0, 0, 0, 0, 0] AS hb
+           FROM dims3),
+         bytes AS (
+           SELECT d.doc_id, CAST(u.i AS BIGINT) AS p,
+             CASE WHEN u.i <= 54 THEN hb[CAST(u.i AS INT)]
+               ELSE ord(substr(d.text,
+                 CAST(((u.i - 55) % length(d.text)) + 1 AS INT), 1))
+               END AS b,
+             CAST(d.sz AS BIGINT) AS n
+           FROM dims3 d JOIN hdr USING (doc_id),
+             unnest(range(1, sz + 1)) AS u(i)),
+         msk AS (
+           SELECT doc_id, p, b, n,
+             CASE WHEN p >= 16 AND
+               ((CASE WHEN p % 2 = 0 THEN se ELSE so END)
+                + 31 * (CASE WHEN p % 2 = 0 THEN so ELSE se END))
+                % 64 = 63
+               THEN TRUE ELSE FALSE END AS mflag
+           FROM (
+             SELECT doc_id, p, b, n,
+               sum(CASE WHEN p % 2 = 0 THEN b ELSE 0 END) OVER w16 AS se,
+               sum(CASE WHEN p % 2 = 1 THEN b ELSE 0 END) OVER w16 AS so
+             FROM bytes
+             WINDOW w16 AS (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))),
+         nx AS (
+           SELECT doc_id, p, b, n,
+             min(CASE WHEN mflag THEN p END) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+           FROM msk),
+         walk(doc_id, s, e, n) AS (
+           SELECT b.doc_id, CAST(1 AS BIGINT) AS s,
+             least(CASE WHEN x.nxt IS NOT NULL AND x.nxt <= 255 THEN x.nxt
+               ELSE CAST(256 AS BIGINT) END, b.n) AS e, b.n
+           FROM (SELECT DISTINCT doc_id, n FROM nx) b
+           LEFT JOIN nx x ON x.doc_id = b.doc_id AND x.p = 32
+           UNION ALL
+           SELECT w.doc_id, w.e + 1,
+             least(CASE WHEN x.nxt IS NOT NULL AND x.nxt <= w.e + 255
+               THEN x.nxt ELSE w.e + 256 END, w.n) AS e, w.n
+           FROM walk w
+           LEFT JOIN nx x ON x.doc_id = w.doc_id AND x.p = w.e + 32
+           WHERE w.e < w.n),
+         chunks AS (
+           SELECT w.doc_id, w.s, w.e, w.e - w.s + 1 AS clen,
+             list(y.b ORDER BY y.p) AS content
+           FROM walk w
+           JOIN nx y ON y.doc_id = w.doc_id AND y.p BETWEEN w.s AND w.e
+           GROUP BY w.doc_id, w.s, w.e),
+         census AS (
+           SELECT content, count(DISTINCT doc_id) AS n_docs
+           FROM chunks GROUP BY content)
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(c.clen) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN z.n_docs >= 2 THEN c.clen ELSE 0 END)
+             AS BIGINT) AS shared_bytes,
+           CAST(sum(CASE WHEN z.n_docs >= 2 THEN c.clen ELSE 0 END)
+             * 1000000 // sum(c.clen) AS BIGINT) AS shared_ppm
+         FROM chunks c JOIN census z USING (content)
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
+
+    // k-center greedy coreset (round-7 promotion): the micro-unit
+    // quantization is exact integer (trunc matches the engine's
+    // double→long cast), so every min-distance fold and argmax is
+    // integer-exact — one recursion per greedy round carrying the
+    // per-vector running min distance; the pick replays the engine's
+    // (distance DESC, vec_id ASC) total order
+    "sample_kcenter" ->
+      """WITH RECURSIVE emb AS (
+           SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(trunc(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS q
+           FROM embeddings),
+         state(it, vec_id, q, mind, cid, crad) AS (
+           SELECT 0, e.vec_id, e.q, CAST(9223372036854775807 AS BIGINT),
+             (SELECT min(vec_id) FROM emb), CAST(0 AS BIGINT)
+           FROM emb e
+           UNION ALL
+           SELECT it + 1, vec_id, q, nmind, pid, prad FROM (
+             WITH prev AS (SELECT * FROM state),
+             cen AS (SELECT p.q AS cq FROM prev p
+               WHERE p.vec_id = (SELECT min(cid) FROM prev) LIMIT 1),
+             upd AS (
+               SELECT p.it, p.vec_id, p.q,
+                 least(p.mind, CAST(list_sum(list_transform(
+                   range(1, len(p.q) + 1),
+                   i -> (p.q[i] - c.cq[i]) * (p.q[i] - c.cq[i])))
+                   AS BIGINT)) AS nmind
+               FROM prev p CROSS JOIN cen c
+               WHERE p.it < 15),
+             pick AS (SELECT vec_id AS pid, nmind AS prad FROM upd
+               ORDER BY nmind DESC, vec_id LIMIT 1)
+             SELECT u.it, u.vec_id, u.q, u.nmind, p.pid, p.prad
+             FROM upd u CROSS JOIN pick p))
+         SELECT CAST(it AS BIGINT) AS sel_order, min(cid) AS vec_id,
+           min(crad) AS radius_sq
+         FROM state GROUP BY it ORDER BY sel_order""",
+
+    // Unigram-Viterbi tokenizer (round-7 promotion): the sample-trained
+    // top-200 gram vocab rebuilt in SQL, vocab matches pre-aggregated to
+    // one bitmask row per (doc, position), then the engine's EXACT
+    // integral-objective backward DP replayed by a recursive CTE — each
+    // doc walks one char position per recursion carrying the last five
+    // suffix states (score/token/vocab-token triples); the longer-token
+    // tie-break is the CASE order (c5 first), and fallback never ties a
+    // vocab option (a vocab token adds 1000·l while the l−1 skipped
+    // chars can add at most 1000·(l−1)), so pick order is total
+    "tokenize_unigram" ->
+      """WITH RECURSIVE grams AS (
+           SELECT substr(text, CAST(u.i AS INT), CAST(v.l AS INT)) AS g
+           FROM documents, unnest([2, 3, 4, 5]) AS v(l),
+             unnest(range(1, length(text) - v.l + 2)) AS u(i)
+           WHERE doc_id % 10 = 0 AND length(text) >= v.l),
+         voc AS (SELECT g FROM grams GROUP BY g
+           ORDER BY count(*) DESC, g LIMIT 200),
+         m AS (
+           SELECT doc_id, p,
+             max(CASE WHEN l = 2 THEN 1 ELSE 0 END) AS m2,
+             max(CASE WHEN l = 3 THEN 1 ELSE 0 END) AS m3,
+             max(CASE WHEN l = 4 THEN 1 ELSE 0 END) AS m4,
+             max(CASE WHEN l = 5 THEN 1 ELSE 0 END) AS m5
+           FROM (
+             SELECT d.doc_id, CAST(u.i AS BIGINT) AS p,
+               CAST(v.l AS BIGINT) AS l,
+               substr(d.text, CAST(u.i AS INT), CAST(v.l AS INT)) AS g
+             FROM documents d, unnest([2, 3, 4, 5]) AS v(l),
+               unnest(range(1, length(d.text) - v.l + 2)) AS u(i)
+             WHERE length(d.text) >= v.l) t
+           JOIN voc USING (g)
+           GROUP BY doc_id, p),
+         dp(doc_id, p, s1, s2, s3, s4, s5, t1, t2, t3, t4, t5,
+            v1, v2, v3, v4, v5) AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           FROM documents WHERE length(text) >= 1
+           UNION ALL
+           SELECT doc_id, p - 1, ns, s1, s2, s3, s4,
+             nt, t1, t2, t3, t4, nv, v1, v2, v3, v4
+           FROM (
+             WITH prev AS (SELECT * FROM dp),
+             alive AS (SELECT * FROM prev WHERE p >= 1),
+             sc AS (
+               SELECT a.*,
+                 CASE WHEN coalesce(c.m2, 0) = 1 THEN 2000 + a.s2
+                   ELSE -1 END AS c2,
+                 CASE WHEN coalesce(c.m3, 0) = 1 THEN 3000 + a.s3
+                   ELSE -1 END AS c3,
+                 CASE WHEN coalesce(c.m4, 0) = 1 THEN 4000 + a.s4
+                   ELSE -1 END AS c4,
+                 CASE WHEN coalesce(c.m5, 0) = 1 THEN 5000 + a.s5
+                   ELSE -1 END AS c5
+               FROM alive a LEFT JOIN m c USING (doc_id, p)),
+             ch AS (
+               SELECT *, greatest(c2, c3, c4, c5) AS cb,
+                 CASE WHEN greatest(c2, c3, c4, c5) <= 1 + s1 THEN 1
+                   WHEN c5 = greatest(c2, c3, c4, c5) THEN 5
+                   WHEN c4 = greatest(c2, c3, c4, c5) THEN 4
+                   WHEN c3 = greatest(c2, c3, c4, c5) THEN 3
+                   ELSE 2 END AS pick
+               FROM sc)
+             SELECT doc_id, p,
+               CASE pick WHEN 1 THEN 1 + s1 ELSE cb END AS ns,
+               1 + CASE pick WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3
+                 WHEN 4 THEN t4 ELSE t5 END AS nt,
+               CASE pick WHEN 1 THEN v1 WHEN 2 THEN 1 + v2
+                 WHEN 3 THEN 1 + v3 WHEN 4 THEN 1 + v4
+                 ELSE 1 + v5 END AS nv,
+               s1, s2, s3, s4, t1, t2, t3, t4, v1, v2, v3, v4
+             FROM ch))
+         SELECT d.doc_id,
+           coalesce(f.t1, 0) AS n_tokens,
+           coalesce(f.v1, 0) AS n_vocab_tokens,
+           coalesce(f.t1 - f.v1, 0) AS n_fallback,
+           CAST(CASE WHEN coalesce(f.t1, 0) = 0 THEN 0
+             ELSE length(d.text) * 1000000 // f.t1 END AS BIGINT)
+             AS chars_per_token_ppm
+         FROM documents d
+         LEFT JOIN (SELECT * FROM dp WHERE p = 0) f USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // Markov removal-effect attribution: the transition counts in plain
     // SQL, then the engine's 400-round exact integer fixed-point

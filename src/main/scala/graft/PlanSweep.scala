@@ -148,8 +148,18 @@ object PlanSweep {
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     val spark = df.sparkSession
     def bounded(p: SparkPlan): Boolean = {
-      val link = p.collectFirst {
-        case q if q.logicalLink.isDefined => q.logicalLink.get
+      // Prefer the build side's ROOT logicalLink (round-7, ADVICE r6): a
+      // first-linked-descendant found below a row-multiplying node (a
+      // generate/explode without its own link) would measure a SMALLER
+      // sub-plan than the actual build side. A descendant's link is
+      // accepted only when it provably represents the same dataflow cut —
+      // identical output attribute ids — otherwise the build side counts
+      // as unbounded and the sweep flags it.
+      val link = p.logicalLink.orElse {
+        p.collectFirst {
+          case q if q.logicalLink.isDefined => q.logicalLink.get
+        }.filter(lp =>
+          lp.output.map(_.exprId).toSet == p.output.map(_.exprId).toSet)
       }
       link.exists { lp =>
         lp.maxRows.exists(_ <= ScalarBuildCap) || {

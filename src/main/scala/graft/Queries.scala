@@ -4829,8 +4829,11 @@ object Queries {
     * `replace` on the symbol form — at 100 TB nothing after the first
     * aggregate ever touches corpus-sized data. Output = the learned merge
     * table (rank, left, right, merged, weighted count), built from the 10
-    * collected winners. Rows-only by design (engine-iterative); the spec
-    * replays the whole loop driver-side and asserts the table equal. */
+    * collected winners. Hash-checked (round 7): pair counts and the
+    * (count DESC, pair ASC) argmax are exact integers/strings, so the
+    * DuckDB oracle replays the whole loop as one recursive CTE — per
+    * recursion one pair aggregate, one argmax, one literal re-segmenting
+    * replace. The spec additionally replays the loop driver-side. */
   def vocabBpeIterative(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rounds = 10
@@ -6279,8 +6282,13 @@ object Queries {
     * total-order cut) broadcast as a model parameter, then an exact
     * integral-objective Viterbi DP per document in a narrow
     * `mapPartitions` — zero shuffles after the vocab build, linear in
-    * corpus characters. Rows-only (SQL cannot express the DP); the spec
-    * replays the identical DP driver-side over every document. */
+    * corpus characters. Hash-checked (round 7): the objective is INTEGRAL
+    * and the DP is a backward one-position-per-step cursor, so the DuckDB
+    * oracle replays it exactly — vocab rebuilt in SQL, matches
+    * pre-aggregated to a per-(doc, position) bitmask, then a recursive
+    * CTE walks each doc one char per recursion carrying the last five
+    * suffix states. The spec additionally replays the DP driver-side
+    * over every document. */
   def tokenizeUnigram(spark: SparkSession, dir: String): DataFrame =
     text.Unigram.tokenize(spark, t(spark, dir, "documents"),
         "doc_id", "text", cacheKey = TempFiles.tag(dir))
@@ -7651,9 +7659,12 @@ object Queries {
     * dim-sized literal — k·dim model parameters, never data-sized) and
     * takes the argmax by (distance, vec_id) via TakeOrdered. k passes
     * over the corpus, zero shuffles per pass, lineage truncated per
-    * round ([[ops.Components]] discipline). Rows-only (iterative
-    * argmax-fold is not ANSI SQL); the spec replays the identical greedy
-    * selection driver-side. */
+    * round ([[ops.Components]] discipline). Hash-checked (round 7): the
+    * quantized distances are exact integers, so the DuckDB oracle
+    * replays the greedy loop as a recursive CTE — one recursion per
+    * round carrying the per-vector running min distance, the pick an
+    * ORDER BY (distance DESC, vec_id) LIMIT 1. The spec additionally
+    * replays the identical greedy selection driver-side. */
   def sampleKcenter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 16
@@ -7691,9 +7702,14 @@ object Queries {
     * chunks, so per-item shared-bytes quantify sub-file redundancy the
     * whole-file digest can't see. Shape: one codec-seam narrow chunk
     * pass, one digest-keyed partial-agg census, one digest-keyed join
-    * back — all bucketed by chunk hash, never all-pairs. Rows-only (the
-    * rolling-hash boundary rule is not SQL); the spec replays the
-    * chunker driver-side over every payload. */
+    * back — all bucketed by chunk hash, never all-pairs. Hash-checked
+    * (round 7): the oracle re-derives the BMP bytes from the source
+    * text and replays the boundary rule chunk-per-recursion — after 16
+    * bytes the rolling hash is the pure 16-window hash and 31² ≡ 1
+    * (mod 64) makes the mask test a position-local parity-weighted
+    * window sum, so boundaries come from a next-marked-position table,
+    * not a byte cursor. The spec additionally replays the chunker
+    * driver-side over every payload. */
   def mmChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val chunks = mm.Multimodal.chunked(
       mm.Multimodal.asMedia(t(spark, dir, "documents")))

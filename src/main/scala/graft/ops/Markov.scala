@@ -122,6 +122,15 @@ object Markov {
           qn(idx(s))(idx(to)) += n
       }
     }
+    // overflow is a LOUD failure, not a wrap (round-7, ADVICE r6): the
+    // accumulator is bounded by tot(i)·FpScale because Σⱼ qnᵢⱼ + nᵢ→purchase
+    // ≤ totᵢ and t ≤ FpScale, so the exact-integer form is safe iff every
+    // state's outgoing count stays under 2⁶³/FpScale (~9.2e6). Past that,
+    // move the fold to BigInt — the matrix is a model parameter either way.
+    val maxTot = if (nS == 0) 0L else tot.max
+    require(maxTot <= Long.MaxValue / FpScale,
+      s"absorption fixed-point would overflow: max outgoing count $maxTot " +
+        s"exceeds ${Long.MaxValue / FpScale} (2^63/FpScale) — use BigInt")
     var t = new Array[Long](nS)
     for (_ <- 0 until iters) {
       val next = new Array[Long](nS)

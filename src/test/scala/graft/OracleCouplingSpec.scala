@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gate for the oracle↔fixture coupling documented at the head of
+  * [[OracleSql]] (round-7, ADVICE r6 medium): the byte-derived oracles
+  * (mm_audio_features / mm_audio_vad / mm_audio_fingerprint / mm_scene_cut /
+  * doc_winnow) address text through DuckDB's CODEPOINT-based
+  * length()/substr()/ord() while the engine indexes UTF-8 bytes (audio/
+  * scene/winnow) or Java UTF-16 chars (tokenize_wordpiece /
+  * tokenize_unigram). The three units coincide exactly iff every document
+  * text is ASCII-only; `u.i % length(text)` additionally requires
+  * non-empty text. This spec turns that silent-divergence risk into a
+  * LOUD failure naming the affected oracles if the generated corpus is
+  * ever regenerated with non-ASCII or empty documents — at which point
+  * those oracles must be re-expressed over `encode(text)` octet
+  * addressing instead.
+  */
+class OracleCouplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val byteOracles = Seq("mm_audio_features", "mm_audio_vad",
+    "mm_audio_fingerprint", "mm_scene_cut", "doc_winnow",
+    "tokenize_wordpiece", "tokenize_unigram")
+
+  for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test(s"every document text at $sf is ASCII-only and non-empty " +
+      "(required for codepoint-addressed oracles to match the engine's " +
+      "byte/char addressing)") {
+      val docs = ops.Tables.table(spark, sf, "documents")
+      val bad = docs.select(col("doc_id"), col("text"))
+        .filter(col("text").isNull || length(col("text")) === 0 ||
+          // UTF-8 byte length == char length ⟺ ASCII-only; and ASCII
+          // text has no surrogate pairs, so Java chars == codepoints too
+          octet_length(col("text")) =!= length(col("text")))
+        .limit(5).collect()
+      assert(bad.isEmpty,
+        s"corpus at $sf carries non-ASCII or empty document text " +
+          s"(doc_ids ${bad.map(_.getLong(0)).mkString(",")}) — the " +
+          s"codepoint-addressed DuckDB oracles for " +
+          s"${byteOracles.mkString(", ")} would silently diverge from " +
+          "the engine's UTF-8-byte / UTF-16-char addressing; re-express " +
+          "them over encode(text) octet addressing before trusting the " +
+          "hash gate")
+    }
+  }
+}

@@ -162,5 +162,19 @@ class WaveAASpec extends AnyFunSuite {
     }
     assert(rows.toSeq == expect,
       s"KM mismatch:\n engine ${rows.toSeq}\n driver $expect")
+    // the fixed-point fold is ALSO pinned to the exact BigInt rational
+    // product (round-7, ADVICE r6): each floor loses < 1 ppm and later
+    // ratios only shrink the loss, so after k risk rows the published
+    // s_ppm sits in [exact − k, exact]. This keeps the documented drift
+    // bound of the iterated ⌊s·(n−d)/n⌋ form verified independently of
+    // the recurrence replay above.
+    var num = BigInt(1); var den = BigInt(1)
+    rows.zipWithIndex.foreach { case ((tt, n, dd, sFp), k) =>
+      num *= BigInt(n - dd); den *= BigInt(n)
+      val exact = (BigInt(1000000) * num / den).toLong
+      assert(sFp <= exact && exact - sFp <= k + 1,
+        s"KM fixed-point drift out of bound at t=$tt (row $k): " +
+          s"fp=$sFp exact=$exact")
+    }
   }
 }
