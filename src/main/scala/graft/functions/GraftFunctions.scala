@@ -57,6 +57,9 @@ object GraftFunctions {
       es => JaccardSim(es.head, es(1))),
     ("graft_simhash64", "64-bit SimHash of a token stream",
       es => SimHash64(es.head)),
+    ("graft_simhash64_fnv",
+      "64-bit SimHash of a token stream (FNV-1a token hash)",
+      es => SimHash64Fnv(es.head)),
     ("graft_lsh_bands", "banded hyperplane LSH keys of array<double>",
       es => LshBandKeys(es.head,
         foldableInt("graft_lsh_bands", "nPlanes", es(1)),
@@ -617,6 +620,44 @@ case class JaccardSim(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** The [[SimHash64]] vote scheme with an FNV-1a 64 per-token hash instead
+  * of xxhash64 — the ORACLE-REPLAYABLE signature twin (round 7): FNV-1a's
+  * fold is plain wrapping integer arithmetic ((h ^ byte) · prime mod 2⁶⁴),
+  * which a SQL oracle replays exactly in HUGEINT arithmetic, where
+  * xxhash64's rotates/lane merges are not reasonably expressible. Drives
+  * `dedup_simhash_struct`, the hash-checked structural twin of the
+  * xxhash64 candidate tier — same banding, same Hamming join, hard-gated
+  * pair set. */
+case class SimHash64Fnv(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val bs = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+      var j = 0
+      while (j < bs.length) {
+        h = (h ^ (bs(j) & 0xffL)) * 0x100000001b3L // FNV-1a 64 prime
+        j += 1
+      }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sim |= (1L << b); b += 1 }
+    sim
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** 64-bit SimHash over single-space tokens: bit b of the result is the sign

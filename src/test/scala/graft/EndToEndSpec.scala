@@ -29,8 +29,14 @@ class EndToEndSpec extends AnyFunSuite {
     // (round 6 promoted to hash-checked oracles and REMOVED from this
     // list: doc_winnow, mm_audio_features, mm_audio_vad, graph_pagerank,
     // vocab_textrank, mm_audio_fingerprint, mm_scene_cut, graph_k_core,
-    // calibrate_isotonic, survival_km)
-    val rowsOnly = Set("dedup_simhash", "ann_lsh_topk", "ann_lsh_recall",
+    // calibrate_isotonic, survival_km; round 7: tokenize_unigram,
+    // sample_kcenter, mm_chunk_dedup, vocab_bpe_iterative — all four via
+    // recursive-CTE replays of the exact-integer iteration/cursor)
+    val rowsOnly = Set(
+      // xxhash64 candidate signatures aren't SQL-reproducible; the
+      // IDENTICAL banding machinery is hash-checked end-to-end by the
+      // FNV-1a structural twin dedup_simhash_struct (round 7)
+      "dedup_simhash", "ann_lsh_topk", "ann_lsh_recall",
       "ann_ivf_topk", "ann_ivf_recall", "agg_hll_sketch",
       // sketch internals: estimates beside exact counts, bounds spec-asserted
       "vocab_cms_topk",
@@ -41,15 +47,6 @@ class EndToEndSpec extends AnyFunSuite {
       // approx_percentile cut points are engine-internal (G-K sketch);
       // agreement with the exact decile scan is spec-floored
       "quality_deciles_approx",
-      // Viterbi DP segmentation is not ANSI SQL; the identical DP is
-      // replayed driver-side over every document (WaveAGSpec)
-      "tokenize_unigram",
-      // iterative k-center greedy argmax-fold is not ANSI SQL; the
-      // identical selection is replayed driver-side (WaveAHSpec)
-      "sample_kcenter",
-      // rolling-hash chunk boundaries are not ANSI SQL; the chunker is
-      // replayed driver-side over every payload (WaveAHSpec)
-      "mm_chunk_dedup",
       // HLL sketch registers are engine-internal; ±5% floor and
       // merge-consistency (union-of-daily == direct weekly) spec'd
       "agg_hll_merge",
@@ -59,10 +56,6 @@ class EndToEndSpec extends AnyFunSuite {
       // deflate length is a zlib-algorithm property no SQL engine
       // reproduces; exact driver-side Deflater recompute spec'd
       "text_compression",
-      // engine-iterative multi-round merge loop (each round's counts
-      // depend on the previous merge); exact driver-side replay of the
-      // whole loop spec'd in WavePSpec
-      "vocab_bpe_iterative",
       // approximate PQ-ADC / composed IVF-PQ indexes; recall floors
       // spec'd in WaveQSpec
       "ann_pq_topk", "ann_ivfpq_topk",
@@ -77,9 +70,11 @@ class EndToEndSpec extends AnyFunSuite {
       // eigenvector invariants (unit norm, orthogonality, Cv = λv
       // residual, anisotropy bounds) are spec'd in WaveYSpec
       "embed_pca",
-      // iterative IRLS float fixpoint isn't ANSI SQL; AUC floor,
-      // descending loss, and the normal-equations residual are spec'd
-      // in WaveZSpec
+      // iterative IRLS float fixpoint isn't ANSI SQL (promotion
+      // adjudicated infeasible round 7 — the transcendental sigmoid
+      // cannot be pinned cross-engine and the 6x6 solve amplifies ULP
+      // noise; see SURVEY §2.12 N35); AUC floor, descending loss, and
+      // the normal-equations residual are spec'd in WaveZSpec
       "train_logreg")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"undocumented oracle-less queries: ${noOracle -- rowsOnly}")

@@ -176,4 +176,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaSimhash.nonEmpty)
     assert(viaSimhash.toSeq == viaMinhash.toSeq)
   }
+
+  test("dedup_simhash_struct equals a driver brute-force over FNV-1a " +
+    "simhash signatures (the banded join loses no pair at hamming <= 6)") {
+    // driver replay of the SimHash64Fnv kernel + exact all-pairs hamming
+    val docs = ops.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def fnv(tok: String): Long = {
+      var h = 0xcbf29ce484222325L
+      tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
+      h
+    }
+    def sig(text: String): Long = {
+      val votes = new Array[Int](64)
+      text.split(" ", -1).foreach { tok =>
+        val h = fnv(tok)
+        (0 until 64).foreach(b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((s, b) => if (votes(b) > 0) s | (1L << b) else s)
+    }
+    val sigs = docs.map { case (id, t) => (id, sig(t)) }.sortBy(_._1)
+    val expect = for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) if h <= 6
+    } yield (sigs(i)._1, sigs(j)._1, h)
+    val got = Queries.dedupSimhashStruct(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got.nonEmpty, "struct tier found no pairs at this sf")
+    assert(got == expect.toSeq,
+      s"banded pair set != brute force: ${got.size} vs ${expect.size}")
+  }
 }

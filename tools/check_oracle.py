@@ -2,16 +2,23 @@
 """Local stand-in for the driver's correctness gate: run Verify's parquet
 dumps against the DuckDB oracles and compare (columns sorted by name,
 row-order-sensitive, exact values). Usage:
-  python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+  python3 tools/check_oracle.py <sfDir> <verifyOutDir> [<selfJsonOut>]
+
+The optional third argument writes a builder-committed correctness
+artifact (CORRECTNESS_SELF_rN.json shape): the per-query status map plus
+the sha256 of the oracle_sql.json it was checked against — so a round's
+hard correctness signal survives even if the driver-side artifact lands
+empty (round-6 incident).
 """
-import json, sys, glob, os
+import hashlib, json, sys, glob, os
 import duckdb
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, self_json=None):
+    status = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -25,22 +32,26 @@ def main(sf_dir, out_dir):
     for name in declared:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"[MISS] {name}: no parquet output"); n_bad += 1; continue
+            print(f"[MISS] {name}: no parquet output"); n_bad += 1
+            status[name] = "miss"; continue
         mine = pq.read_table(files[0]).to_pandas()
         mine = mine[sorted(mine.columns)]
         if name not in oracles:
             print(f"[ROWS] {name}: no oracle, rows={len(mine)}")
+            status[name] = f"rows_only:{len(mine)}"
             continue
         try:
             ref = con.execute(oracles[name]).df()
         except Exception as e:
-            print(f"[FAIL] {name}: oracle SQL error: {e}"); n_bad += 1; continue
+            print(f"[FAIL] {name}: oracle SQL error: {e}"); n_bad += 1
+            status[name] = "fail:oracle_sql_error"; continue
         ref = ref[sorted(ref.columns)]
         if list(mine.columns) != list(ref.columns):
             print(f"[FAIL] {name}: columns {list(mine.columns)} != {list(ref.columns)}")
-            n_bad += 1; continue
+            n_bad += 1; status[name] = "fail:columns"; continue
         if len(mine) != len(ref):
-            print(f"[FAIL] {name}: rows {len(mine)} != {len(ref)}"); n_bad += 1; continue
+            print(f"[FAIL] {name}: rows {len(mine)} != {len(ref)}"); n_bad += 1
+            status[name] = "fail:row_count"; continue
         bad_cols = []
         for c in mine.columns:
             a, b = mine[c], ref[c]
@@ -52,6 +63,7 @@ def main(sf_dir, out_dir):
             if not same:
                 bad_cols.append(c)
         if bad_cols:
+            status[name] = f"fail:values:{','.join(bad_cols)}"
             print(f"[FAIL] {name}: value mismatch in {bad_cols}")
             for c in bad_cols[:2]:
                 for i in range(len(mine)):
@@ -62,8 +74,19 @@ def main(sf_dir, out_dir):
             n_bad += 1
         else:
             print(f"[ OK ] {name}: {len(mine)} rows"); n_ok += 1
+            status[name] = "ok"
     print(f"\n{n_ok} ok, {n_bad} bad, {len(declared)} declared")
+    if self_json:
+        with open(f"{out_dir}/oracle_sql.json", "rb") as f:
+            sha = hashlib.sha256(f.read()).hexdigest()
+        with open(self_json, "w") as f:
+            json.dump({"n_ok": n_ok, "n_bad": n_bad,
+                       "n_declared": len(declared),
+                       "oracle_sql_sha256": sha,
+                       "queries": status}, f, indent=1, sort_keys=True)
+        print(f"self-correctness artifact written to {self_json}")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
