@@ -43,7 +43,10 @@ class OracleCouplingSpec extends AnyFunSuite {
     }
   }
 
-  for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+  // sf0.1 included: it feeds the bench and the StressSf1 slice builder,
+  // and a regeneration could change any sf independently
+  for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")) {
     test(s"every document text at $sf is ASCII-only and non-empty " +
       "(required for codepoint-addressed oracles to match the engine's " +
       "byte/char addressing)") {

@@ -193,6 +193,23 @@ class WaveQSpec extends AnyFunSuite {
     }
   }
 
+  test("the fixed-point fold fails LOUDLY past its overflow bound " +
+    "instead of wrapping (round-7, ADVICE r6)") {
+    // a state whose outgoing count exceeds 2^63/FpScale would overflow
+    // the Long accumulator; the require must fire, not wrap silently
+    val over = Long.MaxValue / ops.Markov.FpScale + 1
+    val counts = Seq(("start", "click", over), ("click", "purchase", over))
+    val e = intercept[IllegalArgumentException] {
+      ops.Markov.absorptionFixedPointScaled(counts, Set.empty)
+    }
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+    // and the bound is tight: the same shape ONE below the limit folds fine
+    val ok = Seq(("start", "click", over - 2), ("click", "purchase", over - 2))
+    val fp = ops.Markov.absorptionFixedPointScaled(ok, Set.empty)
+    assert(fp == ops.Markov.FpScale,
+      s"deterministic chain must absorb with certainty, got $fp")
+  }
+
   test("dq_bootstrap_ci: ordered bounds that cover the plain mean") {
     val out = Queries.dqBootstrapCi(spark, sf).collect()
     assert(out.nonEmpty)
