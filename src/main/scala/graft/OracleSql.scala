@@ -10,12 +10,15 @@ package graft
   *
   * FIXTURE COUPLING (round-7, ADVICE r6): the byte-derived oracles
   * (mm_audio_features, mm_audio_vad, mm_audio_fingerprint, mm_scene_cut,
-  * doc_winnow) and the tokenizer-cursor oracles (tokenize_wordpiece,
-  * tokenize_unigram) re-derive samples/pixels/grams via DuckDB
-  * length()/substr()/ord(), which are CODEPOINT-based, while the engine
-  * indexes `text.getBytes("UTF-8")` (audio/scene/winnow) or Java UTF-16
-  * chars (tokenizers). The two units agree exactly iff every document text
-  * is ASCII-only, and `u.i % length(text)` requires non-empty text. That
+  * doc_winnow, mm_chunk_dedup, dedup_simhash_struct) and the
+  * tokenizer/segmentation oracles (tokenize_wordpiece, tokenize_unigram,
+  * vocab_bpe_iterative) re-derive samples/pixels/grams/token-hashes via
+  * DuckDB length()/substr()/ord()/string_split, which are
+  * CODEPOINT-based, while the engine indexes `text.getBytes("UTF-8")`
+  * (audio/scene/winnow/chunker/FNV token hashes) or Java UTF-16 chars
+  * (tokenizers, BPE symbol splits). The two units agree exactly iff every
+  * document text is ASCII-only, and the `% length(text)` cycled-pixel
+  * addressing additionally requires non-empty text. That
   * invariant holds for the generated corpus and is GATED, not assumed:
   * `OracleCouplingSpec` fails with a pointed message if a regenerated
   * corpus ever carries non-ASCII or empty text, naming the oracles that

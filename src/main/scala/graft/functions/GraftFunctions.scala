@@ -622,6 +622,34 @@ case class JaccardSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** The ONE SimHash vote-and-sign fold, shared by both signature
+  * expressions: split on single spaces, hash each token to 64 bits, vote
+  * ±1 per bit, sign the votes. The per-token hash is the ONLY degree of
+  * freedom — `dedup_simhash_struct`'s entire value is being a
+  * structurally identical twin of `dedup_simhash`, so the fold lives in
+  * exactly one place and a future vote-scheme edit cannot silently split
+  * the two tiers. */
+private[functions] object SimHashVotes {
+  def signature(text: UTF8String, hashToken: String => Long): Long = {
+    val toks = text.toString.split(" ", -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = hashToken(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sim |= (1L << b); b += 1 }
+    sim
+  }
+}
+
 /** The [[SimHash64]] vote scheme with an FNV-1a 64 per-token hash instead
   * of xxhash64 — the ORACLE-REPLAYABLE signature twin (round 7): FNV-1a's
   * fold is plain wrapping integer arithmetic ((h ^ byte) · prime mod 2⁶⁴),
@@ -633,30 +661,17 @@ case class JaccardSim(left: Expression, right: Expression)
 case class SimHash64Fnv(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < toks.length) {
-      val bs = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  override def nullSafeEval(v: Any): Any =
+    SimHashVotes.signature(v.asInstanceOf[UTF8String], { tok =>
+      val bs = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
       var j = 0
       while (j < bs.length) {
         h = (h ^ (bs(j) & 0xffL)) * 0x100000001b3L // FNV-1a 64 prime
         j += 1
       }
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var sim = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) sim |= (1L << b); b += 1 }
-    sim
-  }
+      h
+    })
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -666,24 +681,10 @@ case class SimHash64Fnv(child: Expression)
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < toks.length) {
-      val t = UTF8String.fromString(toks(i))
-      val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var sim = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) sim |= (1L << b); b += 1 }
-    sim
-  }
+  override def nullSafeEval(v: Any): Any =
+    SimHashVotes.signature(v.asInstanceOf[UTF8String], { tok =>
+      val t = UTF8String.fromString(tok)
+      XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+    })
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -115,7 +115,17 @@ object Markov {
     val qn = Array.ofDim[Long](nS, nS)
     for (s <- states; if !removed.contains(s)) {
       val out = counts.filter(_._1 == s)
-      tot(idx(s)) = out.map(_._3).sum
+      // checked sum: the guard below must see the TRUE total, not a
+      // wrapped one — two 5e18 counts would otherwise sum negative and
+      // sneak past the require into the silent-wrap regime
+      tot(idx(s)) = out.foldLeft(0L) { (a, c) =>
+        try Math.addExact(a, c._3)
+        catch {
+          case _: ArithmeticException => throw new IllegalArgumentException(
+            s"absorption fixed-point would overflow: outgoing counts of " +
+              s"'$s' exceed 2^63 — use BigInt")
+        }
+      }
       out.foreach { case (_, to, n) =>
         if (to == "purchase") toPurchase(idx(s)) += n
         else if (to != "null" && idx.contains(to) && !removed.contains(to))

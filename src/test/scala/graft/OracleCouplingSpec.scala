@@ -5,13 +5,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Gate for the oracle↔fixture coupling documented at the head of
   * [[OracleSql]] (round-7, ADVICE r6 medium): the byte-derived oracles
-  * (mm_audio_features / mm_audio_vad / mm_audio_fingerprint / mm_scene_cut /
-  * doc_winnow) address text through DuckDB's CODEPOINT-based
-  * length()/substr()/ord() while the engine indexes UTF-8 bytes (audio/
-  * scene/winnow) or Java UTF-16 chars (tokenize_wordpiece /
-  * tokenize_unigram). The three units coincide exactly iff every document
-  * text is ASCII-only; `u.i % length(text)` additionally requires
-  * non-empty text. This spec turns that silent-divergence risk into a
+  * (the `byteOracles` list below) address text through DuckDB's
+  * CODEPOINT-based length()/substr()/ord()/string_split while the engine
+  * indexes UTF-8 bytes (audio/scene/winnow/chunker/FNV token hashes) or
+  * Java UTF-16 chars (the tokenizers and BPE symbol splits). The three
+  * units coincide exactly iff every document text is ASCII-only; the
+  * `% length(text)` cycled addressing additionally requires non-empty
+  * text. This spec turns that silent-divergence risk into a
   * LOUD failure naming the affected oracles if the generated corpus is
   * ever regenerated with non-ASCII or empty documents — at which point
   * those oracles must be re-expressed over `encode(text)` octet
@@ -22,7 +22,8 @@ class OracleCouplingSpec extends AnyFunSuite {
 
   private val byteOracles = Seq("mm_audio_features", "mm_audio_vad",
     "mm_audio_fingerprint", "mm_scene_cut", "doc_winnow",
-    "tokenize_wordpiece", "tokenize_unigram")
+    "mm_chunk_dedup", "dedup_simhash_struct",
+    "tokenize_wordpiece", "tokenize_unigram", "vocab_bpe_iterative")
 
   test("oracle_sql.json round-trips through a strict JSON parser with " +
     "every declared oracle intact (the driver artifact's escaping seam)") {

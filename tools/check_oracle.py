@@ -75,6 +75,15 @@ def main(sf_dir, out_dir, self_json=None):
         else:
             print(f"[ OK ] {name}: {len(mine)} rows"); n_ok += 1
             status[name] = "ok"
+    # a declared oracle whose Verify dump directory is MISSING entirely is
+    # a failure, not an absence: Verify catches per-query exceptions and
+    # only prints to stderr, so a silently incomplete round would otherwise
+    # produce a green artifact with the query simply not listed — the exact
+    # incident class the self-insurance artifact exists for
+    for name in sorted(set(oracles) - set(declared)):
+        print(f"[MISS] {name}: declared oracle but no Verify dump")
+        n_bad += 1
+        status[name] = "miss:no_dump"
     print(f"\n{n_ok} ok, {n_bad} bad, {len(declared)} declared")
     if self_json:
         with open(f"{out_dir}/oracle_sql.json", "rb") as f:
