@@ -33,6 +33,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash signatures are token-multiset functions: invariant under " +
+    "token order, sensitive to multiplicity (both hash families)") {
+    val fnv = (s: String) => graft.functions.SimHash64Fnv(
+      org.apache.spark.sql.catalyst.expressions.Literal(s))
+      .eval(null).asInstanceOf[Long]
+    val xxh = (s: String) => graft.functions.SimHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal(s))
+      .eval(null).asInstanceOf[Long]
+    val gen = Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "d", "ee"))
+    samples(gen, 10).filter(_.nonEmpty).foreach { toks =>
+      val base = toks.mkString(" ")
+      // votes are per-token sums: any permutation signs identically
+      val perm = new scala.util.Random(42).shuffle(toks).mkString(" ")
+      assert(fnv(base) == fnv(perm), s"FNV sig order-sensitive on '$base'")
+      assert(xxh(base) == xxh(perm), s"xxh sig order-sensitive on '$base'")
+      // doubling the multiset doubles every vote: the sign — and so the
+      // signature — is unchanged (votes of 0 stay 0: unset either way)
+      assert(fnv(base + " " + base) == fnv(base),
+        s"FNV sig not a multiset-vote function on '$base'")
+    }
+  }
+
   test("two-pass prefix scan equals the window form on random grouped data") {
     import graft.ops.PrefixSum
     import org.apache.spark.sql.expressions.Window
