@@ -1808,7 +1808,7 @@ object OracleSql {
              unnest(range(0, greatest((ns - 16) // 8 + 1, 0))) AS u(f)
            WHERE u.f * 8 + 16 <= d.ns),
          lm AS (
-           SELECT fr.doc_id, fr.f, (max(abs(sa.s)) // 512) % 64 AS bucket
+           SELECT fr.doc_id, fr.f, least(max(abs(sa.s)) // 512, 63) AS bucket
            FROM frames fr JOIN samp sa ON sa.doc_id = fr.doc_id
              AND sa.i >= fr.f * 8 AND sa.i < fr.f * 8 + 16
            GROUP BY 1, 2),

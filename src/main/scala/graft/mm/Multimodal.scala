@@ -142,7 +142,10 @@ object Multimodal {
         }
     spark.read.format("binaryFile").load(s"$dir/*.bmp")
       .select(
-        regexp_extract(col("path"), "(\\d+)\\.bmp$", 1)
+        // the optional sign matters: f"$id%08d" renders -5 as
+        // "-0000005.bmp", and a digits-only extract would silently remap
+        // it to doc_id 5 (round-7 review)
+        regexp_extract(col("path"), "(-?\\d+)\\.bmp$", 1)
           .cast(LongType).as("doc_id"),
         col("content").as("payload"))
   }
@@ -151,8 +154,33 @@ object Multimodal {
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
       ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
 
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  /** Sign-extending 16-bit little-endian read (PCM samples). */
+  private def le16s(b: Array[Byte], off: Int): Int =
+    (((b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)) << 16) >> 16
+
   private def isBmp(b: Array[Byte]): Boolean =
     b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+
+  /** The ONE whole-BMP validator every pixel-reading extractor shares
+    * (round-7 review — this block was previously copy-pasted four ways and
+    * had already drifted): a valid magic is not a valid image. The payload
+    * must match the exact layout the extractors hard-code — pixel array at
+    * offset 54 (BITMAPINFOHEADER) and 24 bpp (a 32-bpp or V4/V5-header BMP
+    * would otherwise be read as garbage pixels at the wrong offset/stride
+    * instead of surfacing the sentinel) — with positive bounded dims and
+    * the declared pixel array actually PRESENT. Dims are bounded and the
+    * stride/size math runs in Long so a corrupt header with a huge width
+    * cannot overflow the Int stride into a passing length check
+    * (round-2 advice). */
+  private[mm] def isWholeBmp(b: Array[Byte]): Boolean =
+    isBmp(b) && le32(b, 10) == 54 && le16(b, 28) == 24 && {
+      val w = le32(b, 18); val h = le32(b, 22)
+      w > 0 && h > 0 && w <= MaxDim && h <= MaxDim &&
+        b.length >= 54L + (w.toLong * 3 + 3) / 4 * 4 * h.toLong
+    }
 
   /** Nearest-neighbor resize of a 24-bit BMP payload to dstW × dstH,
     * re-encoded as a BMP — actual pixel-array resampling, the stand-in for
@@ -162,6 +190,13 @@ object Multimodal {
     val srcH = le32(b, 22)
     val srcStride = (srcW * 3 + 3) / 4 * 4
     val dstStride = (dstW * 3 + 3) / 4 * 4
+    // contract check in Long (round-7 review): an Int dstStride·dstH can
+    // wrap negative for dims that each individually look plausible —
+    // callers bound dims by MaxDim BEFORE calling; this makes a missed
+    // guard a clear error instead of a NegativeArraySizeException
+    require(dstW > 0 && dstH > 0 &&
+      54L + dstStride.toLong * dstH <= Int.MaxValue,
+      s"resizeBmp destination ${dstW}x$dstH does not fit a byte array")
     val out = encodeBmp(Array.emptyByteArray, 0) // header template
     val sized = new Array[Byte](54 + dstStride * dstH)
     System.arraycopy(out, 0, sized, 0, 54)
@@ -199,16 +234,7 @@ object Multimodal {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, b) =>
-          // a valid magic is not a valid image: the header's declared pixel
-          // array must actually be present, or the payload is corrupt.
-          // Dims are bounded and the stride/size math runs in Long — a
-          // corrupt header with a huge width must not overflow the Int
-          // stride into a passing length check (round-2 advice)
-          val whole = isBmp(b) && {
-            val w = le32(b, 18); val h = le32(b, 22)
-            w > 0 && h > 0 && w <= MaxDim && h <= MaxDim &&
-              b.length >= 54L + (w.toLong * 3 + 3) / 4 * 4 * h.toLong
-          }
+          val whole = isWholeBmp(b)
           if (whole) {
             val r = resizeBmp(b, dstW, dstH)
             ResizeFeature(id, le32(b, 18), le32(b, 22),
@@ -228,7 +254,11 @@ object Multimodal {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, b) =>
-          if (isBmp(b)) {
+          // the SAME whole-payload guard as every other extractor
+          // (round-7 review: this one had drifted to magic-only, so a
+          // corrupt header yielded garbage frame counts instead of the
+          // -1 sentinel its siblings emit)
+          if (isWholeBmp(b)) {
             val h = le32(b, 22)
             val rowBytes = (le32(b, 18) * 3 + 3) / 4 * 4
             FrameSample(id, h, (h + stride - 1) / stride, rowBytes)
@@ -253,11 +283,7 @@ object Multimodal {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, b) =>
-          val whole = isBmp(b) && {
-            val w = le32(b, 18); val h = le32(b, 22)
-            w > 0 && h > 0 && w <= MaxDim && h <= MaxDim &&
-              b.length >= 54L + (w.toLong * 3 + 3) / 4 * 4 * h.toLong
-          }
+          val whole = isWholeBmp(b)
           if (whole) {
             val w = le32(b, 18); val h = le32(b, 22)
             val stride = (w.toLong * 3 + 3) / 4 * 4
@@ -343,11 +369,7 @@ object Multimodal {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, b) =>
-          val whole = isBmp(b) && {
-            val w = le32(b, 18); val h = le32(b, 22)
-            w > 0 && h > 0 && w <= MaxDim && h <= MaxDim &&
-              b.length >= 54L + (w.toLong * 3 + 3) / 4 * 4 * h.toLong
-          }
+          val whole = isWholeBmp(b)
           (id, if (whole) Some(pHash64(b)) else None)
         }
       }.toDF("doc_id", "phash")
@@ -369,11 +391,13 @@ object Multimodal {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, b) =>
-          val whole = isBmp(b) && {
-            val w = le32(b, 18); val h = le32(b, 22)
-            w > 0 && h > 0 && w <= MaxDim && h <= MaxDim &&
-              b.length >= 54L + (w.toLong * 3 + 3) / 4 * 4 * h.toLong
-          }
+          // the DESTINATION dims must also pass the MaxDim bound (round-7
+          // review: a source at MaxDim × MaxDim passes isWholeBmp but its
+          // k× destination overflows Int in the allocation — one bad blob
+          // must not kill a 100 TB scan). Over-bound sources pass through
+          // untouched (a 1× copy is still a valid near-dup of itself).
+          val whole = isWholeBmp(b) &&
+            le32(b, 18).toLong * k <= MaxDim && le32(b, 22).toLong * k <= MaxDim
           val out =
             if (whole) resizeBmp(b, le32(b, 18) * k, le32(b, 22) * k) else b
           (id + UpscaleIdOffset, out)
@@ -390,13 +414,8 @@ object Multimodal {
     val payloads: Dataset[(Long, Array[Byte])] =
       media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
     payloads.mapPartitions { it =>
-      def le32(b: Array[Byte], off: Int): Int =
-        (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
-          ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
-      def le16(b: Array[Byte], off: Int): Int =
-        (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
       it.map { case (id, b) =>
-        if (b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+        if (isBmp(b))
           MediaFeature(id, le32(b, 2), le32(b, 18), le32(b, 22), le16(b, 28))
         else MediaFeature(id, b.length, -1, -1, -1)
       }
@@ -405,6 +424,20 @@ object Multimodal {
 
   /** Audio sample rate used by the WAV fixture (8 kHz mono PCM-16). */
   val WavRate = 8000
+
+  /** The ONE canonical-WAV validator every PCM-reading extractor shares
+    * (round-7 review): RIFF/WAVE magic, the 'data' chunk tag actually AT
+    * the canonical offset 36 (a perfectly valid WAV with a LIST/INFO chunk
+    * between fmt and data would otherwise have its metadata bytes parsed
+    * as PCM samples — non-canonical layouts must surface the sentinel, not
+    * garbage features), and the declared data size present. Size math in
+    * Long so a corrupt header cannot overflow the bounds check. */
+  private[mm] def isCanonicalWav(b: Array[Byte]): Boolean =
+    b.length >= 44 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+      b(36) == 'd' && b(37) == 'a' && b(38) == 't' && b(39) == 'a' &&
+      le32(b, 40) >= 0 && 44L + le32(b, 40).toLong <= b.length.toLong
 
   /** A valid RIFF/WAVE PCM-16 mono payload whose samples derive from the
     * text bytes — the audio twin of [[encodeBmp]]: 44-byte canonical header
@@ -474,16 +507,8 @@ object Multimodal {
     val payloads: Dataset[(Long, Array[Byte])] =
       media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
     payloads.mapPartitions { it =>
-      def le32(b: Array[Byte], off: Int): Int =
-        (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
-          ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
-      def le16s(b: Array[Byte], off: Int): Int =
-        (((b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)) << 16) >> 16
       it.map { case (id, b) =>
-        val ok = b.length >= 44 &&
-          b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
-          le32(b, 40) >= 0 && 44L + le32(b, 40).toLong <= b.length.toLong
+        val ok = isCanonicalWav(b)
         if (!ok) AudioFeature(id, -1, -1L, -1L, -1, -1L)
         else {
           val n = le32(b, 40) / 2
@@ -518,17 +543,9 @@ object Multimodal {
     val payloads: Dataset[(Long, Array[Byte])] =
       media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
     payloads.mapPartitions { it =>
-      def le32(b: Array[Byte], off: Int): Int =
-        (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
-          ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
-      def le16s(b: Array[Byte], off: Int): Int =
-        (((b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)) << 16) >> 16
       val W = 16
       it.map { case (id, b) =>
-        val ok = b.length >= 44 &&
-          b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
-          le32(b, 40) >= 0 && 44L + le32(b, 40).toLong <= b.length.toLong
+        val ok = isCanonicalWav(b)
         if (!ok) VadResult(id, -1, -1, -1, -1, -1, -1L)
         else {
           val n = le32(b, 40) / 2
@@ -623,23 +640,18 @@ object Multimodal {
   val FpFanout = 3   // pairs emitted per anchor landmark
 
   /** Landmarks of a WAV payload: per analysis frame (16 samples, hop 8)
-    * the peak-magnitude bucket (|s| >> 9, 5 bits) — the deterministic
-    * stand-in for a spectrogram constellation. Returns (frameIdx,
-    * bucket). Pure function of the bytes; the spec replays it. */
+    * the peak-magnitude bucket (|s| >> 9 clamped to 6 bits, 0..63) — the
+    * deterministic stand-in for a spectrogram constellation. The clamp
+    * matters at full scale (round-7 review): |−32768| >> 9 = 64, which a
+    * bare `& 0x3F` would alias to bucket 0, colliding the loudest clipped
+    * frames with silence. Returns (frameIdx, bucket). Pure function of
+    * the bytes; the spec and the DuckDB oracle replay it. */
   def audioLandmarks(bytes: Array[Byte]): Seq[(Int, Int)] = {
-    // full RIFF/WAVE magic + declared data-chunk bounds, mirroring
-    // audioVad: a truncated/padded payload is rejected, never
-    // fingerprinted from junk trailing bytes
-    if (bytes == null || bytes.length < 46 ||
-        bytes(0) != 'R' || bytes(1) != 'I' ||
-        bytes(2) != 'F' || bytes(3) != 'F' ||
-        bytes(8) != 'W' || bytes(9) != 'A' ||
-        bytes(10) != 'V' || bytes(11) != 'E') return Seq.empty
-    val dataLen = (bytes(40) & 0xFF) | ((bytes(41) & 0xFF) << 8) |
-      ((bytes(42) & 0xFF) << 16) | ((bytes(43) & 0xFF) << 24)
-    if (dataLen < 0 || 44L + dataLen.toLong > bytes.length.toLong)
-      return Seq.empty
-    val n = dataLen / 2
+    // the shared canonical-WAV validator (magic + 'data' tag + declared
+    // data-chunk bounds): a truncated/padded/non-canonical payload is
+    // rejected, never fingerprinted from junk or metadata bytes
+    if (bytes == null || !isCanonicalWav(bytes)) return Seq.empty
+    val n = le32(bytes, 40) / 2
     def sample(i: Int): Int = {
       val lo = bytes(44 + 2 * i) & 0xFF
       val hi = bytes(45 + 2 * i)
@@ -655,7 +667,7 @@ object Multimodal {
         val a = math.abs(sample(i)); if (a > best) best = a
         i += 1
       }
-      out += ((f, (best >> 9) & 0x3F))
+      out += ((f, math.min(best >> 9, 63)))
       f += 1; start += FpHop
     }
     out.toSeq

@@ -41,13 +41,10 @@ object Ivf {
       val assigned = v.select(
         element_at(nearestCentroids(col("e"), cents, 1), 1).as("cell"),
         col("e"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("e")))
-        .toDF("cell", "dim", "x")
-        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
-        .groupBy("cell").agg(array_sort(collect_list(struct(col("dim"),
-          col("m")))).as("dm"))
-        .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("c"))
+      // the SAME Lloyd mean step as the two-level trainer ([[cellMeans]] —
+      // round-7 review: this was an inline copy); cells that lost every
+      // member keep their previous centroid
+      val means = cellMeans(assigned)
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
     }

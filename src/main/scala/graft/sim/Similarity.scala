@@ -35,10 +35,17 @@ object Similarity {
 
   def toDoubleArr(c: Column): Column = c.cast(ArrayType(DoubleType))
 
-  /** Vectors with a precomputed L2 norm (computed once per row). */
+  /** Vectors with a precomputed L2 norm (computed once per row).
+    * Zero-norm vectors are DROPPED — the same rule as [[Pq.unit]], and for
+    * the same reason: cosine is undefined at nrm = 0, and Spark's double
+    * ordering ranks the resulting 0/0 = NaN ABOVE every real value, so one
+    * all-zero embedding (a failed embedding job, an empty-array cast)
+    * would otherwise rank as the #1 neighbor of EVERY query and pass every
+    * `cos >= threshold` dup filter (round-7 review finding). */
   def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("e"))
       .withColumn("nrm", sqrt(dotd(col("e"), col("e"))))
+      .filter(col("nrm") > 0)
 
   /** Brute-force cosine top-k of every vector against a query subset. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
@@ -163,7 +170,12 @@ object Similarity {
     * computed once per distinct candidate and ranked. Default 16 bands × 4
     * planes measures ~0.9 recall@10 on the test corpus while scoring ~65%
     * of the table; `n_candidates` is surfaced per query so recall loss is
-    * observable (and asserted by [[graft.Queries.annLshRecall]]). */
+    * observable (and asserted by [[graft.Queries.annLshRecall]]).
+    *
+    * A query whose bands match NO other vector is absent from the output
+    * entirely (no n_candidates = 0 row) — recall measurement must
+    * left-join from the ground-truth query set, which is exactly what the
+    * declared recall queries do, scoring such queries 0. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, nPlanes: Int = 64,
               rowsPerBand: Int = 4): DataFrame = {

@@ -186,6 +186,7 @@ class MultimodalSpec extends AnyFunSuite {
       b(off + 3) = ((v >>> 24) & 0xFF).toByte
     }
     put(2, b.length); put(10, 54); put(14, 40); put(18, w); put(22, h)
+    b(28) = 24 // bpp — the hardened validator demands the declared layout
     (0 until w * 3).foreach { x =>
       b(54 + 2 * stride + x) = 0xFF.toByte
       b(54 + 3 * stride + x) = 0xFF.toByte
