@@ -64,15 +64,22 @@ object AsOf {
                leftTime: Column, rightTime: Column,
                rightTieBreak: Column): DataFrame = {
     val rightPayload = struct(right.columns.map(right(_)).toIndexedSeq: _*)
-    val l = left.select(
-      (Seq(left(leftKey).as("__k"), leftTime.as("__t"),
-        lit(1).as("__side"), lit(null).cast("long").as("__tb")) ++
-        left.columns.map(left(_))): _*)
-      .withColumn("__payload", lit(null).cast(right.schema))
     val r = right.select(
       right(rightKey).as("__k"), rightTime.as("__t"),
-      lit(0).as("__side"), rightTieBreak.cast("long").as("__tb"),
+      // the tie-break keeps its OWN type (round-7 review: a blanket
+      // cast("long") turned every non-numeric tie-break column into NULL
+      // for every right row, silently degrading the documented
+      // greatest-tie-break-wins determinism to partition order); the
+      // left side's null literal borrows the resolved type below so the
+      // union stays well-typed
+      lit(0).as("__side"), rightTieBreak.as("__tb"),
       rightPayload.as("__payload"))
+    val tbType = r.schema("__tb").dataType
+    val l = left.select(
+      (Seq(left(leftKey).as("__k"), leftTime.as("__t"),
+        lit(1).as("__side"), lit(null).cast(tbType).as("__tb")) ++
+        left.columns.map(left(_))): _*)
+      .withColumn("__payload", lit(null).cast(right.schema))
     val all = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"), col("__tb"))

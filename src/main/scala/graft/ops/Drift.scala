@@ -28,11 +28,15 @@ object Drift {
     * [[sigmaOutlierCounts]]. */
   def sigmaStats(ev: DataFrame, groupCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // square AFTER widening to DECIMAL (round-7 review): x·x in the native
+    // integer type wraps silently past ~3.04e9 for Long cents (a $40M
+    // transaction), corrupting s2 with no error — the cast must reach the
+    // leaves, not the product
+    val xd = col("x").cast(DecimalType(38, 0))
     ev.groupBy(col(groupCol)).agg(
       count(lit(1)).cast(DecimalType(38, 0)).as("n"),
-      sum(col("x")).cast(DecimalType(38, 0)).as("s1"),
-      sum((col("x") * col("x")).cast(DecimalType(38, 0)))
-        .cast(DecimalType(38, 0)).as("s2"))
+      sum(xd).cast(DecimalType(38, 0)).as("s1"),
+      sum(xd * xd).cast(DecimalType(38, 0)).as("s2"))
   }
 
   /** Count rows outside three standard deviations of their group mean,
@@ -126,13 +130,20 @@ object Drift {
     * Returns one row per key: (keyCol, n_points, max_dev = max |cusum_k|,
     * at = the `ordCol` value attaining it, earliest on ties). The running
     * sums ride windows KEYED by `keyCol`; partitions are series-length
-    * bounded (e.g. calendar days), never corpus-sized. */
+    * bounded (e.g. calendar days), never corpus-sized.
+    *
+    * `ordCol` must be UNIQUE per key (callers pre-aggregate to one row
+    * per day). The prefix sum uses an explicit ROWS frame (round-7
+    * review): the default RANGE frame hands every ordCol-tied row the
+    * full peer-group sum while `k` comes from row_number, silently
+    * skewing the statistic if a caller ever passed a non-unique order. */
   def cusum(series: DataFrame, keyCol: String, ordCol: String,
       valCol: String): DataFrame = {
     val byKey = Window.partitionBy(col(keyCol))
     series
       .withColumn("k", row_number().over(byKey.orderBy(col(ordCol))))
-      .withColumn("cx", sum(col(valCol)).over(byKey.orderBy(col(ordCol))))
+      .withColumn("cx", sum(col(valCol)).over(byKey.orderBy(col(ordCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", count(lit(1)).over(byKey))
       .withColumn("sx", sum(col(valCol)).over(byKey))
       .withColumn("cusum", col("n") * col("cx") - col("k") * col("sx"))

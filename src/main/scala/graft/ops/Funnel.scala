@@ -41,21 +41,25 @@ object Funnel {
     * event stream — the conversion end of the funnel. The activation join
     * shuffles on user_id only (events per user are bounded), so every CTAS
     * stays a keyed join + hash aggregate at any corpus size. Returns the
-    * created names. */
+    * created names.
+    *
+    * GRAIN NOTE (round-7 review): `applications` is at (purchase ×
+    * invitation) grain — a customer with several signup events yields one
+    * row per (purchase, signup) pair, so `application_id` repeats. That
+    * mirrors the reference's star build (and the declared query's oracle
+    * computes the identical fan-out); the downstream `accounts` CTAS
+    * re-groups by application_id, so the FK chain stays sound. Direct
+    * consumers of `applications` must aggregate by application_id before
+    * summing amounts. */
   def buildGoldSchema(spark: SparkSession, sfDir: String,
                       prefix: String = "gold"): Seq[String] = {
     // DROP TABLE only clears the CATALOG; a managed-table location left by a
     // previous session (fresh catalog, stale warehouse dir) still blocks
-    // CREATE TABLE with LOCATION_ALREADY_EXISTS — remove stale dirs first,
-    // as any re-runnable warehouse build job must
-    val warehouse = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"))
-    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // CREATE TABLE with LOCATION_ALREADY_EXISTS — remove stale dirs first
+    // through the ONE shared drop helper (round-7 review: this block was a
+    // divergent inline copy of SinkDdl.dropManagedTable)
     Seq("customers", "invitations", "applications", "accounts", "card")
-      .foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
-        fs.delete(new org.apache.hadoop.fs.Path(warehouse, s"${prefix}_$t"), true)
-      }
+      .foreach(t => SinkDdl.dropManagedTable(spark, s"${prefix}_$t"))
     Tables.table(spark, sfDir, "events").createOrReplaceTempView("silver_events")
     Tables.table(spark, sfDir, "customer").createOrReplaceTempView("silver_customers")
     val script =

@@ -43,7 +43,14 @@ object Markov {
 
   /** P(absorb into purchase | start), with `removed` channels' outgoing
     * mass redirected to null — direct Gauss-Jordan solve of (I − Q)t = r
-    * with fixed pivot order. */
+    * with PARTIAL PIVOTING (round-7 review: a closed transient cycle —
+    * a state whose outgoing mass loops with no path to purchase — zeroes
+    * the natural pivot, and the unpivoted solve returned NaN where the
+    * iterative forms correctly return 0). A column whose remaining
+    * entries are all ~0 is that degenerate case: the state's absorption
+    * is exactly 0, pinned by a synthetic unit row. Row swaps permute
+    * equations, not variables, and Jordan elimination leaves the matrix
+    * diagonal, so t_p = b(p)/a(p)(p) holds regardless of swap history. */
   def absorption(counts: Seq[(String, String, Long)],
                  removed: Set[String]): Double = {
     val (q, r, start) = buildChain(counts, removed)
@@ -52,6 +59,17 @@ object Markov {
       (if (i == j) 1.0 else 0.0) - q(i)(j))
     val b = r.clone()
     for (p <- 0 until nS) {
+      var best = p
+      var i2 = p + 1
+      while (i2 < nS) {
+        if (math.abs(a(i2)(p)) > math.abs(a(best)(p))) best = i2
+        i2 += 1
+      }
+      if (best != p) {
+        val tr = a(p); a(p) = a(best); a(best) = tr
+        val tb = b(p); b(p) = b(best); b(best) = tb
+      }
+      if (math.abs(a(p)(p)) < 1e-12) { a(p)(p) = 1.0; b(p) = 0.0 }
       val piv = a(p)(p)
       for (i <- 0 until nS if i != p && a(i)(p) != 0.0) {
         val f = a(i)(p) / piv

@@ -108,10 +108,20 @@ object PrefixSum {
       r.groupBy((Pid +: groupCols).map(col): _*)
         .agg(sum(value.cast(LongType)).as(Tot)),
       groupCols)
-    r.withColumn(Loc, sum(value.cast(LongType)).over(localW))
-      .join(broadcast(offsets), Pid +: groupCols)
-      .withColumn(out, col(Loc) + col(Off))
-      .drop(Pid, Loc, Off, NTot)
+    // NULL-SAFE join on the group keys (round-7 review): a window keeps a
+    // NULL group as its own partition, but a plain equi-join evaluates
+    // NULL = NULL to NULL and would silently DROP every null-keyed row
+    // from the output — breaking the documented window equivalence
+    val keyCols = Pid +: groupCols
+    val oRenamed = keyCols.foldLeft(offsets) { (d, c) =>
+      d.withColumnRenamed(c, s"__ps_o_$c")
+    }
+    val cond = keyCols.map(c => col(c) <=> col(s"__ps_o_$c")).reduce(_ && _)
+    keyCols.foldLeft(
+      r.withColumn(Loc, sum(value.cast(LongType)).over(localW))
+        .join(broadcast(oRenamed), cond)
+        .withColumn(out, col(Loc) + col(Off))
+        .drop(Pid, Loc, Off, NTot)) { (d, c) => d.drop(s"__ps_o_$c") }
   }
 
   /** `df` + `out` = the 1-based global rank over the total order `orderCols`

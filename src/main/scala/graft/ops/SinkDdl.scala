@@ -115,16 +115,19 @@ object SinkDdl {
   /** Drop a managed table AND its warehouse location — the in-memory
     * catalog forgets tables across JVMs while their directories persist,
     * so a bare saveAsTable from a fresh session would hit
-    * LOCATION_ALREADY_EXISTS. */
+    * LOCATION_ALREADY_EXISTS. The location is removed through the Hadoop
+    * FS API so ANY warehouse scheme works (round-7 review: the previous
+    * java.nio form only handled file: warehouses, and the gold-schema
+    * build carried its own divergent hadoop-FS copy — this is now the ONE
+    * implementation). Spark stores managed tables under the LOWERCASED
+    * name; both spellings are removed defensively. */
   def dropManagedTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val loc = java.nio.file.Paths.get(warehouse, table.toLowerCase)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(table, table.toLowerCase).distinct.foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(warehouse, t), true)
     }
   }
 

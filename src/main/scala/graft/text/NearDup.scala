@@ -340,6 +340,20 @@ object NearDup {
         pairs
       })
 
+  /** Injective managed-table naming for the session index caches: the
+    * sanitized key keeps names readable, the md5 suffix of the RAW key
+    * makes distinct cache keys provably map to distinct tables (round-7
+    * review: `replaceAll("[^A-Za-z0-9]", "_")` alone collapses e.g.
+    * "sf0.1" and "sf0_1" — or column splits like "a_b"+"c" vs "a"+"b_c" —
+    * to one table name, so the second build would silently serve its
+    * corpus to the first's cached DataFrame). */
+  private def managedIndexName(prefix: String, rawKey: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(rawKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+    s"${prefix}_${rawKey.replaceAll("[^A-Za-z0-9]", "_")}_$digest"
+  }
+
   /** Session-cached MANAGED signature-index table, bucketed on the band
     * key — the DEPLOYMENT shape of the incremental dedup: a production
     * ingest pipeline maintains the corpus band table as a bucketed table,
@@ -357,9 +371,12 @@ object NearDup {
         // the physical table name must carry the FULL cache key (columns
         // included): two column-sets under one cacheKey would otherwise
         // silently alias one managed table, and the first cached
-        // DataFrame (spark.table) would resolve to the second's bands
-        val tbl = ("graft_band_index_" +
-          s"${cacheKey}_${idCol}_$textCol").replaceAll("[^A-Za-z0-9]", "_")
+        // DataFrame (spark.table) would resolve to the second's bands.
+        // The md5 suffix makes the mapping INJECTIVE (round-7 review:
+        // sanitization alone maps e.g. "sf0.1" and "sf0_1" to one name,
+        // reintroducing the very alias this naming exists to prevent)
+        val tbl = managedIndexName("graft_band_index",
+          s"${cacheKey}|$idCol|$textCol")
         graft.ops.SinkDdl.dropManagedTable(spark, tbl)
         banded.write.bucketBy(16, "band", "bh").format("parquet")
           .saveAsTable(tbl)
@@ -529,8 +546,8 @@ object NearDup {
         val spark = base.sparkSession
         val exact = exactKeyed(
           base.select(col(idCol).as("id"), col(hashCol).as("sim")))
-        val tbl = (s"graft_hamming_index_${cacheKey}_${idCol}_$hashCol")
-          .replaceAll("[^A-Za-z0-9]", "_")
+        val tbl = managedIndexName("graft_hamming_index",
+          s"${cacheKey}|$idCol|$hashCol")
         graft.ops.SinkDdl.dropManagedTable(spark, tbl)
         exact.write.bucketBy(16, "k").format("parquet").saveAsTable(tbl)
         spark.table(tbl)

@@ -59,9 +59,6 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, " +", " ")))
 
-  /** Winnowing rolling-hash fingerprints ([[graft.functions.Winnow]]):
-    * sorted distinct window-minimum Rabin hashes of k-byte grams — any
-    * shared substring of length ≥ w + k − 1 shares a fingerprint. */
   /** Intra-document repetition stats (the Gopher/MassiveText duplicate-
     * n-gram signal): per id — total and distinct trigram-occurrence counts
     * and the fraction of occurrences belonging to a trigram repeated within
@@ -99,6 +96,9 @@ object TextOps {
           .as("rep3_frac"))
   }
 
+  /** Winnowing rolling-hash fingerprints ([[graft.functions.Winnow]]):
+    * sorted distinct window-minimum Rabin hashes of k-byte grams — any
+    * shared substring of length ≥ w + k − 1 shares a fingerprint. */
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
     call_function("graft_winnow", text, lit(k), lit(w))
 
@@ -130,14 +130,6 @@ object TextOps {
       array_join(slice(toks, i * chunkWords + 1, lit(chunkWords)), " "))
   }
 
-  /** Cross-document boilerplate removal (the CCNet/MassiveText line-dedup
-    * pass, chunk-granular): any chunk occurring in ≥ `minDocs` distinct
-    * documents is boilerplate; every document is reassembled from its
-    * surviving chunks in order. Cost at any scale: one narrow chunking map,
-    * one partial-agg shuffle on the chunk fingerprint (md5 — the key stays
-    * 16 bytes however long the chunk is), one equi-join back, one keyed
-    * re-aggregation per document. No windows, no cross joins; the chunk
-    * table is bounded by corpus token count. */
   /** Corpus unigram-LM quality score — the engine-side shape of the
     * CCNet/KenLM perplexity filter: each document scored by the mean
     * corpus frequency of its token occurrences (gibberish and rare-token
@@ -197,6 +189,14 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Cross-document boilerplate removal (the CCNet/MassiveText line-dedup
+    * pass, chunk-granular): any chunk occurring in ≥ `minDocs` distinct
+    * documents is boilerplate; every document is reassembled from its
+    * surviving chunks in order. Cost at any scale: one narrow chunking map,
+    * one partial-agg shuffle on the chunk fingerprint (md5 — the key stays
+    * 16 bytes however long the chunk is), one equi-join back, one keyed
+    * re-aggregation per document. No windows, no cross joins; the chunk
+    * table is bounded by corpus token count. */
   def dropBoilerplate(df: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String, chunkWords: Int = 8,
                       minDocs: Int = 2): org.apache.spark.sql.DataFrame = {

@@ -63,10 +63,14 @@ object Unigram {
     docs.filter(pmod(col(idCol), lit(10)) === 0)
 
   // the fitted vocab is a MODEL PARAMETER (v strings): cache per
-  // (data-epoch key, v) so the two tokenizer families — and repeat runs
-  // in one JVM — fit it once instead of re-shuffling the gram explode
+  // (data-epoch key, id col, text col, v) so the two tokenizer families —
+  // and repeat runs in one JVM — fit it once instead of re-shuffling the
+  // gram explode. The COLUMN names are part of the key (round-7 review):
+  // keying on the epoch alone would hand a tokenize call over a different
+  // text column the first call's vocabulary — the same silent-alias trap
+  // NearDup's caches embed their column names against.
   private val vocabCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Set[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
   /** Sample-trained vocab as a cached model parameter. `cacheKey` keys
     * the fit to the data epoch (empty = never cache). */
@@ -74,7 +78,8 @@ object Unigram {
                      v: Int, cacheKey: String): Set[String] = {
     def fit() = vocab(trainSample(docs, idCol), textCol, v).toSet
     if (cacheKey.isEmpty) fit()
-    else vocabCache.computeIfAbsent((cacheKey, v), _ => fit())
+    else vocabCache.computeIfAbsent(
+      s"$cacheKey|$idCol|$textCol|$v", _ => fit())
   }
 
   /** Exact DP segmentation of `text` under the integral objective; returns
