@@ -65,7 +65,18 @@ object GraftFunctions {
         foldableInt("graft_lsh_bands", "nPlanes", es(1)),
         foldableInt("graft_lsh_bands", "rowsPerBand", es(2)))),
     ("graft_nearest_centroids", "p nearest centroid cells by cosine",
-      es => NearestCentroids(es.head, es(1), es(2))),
+      es => {
+        // model parameters must be plan literals (round-7 review: the
+        // sibling kernels all validate at registration; an unguarded
+        // column argument here surfaced as an opaque executor-side
+        // eval error instead of this named message)
+        if (!es(1).foldable) throw new IllegalArgumentException(
+          "graft_nearest_centroids: argument 'cents' must be a foldable " +
+            s"array<array<double>> literal (the collected centroid " +
+            s"model), got ${es(1).sql}")
+        foldableInt("graft_nearest_centroids", "p", es(2))
+        NearestCentroids(es.head, es(1), es(2))
+      }),
     ("graft_nearest_cells",
       "top-p (cell, score) pairs vs a per-row centroid bundle",
       es => {
@@ -111,6 +122,13 @@ object GraftFunctions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // BOTH session-construction paths must plan identically (round-7
+    // review: register() installed the planner strategy but not the
+    // Jaccard length-filter pruning rule, so extension-less sessions
+    // silently lost the O(1) size pre-filter)
+    if (!spark.experimental.extraOptimizations.contains(SimilarityFilterPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SimilarityFilterPruning
   }
 }
 
@@ -368,9 +386,13 @@ case class LshBandKeys(child: Expression, nPlanes: Int, rowsPerBand: Int)
 }
 
 /** Sequential-fold dot product over two array<double> columns. The fold is
-  * left-to-right, so results are bit-identical to `aggregate(zip_with(a, b,
-  * (x,y) -> x*y), 0D, (acc,x) -> acc+x)` and to any engine summing the same
-  * way — the property the differential oracle relies on. Codegen'd. */
+  * left-to-right, so for EQUAL-LENGTH inputs results are bit-identical to
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)` and to
+  * any engine summing the same way — the property the differential oracle
+  * relies on. Length-mismatched inputs TRUNCATE to the shorter array
+  * (round-7 review note: the zip_with form instead null-pads and returns
+  * NULL there, so the equivalence is stated for equal lengths only —
+  * every caller dots same-dimension embeddings). Codegen'd. */
 /** Bit-spreading helpers for [[MortonCode]] — a top-level object so the
   * generated whole-stage-codegen Java can call the static forwarders. */
 object MortonCodes {

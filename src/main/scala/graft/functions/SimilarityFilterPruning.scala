@@ -43,11 +43,26 @@ object SimilarityFilterPruning extends Rule[LogicalPlan] {
         cmp.setTagValue(Pruned, true)
         And(sizeBounds(j.left, j.right, tau), cmp)
       case cmp @ GreaterThanOrEqual(r: Round, Literal(tau: Double, DoubleType))
-          if cmp.getTagValue(Pruned).isEmpty && r.child.isInstanceOf[JaccardSim] =>
+          if cmp.getTagValue(Pruned).isEmpty && r.child.isInstanceOf[JaccardSim] &&
+            roundedSlack(r).isDefined =>
         val j = r.child.asInstanceOf[JaccardSim]
         cmp.setTagValue(Pruned, true)
         // round(j, s) >= tau admits j down to tau - 0.5*10^-s; relax the
-        // bound conservatively so the guard can never drop an admitted row
-        And(sizeBounds(j.left, j.right, tau - 1e-3), cmp)
+        // bound by the ACTUAL half-ulp of the rounding scale (round-7
+        // review: a fixed 1e-3 slack only covers scales >= 3 — at
+        // round(j, 2) >= 0.8 a true match at j = 0.797 passes the
+        // predicate but a 1e-3-relaxed guard would DROP it) plus a float
+        // safety margin
+        And(sizeBounds(j.left, j.right, tau - roundedSlack(r).get), cmp)
     }
+
+  /** The admitted-below-τ slack of `round(·, s) >= τ`: half an ulp of the
+    * rounding scale, plus a margin for the double arithmetic — defined
+    * only for FOLDABLE non-negative integer scales (a dynamic or negative
+    * scale leaves the predicate unpruned rather than mis-bounded). */
+  private def roundedSlack(r: Round): Option[Double] = r.scale match {
+    case Literal(s: Int, _) if s >= 0 =>
+      Some(0.5 * math.pow(10.0, -s) + 1e-9)
+    case _ => None
+  }
 }

@@ -119,7 +119,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             advance()
           } else go = false
         }
-        val matched = curRow != null && keyOrd.compare(curKey, lKey) == 0
+        // NULL keys never match (round-7 review): RowOrdering compares
+        // null == null, but the batch twin's SQL equi-join semantics —
+        // which this node pins — null-pad a null-keyed left row instead
+        // of enriching it from a null-keyed right row
+        val matched = curRow != null && !lKey.anyNull &&
+          keyOrd.compare(curKey, lKey) == 0
         joiner(joined(l, if (matched) curRow else rNulls))
       }
     }

@@ -107,7 +107,7 @@ object StreamTwins {
     runToMemory(
       eventsStream(streamSession(spark), sfDir)
         .groupBy(col("event_type")).agg(count(lit(1)).as("cnt")),
-      "stream_file_source_sink", "complete")
+      s"stream_file_source_sink_${graft.ops.TempFiles.tag(sfDir).replace(".", "_")}", "complete")
       .orderBy(col("event_type"))
 
   /** STREAMING Kafka-envelope consumption (S5's streaming mapping, SURVEY
@@ -223,7 +223,7 @@ object StreamTwins {
         .agg(count(lit(1)).as("n_msgs"), max(col("offset")).as("max_offset"),
           sum(Cleanse.dec2(col("o_totalprice"))).cast(DecimalType(18, 4))
             .cast(DoubleType).as("sum_price")),
-      "stream_kafka_sink", "complete")
+      s"stream_kafka_sink_${graft.ops.TempFiles.tag(sfDir).replace(".", "_")}", "complete")
       .orderBy(col("partition"))
   }
 
@@ -312,7 +312,7 @@ object StreamTwins {
       eventsStream(streamSession(spark), sfDir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type"),
-      "stream_dedup_sink", "append")
+      s"stream_dedup_sink_${graft.ops.TempFiles.tag(sfDir).replace(".", "_")}", "append")
       .select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
 
@@ -395,9 +395,11 @@ object StreamTwins {
     * open tail session is held in (checkpointed) group state with an
     * event-time timeout of gap past its last event, and is emitted when the
     * watermark passes that timeout in a later micro-batch. State is one
-    * small record per active user — bounded by watermark eviction, the
-    * 100 TB-safe shape. In-batch events are sorted per user; cross-batch
-    * reordering inside the watermark is the standard streaming caveat. */
+    * small record per SEEN user (after a timeout a closed marker keeps the
+    * session counter, so numbering stays monotone like the batch twin) —
+    * the same per-user bound the batch numbering inherently needs.
+    * In-batch events are sorted per user; cross-batch reordering inside
+    * the watermark is the standard streaming caveat. */
   def sessionizeStream(events: DataFrame, gapMinutes: Int,
                        watermarkDelay: String): Dataset[Session] = {
     val spark = events.sparkSession
@@ -412,7 +414,14 @@ object StreamTwins {
         (uid: Long, it: Iterator[EvW], state: GroupState[OpenSess]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
+            // keep a CLOSED marker (n = 0) instead of removing state
+            // (round-7 review): dropping the counter restarted the next
+            // session at idx 1, emitting duplicate (user, idx) keys and
+            // diverging from the batch twin's monotone numbering. The
+            // marker is one tiny record per seen user — the same bound as
+            // the batch numbering requires — and sets no timeout, so it
+            // never fires again.
+            state.update(s.copy(n = 0))
             Iterator.single(Session(uid, s.idx, s.n, s.startMicros, s.endMicros))
           } else {
             val evs = it.toArray.sortBy(e => (e.tsMicros, e.event_id))
@@ -420,6 +429,10 @@ object StreamTwins {
             var cur = state.getOption
             for (e <- evs) {
               cur = cur match {
+                // n = 0 is the closed marker: no open session, but the
+                // counter survives — the next session continues monotone
+                case Some(s) if s.n == 0 =>
+                  Some(OpenSess(s.idx + 1, 1, e.tsMicros, e.tsMicros))
                 case Some(s) if e.tsMicros - s.endMicros <= gapMicros =>
                   Some(s.copy(n = s.n + 1, endMicros = e.tsMicros))
                 case Some(s) =>
@@ -431,8 +444,15 @@ object StreamTwins {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endMicros / 1000L +
-                gapMinutes * 60L * 1000L)
+              // clamp past the CURRENT watermark (round-7 review): a
+              // late-but-accepted event whose end+gap already trails the
+              // watermark would make setTimeoutTimestamp throw and kill
+              // the query; clamping emits that session at the next
+              // watermark advance instead
+              if (s.n > 0)
+                state.setTimeoutTimestamp(math.max(
+                  s.endMicros / 1000L + gapMinutes * 60L * 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
             }
             out.iterator
           }
@@ -633,27 +653,34 @@ object StreamTwins {
   def streamAsof(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     val tag = graft.ops.TempFiles.tag(sfDir)
-    val outDir = graft.ops.TempFiles.dir(s"stream_asof_out_$tag")
-    val ckDir = graft.ops.TempFiles.dir(s"stream_asof_ck_$tag")
+    // v2: the batchId-keyed layout below is incompatible with pre-round-7
+    // flat-append dirs — versioned names keep a stale (dir, checkpoint)
+    // pair from aliasing the new layout into an empty read
+    val outDir = graft.ops.TempFiles.dir(s"stream_asof_out_v2_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_asof_ck_v2_$tag")
     val orders = graft.ops.Tables.table(ss, sfDir, "orders")
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     val q = eventsStream(ss, sfDir)
       .select(col("event_id"), col("user_id"), col("ts"))
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.AsOf.asofJoin(batch.toDF(), orders, "user_id", "o_custkey",
             col("ts"), col("o_orderdate"), col("o_orderkey"))
           .filter(col("__match").isNotNull)
           .select(col("event_id"),
             col("__match.o_orderkey").as("o_orderkey"),
             col("__match.o_totalprice").as("o_totalprice"))
-          .write.mode("append").parquet(outDir)
+          // batchId-keyed overwrite, not a raw append (round-7 review): a
+          // crash between a partial append and the checkpoint commit would
+          // duplicate the whole batch on replay — the same exactly-once
+          // seam every sibling MV in this file rides
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .option("checkpointLocation", ckDir)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    ss.read.parquet(outDir).orderBy(col("event_id"))
+    ss.read.parquet(s"$outDir/batch=*").orderBy(col("event_id"))
   }
 
   /** Per-batch exact-integer 3σ anomaly gate: each arriving micro-batch of
@@ -720,6 +747,18 @@ object StreamTwins {
       java.nio.file.Files.exists(landing.resolve(s"$name.parquet"))
     }
     if (complete) return
+    // the slice calendar must COVER the feed (round-7 review): a row
+    // outside [2024-01-01, 2024-02-01) would land in NO slice and every
+    // downstream "hash-matches the batch oracle" claim would break far
+    // from the cause — fail at build time instead
+    val total = feed.count()
+    val covered = feed.filter(
+      col("ts") >= lit(slices.head._1).cast(TimestampType) &&
+        col("ts") < lit(slices.last._2).cast(TimestampType)).count()
+    require(covered == total,
+      s"date-sliced feed would silently drop ${total - covered} of $total " +
+        s"rows outside [${slices.head._1}, ${slices.last._2}) — widen the " +
+        "slice calendar for this corpus")
     slices.foreach { case (lo, hi, name) =>
       val part = java.nio.file.Paths.get(
         graft.ops.TempFiles.dir(s"$buildTag/staging/$name"))
@@ -1395,7 +1434,7 @@ object StreamTwins {
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("cnt")),
-      "stream_watermark_sink", "append")
+      s"stream_watermark_sink_${graft.ops.TempFiles.tag(sfDir).replace(".", "_")}", "append")
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("win_start"),
         col("event_type"), col("cnt"))
       .orderBy(col("win_start"), col("event_type"))
