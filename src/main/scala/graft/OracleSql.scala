@@ -10,7 +10,8 @@ package graft
   *
   * FIXTURE COUPLING (round-7, ADVICE r6): the byte-derived oracles
   * (mm_audio_features, mm_audio_vad, mm_audio_fingerprint, mm_scene_cut,
-  * doc_winnow, mm_chunk_dedup, dedup_simhash_struct) and the
+  * doc_winnow, mm_chunk_dedup, dedup_simhash_struct, vocab_cms_struct)
+  * and the
   * tokenizer/segmentation oracles (tokenize_wordpiece, tokenize_unigram,
   * vocab_bpe_iterative) re-derive samples/pixels/grams/token-hashes via
   * DuckDB length()/substr()/ord()/string_split, which are
@@ -1409,6 +1410,98 @@ object OracleSql {
            JOIN sigs sa ON sa.doc_id = c.a_id
            JOIN sigs sb2 ON sb2.doc_id = c.b_id)
          WHERE hamming <= 6 ORDER BY a_id, b_id""",
+
+    // STRUCTURAL Count-Min twin (round 7): FNV-1a token hash (the
+    // dedup_simhash_struct fold), multiply-shift row hashing with 36-bit
+    // odd multipliers (INT128-safe: 2^64 · 2^36 ≪ 2^127), 4×1024 integer
+    // counters, min-over-rows probe of the exact top-20 — every step
+    // integer, value-exact vs the engine
+    "vocab_cms_struct" ->
+      """WITH toks AS (
+           SELECT u.tok FROM documents, unnest(string_split(text, ' ')) AS u(tok)),
+         th AS (
+           SELECT tok, list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(tok) + 1),
+                   i -> CAST(ord(substr(tok, CAST(i AS INT), 1)) AS HUGEINT))),
+               (h, b) -> ((h // 256) * 256
+                 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+                 * 1099511628211::HUGEINT % 18446744073709551616::HUGEINT) AS hu
+           FROM toks),
+         mults(r, a) AS (VALUES
+           (0, 42545250711::HUGEINT), (1, 52238552021::HUGEINT),
+           (2, 5995481881::HUGEINT), (3, 10694128369::HUGEINT)),
+         counters AS (
+           SELECT r, (hu * a) % 18446744073709551616::HUGEINT
+               // 18014398509481984::HUGEINT AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM th, mults GROUP BY 1, 2),
+         top AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+           FROM toks GROUP BY 1 ORDER BY exact_cnt DESC, tok LIMIT 20),
+         thd AS (SELECT DISTINCT tok, hu FROM th)
+         SELECT t.tok, t.exact_cnt, min(c.cnt) AS est_cnt,
+           min(c.cnt) - t.exact_cnt AS overestimate
+         FROM top t JOIN thd d USING (tok)
+         JOIN mults m ON true
+         JOIN counters c ON c.r = m.r
+           AND c.bucket = (d.hu * m.a) % 18446744073709551616::HUGEINT
+             // 18014398509481984::HUGEINT
+         GROUP BY t.tok, t.exact_cnt
+         ORDER BY t.exact_cnt DESC, t.tok""",
+
+    // STRUCTURAL HLL twin (round 7): FNV-1a of the user id scrambled by
+    // one multiply-shift (FNV of short sequential decimal ids clusters in
+    // the top bits — 4 of 32 buckets hit unscrambled), bucket = top 5
+    // bits, rank = 60 − bitlength of the low 59, registers = max per
+    // bucket, exact fixed-point raw estimate via HUGEINT floor division
+    // (822872359640035678486528000 = α₃₂·m²·2⁶⁰·10⁶ppm with α₃₂ = 0.697
+    // from the HLL paper's small-m table)
+    "agg_hll_struct" ->
+      """WITH ev AS (
+           SELECT event_type,
+             CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS wk,
+             user_id
+           FROM events),
+         th AS (
+           SELECT event_type, wk,
+             list_reduce(list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(CAST(user_id AS VARCHAR)) + 1),
+                 i -> CAST(ord(substr(CAST(user_id AS VARCHAR),
+                   CAST(i AS INT), 1)) AS HUGEINT))),
+               (h, b) -> ((h // 256) * 256
+                 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+                 * 1099511628211::HUGEINT % 18446744073709551616::HUGEINT)
+               * 42545250711::HUGEINT % 18446744073709551616::HUGEINT AS hu
+           FROM ev),
+         rk AS (
+           SELECT event_type, wk,
+             CAST(hu // 576460752303423488::HUGEINT AS BIGINT) AS bucket,
+             CAST(hu % 576460752303423488::HUGEINT AS BIGINT) AS rem
+           FROM th),
+         regs AS (
+           SELECT event_type, wk, bucket,
+             CAST(max(CASE WHEN rem = 0 THEN 60
+               ELSE 60 - length(bin(rem)) END) AS BIGINT) AS reg
+           FROM rk GROUP BY 1, 2, 3),
+         est AS (
+           SELECT event_type, wk,
+             CAST(count(*) AS BIGINT) AS n_buckets_hit,
+             CAST(sum(reg) AS BIGINT) AS reg_sum,
+             CAST(822872359640035678486528000::HUGEINT //
+               ((CAST(sum(1::BIGINT << CAST(60 - reg AS INT)) AS HUGEINT)
+                 + (32 - count(*))::HUGEINT * 1152921504606846976::HUGEINT)
+                * 1000000::HUGEINT) AS BIGINT) AS approx_users
+           FROM regs GROUP BY 1, 2),
+         exact AS (
+           SELECT event_type, wk,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+           FROM ev GROUP BY 1, 2)
+         SELECT r.event_type, r.wk, r.bucket, r.reg,
+           e.n_buckets_hit, e.reg_sum, e.approx_users, x.exact_users
+         FROM regs r JOIN est e USING (event_type, wk)
+         JOIN exact x USING (event_type, wk)
+         ORDER BY r.event_type, r.wk, r.bucket""",
 
     // Iterative BPE trainer (round-7 promotion): the 10-round driver
     // merge loop replayed as ONE recursive CTE — per recursion: the

@@ -1603,6 +1603,58 @@ object Queries {
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
+  /** The four CMS row multipliers of [[vocabCmsStruct]] — 36-bit odd
+    * truncations of the splitmix64 / xxhash avalanche constants (public
+    * mixing literals), odd so h ↦ h·a is a bijection on Z/2⁶⁴, and sized
+    * ≤ 2³⁶ so the oracle's INT128 replay of `(h·a) mod 2⁶⁴` can never
+    * overflow (2⁶⁴·2³⁶ ≪ 2¹²⁷; the full 64-bit constants would need a
+    * 128-bit split the SQL has no room for). The wrap past 2⁶⁴ still
+    * folds h's high bits into the top-10-bit bucket. */
+  private val CmsStructMults = Seq(
+    42545250711L, // 0x9E3779B97 (golden-ratio prefix)
+    52238552021L, // 0xC2B2AE3D5
+    5995481881L,  // 0x165667B19
+    10694128369L) // 0x27D4EB2F1
+
+  /** STRUCTURAL Count-Min twin (round 7, the [[dedupSimhashStruct]]
+    * precedent applied to the sketch tier): the identical
+    * sketch-then-probe machinery as [[vocabCmsTopk]] — one narrow token
+    * pass into a d×w counter table, top-k candidates probed by min-over-
+    * rows — but built first-principles over [[functions.Fnv1a64]] with
+    * multiply-shift row hashing ([[functions.MulWrap64]] · [[CmsStructMults]],
+    * top-10-bit bucket), so every counter is an exact integer a DuckDB
+    * oracle replays in HUGEINT mod 2⁶⁴. Hash-checked end to end; the
+    * production tier keeps Spark's `count_min_sketch` (engine-internal
+    * bytes, rows-only) — this twin hard-gates the machinery the bytes
+    * hide: row hashing, counter accumulation, min-probe, the ≥-exact
+    * guarantee. Plan shape at 100 TB: the counter "sketch" is a 4×1024-row
+    * aggregate (mergeable, map-side-combined — never a vocabulary-wide
+    * state), candidates come from the exact top-k the production query
+    * already computes, and the probe join is a broadcast of one of two
+    * model-sized sides. */
+  def vocabCmsStruct(spark: SparkSession, dir: String): DataFrame = {
+    def buckets = array(CmsStructMults.map(a =>
+      shiftrightunsigned(
+        call_function("graft_mulwrap64", col("h"), lit(a)), 54)): _*)
+    val toks = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(col("tok"), call_function("graft_fnv1a64", col("tok")).as("h"))
+    val counters = toks
+      .select(posexplode(buckets).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    top
+      .withColumn("h", call_function("graft_fnv1a64", col("tok")))
+      .select(col("tok"), col("exact_cnt"),
+        posexplode(buckets).as(Seq("r", "bucket")))
+      .join(counters, Seq("r", "bucket"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .withColumn("overestimate", col("est_cnt") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
   /** Corpus unigram-LM quality score (the CCNet/KenLM perplexity-filter
     * shape) — see [[text.TextOps.lmScore]] for the plan shapes and the
     * exact-integer-arithmetic parity argument. */
@@ -3962,6 +4014,75 @@ object Queries {
       .agg(count_distinct(col("user_id")).as("exact_users"))
     weekly.join(exact, Seq("event_type", "wk"))
       .orderBy(col("event_type"), col("wk"))
+  }
+
+  /** STRUCTURAL HLL twin (round 7, the [[dedupSimhashStruct]] precedent
+    * applied to the distinct-count sketch): the identical daily-sketch →
+    * weekly-union machinery as [[aggHllMerge]], built first-principles so
+    * a DuckDB oracle replays it value-exact. Registers from
+    * [[functions.Fnv1a64]] of the user id: bucket = top p bits, rank =
+    * leading zeros of the remaining 59 bits + 1 (`conv`-bitlength — exact
+    * integer, no float log anywhere); daily register tables merge upward
+    * by plain `max` (the mergeability the Datasketches bytes hide, here
+    * a visible groupBy); the raw harmonic-mean estimate is exact
+    * fixed-point — Z scaled by 2⁶⁰ stays integral (terms 2^(60−reg),
+    * empty buckets 2⁶⁰), and ⌊α·m²·2⁶⁰·10⁻⁶ᵖᵖᵐ / Z⌋ is one exact decimal
+    * DIV (truncating on both engines; the quotient exceeds BIGINT only if
+    * several buckets reach rank ≥ 58, i.e. a claimed cardinality ~10¹⁹ —
+    * beyond any corpus). p = 5 (m = 32, α = 0.697 from the HLL paper's
+    * published small-m table) keeps the fixture-scale groups (~150
+    * distinct users) inside the raw estimator's validity regime
+    * n ≳ 2.5m; production uses p = 12+ exactly like the Datasketches tier
+    * — the machinery under test is p-independent. Output = the full
+    * weekly register table with the per-group estimate and exact audit
+    * beside it, all hash-checked. Plan shape at 100 TB: one narrow map,
+    * one (type, day, bucket) mergeable aggregate (≤ m rows per cell —
+    * KB-sized state), weekly max over tiny tables; only the exact audit
+    * column shuffles users, and production drops it. */
+  def aggHllStruct(spark: SparkSession, dir: String): DataFrame = {
+    val mask59 = 576460752303423487L // 2^59 - 1
+    val wk = expr("datediff(cast(ts as date), date'2024-01-01') div 7")
+    // FNV of short sequential decimal ids clusters in the top bits (4 of
+    // 32 buckets hit on the fixture) — one multiply-shift scramble
+    // (measured: 32/32 buckets, estimate −12% of exact at n=150) restores
+    // the uniformity the bucket split needs; 36-bit odd constant so the
+    // oracle's INT128 replay of the wrap cannot overflow
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), wk.as("wk"),
+        call_function("graft_mulwrap64",
+          call_function("graft_fnv1a64", col("user_id").cast(StringType)),
+          lit(42545250711L)).as("h"))
+      .select(col("event_type"), col("day"), col("wk"),
+        shiftrightunsigned(col("h"), 59).as("bucket"),
+        (col("h") bitwiseAND lit(mask59)).as("rem"))
+      .select(col("event_type"), col("day"), col("wk"), col("bucket"),
+        when(col("rem") === 0, 60)
+          .otherwise(lit(60) - length(expr("conv(cast(rem as string), 10, 2)")))
+          .as("rank"))
+      .groupBy(col("event_type"), col("day"), col("wk"), col("bucket"))
+      .agg(max(col("rank")).as("reg"))
+    val weekly = daily.groupBy(col("event_type"), col("wk"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+    val est = weekly.groupBy(col("event_type"), col("wk"))
+      .agg(count(lit(1)).as("n_buckets_hit"),
+        sum(col("reg")).as("reg_sum"),
+        sum(expr("cast(shiftleft(cast(1 as bigint), 60 - reg) as decimal(19,0))"))
+          .as("z_hit"))
+      .select(col("event_type"), col("wk"), col("n_buckets_hit"), col("reg_sum"),
+        expr("cast(cast('822872359640035678486528000' as decimal(38,0)) div " +
+          "((z_hit + (32 - n_buckets_hit) * " +
+          "cast(1152921504606846976 as decimal(19,0))) * 1000000) as bigint)")
+          .as("approx_users"))
+    val exact = t(spark, dir, "events")
+      .groupBy(col("event_type"), wk.as("wk"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    weekly
+      .join(est, Seq("event_type", "wk"))
+      .join(exact, Seq("event_type", "wk"))
+      .select(col("event_type"), col("wk"), col("bucket"),
+        col("reg").cast(LongType).as("reg"), col("n_buckets_hit"),
+        col("reg_sum"), col("approx_users"), col("exact_users"))
+      .orderBy(col("event_type"), col("wk"), col("bucket"))
   }
 
   /** X15h — Benford first-digit audit: the distribution of the first

@@ -60,6 +60,10 @@ object GraftFunctions {
     ("graft_simhash64_fnv",
       "64-bit SimHash of a token stream (FNV-1a token hash)",
       es => SimHash64Fnv(es.head)),
+    ("graft_fnv1a64", "FNV-1a 64-bit hash of a string's UTF-8 bytes",
+      es => Fnv1a64(es.head)),
+    ("graft_mulwrap64", "wrapping (mod 2^64) product of two longs",
+      es => MulWrap64(es.head, es(1))),
     ("graft_lsh_bands", "banded hyperplane LSH keys of array<double>",
       es => LshBandKeys(es.head,
         foldableInt("graft_lsh_bands", "nPlanes", es(1)),
@@ -651,6 +655,58 @@ case class JaccardSim(left: Expression, right: Expression)
   * structurally identical twin of `dedup_simhash`, so the fold lives in
   * exactly one place and a future vote-scheme edit cannot silently split
   * the two tiers. */
+/** The ONE FNV-1a 64 fold, shared by the SimHash FNV signature and the
+  * scalar [[Fnv1a64]] kernel: `h = (h XOR byte) · prime mod 2⁶⁴` over the
+  * UTF-8 bytes, offset basis 0xcbf29ce484222325, prime 0x100000001b3.
+  * Plain wrapping integer arithmetic — the property every oracle-replayable
+  * twin rests on: a SQL oracle replays the fold exactly in HUGEINT
+  * arithmetic reduced mod 2⁶⁴ (the xor touches only the low byte, so it
+  * lifts to BIGINT and back). Living in one place means the sketch twins
+  * (`vocab_cms_struct`, `agg_hll_struct`) and the SimHash twin can never
+  * drift onto different token hashes. */
+private[functions] object Fnv {
+  def hash64(bs: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+    var j = 0
+    while (j < bs.length) {
+      h = (h ^ (bs(j) & 0xffL)) * 0x100000001b3L // FNV-1a 64 prime
+      j += 1
+    }
+    h
+  }
+}
+
+/** Scalar FNV-1a 64 of a string's UTF-8 bytes ([[Fnv.hash64]]) — the
+  * oracle-replayable base hash under the structural sketch twins: the CMS
+  * twin row-hashes it with [[MulWrap64]] multipliers, the HLL twin splits
+  * it into (bucket, rank). Spark's own `xxhash64` stays the production
+  * hash everywhere else (better avalanche); this kernel exists precisely
+  * because its fold is expressible in ANSI SQL big-integer arithmetic. */
+case class Fnv1a64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Fnv.hash64(v.asInstanceOf[UTF8String]
+      .getBytes)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Wrapping (mod 2⁶⁴) product of two longs — the modular-arithmetic seam
+  * ANSI mode closes: Spark 4 runs ANSI-on, so `a * b` in SQL throws on
+  * overflow and `try_multiply` nulls it, while the sketch twins NEED the
+  * ring Z/2⁶⁴ (multiply-shift bucket hashing, replayed by the oracle as
+  * `(a·b) % 2⁶⁴` in HUGEINT). Kept a separate two-arg kernel rather than
+  * folded into [[Fnv1a64]] so the multiplier stays a visible plan literal
+  * next to its oracle twin. */
+case class MulWrap64(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    a.asInstanceOf[Long] * b.asInstanceOf[Long]
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 private[functions] object SimHashVotes {
   def signature(text: UTF8String, hashToken: String => Long): Long = {
     val toks = text.toString.split(" ", -1)
@@ -685,14 +741,7 @@ case class SimHash64Fnv(child: Expression)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     SimHashVotes.signature(v.asInstanceOf[UTF8String], { tok =>
-      val bs = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
-      var j = 0
-      while (j < bs.length) {
-        h = (h ^ (bs(j) & 0xffL)) * 0x100000001b3L // FNV-1a 64 prime
-        j += 1
-      }
-      h
+      Fnv.hash64(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     })
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
