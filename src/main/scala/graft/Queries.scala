@@ -4063,22 +4063,26 @@ object Queries {
       .agg(max(col("rank")).as("reg"))
     val weekly = daily.groupBy(col("event_type"), col("wk"), col("bucket"))
       .agg(max(col("reg")).as("reg"))
-    val est = weekly.groupBy(col("event_type"), col("wk"))
-      .agg(count(lit(1)).as("n_buckets_hit"),
-        sum(col("reg")).as("reg_sum"),
+    // per-group estimate columns ride a WINDOW over the register table
+    // (partitions bounded by m = 32 rows) instead of a groupBy + self-join
+    // — the register pipeline is planned ONCE, not re-aggregated per leg
+    val g = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("wk"))
+    val est = weekly
+      .withColumn("n_buckets_hit", count(lit(1)).over(g))
+      .withColumn("reg_sum", sum(col("reg")).over(g))
+      .withColumn("z_hit",
         sum(expr("cast(shiftleft(cast(1 as bigint), 60 - reg) as decimal(19,0))"))
-          .as("z_hit"))
-      .select(col("event_type"), col("wk"), col("n_buckets_hit"), col("reg_sum"),
+          .over(g))
+      .withColumn("approx_users",
         expr("cast(cast('822872359640035678486528000' as decimal(38,0)) div " +
           "((z_hit + (32 - n_buckets_hit) * " +
-          "cast(1152921504606846976 as decimal(19,0))) * 1000000) as bigint)")
-          .as("approx_users"))
+          "cast(1152921504606846976 as decimal(19,0))) * 1000000) as bigint)"))
     val exact = t(spark, dir, "events")
       .groupBy(col("event_type"), wk.as("wk"))
       .agg(count_distinct(col("user_id")).as("exact_users"))
-    weekly
-      .join(est, Seq("event_type", "wk"))
-      .join(exact, Seq("event_type", "wk"))
+    est
+      .join(broadcast(exact), Seq("event_type", "wk"))
       .select(col("event_type"), col("wk"), col("bucket"),
         col("reg").cast(LongType).as("reg"), col("n_buckets_hit"),
         col("reg_sum"), col("approx_users"), col("exact_users"))
