@@ -27,6 +27,23 @@ package graft
   */
 object OracleSql {
 
+  /** The FNV-1a 64 fold as a DuckDB expression over `arg` (a VARCHAR SQL
+    * expression) — ONE fragment interpolated into every oracle that
+    * replays `functions.Fnv.hash64` (dedup_simhash_struct,
+    * vocab_cms_struct, agg_hll_struct), mirroring the Scala side's
+    * single-fold rule so the three twin tiers cannot drift onto
+    * different token hashes. The xor touches only the low byte, so it
+    * lifts to BIGINT and back; the whole fold stays in HUGEINT mod 2⁶⁴.
+    * Valid for ASCII-only text (the gated fixture coupling above). */
+  private def fnvSql(arg: String): String =
+    s"""list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length($arg) + 1),
+                 i -> CAST(ord(substr($arg, CAST(i AS INT), 1)) AS HUGEINT))),
+             (h, b) -> ((h // 256) * 256
+               + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+               * 1099511628211::HUGEINT % 18446744073709551616::HUGEINT)"""
+
   val sql: Map[String, String] = Map(
 
     "agg_group_count" ->
@@ -1363,7 +1380,7 @@ object OracleSql {
     // multi-index join — the PAIR SET hash-checks, which hard-gates the
     // banding machinery the xxhash64 tier can't
     "dedup_simhash_struct" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
            SELECT doc_id, u.tok
            FROM documents, unnest(string_split(text, ' ')) AS u(tok)),
          th AS (
@@ -1372,13 +1389,7 @@ object OracleSql {
                THEN hm - 18446744073709551616::HUGEINT ELSE hm END AS BIGINT) AS hb
            FROM (
              SELECT doc_id,
-               list_reduce(
-                 list_prepend(14695981039346656037::HUGEINT,
-                   list_transform(range(1, length(tok) + 1),
-                     i -> CAST(ord(substr(tok, CAST(i AS INT), 1)) AS HUGEINT))),
-                 (h, b) -> ((h // 256) * 256
-                   + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-                   * 1099511628211::HUGEINT % 18446744073709551616::HUGEINT) AS hm
+               ${fnvSql("tok")} AS hm
              FROM toks)),
          votes AS (
            SELECT doc_id, u.b AS bit,
@@ -1417,20 +1428,16 @@ object OracleSql {
     // counters, min-over-rows probe of the exact top-20 — every step
     // integer, value-exact vs the engine
     "vocab_cms_struct" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
            SELECT u.tok FROM documents, unnest(string_split(text, ' ')) AS u(tok)),
          th AS (
-           SELECT tok, list_reduce(
-               list_prepend(14695981039346656037::HUGEINT,
-                 list_transform(range(1, length(tok) + 1),
-                   i -> CAST(ord(substr(tok, CAST(i AS INT), 1)) AS HUGEINT))),
-               (h, b) -> ((h // 256) * 256
-                 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-                 * 1099511628211::HUGEINT % 18446744073709551616::HUGEINT) AS hu
+           SELECT tok, ${fnvSql("tok")} AS hu
            FROM toks),
          mults(r, a) AS (VALUES
-           (0, 42545250711::HUGEINT), (1, 52238552021::HUGEINT),
-           (2, 5995481881::HUGEINT), (3, 10694128369::HUGEINT)),
+           (0, ${Queries.CmsStructMults(0)}::HUGEINT),
+           (1, ${Queries.CmsStructMults(1)}::HUGEINT),
+           (2, ${Queries.CmsStructMults(2)}::HUGEINT),
+           (3, ${Queries.CmsStructMults(3)}::HUGEINT)),
          counters AS (
            SELECT r, (hu * a) % 18446744073709551616::HUGEINT
                // 18014398509481984::HUGEINT AS bucket,
@@ -1450,30 +1457,41 @@ object OracleSql {
          GROUP BY t.tok, t.exact_cnt
          ORDER BY t.exact_cnt DESC, t.tok""",
 
-    // STRUCTURAL HLL twin (round 7): FNV-1a of the user id scrambled by
-    // one multiply-shift (FNV of short sequential decimal ids clusters in
-    // the top bits — 4 of 32 buckets hit unscrambled), bucket = top 5
-    // bits, rank = 60 − bitlength of the low 59, registers = max per
-    // bucket, exact fixed-point raw estimate via HUGEINT floor division
-    // (822872359640035678486528000 = α₃₂·m²·2⁶⁰·10⁶ppm with α₃₂ = 0.697
-    // from the HLL paper's small-m table)
+    // STRUCTURAL HLL twin (round 7): FNV-1a of the user id finished by
+    // the splitmix64-style xorshift/multiply finalizer (Queries.
+    // hllMixedHash — FNV alone clusters on short sequential decimal ids;
+    // xor lifts to HUGEINT directly, unsigned shift is floor division by
+    // 2^k), bucket = top 5 bits, rank = 60 − bitlength of the low 59,
+    // registers = max per bucket, exact fixed-point raw estimate via
+    // HUGEINT floor division (822872359640035678486528000 =
+    // α₃₂·m²·2⁶⁰·10⁶ppm with α₃₂ = 0.697 from the HLL paper's small-m
+    // table)
     "agg_hll_struct" ->
-      """WITH ev AS (
+      s"""WITH ev AS (
            SELECT event_type,
              CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS wk,
              user_id
            FROM events),
+         th0 AS (
+           SELECT event_type, wk,
+             ${fnvSql("CAST(user_id AS VARCHAR)")} AS h
+           FROM ev),
+         th1 AS (
+           SELECT event_type, wk,
+             (xor(h, h // 1073741824::HUGEINT)
+               * ${Queries.CmsStructMults(0)}::HUGEINT)
+               % 18446744073709551616::HUGEINT AS h
+           FROM th0),
+         th2 AS (
+           SELECT event_type, wk,
+             (xor(h, h // 134217728::HUGEINT)
+               * ${Queries.CmsStructMults(1)}::HUGEINT)
+               % 18446744073709551616::HUGEINT AS h
+           FROM th1),
          th AS (
            SELECT event_type, wk,
-             list_reduce(list_prepend(14695981039346656037::HUGEINT,
-               list_transform(range(1, length(CAST(user_id AS VARCHAR)) + 1),
-                 i -> CAST(ord(substr(CAST(user_id AS VARCHAR),
-                   CAST(i AS INT), 1)) AS HUGEINT))),
-               (h, b) -> ((h // 256) * 256
-                 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-                 * 1099511628211::HUGEINT % 18446744073709551616::HUGEINT)
-               * 42545250711::HUGEINT % 18446744073709551616::HUGEINT AS hu
-           FROM ev),
+             xor(h, h // 2147483648::HUGEINT) AS hu
+           FROM th2),
          rk AS (
            SELECT event_type, wk,
              CAST(hu // 576460752303423488::HUGEINT AS BIGINT) AS bucket,

@@ -1603,18 +1603,22 @@ object Queries {
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
-  /** The four CMS row multipliers of [[vocabCmsStruct]] — 36-bit odd
-    * truncations of the splitmix64 / xxhash avalanche constants (public
-    * mixing literals), odd so h ↦ h·a is a bijection on Z/2⁶⁴, and sized
-    * ≤ 2³⁶ so the oracle's INT128 replay of `(h·a) mod 2⁶⁴` can never
-    * overflow (2⁶⁴·2³⁶ ≪ 2¹²⁷; the full 64-bit constants would need a
-    * 128-bit split the SQL has no room for). The wrap past 2⁶⁴ still
-    * folds h's high bits into the top-10-bit bucket. */
-  private val CmsStructMults = Seq(
-    42545250711L, // 0x9E3779B97 (golden-ratio prefix)
-    52238552021L, // 0xC2B2AE3D5
-    5995481881L,  // 0x165667B19
-    10694128369L) // 0x27D4EB2F1
+  /** The four CMS row multipliers of [[vocabCmsStruct]] (the first also
+    * scrambles [[aggHllStruct]]'s hash) — the TOP 36 BITS of the
+    * splitmix64 / xxhash avalanche constants (public mixing literals),
+    * low bit forced to 1: odd so h ↦ h·a is a bijection on Z/2⁶⁴, and
+    * sized ≤ 2³⁶ so the oracle's INT128 replay of `(h·a) mod 2⁶⁴` can
+    * never overflow (2⁶⁴·2³⁶ ≪ 2¹²⁷; the full 64-bit constants would
+    * need a 128-bit split the SQL has no room for). The wrap past 2⁶⁴
+    * still folds h's high bits into the top-10-bit bucket. THE single
+    * source: the DuckDB oracles interpolate these values and
+    * SketchStructSpec reads this field, so a drifted copy cannot pass
+    * the gate. */
+  private[graft] val CmsStructMults = Seq(
+    42470972311L, // 0x9E3779B97F4A7C15 >> 28 = 0x9E3779B97 (odd already)
+    52263838675L, // 0xC2B2AE3D27D4EB4F >> 28 | 1 = 0xC2B2AE3D3
+    5996182297L,  // 0x165667B19E3779F9 >> 28 = 0x165667B19 (odd already)
+    10692244209L) // 0x27D4EB2F165667C5 >> 28 = 0x27D4EB2F1 (odd already)
 
   /** STRUCTURAL Count-Min twin (round 7, the [[dedupSimhashStruct]]
     * precedent applied to the sketch tier): the identical
@@ -4039,19 +4043,33 @@ object Queries {
     * one (type, day, bucket) mergeable aggregate (≤ m rows per cell —
     * KB-sized state), weekly max over tiny tables; only the exact audit
     * column shuffles users, and production drops it. */
+  /** The HLL twin's 64-bit id hash: FNV-1a of the decimal id string,
+    * finished by a splitmix64-STYLE finalizer (xorshift 30 / multiply /
+    * xorshift 27 / multiply / xorshift 31, multipliers = the first two
+    * [[CmsStructMults]] so the oracle's INT128 products stay in range).
+    * FNV alone clusters on short sequential decimal ids — 4 of 32 buckets
+    * hit on the fixture — and a SINGLE multiply-shift scramble leaves the
+    * rank bits (leading zeros of the low 59) under-mixed: worst group
+    * estimate error measured 45.5% vs the finalizer's 22.9% at sf0.01
+    * (18.3% at sf0.1) against an rse of ~18% for m = 32. Every step is
+    * xor / unsigned-shift / wrapping-multiply — exactly replayable by the
+    * DuckDB oracle in HUGEINT (xor accepts HUGEINT; unsigned shift is
+    * floor division by 2ᵏ). Shared with SketchStructSpec so the spec can
+    * never drift onto a different scramble. */
+  private[graft] def hllMixedHash(id: Column): Column = {
+    def mul(c: Column, a: Long): Column =
+      call_function("graft_mulwrap64", c, lit(a))
+    def xs(c: Column, k: Int): Column = c.bitwiseXOR(shiftrightunsigned(c, k))
+    val h0 = call_function("graft_fnv1a64", id.cast(StringType))
+    xs(mul(xs(mul(xs(h0, 30), CmsStructMults(0)), 27), CmsStructMults(1)), 31)
+  }
+
   def aggHllStruct(spark: SparkSession, dir: String): DataFrame = {
     val mask59 = 576460752303423487L // 2^59 - 1
     val wk = expr("datediff(cast(ts as date), date'2024-01-01') div 7")
-    // FNV of short sequential decimal ids clusters in the top bits (4 of
-    // 32 buckets hit on the fixture) — one multiply-shift scramble
-    // (measured: 32/32 buckets, estimate −12% of exact at n=150) restores
-    // the uniformity the bucket split needs; 36-bit odd constant so the
-    // oracle's INT128 replay of the wrap cannot overflow
     val daily = t(spark, dir, "events")
       .select(col("event_type"), to_date(col("ts")).as("day"), wk.as("wk"),
-        call_function("graft_mulwrap64",
-          call_function("graft_fnv1a64", col("user_id").cast(StringType)),
-          lit(42545250711L)).as("h"))
+        hllMixedHash(col("user_id")).as("h"))
       .select(col("event_type"), col("day"), col("wk"),
         shiftrightunsigned(col("h"), 59).as("bucket"),
         (col("h") bitwiseAND lit(mask59)).as("rem"))

@@ -648,13 +648,6 @@ case class JaccardSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** The ONE SimHash vote-and-sign fold, shared by both signature
-  * expressions: split on single spaces, hash each token to 64 bits, vote
-  * ±1 per bit, sign the votes. The per-token hash is the ONLY degree of
-  * freedom — `dedup_simhash_struct`'s entire value is being a
-  * structurally identical twin of `dedup_simhash`, so the fold lives in
-  * exactly one place and a future vote-scheme edit cannot silently split
-  * the two tiers. */
 /** The ONE FNV-1a 64 fold, shared by the SimHash FNV signature and the
   * scalar [[Fnv1a64]] kernel: `h = (h XOR byte) · prime mod 2⁶⁴` over the
   * UTF-8 bytes, offset basis 0xcbf29ce484222325, prime 0x100000001b3.
@@ -707,6 +700,13 @@ case class MulWrap64(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** The ONE SimHash vote-and-sign fold, shared by both signature
+  * expressions: split on single spaces, hash each token to 64 bits, vote
+  * ±1 per bit, sign the votes. The per-token hash is the ONLY degree of
+  * freedom — `dedup_simhash_struct`'s entire value is being a
+  * structurally identical twin of `dedup_simhash`, so the fold lives in
+  * exactly one place and a future vote-scheme edit cannot silently split
+  * the two tiers. */
 private[functions] object SimHashVotes {
   def signature(text: UTF8String, hashToken: String => Long): Long = {
     val toks = text.toString.split(" ", -1)

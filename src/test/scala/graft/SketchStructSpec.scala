@@ -60,17 +60,17 @@ class SketchStructSpec extends AnyFunSuite {
     val toks = ops.Tables.table(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
     val n = toks.count()
+    // rebuilt from Queries.CmsStructMults — the SAME field the query and
+    // the interpolated oracle read, so a drifted multiplier copy cannot
+    // slip past this suite
+    assert(Queries.CmsStructMults.length == 4 &&
+      Queries.CmsStructMults.forall(a => a % 2 == 1 && a > 0 && a < (1L << 36)),
+      "CMS multipliers must be four odd 36-bit constants (INT128-safe oracle)")
     val counters = toks
       .select(col("tok"), call_function("graft_fnv1a64", col("tok")).as("h"))
-      .select(posexplode(array(
+      .select(posexplode(array(Queries.CmsStructMults.map(a =>
         shiftrightunsigned(
-          call_function("graft_mulwrap64", col("h"), lit(42545250711L)), 54),
-        shiftrightunsigned(
-          call_function("graft_mulwrap64", col("h"), lit(52238552021L)), 54),
-        shiftrightunsigned(
-          call_function("graft_mulwrap64", col("h"), lit(5995481881L)), 54),
-        shiftrightunsigned(
-          call_function("graft_mulwrap64", col("h"), lit(10694128369L)), 54)))
+          call_function("graft_mulwrap64", col("h"), lit(a)), 54)): _*))
         .as(Seq("r", "bucket")))
       .groupBy($"r", $"bucket").count()
     assert(counters.count() <= 4L * 1024L)
@@ -90,9 +90,7 @@ class SketchStructSpec extends AnyFunSuite {
     // makes daily->weekly rollup exact on sketch state, never raw data
     val ev = ops.Tables.table(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_type"),
-        call_function("graft_mulwrap64",
-          call_function("graft_fnv1a64", col("user_id").cast("string")),
-          lit(42545250711L)).as("h"))
+        Queries.hllMixedHash(col("user_id")).as("h"))
       .select(col("event_type"),
         shiftrightunsigned(col("h"), 59).as("bucket"),
         (col("h") bitwiseAND lit(576460752303423487L)).as("rem"))
@@ -112,11 +110,9 @@ class SketchStructSpec extends AnyFunSuite {
     // users) sit inside the raw estimator's validity regime n >= 2.5m=80:
     // measured worst |error| on the fixture is 20.6% (rse for m=32 is
     // ~18%); 35% is the alarm bound, not the expectation
-    val out = Queries.aggHllStruct(spark, "/root/testdata/sf0.01")
-      .select($"event_type", $"wk", $"approx_users", $"exact_users")
-      .distinct().collect()
-    assert(out.nonEmpty)
-    out.filter(_.getAs[Long]("exact_users") >= 80).foreach { r =>
+    val rows = Queries.aggHllStruct(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[Long]("exact_users") >= 80).foreach { r =>
       val (a, e) = (r.getAs[Long]("approx_users"), r.getAs[Long]("exact_users"))
       assert(math.abs(a - e).toDouble / e <= 0.35,
         s"HLL estimate $a strayed past 35% of exact $e for " +
@@ -125,8 +121,7 @@ class SketchStructSpec extends AnyFunSuite {
     // registers stay tiny: rank is bounded by the 59 hashed bits + 1, and
     // at fixture cardinality (~150) must sit far below the BIGINT-div
     // safety line discussed in the query doc (several regs >= 58)
-    val maxReg = Queries.aggHllStruct(spark, "/root/testdata/sf0.01")
-      .agg(max($"reg")).head().getLong(0)
+    val maxReg = rows.map(_.getAs[Long]("reg")).max
     assert(maxReg <= 40L, s"implausible register $maxReg on the fixture")
   }
 }
