@@ -3341,20 +3341,27 @@ object Queries {
       TempFiles.dir(s"${name}_${TempFiles.tag(dir)}"))
     val log = SnapLog.logDir(root)
     val built = log.resolve("_built")
-    if (!java.nio.file.Files.exists(built)) {
-      val weeks = Seq(("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15"),
-        ("2024-01-15", "2024-01-22"), ("2024-01-22", "2024-02-01"))
-      val entries = weeks.zipWithIndex.map { case ((lo, hi), i) =>
-        SnapLog.writeFile(
-          t(spark, dir, "events")
-            .filter(col("ts") >= lit(lo).cast(TimestampType) &&
-              col("ts") < lit(hi).cast(TimestampType)),
-          "ts", TempFiles.dir(s"${name}_build_${TempFiles.tag(dir)}/w$i"),
-          root.resolve(s"w$i.parquet"))
+    // build under the table lock: the exists-check-then-build sequence is
+    // check-then-act, and a concurrent gc or sibling builder in the same
+    // JVM must never interleave with a half-built fixture (a crash between
+    // commit and the sentinel rebuilds on the next call — harmless, the
+    // build is deterministic so files are replaced with identical bytes)
+    SnapLog.withTableLock(root) {
+      if (!java.nio.file.Files.exists(built)) {
+        val weeks = Seq(("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15"),
+          ("2024-01-15", "2024-01-22"), ("2024-01-22", "2024-02-01"))
+        val entries = weeks.zipWithIndex.map { case ((lo, hi), i) =>
+          SnapLog.writeFile(
+            t(spark, dir, "events")
+              .filter(col("ts") >= lit(lo).cast(TimestampType) &&
+                col("ts") < lit(hi).cast(TimestampType)),
+            "ts", TempFiles.dir(s"${name}_build_${TempFiles.tag(dir)}/w$i"),
+            root.resolve(s"w$i.parquet"))
+        }
+        SnapLog.commit(log, 1, entries.take(2))
+        SnapLog.commit(log, 2, entries)
+        java.nio.file.Files.write(built, "1".getBytes("UTF-8"))
       }
-      SnapLog.commit(log, 1, entries.take(2))
-      SnapLog.commit(log, 2, entries)
-      java.nio.file.Files.write(built, "1".getBytes("UTF-8"))
     }
     log
   }
@@ -3409,26 +3416,28 @@ object Queries {
                                 name: String = "tt_tbl"): java.nio.file.Path = {
     val log = ttLog(spark, dir, name)
     val root = log.getParent
-    if (!java.nio.file.Files.exists(log.resolve("v3.manifest"))) {
-      val v2 = SnapLog.read(log, 2)
-      val cutoff = lit("2024-01-22 00:00:00").cast(TimestampType)
-      // the cutoff is evaluated through the SESSION (pinned UTC at the
-      // Tables choke point), and file pruning compares it against the
-      // manifest's stats — no per-file scan, no JVM-default-timezone
-      // java.sql.Timestamp
-      val cutoffUs = spark.range(1)
-        .select(unix_micros(cutoff)).collect()(0).getLong(0)
-      val (touch, _) = v2.partition(_.maxUs >= cutoffUs)
-      val rewritten = touch.zipWithIndex.map { case (e, i) =>
-        val stem = java.nio.file.Paths.get(e.path).getFileName.toString
-          .stripSuffix(".parquet")
-        e.path -> SnapLog.writeFile(
-          spark.read.parquet(e.path)
-            .filter(!(col("event_type") === "error" && col("ts") >= cutoff)),
-          "ts", TempFiles.dir(s"${name}_cow_${TempFiles.tag(dir)}/r$i"),
-          root.resolve(s"${stem}r.parquet"))
-      }.toMap
-      SnapLog.commit(log, 3, v2.map(e => rewritten.getOrElse(e.path, e)))
+    SnapLog.withTableLock(root) {
+      if (!java.nio.file.Files.exists(log.resolve("v3.manifest"))) {
+        val v2 = SnapLog.read(log, 2)
+        val cutoff = lit("2024-01-22 00:00:00").cast(TimestampType)
+        // the cutoff is evaluated through the SESSION (pinned UTC at the
+        // Tables choke point), and file pruning compares it against the
+        // manifest's stats — no per-file scan, no JVM-default-timezone
+        // java.sql.Timestamp
+        val cutoffUs = spark.range(1)
+          .select(unix_micros(cutoff)).collect()(0).getLong(0)
+        val (touch, _) = v2.partition(_.maxUs >= cutoffUs)
+        val rewritten = touch.zipWithIndex.map { case (e, i) =>
+          val stem = java.nio.file.Paths.get(e.path).getFileName.toString
+            .stripSuffix(".parquet")
+          e.path -> SnapLog.writeFile(
+            spark.read.parquet(e.path)
+              .filter(!(col("event_type") === "error" && col("ts") >= cutoff)),
+            "ts", TempFiles.dir(s"${name}_cow_${TempFiles.tag(dir)}/r$i"),
+            root.resolve(s"${stem}r.parquet"))
+        }.toMap
+        SnapLog.commit(log, 3, v2.map(e => rewritten.getOrElse(e.path, e)))
+      }
     }
     log
   }
@@ -3447,16 +3456,18 @@ object Queries {
   def scanMergeOnRead(spark: SparkSession, dir: String): DataFrame = {
     val log = ttLog(spark, dir)
     val root = log.getParent
-    if (!java.nio.file.Files.exists(log.resolve("v4.manifest"))) {
-      val v2 = SnapLog.read(log, 2)
-      val delEntry = SnapLog.writeFile(
-        spark.read.parquet(SnapLog.dataPaths(v2): _*)
-          .filter(col("event_type") === "error" &&
-            col("ts") >= lit("2024-01-22 00:00:00").cast(TimestampType))
-          .select(col("event_id"), col("ts")),
-        "ts", TempFiles.dir(s"tt_mor_${TempFiles.tag(dir)}/d"),
-        root.resolve("deletes_v4.parquet"), kind = "delete")
-      SnapLog.commit(log, 4, v2 :+ delEntry)
+    SnapLog.withTableLock(root) {
+      if (!java.nio.file.Files.exists(log.resolve("v4.manifest"))) {
+        val v2 = SnapLog.read(log, 2)
+        val delEntry = SnapLog.writeFile(
+          spark.read.parquet(SnapLog.dataPaths(v2): _*)
+            .filter(col("event_type") === "error" &&
+              col("ts") >= lit("2024-01-22 00:00:00").cast(TimestampType))
+            .select(col("event_id"), col("ts")),
+          "ts", TempFiles.dir(s"tt_mor_${TempFiles.tag(dir)}/d"),
+          root.resolve("deletes_v4.parquet"), kind = "delete")
+        SnapLog.commit(log, 4, v2 :+ delEntry)
+      }
     }
     val v4e = SnapLog.read(log, 4)
     val deletes = spark.read.parquet(SnapLog.deletePaths(v4e): _*)
@@ -3516,7 +3527,10 @@ object Queries {
   def sinkVacuum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val log = ttEnsureV3(spark, dir)
-    val (nListed, nRef, nDel) = SnapLog.gc(log.getParent)
+    // graceMs = 0: the RETAIN-0 test idiom — the gate is single-process
+    // and the spec's planted orphan must be collected deterministically;
+    // production keeps gc's default grace window for in-flight writers
+    val (nListed, nRef, nDel) = SnapLog.gc(log.getParent, graceMs = 0L)
     Seq((nListed, nRef, nDel))
       .toDF("n_listed", "n_referenced", "n_deleted")
   }
@@ -3541,7 +3555,9 @@ object Queries {
     val latest = SnapLog.versions(log).max
     SnapLog.versions(log).filter(_ < latest).foreach(v =>
       java.nio.file.Files.deleteIfExists(log.resolve(s"v$v.manifest")))
-    SnapLog.gc(log.getParent)
+    // graceMs = 0 (RETAIN-0 test idiom): expiration must deterministically
+    // free the just-superseded pre-rewrite file in a single-process gate
+    SnapLog.gc(log.getParent, graceMs = 0L)
     spark.read.parquet(ttManifest(log, latest.toInt): _*)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
@@ -5086,7 +5102,8 @@ object Queries {
   def mergeSnapshot(spark: SparkSession, dir: String): DataFrame = {
     val log = ttLog(spark, dir, "tt_mrg_tbl")
     val root = log.getParent
-    if (!java.nio.file.Files.exists(log.resolve("v3.manifest"))) {
+    SnapLog.withTableLock(root) {
+     if (!java.nio.file.Files.exists(log.resolve("v3.manifest"))) {
       val v2 = SnapLog.read(log, 2)
       val cutoff = lit("2024-01-22 00:00:00").cast(TimestampType)
       val ev = t(spark, dir, "events")
@@ -5105,6 +5122,12 @@ object Queries {
       val bnd = ev.filter(col("ts") >= cutoff)
         .agg(min(unix_micros(col("ts"))).as("mn"),
           max(unix_micros(col("ts"))).as("mx")).collect()(0)
+      if (bnd.isNullAt(0)) {
+        // empty merge batch (no source rows in range): the correct MERGE
+        // is a no-op — v3 = v2 structurally, zero rewrites, zero inserts
+        // (getLong on the null aggregate row would otherwise NPE)
+        SnapLog.commit(log, 3, v2)
+      } else {
       val (loUs, hiUs) = (bnd.getLong(0), bnd.getLong(1))
       val (touch, keep) = v2.partition(e => e.maxUs >= loUs && e.minUs <= hiUs)
       val rewritten = touch.zipWithIndex.map { case (e, i) =>
@@ -5123,6 +5146,8 @@ object Queries {
         TempFiles.dir(s"tt_mrg_ins_${TempFiles.tag(dir)}/ins"),
         root.resolve("merge_ins.parquet"))
       SnapLog.commit(log, 3, keep ++ rewritten :+ insEntry)
+      }
+     }
     }
     def snapshot(v: Int): DataFrame =
       spark.read.parquet(ttManifest(log, v): _*)
@@ -5172,19 +5197,23 @@ object Queries {
       TempFiles.dir(s"opt_tbl_${TempFiles.tag(dir)}"))
     val log = SnapLog.logDir(root)
     val built = log.resolve("_built")
-    if (!java.nio.file.Files.exists(built)) {
+    SnapLog.withTableLock(root) {
+     if (!java.nio.file.Files.exists(built)) {
       val data0 = root.resolve("land").toString
-      t(spark, dir, "events")
+      val landed = t(spark, dir, "events")
         .withColumn("slice",
           expr("""CASE WHEN datediff(cast(ts as date), date'2024-01-01') < 7
                   THEN 0 ELSE datediff(cast(ts as date), date'2024-01-01')
                   END"""))
-        .repartition(col("slice"))
+      landed.repartition(col("slice"))
         .write.mode("overwrite").partitionBy("slice").parquet(data0)
-      // one distributed stats pass over the landed files (no per-file jobs)
-      val stats = spark.read.parquet(data0)
-        .select(regexp_replace(input_file_name(), "^file:(//)?", "")
-            .as("path"),
+      // one distributed stats pass over the landed files (no per-file
+      // jobs); the explicit schema keeps the read legal when the source
+      // lands ZERO rows (schema inference fails on a fileless layout) —
+      // OPTIMIZE of an empty table must commit an empty snapshot, not
+      // crash
+      val stats = spark.read.schema(landed.schema).parquet(data0)
+        .select(SnapLog.localPath(input_file_name()).as("path"),
           unix_micros(col("ts")).as("us"))
         .groupBy(col("path"))
         .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
@@ -5203,9 +5232,11 @@ object Queries {
       SnapLog.commit(log, 1, v1)
       // OPTIMIZE → v2: FFD bin-pack by physical size; budget = 1.1× the
       // largest file, so the pre-compacted week file stays a singleton
+      // (an empty v1 packs into zero bins — `max` never runs on empty)
       val sized = v1.map(e =>
         e -> java.nio.file.Files.size(java.nio.file.Paths.get(e.path)))
-      val budget = (sized.map(_._2).max * 11) / 10
+      val budget =
+        if (sized.isEmpty) 0L else (sized.map(_._2).max * 11) / 10
       val bins = scala.collection.mutable.ArrayBuffer
         .empty[(scala.collection.mutable.ArrayBuffer[SnapEntry], Long)]
       sized.sortBy(-_._2).foreach { case (e, sz) =>
@@ -5223,6 +5254,7 @@ object Queries {
       }.toSeq
       SnapLog.commit(log, 2, v2)
       java.nio.file.Files.write(built, "1".getBytes("UTF-8"))
+     }
     }
     log
   }
@@ -5260,8 +5292,8 @@ object Queries {
       array((0 until 3).map(i => pmod(hash(key, lit(i)), lit(m))): _*)
     if (!java.nio.file.Files.exists(idxDir.resolve("_SUCCESS"))) {
       spark.read.parquet(files: _*)
-        .select(regexp_replace(input_file_name(), "^file:(//)?", "")
-            .as("path"), col("event_id"))
+        .select(SnapLog.localPath(input_file_name()).as("path"),
+          col("event_id"))
         .select(col("path"), explode(positions(col("event_id"))).as("pos"))
         .select(col("path"), (col("pos") / 64).cast(IntegerType).as("word"),
           expr("shiftleft(1L, int(pos % 64))").as("mask"))
@@ -5293,7 +5325,7 @@ object Queries {
     val perKey = targets.map(key => key -> files.filter(f =>
       probes(key).forall { case (w, msk) =>
         (idx.getOrElse(f, Map.empty).getOrElse(w, 0L) & msk) != 0L }))
-    scanBloomCandidates.set(perKey.map(_._2.size).sum)
+    scanBloomCandidates.put(dir, perKey.map(_._2.size).sum)
     val candidates = perKey.flatMap(_._2).distinct
     spark.read.parquet(candidates: _*)
       .filter(col("event_id").isin(targets: _*))
@@ -5302,11 +5334,12 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
-  /** Last lookup's total per-key candidate-file count (spec
-    * observability: ≈ #keys when the filters prune; #keys × #files when
-    * they don't). */
+  /** Per-SF-dir total per-key candidate-file count of the last lookup
+    * (spec observability: ≈ #keys when the filters prune; #keys × #files
+    * when they don't). Keyed by dir so concurrent or interleaved runs on
+    * different scale factors cannot overwrite each other's reading. */
   private[graft] val scanBloomCandidates =
-    new java.util.concurrent.atomic.AtomicInteger(-1)
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
   /** K15 — ROLLBACK / RESTORE: revert the table to an earlier snapshot
     * by committing the OLD version's entries as the NEW head (Delta's

@@ -70,10 +70,14 @@ object SinkDdl {
                 props: java.util.Properties = new java.util.Properties,
                 mode: SaveMode = SaveMode.Overwrite): Unit = {
     val ready = jdbcReady(df)
-    val overrides = ready.schema.fields.collect {
-      case f if f.dataType == StringType =>
-        val width = if (f.name.toLowerCase.contains("url")) 2048 else 256
-        s"${f.name} VARCHAR($width)"
+    // width policy comes from the ORIGINAL schema through the ONE rule
+    // ([[sqlType]] — previously an inline copy that could silently
+    // diverge): only originally-string columns get bounded VARCHARs. A
+    // column [[jdbcReady]] JSON-serialized from a nested type keeps the
+    // dialect's unbounded string default (Derby CLOB — the SUPER analog):
+    // a 1 KB serialized struct must not hit a VARCHAR(256) wall.
+    val overrides = df.schema.fields.collect {
+      case f if f.dataType == StringType => s"${f.name} ${sqlType(f)}"
     }.mkString(", ")
     val w = ready.write.mode(mode).option("batchsize", 1000)
     (if (overrides.nonEmpty) w.option("createTableColumnTypes", overrides)

@@ -25,12 +25,40 @@ object SnapLog {
 
   def logDir(root: Path): Path = root.resolve("log")
 
+  /** Strip the `file:`/`file://` scheme `input_file_name()` reports so the
+    * path compares equal to the manifest's `Path.toString` form — the ONE
+    * normalization (previously pasted into both the OPTIMIZE stats pass
+    * and the bloom-index builder; a drifted copy silently stops matching
+    * manifest entries instead of erroring). */
+  def localPath(uri: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(uri, "^file:(//)?", "")
+
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Serialize same-JVM mutations of one table root (fixture builds, GC):
+    * every manifest-exists-then-build sequence and every [[gc]] runs under
+    * the root's lock, closing the check-then-act races between concurrent
+    * sessions of ONE JVM (the gate's world — the repo documents that two
+    * sbt processes against the repo are unsupported). Cross-PROCESS
+    * writers need what production object stores provide anyway:
+    * conditional PUT / rename-if-absent at the commit, plus [[gc]]'s
+    * modification-time grace window for in-flight files. */
+  def withTableLock[T](root: Path)(f: => T): T =
+    tableLocks.computeIfAbsent(root.toAbsolutePath.normalize.toString,
+      _ => new Object).synchronized(f)
+
   /** Commit version `v`: staging write + atomic move (readers see the
     * old log or the new one, never a partial file). Re-committing the
-    * same version replaces it — the batchId-keyed exactly-once seam. */
+    * same version replaces it — the batchId-keyed exactly-once seam. The
+    * staging file is UNIQUE per call (not `.v$v.staging`): two concurrent
+    * committers of the same version must each publish a complete
+    * manifest, never one mover racing the other's in-progress write (a
+    * truncation landing on a newline boundary would read as a silently
+    * shorter snapshot). */
   def commit(log: Path, v: Long, entries: Seq[SnapEntry]): Unit = {
     Files.createDirectories(log)
-    val staged = log.resolve(s".v$v.staging")
+    val staged = Files.createTempFile(log, s".v$v-", ".staging")
     Files.write(staged, entries.map(e =>
       s"${e.kind}\t${e.minUs}\t${e.maxUs}\t${e.path}")
       .mkString("\n").getBytes("UTF-8"))
@@ -96,18 +124,39 @@ object SnapLog {
 
   /** Reachability GC: delete every `.parquet` directly under `root` that
     * no surviving manifest entry (data OR delete) references. Returns
-    * (nListed, nReferenced, nDeleted). */
-  def gc(root: Path): (Long, Long, Long) = {
-    val log = logDir(root)
-    val referenced = versions(log).flatMap(v => read(log, v))
-      .map(_.path).toSet
-    val s = Files.list(root)
-    val physical = try s.iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet"))
-      .map(_.toString).toVector
-    finally s.close()
-    val garbage = physical.filterNot(referenced.contains)
-    garbage.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    (physical.size.toLong, referenced.size.toLong, garbage.size.toLong)
-  }
+    * (nListed, nReferenced, nDeleted).
+    *
+    * `graceMs` is the Delta-style retention window: an UNREFERENCED file
+    * modified within the last `graceMs` is spared, because "unreferenced"
+    * may mean "moved into root by a writer whose manifest has not
+    * committed yet" — collecting it would let the imminent commit
+    * reference a deleted file and permanently poison the table (the
+    * vN-exists build guards never rebuild). Same-JVM writers are already
+    * excluded by [[withTableLock]]; the grace covers cross-process
+    * writers, exactly like `VACUUM ... RETAIN`. Gate call sites that
+    * assert file effects deterministically pass `graceMs = 0` (the
+    * RETAIN-0-HOURS test idiom) — safe there because the gate is
+    * single-process. A concurrently EXPIRED manifest (listed, then
+    * deleted before read) is treated as expired: its references simply
+    * don't count. */
+  def gc(root: Path, graceMs: Long = 20L * 60 * 1000): (Long, Long, Long) =
+    withTableLock(root) {
+      val log = logDir(root)
+      val referenced = versions(log).flatMap { v =>
+        try read(log, v)
+        catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
+      }.map(_.path).toSet
+      val s = Files.list(root)
+      val physical = try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(_.toString).toVector
+      finally s.close()
+      val cutoff = System.currentTimeMillis() - graceMs
+      val garbage = physical.filterNot(referenced.contains).filter { p =>
+        try Files.getLastModifiedTime(Paths.get(p)).toMillis <= cutoff
+        catch { case _: java.nio.file.NoSuchFileException => false }
+      }
+      garbage.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      (physical.size.toLong, referenced.size.toLong, garbage.size.toLong)
+    }
 }

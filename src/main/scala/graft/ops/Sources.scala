@@ -58,7 +58,10 @@ object Sources {
                             schema: Option[StructType] = None): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
-    val inner: Dataset[String] = lines
+    // normalize the column name: a Dataset[String] arriving from a select
+    // of an arbitrarily-named column is just as legal as one from .as[String]
+    // on a "value" frame (the sibling readNdjsonLines accepts both)
+    val inner: Dataset[String] = lines.toDF("value")
       .select(from_json(concat(lit("{\"v\":"), col("value"), lit("}")),
         StructType(Seq(StructField("v", StringType)))).getField("v").as("v"))
       .as[String]

@@ -65,7 +65,7 @@ class WaveRSpec extends AnyFunSuite {
     "zero false negatives vs the direct scan") {
     val viaBloom = Queries.scanBloomSkip(spark, sf).collect()
     val nKeys = viaBloom.length
-    val cand = Queries.scanBloomCandidates.get()
+    val cand = Queries.scanBloomCandidates.get(sf)
     assert(cand >= nKeys, "every present key must hit its own file")
     assert(cand <= 2 * nKeys,
       s"bloom should prune to ~1 file/key: $cand candidates for $nKeys keys " +
@@ -111,5 +111,33 @@ class WaveRSpec extends AnyFunSuite {
     val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
     assert(v2.filter(col("ingest_src").isNull && col("ts") >= cutoff).count() == 0)
     assert(v2.filter(col("ingest_src").isNotNull && col("ts") < cutoff).count() == 0)
+  }
+
+  test("SnapLog.gc grace window spares a FRESH unreferenced file (an " +
+    "in-flight writer's moved-but-uncommitted data) and collects it once " +
+    "aged past the window") {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(ops.TempFiles.dir("gc_grace_tbl"))
+    Files.createDirectories(root)
+    ops.SnapLog.commit(ops.SnapLog.logDir(root), 1, Seq(
+      ops.SnapEntry("data", 0L, 0L, root.resolve("kept.parquet").toString)))
+    Files.write(root.resolve("kept.parquet"), Array[Byte](1))
+    val orphan = root.resolve("inflight.parquet")
+    Files.write(orphan, Array[Byte](1))
+    // fresh orphan inside the grace window: spared (the round-7 review
+    // scenario — writeFile has landed the file, commit hasn't run yet;
+    // collecting it would poison the imminent manifest forever)
+    val (_, _, del1) = ops.SnapLog.gc(root, graceMs = 60000L)
+    assert(del1 == 0L && Files.exists(orphan),
+      "gc collected a file younger than the grace window")
+    // age it past the window (the spec plants mtime in the past exactly
+    // like RETAIN-0 tests do): now it is garbage
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    val (_, _, del2) = ops.SnapLog.gc(root, graceMs = 60000L)
+    assert(del2 == 1L && !Files.exists(orphan) &&
+      Files.exists(root.resolve("kept.parquet")),
+      "gc must collect the aged orphan and keep every referenced file")
   }
 }
