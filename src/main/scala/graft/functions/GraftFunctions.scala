@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -143,8 +144,12 @@ object GraftFunctions {
   * least one shared fingerprint, and fingerprints are position-independent —
   * the rolling-hash fingerprint the plagiarism/near-dup literature uses,
   * complementing the exact md5 fingerprint and the MinHash sketch. The
-  * rolling hash is a single pass; the window minimum is the simple
-  * O(text·w) scan (w is small; a monotone deque would make it linear). */
+  * rolling hash is a single pass; the window minimum is a monotone deque
+  * (amortized O(1) per window — each gram index enters and leaves the
+  * deque once), so the whole kernel is linear in the text. Rightmost-min
+  * tie-breaking falls out of evicting on `>=`: an equal hash arriving
+  * later replaces the earlier one, so the deque head is always the
+  * rightmost minimum of the live window. */
 case class Winnow(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -170,22 +175,21 @@ case class Winnow(child: Expression, k: Int, w: Int)
       hs(i) = h
       i += 1
     }
-    // winnow: min of each w-window of gram hashes, rightmost min on ties
+    // winnow: min of each w-window of gram hashes, rightmost min on ties,
+    // via a monotone deque of indices (values strictly increasing from
+    // head to tail; evict-on->= keeps the RIGHTMOST of equal hashes)
     val sel = new java.util.TreeSet[java.lang.Long]()
-    if (nGrams <= w) {
-      var m = 0
-      i = 1
-      while (i < nGrams) { if (hs(i) <= hs(m)) m = i; i += 1 }
-      sel.add(hs(m))
-    } else {
-      var start = 0
-      while (start + w <= nGrams) {
-        var m = start
-        i = start + 1
-        while (i < start + w) { if (hs(i) <= hs(m)) m = i; i += 1 }
-        sel.add(hs(m))
-        start += 1
-      }
+    val win = if (nGrams <= w) nGrams else w // short text: one full window
+    val dq = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // exclusive
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - win) head += 1 // slid out of the window
+      if (i >= win - 1) sel.add(hs(dq(head)))
+      i += 1
     }
     val out = new Array[Any](sel.size)
     val it = sel.iterator()
@@ -678,6 +682,15 @@ private[functions] object Fnv {
 case class Fnv1a64(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  // analysis-time contract (round-8 ADVICE): a mistyped call like
+  // graft_fnv1a64(42) must fail at analysis with the argument named, not
+  // executor-side with a ClassCastException. checkInputDataTypes is the
+  // repo's seam for this (ExpectsInputTypes needs AbstractDataType, which
+  // is private[sql] at the Scala level in Spark 4 — see ReservoirQuantile).
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_fnv1a64: argument must be STRING, got ${child.dataType.sql}")
   override def nullSafeEval(v: Any): Any =
     Fnv.hash64(v.asInstanceOf[UTF8String]
       .getBytes)
@@ -694,6 +707,15 @@ case class Fnv1a64(child: Expression)
 case class MulWrap64(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  // analysis-time contract (round-8 ADVICE): both operands must already be
+  // BIGINT — graft_mulwrap64('x', 1) names the bad argument at analysis
+  // instead of throwing ClassCastException mid-job.
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(("left", left), ("right", right)).collectFirst {
+      case (n, e) if e.dataType != LongType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_mulwrap64: argument '$n' must be BIGINT, got ${e.dataType.sql}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
   override def nullSafeEval(a: Any, b: Any): Any =
     a.asInstanceOf[Long] * b.asInstanceOf[Long]
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =

@@ -34,14 +34,23 @@ final class ReservoirState(val k: Int) {
   * The sketch keeps the k rows with the smallest content-hash keys — a
   * uniform sample of the group that is a pure FUNCTION OF THE DATA, not
   * of partitioning or arrival order: "k smallest by (hash, value)" is
-  * associative, commutative and idempotent under merge (top-k of a union
-  * = top-k of per-side top-ks — the same algebra `stream_sample` folds
-  * through versioned state), so partial aggregation, shuffles, retries
-  * and ANY batching produce the identical sample, and therefore the
-  * identical quantile estimate — which is why the estimate can be
+  * associative and commutative over the DISJOINT partials Spark's
+  * aggregation actually produces (top-k of a disjoint union = top-k of
+  * per-side top-ks — the same algebra `stream_sample` folds through
+  * versioned state), so partial aggregation, shuffles, retries and ANY
+  * batching of the input rows produce the identical MULTISET sample —
+  * duplicate input rows are duplicate sample entries by design, exactly
+  * as a single-partition run would keep them — and therefore the
+  * identical quantile estimate, which is why the estimate can be
   * hash-checked against an independent engine instead of carrying a
-  * tolerance. eval() interpolates the p-quantile over the sample's
-  * sorted values exactly like SQL `percentile_cont`.
+  * tolerance. The merge is NOT idempotent: merging two states that
+  * contain the SAME row's entry counts it twice (the heap is a
+  * multiset). No Spark execution path ever merges overlapping states —
+  * each input row lands in exactly one partial — so idempotence is
+  * neither provided nor required; callers hand-merging states they
+  * built themselves must keep the inputs disjoint (spec-pinned in
+  * ReservoirMergeSpec). eval() interpolates the p-quantile over the
+  * sample's sorted values exactly like SQL `percentile_cont`.
   *
   * State is k-bounded forever (k·~40 bytes); a 100 TB group costs the
   * same state as a 100-row group. One pass, map-side partials, no sort

@@ -58,12 +58,65 @@ object SnapLog {
     * shorter snapshot). */
   def commit(log: Path, v: Long, entries: Seq[SnapEntry]): Unit = {
     Files.createDirectories(log)
-    val staged = Files.createTempFile(log, s".v$v-", ".staging")
-    Files.write(staged, entries.map(e =>
-      s"${e.kind}\t${e.minUs}\t${e.maxUs}\t${e.path}")
-      .mkString("\n").getBytes("UTF-8"))
+    val staged = stage(log, v, entries)
     Files.move(staged, log.resolve(s"v$v.manifest"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Write the manifest body to a unique `.staging` temp file and return
+    * it. On ANY failure the temp file is deleted before rethrowing — a
+    * crashed committer must not leave `.vN-*.staging` litter for the
+    * table's lifetime (round-8 ADVICE; [[gc]] additionally sweeps staging
+    * files orphaned by a hard process kill, which no finally can cover). */
+  private def stage(log: Path, v: Long, entries: Seq[SnapEntry]): Path = {
+    val staged = Files.createTempFile(log, s".v$v-", ".staging")
+    try {
+      Files.write(staged, entries.map(e =>
+        s"${e.kind}\t${e.minUs}\t${e.maxUs}\t${e.path}")
+        .mkString("\n").getBytes("UTF-8"))
+      staged
+    } catch { case t: Throwable =>
+      try Files.deleteIfExists(staged) catch { case _: Throwable => () }
+      throw t
+    }
+  }
+
+  /** Cross-PROCESS commit: publish `entries` at the NEXT free version and
+    * return it. The publish primitive is `Files.createLink(manifest,
+    * staged)` — the local-filesystem analog of an object store's
+    * conditional PUT: link(2) creates the target name ATOMICALLY and
+    * fails with EEXIST if it is already taken, and the linked content is
+    * the fully-written staging file, so readers never observe a partial
+    * manifest. (A `Files.move` without `REPLACE_EXISTING` would NOT do:
+    * it is exists-check-then-rename, and POSIX rename() silently replaces
+    * — the exact torn/overwritten-version race this method exists to
+    * close.) If another process (or thread — no JVM lock is involved)
+    * publishes the same version first, this committer re-lists and
+    * retries at the next version, so two racing committers land v and
+    * v+1. Use [[commit]] only for the batchId-keyed exactly-once seam,
+    * where REPLACING one's own version is the contract; use this for
+    * optimistic multi-writer append, the Delta/Iceberg commit-protocol
+    * shape. */
+  def commitNext(log: Path, entries: Seq[SnapEntry],
+                 maxAttempts: Int = 64): Long = {
+    Files.createDirectories(log)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = versions(log).lastOption.getOrElse(0L) + 1
+      val staged = stage(log, v, entries)
+      try {
+        Files.createLink(log.resolve(s"v$v.manifest"), staged)
+        Files.deleteIfExists(staged)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(staged) // lost the race; advance and retry
+          attempt += 1
+      }
+    }
+    sys.error(s"commitNext: lost $maxAttempts consecutive version races " +
+      s"under $log — a livelocked writer storm; raise maxAttempts or " +
+      "serialize the committers")
   }
 
   def read(log: Path, v: Long): Seq[SnapEntry] =
@@ -157,6 +210,21 @@ object SnapLog {
         catch { case _: java.nio.file.NoSuchFileException => false }
       }
       garbage.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      // staging-file sweep (round-8 ADVICE): a committer killed between
+      // createTempFile and the publish leaves `.vN-*.staging` in log/
+      // forever — commit()'s own try/finally cannot cover a hard kill.
+      // The same grace window spares an in-flight committer's fresh file.
+      if (Files.exists(log)) {
+        val ls = Files.list(log)
+        val stale = try ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".staging"))
+          .filter { p =>
+            try Files.getLastModifiedTime(p).toMillis <= cutoff
+            catch { case _: java.nio.file.NoSuchFileException => false }
+          }.toVector
+        finally ls.close()
+        stale.foreach(p => Files.deleteIfExists(p))
+      }
       (physical.size.toLong, referenced.size.toLong, garbage.size.toLong)
     }
 }

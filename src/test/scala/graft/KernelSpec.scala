@@ -191,6 +191,66 @@ class KernelSpec extends AnyFunSuite {
     assert(again == fps("base"))
   }
 
+  test("winnow's monotone-deque window minimum equals the naive " +
+    "O(text*w) scan it replaced, on tie-heavy and random inputs") {
+    // the naive reference: min of each w-window of gram hashes,
+    // rightmost index on ties — the pre-round-8 implementation verbatim
+    def naive(text: String, k: Int, w: Int): Set[Long] = {
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      if (n < k) return Set.empty
+      val B = 1000003L
+      var pow = 1L; var i = 1
+      while (i < k) { pow *= B; i += 1 }
+      val nGrams = n - k + 1
+      val hs = new Array[Long](nGrams)
+      var h = 0L; i = 0
+      while (i < k) { h = h * B + (bytes(i) & 0xFF); i += 1 }
+      hs(0) = h; i = 1
+      while (i < nGrams) {
+        h = (h - (bytes(i - 1) & 0xFF) * pow) * B + (bytes(i + k - 1) & 0xFF)
+        hs(i) = h; i += 1
+      }
+      val sel = scala.collection.mutable.Set[Long]()
+      if (nGrams <= w) {
+        var m = 0; i = 1
+        while (i < nGrams) { if (hs(i) <= hs(m)) m = i; i += 1 }
+        sel += hs(m)
+      } else {
+        var start = 0
+        while (start + w <= nGrams) {
+          var m = start; i = start + 1
+          while (i < start + w) { if (hs(i) <= hs(m)) m = i; i += 1 }
+          sel += hs(m)
+          start += 1
+        }
+      }
+      sel.toSet
+    }
+    def deque(text: String, k: Int, w: Int): Set[Long] =
+      graft.functions.Winnow(
+        org.apache.spark.sql.catalyst.expressions.Literal(text), k, w)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSet
+    val rnd = new scala.util.Random(8L) // deterministic
+    // tie-heavy alphabets ("ababab…") make identical k-grams recur, so
+    // equal hashes share windows and the rightmost-tie rule is exercised
+    val alphabets = Seq("ab", "abc", "abcdefghijklmnopqrstuvwxyz ")
+    for (_ <- 1 to 200) {
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      val len = rnd.nextInt(120)
+      val text = Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+      val k = 1 + rnd.nextInt(6)
+      val w = 1 + rnd.nextInt(8)
+      assert(deque(text, k, w) == naive(text, k, w),
+        s"winnow mismatch for k=$k w=$w text='$text'")
+    }
+    // pinned degenerate shapes
+    assert(deque("", 5, 4) == naive("", 5, 4))
+    assert(deque("abc", 5, 4) == naive("abc", 5, 4))   // text shorter than k
+    assert(deque("aaaaaaaaaa", 2, 3) == naive("aaaaaaaaaa", 2, 3)) // all ties
+  }
+
   test("simhash of identical texts is identical; near texts are near") {
     val df = Seq(
       ("a", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),

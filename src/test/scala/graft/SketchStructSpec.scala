@@ -34,12 +34,43 @@ class SketchStructSpec extends AnyFunSuite {
         .asInstanceOf[Long]
     assert(mw(Long.MaxValue, 2L) == -2L) // wraps, never throws
     assert(mw(0x9E3779B97F4A7C15L, 1L) == 0x9E3779B97F4A7C15L)
-    // ANSI-on SQL multiply of the same operands throws — the reason the
-    // kernel exists; if this starts passing, ANSI got turned off and the
-    // kernel (plus every oracle that assumes wrapping) should be re-audited
-    intercept[Exception] {
+    // ANSI-on SQL multiply of the same operands throws ARITHMETIC_OVERFLOW
+    // — the reason the kernel exists; if this starts passing, ANSI got
+    // turned off and the kernel (plus every oracle that assumes wrapping)
+    // should be re-audited. Intercepting the SPECIFIC exception (round-8
+    // ADVICE): a parse error or missing session must fail the test, not
+    // masquerade as the overflow signal.
+    // (SparkArithmeticException itself is private[spark] at the Scala
+    // level; ArithmeticException + the ARITHMETIC_OVERFLOW condition is
+    // the public contract)
+    val e = intercept[ArithmeticException] {
       spark.sql(s"SELECT ${Long.MaxValue}L * 2L").collect()
     }
+    assert(e.isInstanceOf[org.apache.spark.SparkThrowable] &&
+      e.asInstanceOf[org.apache.spark.SparkThrowable]
+        .getCondition == "ARITHMETIC_OVERFLOW",
+      s"expected the ANSI overflow error class, got: $e")
+  }
+
+  test("mistyped kernel calls fail at ANALYSIS with the argument named, " +
+    "never executor-side with a ClassCastException (round-8 ADVICE)") {
+    val bad1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_fnv1a64(42)").collect()
+    }
+    assert(bad1.getMessage.contains("must be STRING"), bad1.getMessage)
+    val bad2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_mulwrap64('x', 1L)").collect()
+    }
+    assert(bad2.getMessage.contains("'left' must be BIGINT"), bad2.getMessage)
+    val bad3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_mulwrap64(1L, 'x')").collect()
+    }
+    assert(bad3.getMessage.contains("'right' must be BIGINT"), bad3.getMessage)
+    // well-typed calls still work through the same SQL surface
+    val ok = spark.sql(
+      "SELECT graft_fnv1a64('a') AS f, graft_mulwrap64(2L, 3L) AS m")
+      .collect().head
+    assert(ok.getLong(0) == 0xaf63dc4c8601ec8cL && ok.getLong(1) == 6L)
   }
 
   test("vocab_cms_struct: CMS never underestimates and the counter table " +

@@ -98,6 +98,41 @@ class WaveNSpec extends AnyFunSuite {
     assert(est(1) == est(13))
   }
 
+  test("ReservoirQuantile merge contract (round-8 ADVICE): exact over " +
+    "DISJOINT partials — duplicate input rows are multiset entries — and " +
+    "explicitly NOT idempotent for overlapping states") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = graft.functions.ReservoirQuantile(
+      Literal.create("x", org.apache.spark.sql.types.StringType),
+      Literal(0L), k = 4, p = 0.5)
+    def state(rows: (String, Long)*): graft.functions.ReservoirState = {
+      val st = agg.createAggregationBuffer()
+      rows.foreach { case (h, v) => st.insert(h, v) }
+      st
+    }
+    // DISJOINT partials: merge == one partial over the concatenation,
+    // including a (hash, value) pair duplicated ACROSS the partials —
+    // two identical input rows are two sample entries, exactly as a
+    // single-partition run keeps them (multiset semantics)
+    val left = state(("a", 10L), ("b", 20L))
+    val right = state(("a", 10L), ("c", 30L)) // same row content, other split
+    val together = state(("a", 10L), ("b", 20L), ("a", 10L), ("c", 30L))
+    val merged = agg.merge(left, right)
+    assert(merged.heap.toSeq.sorted == together.heap.toSeq.sorted,
+      "disjoint-partial merge must equal the single-partial fold")
+    assert(merged.heap.toSeq.count(_ == ("a", 10L)) == 2,
+      "duplicate input rows are duplicate multiset entries by design")
+    // OVERLAPPING states (never produced by Spark's aggregation): merging
+    // a state with a copy of itself double-counts — the documented
+    // non-idempotence; if this ever becomes dedup-on-merge, the multiset
+    // semantics above silently break, so both directions are pinned
+    val s1 = state(("a", 10L), ("b", 20L))
+    val s2 = state(("a", 10L), ("b", 20L))
+    val self = agg.merge(s1, s2)
+    assert(self.heap.size == 4,
+      "overlapping-state merge is out of contract and double-counts")
+  }
+
   test("vocab_zipf_fit equals the driver-side log-log OLS over the " +
     "frequency-ranked vocabulary, and the exponent is negative") {
     val toks = ops.Tables.table(spark, sf, "documents")

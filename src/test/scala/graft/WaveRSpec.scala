@@ -140,4 +140,70 @@ class WaveRSpec extends AnyFunSuite {
       Files.exists(root.resolve("kept.parquet")),
       "gc must collect the aged orphan and keep every referenced file")
   }
+
+  test("SnapLog.gc sweeps a STALE orphaned .staging file (a committer " +
+    "killed mid-commit) and spares a fresh in-flight one") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = Paths.get(ops.TempFiles.dir("gc_staging_tbl"))
+    val log = ops.SnapLog.logDir(root)
+    Files.createDirectories(log)
+    ops.SnapLog.commit(log, 1, Seq.empty)
+    val stale = Files.createTempFile(log, ".v2-", ".staging")
+    Files.setLastModifiedTime(stale,
+      FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+    val fresh = Files.createTempFile(log, ".v3-", ".staging")
+    ops.SnapLog.gc(root, graceMs = 60000L)
+    assert(!Files.exists(stale),
+      "gc must sweep a staging file older than the grace window")
+    assert(Files.exists(fresh),
+      "gc must spare a staging file inside the grace window")
+    assert(Files.exists(log.resolve("v1.manifest")),
+      "the committed manifest is never touched")
+  }
+
+  test("SnapLog.commitNext: racing committers (no JVM lock involved) land " +
+    "DISTINCT consecutive versions, never a torn or overwritten one") {
+    import java.nio.file.{Files, Paths}
+    // unique root per JVM run: the scratch dir persists across runs, and
+    // a rerun against surviving v1..v8 would start numbering at v9
+    val root = Paths.get(ops.TempFiles.dir(
+      s"commit_next_tbl/${System.nanoTime()}"))
+    val log = ops.SnapLog.logDir(root)
+    val writers = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val futs = (1 to writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await() // maximize the publish collision window
+            ops.SnapLog.commitNext(log, Seq(
+              ops.SnapEntry("data", w.toLong, w.toLong, s"w$w.parquet")))
+          }
+        })
+      }
+      gate.countDown()
+      val got = futs.map(_.get()).sorted
+      assert(got == (1L to writers.toLong),
+        s"racing commitNext calls must land versions 1..$writers, got $got")
+      // every published manifest is COMPLETE (the conditional-PUT content
+      // is the fully-staged file, never a partial write)
+      (1L to writers.toLong).foreach { v =>
+        val es = ops.SnapLog.read(log, v)
+        assert(es.size == 1 && es.head.path.matches("w\\d+\\.parquet"),
+          s"v$v manifest must be one complete entry, got $es")
+      }
+      // distinct writers each landed exactly once
+      val paths = (1L to writers.toLong).map(v =>
+        ops.SnapLog.read(log, v).head.path).toSet
+      assert(paths.size == writers, "every writer's manifest must survive")
+      // no staging litter after a clean race
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(log)
+      val staging = try ls.iterator().asScala
+        .count(_.getFileName.toString.endsWith(".staging")) finally ls.close()
+      assert(staging == 0, "commitNext must clean its staging files")
+    } finally pool.shutdownNow()
+  }
 }
