@@ -2,7 +2,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Dumps run on a small THREAD POOL (round-8, VERDICT r7 #1: the gate's
+  * Spark half was ~11 min of one-query-at-a-time dumps on a 32-core box —
+  * per-query driver latency, not compute, dominates at sf0.01). Safety
+  * argument for concurrency inside ONE JVM/session:
+  *   - every query writes only to its own `outDir/<name>` directory;
+  *   - every snapshot-fixture build/mutation/gc runs under
+  *     [[ops.SnapLog.withTableLock]] on the table root, and readers pin
+  *     explicit versions — concurrent additive commits never change a
+  *     pinned read;
+  *   - scratch fixtures key on (name, sfDir-epoch) via [[ops.TempFiles]],
+  *     so distinct queries never share a mutable path un-locked;
+  *   - the one temp-view user (`sql_surface`) is a single query, and
+  *     Spark supports concurrent jobs in one session by design.
+  * Each worker thread sets the active session explicitly (Spark's
+  * active-session state is thread-local). Per-query wall times land in
+  * `outDir/verify_timings.json` so the gate's cost is named in evidence,
+  * query by query, rather than guessed at (round-8 VERDICT #1a). */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -21,16 +39,43 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val todo = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // pool width: enough to hide per-query driver latency, small enough
+    // that 32 local cores still back each query's tasks. Overridable for
+    // bisecting a suspected concurrency interaction (VERIFY_PAR=1 is the
+    // exact pre-round-8 sequential behavior).
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt.max(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val timings =
+      new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    try {
+      val futs = todo.map { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            SparkSession.setActiveSession(spark)
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+            timings.put(name, (System.nanoTime() - t0) / 1e9)
+          }
+        })
       }
-    }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    // per-query dump seconds, sorted slowest-first for direct reading
+    import scala.jdk.CollectionConverters._
+    val tj = timings.asScala.toSeq.sortBy(-_._2)
+      .map { case (k, v) => // Locale.ROOT: a comma-decimal locale would
+        // emit invalid JSON numbers
+        s"${q(k)}: ${String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_timings.json"), tj)
     spark.stop()
   }
 

@@ -10,7 +10,7 @@ the sha256 of the oracle_sql.json it was checked against — so a round's
 hard correctness signal survives even if the driver-side artifact lands
 empty (round-6 incident).
 """
-import hashlib, json, sys, glob, os
+import hashlib, json, sys, glob, os, time
 import duckdb
 import pyarrow.parquet as pq
 
@@ -27,6 +27,11 @@ def main(sf_dir, out_dir, self_json=None):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_ok = n_bad = 0
+    # per-query DuckDB oracle seconds — the gate's cost, named query by
+    # query (round-8 VERDICT #1a: the driver artifact went empty exactly
+    # when the recursive-CTE oracles grew; evidence needs the slow ones
+    # identified, not guessed)
+    oracle_s = {}
     declared = sorted(d for d in os.listdir(out_dir)
                       if os.path.isdir(os.path.join(out_dir, d)))
     for name in declared:
@@ -40,11 +45,14 @@ def main(sf_dir, out_dir, self_json=None):
             print(f"[ROWS] {name}: no oracle, rows={len(mine)}")
             status[name] = f"rows_only:{len(mine)}"
             continue
+        t0 = time.monotonic()
         try:
             ref = con.execute(oracles[name]).df()
         except Exception as e:
+            oracle_s[name] = round(time.monotonic() - t0, 3)
             print(f"[FAIL] {name}: oracle SQL error: {e}"); n_bad += 1
             status[name] = "fail:oracle_sql_error"; continue
+        oracle_s[name] = round(time.monotonic() - t0, 3)
         ref = ref[sorted(ref.columns)]
         if list(mine.columns) != list(ref.columns):
             print(f"[FAIL] {name}: columns {list(mine.columns)} != {list(ref.columns)}")
@@ -85,13 +93,28 @@ def main(sf_dir, out_dir, self_json=None):
         n_bad += 1
         status[name] = "miss:no_dump"
     print(f"\n{n_ok} ok, {n_bad} bad, {len(declared)} declared")
+    top = sorted(oracle_s.items(), key=lambda kv: -kv[1])[:15]
+    print("slowest oracles (s): " +
+          ", ".join(f"{k}={v}" for k, v in top))
+    print(f"total oracle time: {round(sum(oracle_s.values()), 1)} s")
     if self_json:
         with open(f"{out_dir}/oracle_sql.json", "rb") as f:
             sha = hashlib.sha256(f.read()).hexdigest()
+        # Verify's own per-query dump seconds travel into the artifact so
+        # BOTH halves of the gate's cost are in one committed document
+        verify_s = {}
+        vt = f"{out_dir}/verify_timings.json"
+        if os.path.exists(vt):
+            with open(vt) as f:
+                verify_s = json.load(f)
         with open(self_json, "w") as f:
             json.dump({"n_ok": n_ok, "n_bad": n_bad,
                        "n_declared": len(declared),
                        "oracle_sql_sha256": sha,
+                       "oracle_seconds_total": round(sum(oracle_s.values()), 1),
+                       "verify_seconds_total": round(sum(verify_s.values()), 1),
+                       "oracle_seconds": oracle_s,
+                       "verify_seconds": verify_s,
                        "queries": status}, f, indent=1, sort_keys=True)
         print(f"self-correctness artifact written to {self_json}")
     return 1 if n_bad else 0
