@@ -17,42 +17,12 @@ class StressSf1Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sfBase = "/root/testdata/sf0.1"
 
-  /** Build (once per data epoch) the sf1 slice with the three tables the
-    * five steepest queries read. The `_built` sentinel guards the build;
-    * the epoch-keyed dir self-invalidates on lake regeneration. */
-  private lazy val sf1Dir: String = {
-    val dir = ops.TempFiles.dir(s"sf1_slice_${ops.TempFiles.tag(sfBase)}")
-    val sentinel = java.nio.file.Paths.get(dir, "_built")
-    if (!java.nio.file.Files.exists(sentinel)) {
-      def tenfold(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
-        val base = ops.Tables.table(spark, sfBase, name)
-        (0 until 10).map(i => f(base, i)).reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$dir/$name.parquet")
-      }
-      tenfold("documents") { (d, i) =>
-        // suffix EVERY token: shingle spaces of distinct copies are
-        // disjoint, so near-dup structure is exactly 10 disjoint replicas
-        d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-          .withColumn("text",
-            regexp_replace(col("text"), "(\\S+)", "$1_" + i))
-      }
-      tenfold("customer") { (d, i) =>
-        // doubled-letter suffix keeps cross-copy edit distance ≥ 2, so
-        // the fuzzy join's deletion neighborhoods never collide across
-        // copies (a 1-char suffix would put every name's 10 copies
-        // within edit distance 1 of each other)
-        val c = ('a' + i).toChar.toString
-        d.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
-          .withColumn("c_name", concat(col("c_name"), lit(c + c)))
-      }
-      tenfold("lineitem") { (d, i) =>
-        d.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
-          .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L))
-      }
-      java.nio.file.Files.createFile(sentinel)
-    }
-    dir
-  }
+  /** The full 10× lake from the ONE shared generator ([[ops.ScaleUp]],
+    * round 8) — the same data the full-catalog sf1 bench runs on, so the
+    * slope gate and the bench can never drift onto different sf1
+    * semantics. Built once per data epoch (`_built` sentinel; the
+    * epoch-keyed dir self-invalidates on lake regeneration). */
+  private lazy val sf1Dir: String = ops.ScaleUp.ensureTenfold(spark, sfBase)
 
   test("the five steepest round-5 queries stay sub-linear per row one " +
     "decade higher (sf0.1 -> sf1, 10x rows)") {
