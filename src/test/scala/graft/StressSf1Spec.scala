@@ -63,4 +63,53 @@ class StressSf1Spec extends AnyFunSuite {
           "super-linear compute scaling")
     }
   }
+
+  test("ScaleUp invariants: single-file layout, verbatim dimensions, " +
+    "within-copy embedding geometry preserved, cross-copy decorrelated") {
+    import java.nio.file.{Files, Paths}
+    // layout: each table is ONE parquet FILE named like the testdata —
+    // the streaming landing-dir symlink depends on this (a directory
+    // symlink is an unmonitored subdirectory to the file source)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      val p = Paths.get(sf1Dir, s"$t.parquet")
+      assert(Files.isRegularFile(p), s"$t.parquet must be a single FILE")
+    }
+    // dimension tables pass through verbatim (they must STAY
+    // broadcastable at every scale factor, like TPC-H)
+    for (t <- Seq("region", "nation")) {
+      val base = ops.Tables.table(spark, sfBase, t)
+      val ten = ops.Tables.table(spark, sf1Dir, t)
+      assert(ten.count() == base.count(), s"$t must not be tenfolded")
+    }
+    // embeddings: the per-copy diagonal +/-1 sign map preserves
+    // within-copy dot products BIT-FOR-BIT (signs square away) while
+    // cross-copy cosine decorrelates instead of staying 1.0
+    val base = ops.Tables.table(spark, sfBase, "embeddings")
+      .filter(col("vec_id") < 8)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    val ten = ops.Tables.table(spark, sf1Dir, "embeddings")
+      .filter(col("vec_id") % 10000000L < 8)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    for (c <- 0 until 10; i <- 0L until 8L; j <- (i + 1) until 8L) {
+      val (ci, cj) = (ten(c * 10000000L + i), ten(c * 10000000L + j))
+      assert(dot(ci, cj) == dot(base(i), base(j)),
+        s"copy $c must preserve within-copy dot($i,$j) exactly")
+    }
+    // cross-copy: same source vector under two different sign maps —
+    // |cos| must fall FAR from 1 (decorrelation, not duplication)
+    val crossCos = for (c <- 1 until 10; i <- 0L until 8L)
+      yield math.abs(cos(ten(i), ten(c * 10000000L + i)))
+    assert(crossCos.max < 0.9,
+      s"cross-copy |cos| reached ${crossCos.max} — copies too similar")
+    assert(crossCos.sum / crossCos.size < 0.3,
+      s"mean cross-copy |cos| ${crossCos.sum / crossCos.size} — the " +
+        "sign maps are not decorrelating")
+  }
 }
