@@ -108,7 +108,11 @@ object OracleSql {
     * (75 for the ≥ 0.8 tiers, 45 for the ≥ 0.5 tier): the filters only
     * over-generate, and boundary arithmetic (round-to-4dp at exactly
     * τ) never touches them. */
-  private def dupCandSql(guardPct: Int = 75): String =
+  private def dupCandSql(guardPct: Int = 75): String = {
+    // the "0.$guardPct" splice below reads 75 as 0.75; a single-digit
+    // guard would silently decode as its tenfold (5 -> 0.5)
+    require(guardPct >= 10 && guardPct <= 99,
+      s"guardPct must be a two-digit percentage, got $guardPct")
     s"""dp_ts AS (SELECT doc_id, list_sort(sh) AS sh FROM t),
          dp_pf AS (SELECT doc_id, sh,
              unnest(sh[1 : CAST(len(sh) - ceil(0.$guardPct * len(sh)) + 1
@@ -122,6 +126,7 @@ object OracleSql {
          dp_cand AS (SELECT c.a_id, c.b_id, a.sh AS a_sh, b.sh AS b_sh
            FROM dp_c0 c JOIN dp_ts a ON a.doc_id = c.a_id
              JOIN dp_ts b ON b.doc_id = c.b_id)"""
+  }
 
   /** [[shinglesSql]] + [[dupCandSql]] in one prelude, plus the canonical
     * verified pair CTE `p(a_id, b_id)` at the ≥ 0.8 threshold — the
@@ -4716,7 +4721,9 @@ object OracleSql {
                AS BIGINT) AS cents FROM events),
          d AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
              CAST(count(*) AS BIGINT) AS n
-           FROM c GROUP BY 1),
+           FROM c
+           WHERE substr(CAST(cents AS VARCHAR), 1, 1) BETWEEN '1' AND '9'
+           GROUP BY 1),
          t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d),
          e AS (SELECT * FROM (VALUES
              ('1', 301029), ('2', 176091), ('3', 124938), ('4', 96910),

@@ -4141,6 +4141,13 @@ object Queries {
     val cents = (Cleanse.dec2(col("value")) * 100).cast(LongType)
     val digits = t(spark, dir, "events")
       .select(substring(cents.cast(StringType), 1, 1).as("digit"))
+      // Benford's law is about leading SIGNIFICANT digits 1-9; a zero or
+      // negative amount has no Benford expectation. Pin the domain here,
+      // not by data luck — at sf0.01 no such amount exists and the filter
+      // is a no-op, but the first full sf0.1 gate run (round 8) surfaced
+      // a leading-'0' group whose null-expectation row the oracle's
+      // digit join rightly refused to produce
+      .filter(col("digit").between("1", "9"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     digits
       .crossJoin(broadcast(digits.agg(sum(col("n")).as("tot"))))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Deterministic 10× scale-up of a testdata dir — the ONE generator
   * behind both the StressSf1Spec slope gate and the full-catalog sf1
@@ -106,6 +107,16 @@ object ScaleUp {
             s"transform(embedding, (x, j) -> " +
               s"CASE WHEN pmod(hash(j, $i), 2) = 0 THEN x ELSE -x END)"))
       }
+      // drop the staging litter (part-file dirs whose one file moved out)
+      def rmTree(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.iterator().asScala.toVector.foreach(rmTree) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rmTree(java.nio.file.Paths.get(
+        TempFiles.dir(s"sf1_stage_${TempFiles.tag(baseDir)}")))
       java.nio.file.Files.createFile(sentinel)
     }
     dir
