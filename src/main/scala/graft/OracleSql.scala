@@ -108,7 +108,8 @@ object OracleSql {
     * (75 for the ≥ 0.8 tiers, 45 for the ≥ 0.5 tier): the filters only
     * over-generate, and boundary arithmetic (round-to-4dp at exactly
     * τ) never touches them. */
-  private def dupCandSql(guardPct: Int = 75): String = {
+  private def dupCandSql(guardPct: Int = 75,
+                         pairCond: String = "a.doc_id < b.doc_id"): String = {
     // the "0.$guardPct" splice below reads 75 as 0.75; a single-digit
     // guard would silently decode as its tenfold (5 -> 0.5)
     require(guardPct >= 10 && guardPct <= 99,
@@ -120,7 +121,7 @@ object OracleSql {
            FROM dp_ts),
          dp_c0 AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
            FROM dp_pf a JOIN dp_pf b ON a.tok = b.tok
-             AND a.doc_id < b.doc_id
+             AND $pairCond
            WHERE 100 * least(len(a.sh), len(b.sh)) >=
              $guardPct * greatest(len(a.sh), len(b.sh))),
          dp_cand AS (SELECT c.a_id, c.b_id, a.sh AS a_sh, b.sh AS b_sh
@@ -3805,27 +3806,25 @@ object OracleSql {
          GROUP BY decile ORDER BY decile""",
 
     "stream_dedup_incremental" ->
-      """WITH t AS (SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
-               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
-           FROM documents)
+      s"""WITH ${shinglesSql()},
+         ${dupCandSql(pairCond =
+           "a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0")}
          SELECT new_id, base_id, jaccard FROM (
-           SELECT d.doc_id new_id, b.doc_id base_id,
-               round(CAST(len(list_intersect(d.sh, b.sh)) AS DOUBLE) /
-                     (len(d.sh) + len(b.sh) - len(list_intersect(d.sh, b.sh))), 4) jaccard
-           FROM t d JOIN t b ON d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+           SELECT a_id AS new_id, b_id AS base_id,
+               round(CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
+                     (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))), 4) jaccard
+           FROM dp_cand)
          WHERE jaccard >= 0.8 ORDER BY new_id, base_id""",
 
     "dedup_incremental" ->
-      """WITH t AS (SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
-               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) sh
-           FROM documents)
+      s"""WITH ${shinglesSql()},
+         ${dupCandSql(pairCond =
+           "a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0")}
          SELECT new_id, base_id, jaccard FROM (
-           SELECT d.doc_id new_id, b.doc_id base_id,
-               round(CAST(len(list_intersect(d.sh, b.sh)) AS DOUBLE) /
-                     (len(d.sh) + len(b.sh) - len(list_intersect(d.sh, b.sh))), 4) jaccard
-           FROM t d JOIN t b ON d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+           SELECT a_id AS new_id, b_id AS base_id,
+               round(CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
+                     (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))), 4) jaccard
+           FROM dp_cand)
          WHERE jaccard >= 0.8 ORDER BY new_id, base_id""",
 
     "corpus_curate" ->
@@ -4737,12 +4736,29 @@ object OracleSql {
     // the Spark side blocks on deletion-neighborhood keys (lossless at
     // radius 1) then verifies; the oracle is the definitional quadratic —
     // fine at sf0.01, which is exactly why the engine side must not be
+    // SymDelete candidate generation (round 8 — the ENGINE's own
+    // deletion-neighborhood design, now mirrored in the oracle so the
+    // sf0.1 gate doesn't pay n² levenshtein): two strings within edit
+    // distance 1 share a key between their {self} ∪ single-deletion
+    // sets (substitution at i ⟹ equal delete-at-i forms; insertion/
+    // deletion ⟹ the shorter string IS a deletion form of the longer;
+    // equality shares self) — lossless, then the exact levenshtein
+    // verify runs only over candidates
     "join_fuzzy_edit" ->
-      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
-             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-         FROM customer a JOIN customer b
-           ON a.c_custkey < b.c_custkey
-          AND levenshtein(a.c_name, b.c_name) <= 1
+      """WITH keys AS (SELECT c_custkey, c_name,
+             unnest(list_prepend(c_name,
+               list_transform(range(1, length(c_name) + 1),
+                 i -> substr(c_name, 1, CAST(i - 1 AS INT)) ||
+                      substr(c_name, CAST(i + 1 AS INT))))) AS k
+           FROM customer),
+         cand AS (SELECT DISTINCT a.c_custkey a_id, a.c_name a_name,
+             b.c_custkey b_id, b.c_name b_name
+           FROM keys a JOIN keys b ON a.k = b.k
+             AND a.c_custkey < b.c_custkey)
+         SELECT a_id, b_id,
+             CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+         FROM cand
+         WHERE levenshtein(a_name, b_name) <= 1
          ORDER BY a_id, b_id""",
 
     // definitional exact shingle-set Jaccard (same oracle as
