@@ -12,6 +12,14 @@ import scala.jdk.CollectionConverters._
 final case class SnapEntry(kind: String, minUs: Long, maxUs: Long,
                            path: String)
 
+/** Thrown by [[SnapLog.commitNext]] when the observed head lost a file
+  * the committer's plan read — the concurrent-delete/rewrite case where
+  * a blind rebase would silently merge two conflicting transactions.
+  * The caller's recovery is a full re-plan from the new head, not a
+  * retry of the same entries. */
+final class SnapshotConflictException(msg: String)
+  extends RuntimeException(msg)
+
 /** THE manifest-log format — the single reader/writer/GC shared by every
   * snapshot mechanic (time travel, copy-on-write, merge-on-read, change
   * feed, vacuum, expiration, the streaming committer). A versioned table
@@ -81,28 +89,57 @@ object SnapLog {
     }
   }
 
-  /** Cross-PROCESS commit: publish `entries` at the NEXT free version and
-    * return it. The publish primitive is `Files.createLink(manifest,
-    * staged)` — the local-filesystem analog of an object store's
-    * conditional PUT: link(2) creates the target name ATOMICALLY and
-    * fails with EEXIST if it is already taken, and the linked content is
-    * the fully-written staging file, so readers never observe a partial
-    * manifest. (A `Files.move` without `REPLACE_EXISTING` would NOT do:
-    * it is exists-check-then-rename, and POSIX rename() silently replaces
-    * — the exact torn/overwritten-version race this method exists to
-    * close.) If another process (or thread — no JVM lock is involved)
-    * publishes the same version first, this committer re-lists and
-    * retries at the next version, so two racing committers land v and
-    * v+1. Use [[commit]] only for the batchId-keyed exactly-once seam,
-    * where REPLACING one's own version is the contract; use this for
-    * optimistic multi-writer append, the Delta/Iceberg commit-protocol
-    * shape. */
-  def commitNext(log: Path, entries: Seq[SnapEntry],
-                 maxAttempts: Int = 64): Long = {
+  /** Cross-PROCESS commit: publish a new snapshot at the NEXT free
+    * version and return it. The publish primitive is
+    * `Files.createLink(manifest, staged)` — the local-filesystem analog
+    * of an object store's conditional PUT: link(2) creates the target
+    * name ATOMICALLY and fails with EEXIST if it is already taken, and
+    * the linked content is the fully-written staging file, so readers
+    * never observe a partial manifest. (A `Files.move` without
+    * `REPLACE_EXISTING` would NOT do: it is exists-check-then-rename,
+    * and POSIX rename() silently replaces — the exact
+    * torn/overwritten-version race this method exists to close.)
+    *
+    * `build` maps the OBSERVED head's full entry list to the new
+    * snapshot's full entry list and is RE-EVALUATED against the fresh
+    * head inside the retry loop — the read-REBASE-retry shape real
+    * Delta/Iceberg committers use. Under this format a manifest is the
+    * whole snapshot, so an appender must write `head ++ ownFiles`; a
+    * fixed pre-computed list would republish the loser's STALE pre-race
+    * head at v+1 and silently erase the winner's files (the round-8
+    * lost-update finding). Losing the version race therefore costs one
+    * re-read + re-stage, never data.
+    *
+    * `readSet` is the Delta-style conflict check: the paths this
+    * committer's PLAN depended on (the files it read to compute its
+    * writes). If the observed head no longer carries one of them — a
+    * concurrent committer deleted or rewrote it — blind rebase would
+    * merge two logically conflicting transactions, so the commit fails
+    * with [[SnapshotConflictException]] instead and the caller re-plans
+    * from the new head. Pure appends pass the default empty set (append
+    * vs append never conflicts); read-modify-write commits (MERGE,
+    * OPTIMIZE, DELETE) pass the files they rewrote or deleted.
+    *
+    * Use [[commit]] only for the batchId-keyed exactly-once seam, where
+    * REPLACING one's own version is the contract; use this for
+    * optimistic multi-writer commits. */
+  def commitNext(log: Path, maxAttempts: Int = 64,
+                 readSet: Set[String] = Set.empty)
+                (build: Seq[SnapEntry] => Seq[SnapEntry]): Long = {
     Files.createDirectories(log)
     var attempt = 0
     while (attempt < maxAttempts) {
-      val v = versions(log).lastOption.getOrElse(0L) + 1
+      val headV = versions(log).lastOption.getOrElse(0L)
+      val head = if (headV == 0L) Seq.empty[SnapEntry] else read(log, headV)
+      val gone = readSet.diff(head.iterator.map(_.path).toSet)
+      if (gone.nonEmpty) throw new SnapshotConflictException(
+        s"commitNext under $log: head v$headV no longer references " +
+        s"${gone.size} file(s) this commit's plan read (${gone.take(3)
+          .mkString(", ")}${if (gone.size > 3) ", …" else ""}) — a " +
+        "concurrent delete/rewrite; re-plan from the new head instead " +
+        "of rebasing blindly")
+      val entries = build(head)
+      val v = headV + 1
       val staged = stage(log, v, entries)
       try {
         Files.createLink(log.resolve(s"v$v.manifest"), staged)
@@ -110,7 +147,7 @@ object SnapLog {
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(staged) // lost the race; advance and retry
+          Files.deleteIfExists(staged) // lost the race; rebase and retry
           attempt += 1
       }
     }

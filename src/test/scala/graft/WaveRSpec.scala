@@ -178,7 +178,9 @@ class WaveRSpec extends AnyFunSuite {
         pool.submit(new java.util.concurrent.Callable[Long] {
           def call(): Long = {
             gate.await() // maximize the publish collision window
-            ops.SnapLog.commitNext(log, Seq(
+            // independent-manifest publish: each writer's snapshot is its
+            // own one entry, ignoring the head (the `_ =>` rebase no-op)
+            ops.SnapLog.commitNext(log)(_ => Seq(
               ops.SnapEntry("data", w.toLong, w.toLong, s"w$w.parquet")))
           }
         })
@@ -205,5 +207,78 @@ class WaveRSpec extends AnyFunSuite {
         .count(_.getFileName.toString.endsWith(".staging")) finally ls.close()
       assert(staging == 0, "commitNext must clean its staging files")
     } finally pool.shutdownNow()
+  }
+
+  test("SnapLog.commitNext APPEND race: every racing appender passes " +
+    "head ++ ownFile and EVERY file survives in the final visible head " +
+    "(the round-8 lost-update scenario — a fixed entry list would " +
+    "republish the loser's stale head and erase the winner)") {
+    import java.nio.file.Paths
+    val root = Paths.get(ops.TempFiles.dir(
+      s"commit_rebase_tbl/${System.nanoTime()}"))
+    val log = ops.SnapLog.logDir(root)
+    // v1: a pre-existing base file both appenders build on
+    ops.SnapLog.commit(log, 1, Seq(
+      ops.SnapEntry("data", 0L, 0L, "base.parquet")))
+    val writers = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val futs = (1 to writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            // the append shape: new snapshot = observed head + own file,
+            // re-evaluated by commitNext against the FRESH head on retry
+            ops.SnapLog.commitNext(log)(head => head :+
+              ops.SnapEntry("data", w.toLong, w.toLong, s"app$w.parquet"))
+          }
+        })
+      }
+      gate.countDown()
+      val got = futs.map(_.get()).sorted
+      assert(got == (2L to (writers + 1).toLong),
+        s"appenders must land versions 2..${writers + 1}, got $got")
+      // THE invariant: the final head carries the base file plus all 8
+      // appended files — nothing was erased by a losing retry
+      val headPaths = ops.SnapLog.read(log, writers + 1L).map(_.path)
+      assert(headPaths.size == writers + 1 &&
+        headPaths.toSet == (1 to writers).map(w => s"app$w.parquet").toSet
+          + "base.parquet",
+        s"final head must union every append, got $headPaths")
+      // monotone growth: each intermediate snapshot appended exactly once
+      (1L to (writers + 1).toLong).foreach { v =>
+        assert(ops.SnapLog.read(log, v).size == v,
+          s"v$v must carry exactly $v entries")
+      }
+    } finally pool.shutdownNow()
+  }
+
+  test("SnapLog.commitNext conflict detection: a commit whose plan READ " +
+    "a file the head has since rewritten away fails with " +
+    "SnapshotConflictException instead of silently merging; a " +
+    "non-conflicting read set still commits") {
+    import java.nio.file.Paths
+    val root = Paths.get(ops.TempFiles.dir(
+      s"commit_conflict_tbl/${System.nanoTime()}"))
+    val log = ops.SnapLog.logDir(root)
+    ops.SnapLog.commit(log, 1, Seq(
+      ops.SnapEntry("data", 0L, 0L, "x.parquet"),
+      ops.SnapEntry("data", 0L, 0L, "y.parquet")))
+    // a concurrent OPTIMIZE wins first: rewrites x.parquet into z.parquet
+    ops.SnapLog.commitNext(log)(head => head.filterNot(_.path == "x.parquet")
+      :+ ops.SnapEntry("data", 0L, 0L, "z.parquet"))
+    // committer A planned against v1 reading x.parquet → must be told
+    intercept[ops.SnapshotConflictException] {
+      ops.SnapLog.commitNext(log, readSet = Set("x.parquet"))(head =>
+        head :+ ops.SnapEntry("data", 0L, 0L, "a.parquet"))
+    }
+    // the failed attempt must not have published anything
+    assert(ops.SnapLog.versions(log).max == 2L)
+    // committer B read only y.parquet, which survived the rewrite → fine
+    val v = ops.SnapLog.commitNext(log, readSet = Set("y.parquet"))(head =>
+      head :+ ops.SnapEntry("data", 0L, 0L, "b.parquet"))
+    assert(v == 3L &&
+      ops.SnapLog.read(log, 3L).map(_.path).contains("b.parquet"))
   }
 }
