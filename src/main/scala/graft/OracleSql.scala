@@ -129,6 +129,70 @@ object OracleSql {
              JOIN dp_ts b ON b.doc_id = c.b_id)"""
   }
 
+  /** Full replay of the image-pHash pipeline in SQL (round 9 — VERDICT r8
+    * #3: the three pHash oracles were closed forms, exact at sf0.01 by a
+    * separation argument but under-predicting at sf0.1 where ORGANIC
+    * near-dup images appear; this recipe — re-derive payload bytes from
+    * source text, replay the whole pipeline — is the one
+    * `mm_audio_fingerprint` already uses). Emits `phs(doc_id, hu, sim)`:
+    * the 64-bit average-hash of each document's BMP payload as both the
+    * unsigned HUGEINT (for block extraction by exact integer division)
+    * and the signed BIGINT two's-complement twin (for xor/bit_count).
+    *
+    * Replay chain, mirroring `mm/Multimodal.encodeBmp`+`pHash64`: pixel
+    * byte j of the BMP is `textBytes[j % L]` (the encoder cycles the
+    * UTF-8 text over the pixel array; ASCII-only corpus gated by
+    * OracleCouplingSpec, so ord(substr) IS the byte), the 8×8
+    * nearest-neighbor grid samples offset sy·stride+sx·3 with
+    * sy=⌊y·h/8⌋, sx=⌊x·w/8⌋, and bit (y·8+x) is set when 64·sample >
+    * Σsamples (the cross-product mean compare — exact integers end to
+    * end). The hash accumulates in two 32-bit BIGINT halves because a
+    * DuckDB sum of `2.0**i` DOUBLEs silently rounds once set bits span
+    * more than 53 positions (caught by the python pre-validation).
+    * UPSCALED re-encodes hash identically by pHash64's proven
+    * integer-upscale invariance, so one hash per document serves both
+    * corpus sides. */
+  private def phashSql: String =
+    s"""d AS MATERIALIZED (
+           SELECT doc_id, text, n_chars AS L,
+                  4 + n_chars % 29 AS w, 4 + n_chars % 17 AS h,
+                  ((4 + n_chars % 29) * 3 + 3) // 4 * 4 AS stride
+           FROM documents),
+         g AS (SELECT y, x FROM range(8) t1(y), range(8) t2(x)),
+         samp AS (
+           SELECT d.doc_id, CAST(g.y * 8 + g.x AS INTEGER) AS i,
+                  ord(substr(d.text, CAST(((g.y*d.h//8)*d.stride + (g.x*d.w//8)*3 + 0) % d.L + 1 AS INTEGER), 1))
+                + ord(substr(d.text, CAST(((g.y*d.h//8)*d.stride + (g.x*d.w//8)*3 + 1) % d.L + 1 AS INTEGER), 1))
+                + ord(substr(d.text, CAST(((g.y*d.h//8)*d.stride + (g.x*d.w//8)*3 + 2) % d.L + 1 AS INTEGER), 1)) AS v
+           FROM d, g),
+         tot AS (SELECT doc_id, i, v,
+                        sum(v) OVER (PARTITION BY doc_id) AS total FROM samp),
+         ph AS (
+           SELECT doc_id,
+                  sum(CASE WHEN 64*v > total AND i < 32
+                      THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS lo,
+                  sum(CASE WHEN 64*v > total AND i >= 32
+                      THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS hi
+           FROM tot GROUP BY doc_id),
+         phs AS MATERIALIZED (
+           SELECT doc_id,
+                  CAST(hi AS HUGEINT) * 4294967296 + lo AS hu,
+                  CAST(CASE WHEN hi >= 2147483648
+                       THEN (hi - 4294967296) * 4294967296 + lo
+                       ELSE hi * 4294967296 + lo END AS BIGINT) AS sim
+           FROM ph)"""
+
+  /** The 7-block key table of `text/NearDup.SimBlocks` as exact
+    * power-of-two HUGEINT literals (block b covers bits ⌊64b/7⌋ …):
+    * bv = (hu // p2) % wd extracts block b's value with pure integer
+    * arithmetic — `2 ** k` is a DOUBLE in DuckDB and floor-dividing a
+    * HUGEINT by it detours through 53-bit floats. */
+  private val phashBlocksSql: String =
+    """(VALUES (0,CAST(1 AS HUGEINT),512),(1,CAST(512 AS HUGEINT),512),
+          (2,CAST(262144 AS HUGEINT),512),(3,CAST(134217728 AS HUGEINT),512),
+          (4,CAST(68719476736 AS HUGEINT),512),(5,CAST(35184372088832 AS HUGEINT),512),
+          (6,CAST(18014398509481984 AS HUGEINT),1024)) b(b,p2,wd)"""
+
   /** [[shinglesSql]] + [[dupCandSql]] in one prelude, plus the canonical
     * verified pair CTE `p(a_id, b_id)` at the ≥ 0.8 threshold — the
     * exact predicate the all-pairs formulation used, now over
@@ -139,6 +203,24 @@ object OracleSql {
          p AS (SELECT a_id, b_id FROM dp_cand
            WHERE round(CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
                    (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))), 4) >= 0.8)"""
+
+  /** One oracle body shared verbatim by `mm_phash_incremental` and
+    * `stream_phash` (the streaming gate probes the same base index
+    * through the same block join). */
+  private def phashIncrementalOracle: String =
+    s"""WITH $phashSql,
+         bkeys AS MATERIALIZED (
+           SELECT s.doc_id AS id, s.sim, b.b, (s.hu // b.p2) % b.wd AS bv
+           FROM phs s, $phashBlocksSql),
+         okb AS MATERIALIZED (
+           SELECT b, bv FROM bkeys GROUP BY b, bv HAVING count(*) <= 1000)
+         SELECT DISTINCT d.id AS new_id, b.id AS base_id,
+             CAST(bit_count(xor(d.sim, b.sim)) AS INTEGER) AS hamming
+         FROM (SELECT id + 1048576 AS id, sim, b, bv FROM bkeys) d
+              JOIN okb o ON d.b = o.b AND d.bv = o.bv
+              JOIN bkeys b ON b.b = d.b AND b.bv = d.bv
+         WHERE bit_count(xor(d.sim, b.sim)) <= 4
+         ORDER BY new_id, base_id"""
 
   val sql: Map[String, String] = Map(
 
@@ -2410,10 +2492,31 @@ object OracleSql {
              CAST(24 AS INTEGER) AS bpp
          FROM documents ORDER BY doc_id""",
 
+    // full pipeline replay (scale-robust since round 9): hash every doc,
+    // union originals with their upscaled re-encodes (identical hash by
+    // the proven integer-upscale invariance), then the same 7-block
+    // multi-index Hamming join the engine runs — exact block-key
+    // candidates, spam-bucket cap 1000 on both sides, hamming ≤ 4 cut.
+    // The oracle now FINDS the organic near-dups instead of closed-forming
+    // the planted ones, so it is value-exact at sf0.01 AND sf0.1.
     "mm_phash_dedup" ->
-      """SELECT doc_id AS a_id, doc_id + 1048576 AS b_id,
-             CAST(0 AS INTEGER) AS hamming
-         FROM documents ORDER BY a_id""",
+      s"""WITH $phashSql,
+         sigs AS MATERIALIZED (
+           SELECT doc_id AS id, hu, sim FROM phs
+           UNION ALL
+           SELECT doc_id + 1048576 AS id, hu, sim FROM phs),
+         keys AS MATERIALIZED (
+           SELECT s.id, s.sim, b.b, (s.hu // b.p2) % b.wd AS bv
+           FROM sigs s, $phashBlocksSql),
+         okb AS MATERIALIZED (
+           SELECT b, bv FROM keys GROUP BY b, bv HAVING count(*) <= 1000)
+         SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+             CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+         FROM keys a JOIN okb o ON a.b = o.b AND a.bv = o.bv
+              JOIN keys b ON b.b = a.b AND b.bv = a.bv AND a.id < b.id
+              JOIN okb o2 ON b.b = o2.b AND b.bv = o2.bv
+         WHERE bit_count(xor(a.sim, b.sim)) <= 4
+         ORDER BY a_id, b_id""",
 
     // digest clusters == (text, n_chars) clusters: the BMP encoder is
     // deterministic and injective in those inputs
@@ -2426,17 +2529,15 @@ object OracleSql {
              CAST(sum(sz - 1) AS BIGINT) AS n_droppable
          FROM c GROUP BY sz ORDER BY cluster_size""",
 
-    "mm_phash_incremental" ->
-      """SELECT doc_id + 1048576 AS new_id, doc_id AS base_id,
-             CAST(0 AS INTEGER) AS hamming
-         FROM documents ORDER BY new_id""",
+    // incremental probe replay (scale-robust since round 9): the base
+    // index is the ORIGINALS' exact block keys (spam cap on base buckets
+    // only — the side whose skew can explode the join); each upscaled
+    // arrival probes with its own block keys. new_id = doc_id + 2^20.
+    "mm_phash_incremental" -> phashIncrementalOracle,
 
     // the streaming phash gate probes the same base index through the
     // same block join -- shared oracle
-    "stream_phash" ->
-      """SELECT doc_id + 1048576 AS new_id, doc_id AS base_id,
-             CAST(0 AS INTEGER) AS hamming
-         FROM documents ORDER BY new_id""",
+    "stream_phash" -> phashIncrementalOracle,
 
     "mm_resize" ->
       """SELECT doc_id,

@@ -2014,15 +2014,14 @@ object Queries {
     * invariant under integer upscaling) and joined by the SAME
     * multi-index Hamming-ball join the text SimHash tier uses
     * ([[text.NearDup.hammingDupPairs]]): one explode + one hash shuffle,
-    * no pairwise scan. Every original must pair with its re-encode at
-    * hamming 0, and at the oracle-gate scales (sf0.001/sf0.01, verified)
-    * nothing else sits within the radius — so the result is exactly
-    * derivable and oracle-checked. At sf0.1 the same query additionally
-    * surfaces 64 ORGANIC near-dup image pairs (near-identical texts
-    * rendered at equal dims) — the operator doing its real job; the
-    * closed-form oracle is therefore gate-scale-specific, and the
-    * scale-robust correctness contract is MultimodalSpec's pair-set
-    * equality to brute-force Hamming on the union corpus. */
+    * no pairwise scan. The oracle (round 9) replays the WHOLE pipeline in
+    * SQL — BMP pixel bytes re-derived from source text, the exact-integer
+    * pHash64, the 7-block multi-index join with its spam cap — so it
+    * FINDS every pair rather than closed-forming the planted ones:
+    * value-exact at sf0.01 (500 planted pairs) AND sf0.1 (5 000 planted +
+    * 64 organic near-dups of near-identical texts rendered at equal
+    * dims). MultimodalSpec additionally pins pair-set equality to
+    * brute-force Hamming on the union corpus. */
   def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val media = mm.Multimodal.asMedia(t(spark, dir, "documents"))
     val corpus = media.select(col("doc_id"), col("payload"))
@@ -2042,11 +2041,12 @@ object Queries {
     * the multimodal twin of `dedup_incremental`: candidate work scales
     * with the delta, never the corpus, and the base index is the
     * checkpointed signature table an image-ingest pipeline maintains.
-    * Every arrival must hit exactly its own original at hamming 0 at the
-    * gate scales (same separation argument as [[mmPhashDedup]]) → the
-    * oracle is the closed form; at sf0.1 the probe additionally surfaces
-    * 32 organic near-dup hits (measured), the operator working as an
-    * operator rather than a fixture. */
+    * The oracle (round 9) replays the full probe in SQL — per-doc pHash64
+    * from re-derived pixel bytes, base-side block index with the spam
+    * cap, delta-side exact-key probe — so it is value-exact at every
+    * scale: each arrival hits its own original at hamming 0, plus the
+    * organic near-dup hits (32 at sf0.1, measured) the closed form used
+    * to under-predict. */
   def mmPhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     val media = mm.Multimodal.asMedia(t(spark, dir, "documents"))
     val basePh = mm.Multimodal.phashFeatures(spark, media)

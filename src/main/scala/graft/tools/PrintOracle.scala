@@ -1,0 +1,22 @@
+package graft.tools
+
+/** Print one declared oracle's SQL (or dump ALL to a JSON file with
+  * `--all <path>`): lets the DuckDB side of a single oracle be iterated
+  * without a full Verify round-trip. Usage:
+  *   runMain graft.tools.PrintOracle <queryName>
+  *   runMain graft.tools.PrintOracle --all <outJson>
+  */
+object PrintOracle {
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("--all")) {
+      val m = graft.SparkEntry.oracleSql
+      val body = m.toSeq.sortBy(_._1).map { case (k, v) =>
+        val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\t", "\\t")
+        s""" "$k": "$esc"""" }.mkString("{\n", ",\n", "\n}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(args(1)),
+        body.getBytes("UTF-8"))
+      println(s"wrote ${m.size} oracles to ${args(1)}")
+    } else println(graft.SparkEntry.oracleSql.getOrElse(args(0),
+      sys.error(s"no oracle for '${args(0)}'")))
+}

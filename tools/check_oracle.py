@@ -107,6 +107,19 @@ def main(sf_dir, out_dir, self_json=None):
         if os.path.exists(vt):
             with open(vt) as f:
                 verify_s = json.load(f)
+        # re-stamp MERGE (round-9, VERDICT r8 #2): a partial Verify re-run
+        # (one fixed query) rewrites verify_timings.json with only that
+        # query; stamping it verbatim would overwrite the full timing map
+        # and quietly understate the evidence. Fold the previous artifact's
+        # timing maps underneath — fresh values win, stale ones survive.
+        if os.path.exists(self_json):
+            try:
+                with open(self_json) as f:
+                    prev = json.load(f)
+                verify_s = {**prev.get("verify_seconds", {}), **verify_s}
+                oracle_s = {**prev.get("oracle_seconds", {}), **oracle_s}
+            except Exception:
+                pass  # unreadable prior artifact: stamp fresh
         with open(self_json, "w") as f:
             json.dump({"n_ok": n_ok, "n_bad": n_bad,
                        "n_declared": len(declared),
