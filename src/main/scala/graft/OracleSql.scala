@@ -6219,6 +6219,65 @@ object OracleSql {
          FROM t JOIN s ON t.event_type = s.event_type AND t.dow = s.dow
          ORDER BY t.event_type, day""",
 
+    // step-for-step replay of sim/Ivf.latticeKnnStruct: micro-lattice
+    // verts (the embed_gram discipline), a recursive CTE running the
+    // seeded Lloyd (id%16 partition means -> 2 assign/means passes;
+    // truncating HUGEINT // == Spark DIV, empty cells keep their previous
+    // centroid via the LEFT JOIN coalesce), then primary-cell indexing,
+    // 4-cell multi-probe, candidate join on the cell id and exact
+    // integer-d2 top-10 per query. verts MUST be MATERIALIZED (an
+    // inlined CTE referenced from the recursive arm re-runs per pass).
+    "ann_ivf_struct" ->
+      """WITH RECURSIVE verts AS MATERIALIZED (
+           SELECT vec_id AS id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x
+           FROM embeddings),
+         cent(it, cell, dim, c) AS (
+           SELECT 0 AS it, CAST(id % 16 AS INTEGER) AS cell, dim,
+               CAST(CAST(sum(x) AS HUGEINT) // count(*) AS BIGINT) AS c
+           FROM verts GROUP BY 2, 3
+           UNION ALL
+           SELECT it, cell, dim, c FROM (
+             WITH prev AS (SELECT * FROM cent),
+               t0 AS (SELECT max(it) AS it FROM prev),
+               dd AS (SELECT v.id, p.cell, sum((v.x - p.c) * (v.x - p.c)) AS d2
+                 FROM verts v JOIN prev p ON p.dim = v.dim
+                 GROUP BY v.id, p.cell),
+               asg AS (SELECT id, cell FROM (
+                   SELECT id, cell,
+                     row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rn
+                   FROM dd) WHERE rn = 1),
+               mn AS (SELECT a.cell, v.dim,
+                   CAST(CAST(sum(v.x) AS HUGEINT) // count(*) AS BIGINT) AS m
+                 FROM asg a JOIN verts v ON v.id = a.id
+                 GROUP BY a.cell, v.dim),
+               nxt AS (SELECT p.cell, p.dim, coalesce(mn.m, p.c) AS c
+                 FROM prev p LEFT JOIN mn
+                   ON mn.cell = p.cell AND mn.dim = p.dim)
+             SELECT (SELECT it FROM t0) + 1 AS it, cell, dim, c FROM nxt
+             WHERE (SELECT it FROM t0) < 2)),
+         fin AS (SELECT cell, dim, c FROM cent WHERE it = 2),
+         fd2 AS (SELECT v.id, c.cell, sum((v.x - c.c) * (v.x - c.c)) AS d2
+           FROM verts v JOIN fin c ON c.dim = v.dim GROUP BY v.id, c.cell),
+         rk AS (SELECT id, cell,
+             row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rn
+           FROM fd2),
+         idx AS (SELECT id, cell FROM rk WHERE rn = 1),
+         prb AS (SELECT id, cell FROM rk WHERE rn <= 4 AND id < 8),
+         pd2 AS (SELECT p.id AS q_id, i.id AS neighbor_id,
+             sum((a.x - b.x) * (a.x - b.x)) AS d2
+           FROM prb p JOIN idx i ON i.cell = p.cell AND i.id != p.id
+             JOIN verts a ON a.id = p.id
+             JOIN verts b ON b.id = i.id AND b.dim = a.dim
+           GROUP BY p.id, i.id)
+         SELECT q_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
+             CAST(rn AS BIGINT) AS rn
+         FROM (SELECT q_id, neighbor_id, d2,
+             row_number() OVER (PARTITION BY q_id ORDER BY d2, neighbor_id) AS rn
+           FROM pd2)
+         WHERE rn <= 10 ORDER BY q_id, rn""",
+
     "embed_gram" ->
       """WITH e AS (SELECT vec_id,
              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,

@@ -1881,6 +1881,24 @@ object Queries {
         col("rn").cast(LongType).as("rn"), col("n_candidates"))
       .orderBy(col("q_id"), col("rn"))
 
+  /** N7k — IVF STRUCTURAL twin (round 9, VERDICT r8 #4): the same
+    * machinery the whole IVF family shares — seed partition → Lloyd
+    * assign/means → plan-literal centroids → narrow-map argmin
+    * assignment → multi-probe explode → candidate-bounded cell equi-join
+    * → exact re-rank → per-query top-k window — run in EXACT INTEGER
+    * arithmetic ([[sim.Ivf.latticeKnnStruct]]: micro-lattice vectors,
+    * truncating-division means, squared-L2 scores), so a DuckDB
+    * recursive CTE replays the training AND the search step for step and
+    * the result is hash-checked. This gates the cell-assignment /
+    * multi-probe / candidate-bound mechanics that `ann_ivf_topk`,
+    * `knn_graph_ivf`, and `dedup_semantic` rely on; their production
+    * double-cosine scoring stays rows-only with recall-floor specs (the
+    * distributed float means are order-nondeterministic by nature). */
+  def annIvfStruct(spark: SparkSession, dir: String): DataFrame =
+    sim.Ivf.latticeKnnStruct(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", col("id") < 8, 10)
+      .orderBy(col("q_id"), col("rn"))
+
   /** Recall@10 of the LSH ANN against the exact brute-force ground truth —
     * THE quality number an approximate index owes its users. Rows-only
     * (recall of an approximate structure isn't ANSI-SQL-expressible);

@@ -312,6 +312,100 @@ object Ivf {
         round(col("cos"), 6).as("cos_sim"), col("rn").cast("long").as("rn"))
   }
 
+  // ── Structural twin: integer-lattice Lloyd, hash-checkable ──────────
+  //
+  // The production IVF paths above train in doubles (distributed avg
+  // means), whose cross-partition ADDITION ORDER is nondeterministic — a
+  // DuckDB oracle cannot replay them value-exactly, which is why the
+  // ann_ivf/knn_graph/dedup_semantic family was rows-only. The twin
+  // below runs the SAME machinery — seed-partition → Lloyd assign/means
+  // → plan-literal centroids → narrow-map assignment → multi-probe
+  // explode → candidate-bounded cell equi-join → exact re-rank → per-
+  // query top-k window — in EXACT INTEGER arithmetic end to end, so a
+  // recursive CTE replays it step for step (the adjudication path that
+  // hash-gated SimHash banding, CMS, HLL, and PCA in rounds 7-8).
+
+  /** Micro-lattice quantization: `floor(x · 10⁶)` per dimension — one
+    * IEEE multiply + floor on the float32-exact double, so Spark and
+    * DuckDB agree bit for bit (the `embed_gram` oracle's proven
+    * discipline). */
+  private def latticeVec(vecCol: Column): Column =
+    transform(vecCol, x =>
+      floor(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** Integer squared-L2 distances to each literal centroid: exact longs
+    * (|coord| ≤ 1.2e6 ⇒ per-dim square ≤ 1.5e12, ×64 dims ≪ 2⁶³ — ANSI
+    * overflow is impossible by construction). */
+  private def latticeD2s(cents: Seq[Seq[Long]]): Column =
+    transform(typedlit(cents), c =>
+      aggregate(zip_with(col("v"), c, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+
+  /** Exact per-cell integer means: sum DIV count per dimension
+    * (truncating division, the FixedPoint discipline — DuckDB HUGEINT
+    * `//` truncates toward zero identically, verified in round 8).
+    * Returns cell → ordered coords; cells with no members drop out. */
+  private def latticeMeans(assigned: DataFrame): Map[Int, Seq[Long]] =
+    assigned.select(col("cell"), posexplode(col("v")))
+      .toDF("cell", "dim", "x")
+      .groupBy(col("cell"), col("dim"))
+      .agg(expr("sum(x) DIV count(1)").as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toMap
+
+  /** The twin's kNN search, structurally identical to [[knnGraph]] /
+    * [[ivfTopK]]: seed cells by `id mod nCells` (replayable — the
+    * production seed hashes, which is the one piece a SQL twin cannot
+    * follow), `iters` Lloyd passes (empty cells keep their previous
+    * centroid, as [[centroids]] does), then index every vector under its
+    * argmin-d² cell (ties → lowest cell, `array_position` of the min),
+    * probe the `probes` nearest cells per query, join candidates on the
+    * cell id, and rank by exact integer d² (ties → lowest neighbor).
+    * Output (q_id, neighbor_id, d2, rn) is fully deterministic →
+    * hash-checked by the `ann_ivf_struct` oracle's recursive CTE. */
+  def latticeKnnStruct(emb: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column, k: Int, nCells: Int = 16,
+                       iters: Int = 2, probes: Int = 4): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), latticeVec(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed: exact means of the id-mod partition (never empty for n ≥ k)
+    val seed = latticeMeans(
+      v.select(pmod(col("id"), lit(nCells)).cast("int").as("cell"), col("v")))
+    val origin = seed.values.headOption
+      .map(c => Seq.fill(c.size)(0L)).getOrElse(Seq.empty)
+    var cents: Seq[Seq[Long]] =
+      (0 until nCells).map(i => seed.getOrElse(i, origin))
+    def assign: Column = {
+      val d = latticeD2s(cents)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    for (_ <- 0 until iters) {
+      val means = latticeMeans(v.select(assign.as("cell"), col("v")))
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    // index side: primary cell only; probe side: top-`probes` cells by
+    // (d², cell) — the multi-probe explode every IVF searcher here uses
+    val idx = v.select(assign.as("cell"), col("id").as("neighbor_id"),
+      col("v").as("nv"))
+    val prb = v.filter(queryPred)
+      .select(col("id").as("q_id"), col("v").as("qv"),
+        explode(slice(array_sort(transform(latticeD2s(cents),
+          (d, i) => struct(d.as("d2"), i.as("cell")))), 1, probes)).as("pc"))
+      .select(col("q_id"), col("qv"), col("pc").getField("cell").as("cell"))
+    idx.join(prb, Seq("cell"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("d2", aggregate(zip_with(col("qv"), col("nv"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("d2").asc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("d2"),
+        col("rn").cast("long").as("rn"))
+  }
+
   /** IVF top-k: vectors keyed by their cell (narrow map), queries probe
     * their `nProbes` nearest cells, candidates come from one broadcast
     * equi-join on the cell id, and exact cosine ranks them. `n_candidates`

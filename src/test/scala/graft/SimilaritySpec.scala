@@ -209,4 +209,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expect.toSeq,
       s"banded pair set != brute force: ${got.size} vs ${expect.size}")
   }
+
+  test("ann_ivf_struct equals a driver replay of the integer-lattice " +
+    "Lloyd + multi-probe search (training AND search are value-exact)") {
+    // independent in-JVM replay of sim/Ivf.latticeKnnStruct's contract:
+    // micro-lattice verts, id%16 seed means, 2 Lloyd passes with
+    // truncating-division means (empty cells keep their previous
+    // centroid), argmin-d2 assignment with lowest-cell ties, 4-cell
+    // probes, exact-d2 top-10 with lowest-neighbor ties
+    val (kCells, iters, probes, topK, nQ) = (16, 2, 4, 10, 8L)
+    val vecs = ops.Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(f => math.floor(f.toDouble * 1000000.0).toLong).toIndexedSeq)
+      .sortBy(_._1)
+    def tdiv(a: Long, b: Long): Long = a / b // Long / truncates toward zero
+    def d2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def means(assign: Seq[(Int, IndexedSeq[Long])]): Map[Int, IndexedSeq[Long]] =
+      assign.groupBy(_._1).map { case (c, vs) =>
+        c -> vs.head._2.indices
+          .map(d => tdiv(vs.map(_._2(d)).sum, vs.size)).toIndexedSeq
+      }
+    val seed = means(vecs.map { case (id, v) => ((id % kCells).toInt, v) })
+    var cents = (0 until kCells).map(c => seed(c))
+    def argmin(v: IndexedSeq[Long]): Int =
+      cents.indices.minBy(c => (d2(v, cents(c)), c))
+    for (_ <- 0 until iters) {
+      val m = means(vecs.map { case (_, v) => (argmin(v), v) }.toSeq)
+      cents = cents.indices.map(c => m.getOrElse(c, cents(c)))
+    }
+    val primary = vecs.map { case (id, v) => id -> argmin(v) }.toMap
+    val expect = vecs.filter(_._1 < nQ).flatMap { case (q, qv) =>
+      val probed = cents.indices.map(c => (d2(qv, cents(c)), c))
+        .sorted.take(probes).map(_._2).toSet
+      vecs.filter { case (n, _) => n != q && probed(primary(n)) }
+        .map { case (n, nv) => (d2(qv, nv), n) }.sorted.take(topK)
+        .zipWithIndex.map { case ((dd, n), i) => (q, n, dd, (i + 1).toLong) }
+    }.toSeq
+    val got = Queries.annIvfStruct(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty && got == expect,
+      s"lattice IVF knn != driver replay: ${got.size} vs ${expect.size}")
+  }
 }
