@@ -15,8 +15,16 @@ import java.nio.file.{Files, Paths}
   *     pinned read;
   *   - scratch fixtures key on (name, sfDir-epoch) via [[ops.TempFiles]],
   *     so distinct queries never share a mutable path un-locked;
-  *   - the one temp-view user (`sql_surface`) is a single query, and
-  *     Spark supports concurrent jobs in one session by design.
+  *   - session-GLOBAL names (temp views, fixed-name managed tables) are
+  *     each registered by EXACTLY ONE catalog query — `sql_surface` owns
+  *     v_orders/v_customer, `gold_star_schema` owns silver_events/
+  *     silver_customers and the five gold_* CTAS tables; every other
+  *     managed table is epoch- or key-tagged. Two queries reusing one
+  *     global name would race silently under the pool, so the ownership
+  *     map is ENFORCED by GlobalNameSpec (round-9, ADVICE r8 #1), not
+  *     just documented: adding a second user of a fixed name fails the
+  *     build with a pointed message.
+  * Spark supports concurrent jobs in one session by design.
   * Each worker thread sets the active session explicitly (Spark's
   * active-session state is thread-local). Per-query wall times land in
   * `outDir/verify_timings.json` so the gate's cost is named in evidence,

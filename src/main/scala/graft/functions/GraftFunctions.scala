@@ -687,8 +687,12 @@ case class Fnv1a64(child: Expression)
   // executor-side with a ClassCastException. checkInputDataTypes is the
   // repo's seam for this (ExpectsInputTypes needs AbstractDataType, which
   // is private[sql] at the Scala level in Spark 4 — see ReservoirQuantile).
+  // NullType is admitted (round-9, ADVICE r8 #4): a bare SQL NULL
+  // argument evaluates to NULL through nullSafeEval, the pre-contract
+  // surface — only genuinely mistyped arguments are rejected.
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_fnv1a64: argument must be STRING, got ${child.dataType.sql}")
   override def nullSafeEval(v: Any): Any =
@@ -710,9 +714,11 @@ case class MulWrap64(left: Expression, right: Expression)
   // analysis-time contract (round-8 ADVICE): both operands must already be
   // BIGINT — graft_mulwrap64('x', 1) names the bad argument at analysis
   // instead of throwing ClassCastException mid-job.
+  // NullType admitted per operand (ADVICE r8 #4), same rationale as
+  // [[Fnv1a64]]: NULL in, NULL out; mistyped operands still rejected.
   override def checkInputDataTypes(): TypeCheckResult =
     Seq(("left", left), ("right", right)).collectFirst {
-      case (n, e) if e.dataType != LongType =>
+      case (n, e) if e.dataType != LongType && e.dataType != NullType =>
         TypeCheckResult.TypeCheckFailure(
           s"graft_mulwrap64: argument '$n' must be BIGINT, got ${e.dataType.sql}")
     }.getOrElse(TypeCheckResult.TypeCheckSuccess)

@@ -41,26 +41,33 @@ object ScaleUp {
   private val COPIES = 10
 
   /** Build (once per data epoch) the full 10× lake from `baseDir` and
-    * return its directory. The `_built` sentinel guards the build; the
-    * epoch-keyed dir self-invalidates when the source lake regenerates. */
+    * return its directory. [[BuildOnce.dirFixture]] guards the build
+    * CROSS-PROCESS (round 9, ADVICE r8 #2: the old `_built` sentinel was
+    * check-then-build, so a StressSf1Spec JVM racing a bench JVM could
+    * both build and swap files under each other's reads): the lake is
+    * assembled in a staging dir and published with one atomic directory
+    * rename. The epoch-keyed dir self-invalidates when the source lake
+    * regenerates. */
   def ensureTenfold(spark: SparkSession, baseDir: String): String = {
     val dir = TempFiles.dir(s"sf1_full_${TempFiles.tag(baseDir)}")
-    val sentinel = java.nio.file.Paths.get(dir, "_built")
-    if (!java.nio.file.Files.exists(sentinel)) {
+    BuildOnce.dirFixture(java.nio.file.Paths.get(dir)) { out =>
       // each table lands as ONE parquet FILE named exactly like the
       // driver's testdata ($dir/$name.parquet is a file, not a parquet
       // directory): the streaming landing-dir trick symlinks that file
       // (a directory symlink is an unmonitored subdirectory to Spark's
       // file source — zero batches, found the hard way at the round-8
       // sf1 bench), and the batch reader handles either shape
+      // stage under this build's UNIQUE dir name: a shared stage path
+      // would let two racing builders overwrite each other's part files
+      // mid-build — the isolation BuildOnce exists to provide
+      val stageRoot = s"sf1_stage_${out.getFileName}"
       def write(name: String, df: DataFrame): Unit = {
-        val stage = TempFiles.dir(s"sf1_stage_${TempFiles.tag(baseDir)}/$name")
+        val stage = TempFiles.dir(s"$stageRoot/$name")
         df.repartition(1).write.mode("overwrite").parquet(stage)
         val s = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
         val part = try s.filter(p => p.toString.endsWith(".parquet"))
           .findFirst().get() finally s.close()
-        java.nio.file.Files.move(part,
-          java.nio.file.Paths.get(dir, s"$name.parquet"),
+        java.nio.file.Files.move(part, out.resolve(s"$name.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
       def tenfold(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
@@ -115,9 +122,7 @@ object ScaleUp {
         }
         java.nio.file.Files.deleteIfExists(p)
       }
-      rmTree(java.nio.file.Paths.get(
-        TempFiles.dir(s"sf1_stage_${TempFiles.tag(baseDir)}")))
-      java.nio.file.Files.createFile(sentinel)
+      rmTree(java.nio.file.Paths.get(TempFiles.dir(stageRoot)))
     }
     dir
   }

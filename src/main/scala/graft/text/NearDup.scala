@@ -212,10 +212,16 @@ object NearDup {
         pairs
       })
 
-  /** Unpersist and drop every cached pair table of this session. */
+  /** Unpersist and drop every cached pair table of this session. Evicts
+    * the matching buildLocks keys too (round-9, ADVICE r8 #3: lock
+    * objects otherwise accumulate across data epochs forever — a lock is
+    * only needed while its cache entry can be under construction). */
   def clearCaches(spark: SparkSession): Unit = {
     val c = pairCaches.remove(spark)
-    if (c != null) c.values.foreach(_.unpersist())
+    if (c != null) {
+      c.values.foreach(_.unpersist())
+      c.keys.foreach(buildLocks.remove)
+    }
   }
 
   /** Unpersist and drop only the session cache entries whose cacheKey
@@ -228,7 +234,10 @@ object NearDup {
     val c = pairCaches.get(spark)
     if (c != null) {
       val doomed = c.keys.filter(_.split("\\|").lift(1).contains(key)).toSeq
-      doomed.foreach { k => c.remove(k).foreach(_.unpersist()) }
+      doomed.foreach { k =>
+        c.remove(k).foreach(_.unpersist())
+        buildLocks.remove(k)
+      }
     }
   }
 
@@ -236,6 +245,7 @@ object NearDup {
   def clearCaches(): Unit = pairCaches.synchronized {
     val it = pairCaches.values.iterator()
     while (it.hasNext) { it.next().values.foreach(_.unpersist()); it.remove() }
+    buildLocks.clear()
   }
 
   /** Asymmetric containment pairs — |A∩B| / |A| ≥ threshold over shingle

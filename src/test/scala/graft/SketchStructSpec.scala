@@ -71,6 +71,12 @@ class SketchStructSpec extends AnyFunSuite {
       "SELECT graft_fnv1a64('a') AS f, graft_mulwrap64(2L, 3L) AS m")
       .collect().head
     assert(ok.getLong(0) == 0xaf63dc4c8601ec8cL && ok.getLong(1) == 6L)
+    // a bare SQL NULL is NOT a type error (round-9, ADVICE r8 #4): it
+    // passes analysis and evaluates to NULL, like the built-in kernels
+    val nulls = spark.sql(
+      "SELECT graft_fnv1a64(NULL) AS f, graft_mulwrap64(NULL, 1L) AS m," +
+        " graft_mulwrap64(1L, NULL) AS m2").collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
   }
 
   test("vocab_cms_struct: CMS never underestimates and the counter table " +
