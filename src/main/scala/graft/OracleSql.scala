@@ -140,9 +140,13 @@ object OracleSql {
     * and the signed BIGINT two's-complement twin (for xor/bit_count).
     *
     * Replay chain, mirroring `mm/Multimodal.encodeBmp`+`pHash64`: pixel
-    * byte j of the BMP is `textBytes[j % L]` (the encoder cycles the
-    * UTF-8 text over the pixel array; ASCII-only corpus gated by
-    * OracleCouplingSpec, so ord(substr) IS the byte), the 8×8
+    * byte j of the BMP is `textBytes[j % L]` where L is the TEXT's byte
+    * length — `length(text)`, NOT `n_chars`: the two agree on the driver
+    * corpus but diverge on ScaleUp's sf1 lake, whose token suffixes
+    * lengthen text without touching n_chars (the encoder's w/h DO come
+    * from n_chars). ASCII-only corpus gated by OracleCouplingSpec, so
+    * ord(substr) IS the byte and codepoint length IS byte length. The
+    * 8×8
     * nearest-neighbor grid samples offset sy·stride+sx·3 with
     * sy=⌊y·h/8⌋, sx=⌊x·w/8⌋, and bit (y·8+x) is set when 64·sample >
     * Σsamples (the cross-product mean compare — exact integers end to
@@ -154,7 +158,7 @@ object OracleSql {
     * corpus sides. */
   private def phashSql: String =
     s"""d AS MATERIALIZED (
-           SELECT doc_id, text, n_chars AS L,
+           SELECT doc_id, text, length(text) AS L,
                   4 + n_chars % 29 AS w, 4 + n_chars % 17 AS h,
                   ((4 + n_chars % 29) * 3 + 3) // 4 * 4 AS stride
            FROM documents),

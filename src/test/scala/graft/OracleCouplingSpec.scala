@@ -23,7 +23,10 @@ class OracleCouplingSpec extends AnyFunSuite {
   private val byteOracles = Seq("mm_audio_features", "mm_audio_vad",
     "mm_audio_fingerprint", "mm_scene_cut", "doc_winnow",
     "mm_chunk_dedup", "dedup_simhash_struct",
-    "tokenize_wordpiece", "tokenize_unigram", "vocab_bpe_iterative")
+    "tokenize_wordpiece", "tokenize_unigram", "vocab_bpe_iterative",
+    // round 9: the pHash pipeline replays re-derive BMP pixel bytes via
+    // ord(substr(text, (j % length(text)) + 1, 1))
+    "mm_phash_dedup", "mm_phash_incremental", "stream_phash")
 
   test("oracle_sql.json round-trips through a strict JSON parser with " +
     "every declared oracle intact (the driver artifact's escaping seam)") {
