@@ -3596,6 +3596,80 @@ object OracleSql {
            UNION ALL SELECT CAST(25 AS BIGINT), g25, r25, total FROM one)
          ORDER BY k""",
 
+    // distinct l-diversity census: same QI-group shape as dq_kanonymity
+    // with a count(DISTINCT sensitive) per group; sensitive attribute =
+    // market segment, which is therefore NOT part of the QI here
+    "dq_ldiversity" ->
+      """WITH g AS (SELECT c_nationkey,
+             CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 500)
+               AS BIGINT) AS band,
+             count(*) AS sz,
+             count(DISTINCT c_mktsegment) AS ndist
+           FROM customer GROUP BY 1, 2),
+         one AS (SELECT
+             CAST(sum(CASE WHEN ndist < 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+             CAST(sum(CASE WHEN ndist < 2 THEN sz ELSE 0 END) AS BIGINT) AS r2,
+             CAST(sum(CASE WHEN ndist < 3 THEN 1 ELSE 0 END) AS BIGINT) AS g3,
+             CAST(sum(CASE WHEN ndist < 3 THEN sz ELSE 0 END) AS BIGINT) AS r3,
+             CAST(sum(CASE WHEN ndist < 4 THEN 1 ELSE 0 END) AS BIGINT) AS g4,
+             CAST(sum(CASE WHEN ndist < 4 THEN sz ELSE 0 END) AS BIGINT) AS r4,
+             CAST(sum(CASE WHEN ndist < 5 THEN 1 ELSE 0 END) AS BIGINT) AS g5,
+             CAST(sum(CASE WHEN ndist < 5 THEN sz ELSE 0 END) AS BIGINT) AS r5,
+             CAST(sum(sz) AS BIGINT) AS total FROM g)
+         SELECT l, n_groups_below, n_rows_below, total,
+             CAST((n_rows_below * 1000000) // total AS BIGINT)
+               AS share_ppm
+         FROM (
+           SELECT CAST(2 AS BIGINT) AS l, g2 AS n_groups_below,
+               r2 AS n_rows_below, total FROM one
+           UNION ALL SELECT CAST(3 AS BIGINT), g3, r3, total FROM one
+           UNION ALL SELECT CAST(4 AS BIGINT), g4, r4, total FROM one
+           UNION ALL SELECT CAST(5 AS BIGINT), g5, r5, total FROM one)
+         ORDER BY l""",
+
+    // Group-DRO multiplicative-weights replay: the per-domain loss table
+    // in one aggregate, then all 50 exact-integer rounds (weighted-mean
+    // excess -> 1e6 + 1% relative-excess factor -> renormalize to 1e9)
+    // as a recursive CTE over HUGEINT lattice weights
+    "sample_domain_mix" ->
+      """WITH RECURSIVE stats AS MATERIALIZED (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST((sum(length(text)) * 1000000) //
+                 sum(len(string_split(text, ' '))) AS BIGINT) AS loss_ppm
+           FROM documents GROUP BY lang),
+         nd AS (SELECT count(*) AS n FROM stats),
+         mw(it, lang, w) AS (
+           SELECT 0 AS it, lang,
+               CAST(1000000000 // (SELECT n FROM nd) AS HUGEINT) AS w
+           FROM stats
+           UNION ALL
+           SELECT it, lang, w FROM (
+             WITH prev AS (SELECT * FROM mw),
+               t0 AS (SELECT min(it) AS it FROM prev),
+               j AS (SELECT p.lang, p.w, s.loss_ppm
+                 FROM prev p JOIN stats s USING (lang)),
+               agg AS (SELECT sum(w) AS sw, sum(w * loss_ppm) AS swl FROM j),
+               m AS (SELECT swl // sw AS m FROM agg),
+               x AS (SELECT lang, w,
+                   greatest(loss_ppm - (SELECT m FROM m), 0) AS x FROM j),
+               xm AS (SELECT max(x) AS xmax FROM x),
+               w1 AS (SELECT lang,
+                   CASE WHEN (SELECT xmax FROM xm) = 0 THEN w
+                     ELSE w * (1000000 + 10000 * x // (SELECT xmax FROM xm))
+                       // 1000000 END AS w1
+                 FROM x),
+               sw1 AS (SELECT sum(w1) AS s FROM w1),
+               nx AS (SELECT lang,
+                   CASE WHEN (SELECT xmax FROM xm) = 0 THEN w1
+                     ELSE w1 * 1000000000 // (SELECT s FROM sw1) END AS w
+                 FROM w1)
+             SELECT (SELECT it FROM t0) + 1 AS it, lang, w FROM nx
+             WHERE (SELECT it FROM t0) < 50))
+         SELECT s.lang, s.n_docs, s.loss_ppm,
+             CAST(f.w // 1000 AS BIGINT) AS weight_ppm
+         FROM stats s JOIN (SELECT * FROM mw WHERE it = 50) f USING (lang)
+         ORDER BY s.lang""",
+
     "eval_auc" ->
       """WITH v AS (SELECT CAST(ts AS DATE) AS day,
              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,

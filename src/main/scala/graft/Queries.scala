@@ -2333,6 +2333,56 @@ object Queries {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** N15r — Group-DRO domain mixture weights (the DoReMi shape, Xie et
+    * al. 2023): a training-data pipeline that mixes domains needs the
+    * mixture WEIGHTS, and the robust-optimization recipe is
+    * multiplicative weights on per-domain excess loss against the
+    * WEIGHTED corpus mean — domains losing vs the current mixture gain
+    * mass, and the mean moves with them (a genuine fixed-point iterate,
+    * not a closed form). Run here in EXACT integer arithmetic so the
+    * DuckDB oracle replays all 50 rounds as a recursive CTE: per-domain
+    * loss = chars-per-token ppm (one groupBy(lang) agg — the only
+    * corpus-sized work), weights on the 10⁹ lattice, per-round factor
+    * 1e6 + 1%·(relative excess), truncating BigInt division throughout
+    * (≡ HUGEINT `//`), renormalized to Σ=10⁹ each round. The iterate
+    * itself runs driver-side over ≤ n_domains longs — mixture weights
+    * are a MODEL PARAMETER, the IVF-centroid discipline: at 100 TB the
+    * corpus is scanned once for the loss table and the optimization
+    * costs nothing. */
+  def sampleDomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val stats = t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast(LongType)).as("chars"),
+        sum(size(split(col("text"), " ", -1)).cast(LongType)).as("toks"))
+      .select(col("lang"), col("n_docs"),
+        expr("chars * 1000000 div toks").as("loss_ppm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val loss = stats.map(s => BigInt(s._3))
+    val n = loss.length
+    var w: Seq[BigInt] = Seq.fill(n)(BigInt(1000000000L) / n)
+    for (_ <- 0 until 50) {
+      val sw = w.sum
+      val m = w.indices.map(i => w(i) * loss(i)).sum / sw
+      val x = loss.map(l => (l - m).max(BigInt(0)))
+      val xmax = x.max
+      if (xmax > 0) {
+        val w1 = w.indices.map(i =>
+          w(i) * (BigInt(1000000) + BigInt(10000) * x(i) / xmax) /
+            BigInt(1000000))
+        val sw1 = w1.sum
+        w = w1.map(v => v * BigInt(1000000000L) / sw1)
+      }
+    }
+    val rows = stats.indices.map(i =>
+      (stats(i)._1, stats(i)._2, stats(i)._3, (w(i) / 1000).toLong))
+    spark.createDataFrame(rows)
+      .toDF("lang", "n_docs", "loss_ppm", "weight_ppm")
+      .orderBy(col("lang"))
+  }
+
   /** Deterministic stratified train/val/test split — the reproducible
     * 80/10/10 assignment a training pipeline needs: a document's split is a
     * pure function of its id (md5 first byte: < 0xcc train, < 0xe6 val,
@@ -8182,6 +8232,41 @@ object Queries {
         col("total"),
         expr("n_rows_below * 1000000 div total").as("share_ppm"))
       .orderBy(col("k"))
+  }
+
+  /** X94 — distinct l-diversity census, the k-anonymity sibling
+    * (Machanavajjhala et al. 2007): a k-anonymous group is still a
+    * disclosure if everyone in it shares one SENSITIVE value, so the
+    * publishable-privacy audit also needs, per QI group, the count of
+    * DISTINCT sensitive values. QI = (nation, 500-unit balance band);
+    * sensitive attribute = market segment. For each l ∈ {2,3,4,5}: how
+    * many groups — and what row share — have fewer than l distinct
+    * sensitive values. Same scale shape as [[dqKanonymity]]: ONE QI-keyed
+    * shuffle (count + count_distinct in the same partial agg), the per-l
+    * census unpivoted via stack over the group table, ppm by exact
+    * integer division. */
+  def dqLdiversity(spark: SparkSession, dir: String): DataFrame = {
+    val g = t(spark, dir, "customer")
+      .select(col("c_nationkey"),
+        expr("CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 500) " +
+          "AS BIGINT)").as("band"),
+        col("c_mktsegment"))
+      .groupBy(col("c_nationkey"), col("band"))
+      .agg(count(lit(1)).as("sz"),
+        count_distinct(col("c_mktsegment")).as("ndist"))
+    val ls = Seq(2L, 3L, 4L, 5L)
+    val aggs = ls.flatMap { ll =>
+      Seq(sum(when(col("ndist") < ll, 1L).otherwise(0L)).as(s"g$ll"),
+        sum(when(col("ndist") < ll, col("sz")).otherwise(0L)).as(s"r$ll"))
+    } ++ Seq(sum(col("sz")).as("total"))
+    g.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("stack(4, " + ls.map(ll =>
+        s"${ll}L, g$ll, r$ll, total").mkString(", ") +
+        ") as (l, n_groups_below, n_rows_below, total)")
+      .select(col("l"), col("n_groups_below"), col("n_rows_below"),
+        col("total"),
+        expr("n_rows_below * 1000000 div total").as("share_ppm"))
+      .orderBy(col("l"))
   }
 
   // ── Wave AJ: leakage-safe splits, dup-graph audit, power analysis ──

@@ -116,4 +116,41 @@ class WaveAJSpec extends AnyFunSuite {
         r.getLong(4)))
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
+
+  test("dq_ldiversity: census monotone in l, totals constant, share " +
+    "consistent with the row counts") {
+    val out = Queries.dqLdiversity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._1).toSeq == Seq(2L, 3L, 4L, 5L))
+    assert(out.map(_._4).distinct.size == 1, "total must not vary with l")
+    // more distinct values required -> at least as many groups fall below
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq)
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq)
+    out.foreach { case (_, _, rows, total, ppm) =>
+      assert(ppm == rows * 1000000L / total)
+    }
+    // the sensitive attribute has 5 segments, so l=5 must strictly
+    // dominate l=2 on this corpus (tiny QI groups can't hold 5 segments)
+    assert(out.last._2 > out.head._2)
+  }
+
+  test("sample_domain_mix: weights are a normalized mixture that " +
+    "upweights above-weighted-mean-loss domains (Group-DRO direction)") {
+    val out = Queries.sampleDomainMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.map(_._1).toSeq == out.map(_._1).sorted.toSeq)
+    val wsum = out.map(_._4).sum
+    // weights live on the 1e9 lattice, reported in ppm: Σ = 1e6 minus
+    // truncation dust (one unit per domain at each of the two divisions)
+    assert(wsum <= 1000000L && wsum >= 1000000L - 2L * out.length,
+      s"weights must normalize to ~1e6 ppm, got $wsum")
+    assert(out.forall(_._4 > 0L), "no domain may be zeroed by 50 rounds")
+    // the max-loss domain must carry the max weight; a min-loss domain
+    // must never out-weigh it
+    val byLoss = out.sortBy(_._3)
+    assert(byLoss.last._4 == out.map(_._4).max,
+      s"max-loss domain ${byLoss.last._1} must get the top weight: $out")
+    assert(byLoss.head._4 <= byLoss.last._4)
+  }
 }

@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir, self_json=None):
+def main(sf_dir, out_dir, self_json=None, subset=False):
     status = {}
     con = duckdb.connect()
     for t in TABLES:
@@ -87,11 +87,14 @@ def main(sf_dir, out_dir, self_json=None):
     # a failure, not an absence: Verify catches per-query exceptions and
     # only prints to stderr, so a silently incomplete round would otherwise
     # produce a green artifact with the query simply not listed — the exact
-    # incident class the self-insurance artifact exists for
-    for name in sorted(set(oracles) - set(declared)):
-        print(f"[MISS] {name}: declared oracle but no Verify dump")
-        n_bad += 1
-        status[name] = "miss:no_dump"
+    # incident class the self-insurance artifact exists for. --subset
+    # (round 9: the curated sf1 gate dumps a named subset on purpose)
+    # disables only this sweep; dumped-but-failing queries still count.
+    if not subset:
+        for name in sorted(set(oracles) - set(declared)):
+            print(f"[MISS] {name}: declared oracle but no Verify dump")
+            n_bad += 1
+            status[name] = "miss:no_dump"
     print(f"\n{n_ok} ok, {n_bad} bad, {len(declared)} declared")
     top = sorted(oracle_s.items(), key=lambda kv: -kv[1])[:15]
     print("slowest oracles (s): " +
@@ -123,6 +126,7 @@ def main(sf_dir, out_dir, self_json=None):
         with open(self_json, "w") as f:
             json.dump({"n_ok": n_ok, "n_bad": n_bad,
                        "n_declared": len(declared),
+                       "subset": bool(subset),
                        "oracle_sql_sha256": sha,
                        "oracle_seconds_total": round(sum(oracle_s.values()), 1),
                        "verify_seconds_total": round(sum(verify_s.values()), 1),
@@ -133,5 +137,7 @@ def main(sf_dir, out_dir, self_json=None):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2],
-                  sys.argv[3] if len(sys.argv) > 3 else None))
+    args = [a for a in sys.argv[1:] if a != "--subset"]
+    sys.exit(main(args[0], args[1],
+                  args[2] if len(args) > 2 else None,
+                  subset="--subset" in sys.argv))
