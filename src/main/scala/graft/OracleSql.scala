@@ -226,6 +226,52 @@ object OracleSql {
          WHERE bit_count(xor(d.sim, b.sim)) <= 4
          ORDER BY new_id, base_id"""
 
+  /** Group-DRO multiplicative-weights replay shared verbatim by
+    * `sample_domain_mix` and `stream_domain_mix` (the streaming MV folds
+    * the same additive per-domain cells and derives weights on read
+    * through the shared batch chain): the per-domain loss table in one
+    * aggregate, then all 50 exact-integer rounds (weighted-mean excess →
+    * 1e6 + 1%·relative-excess factor → renormalize to 10⁹) as a
+    * recursive CTE over HUGEINT lattice weights. */
+  private def domainMixOracle: String =
+    """WITH RECURSIVE stats AS MATERIALIZED (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST((sum(length(text)) * 1000000) //
+                 sum(len(string_split(text, ' '))) AS BIGINT) AS loss_ppm
+           FROM documents GROUP BY lang),
+         nd AS (SELECT count(*) AS n FROM stats),
+         mw(it, lang, w) AS (
+           SELECT 0 AS it, lang,
+               CAST(1000000000 // (SELECT n FROM nd) AS HUGEINT) AS w
+           FROM stats
+           UNION ALL
+           SELECT it, lang, w FROM (
+             WITH prev AS (SELECT * FROM mw),
+               t0 AS (SELECT min(it) AS it FROM prev),
+               j AS (SELECT p.lang, p.w, s.loss_ppm
+                 FROM prev p JOIN stats s USING (lang)),
+               agg AS (SELECT sum(w) AS sw, sum(w * loss_ppm) AS swl FROM j),
+               m AS (SELECT swl // sw AS m FROM agg),
+               x AS (SELECT lang, w,
+                   greatest(loss_ppm - (SELECT m FROM m), 0) AS x FROM j),
+               xm AS (SELECT max(x) AS xmax FROM x),
+               w1 AS (SELECT lang,
+                   CASE WHEN (SELECT xmax FROM xm) = 0 THEN w
+                     ELSE w * (1000000 + 10000 * x // (SELECT xmax FROM xm))
+                       // 1000000 END AS w1
+                 FROM x),
+               sw1 AS (SELECT sum(w1) AS s FROM w1),
+               nx AS (SELECT lang,
+                   CASE WHEN (SELECT xmax FROM xm) = 0 THEN w1
+                     ELSE w1 * 1000000000 // (SELECT s FROM sw1) END AS w
+                 FROM w1)
+             SELECT (SELECT it FROM t0) + 1 AS it, lang, w FROM nx
+             WHERE (SELECT it FROM t0) < 50))
+         SELECT s.lang, s.n_docs, s.loss_ppm,
+             CAST(f.w // 1000 AS BIGINT) AS weight_ppm
+         FROM stats s JOIN (SELECT * FROM mw WHERE it = 50) f USING (lang)
+         ORDER BY s.lang"""
+
   val sql: Map[String, String] = Map(
 
     "agg_group_count" ->
@@ -3631,44 +3677,12 @@ object OracleSql {
     // in one aggregate, then all 50 exact-integer rounds (weighted-mean
     // excess -> 1e6 + 1% relative-excess factor -> renormalize to 1e9)
     // as a recursive CTE over HUGEINT lattice weights
-    "sample_domain_mix" ->
-      """WITH RECURSIVE stats AS MATERIALIZED (
-           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST((sum(length(text)) * 1000000) //
-                 sum(len(string_split(text, ' '))) AS BIGINT) AS loss_ppm
-           FROM documents GROUP BY lang),
-         nd AS (SELECT count(*) AS n FROM stats),
-         mw(it, lang, w) AS (
-           SELECT 0 AS it, lang,
-               CAST(1000000000 // (SELECT n FROM nd) AS HUGEINT) AS w
-           FROM stats
-           UNION ALL
-           SELECT it, lang, w FROM (
-             WITH prev AS (SELECT * FROM mw),
-               t0 AS (SELECT min(it) AS it FROM prev),
-               j AS (SELECT p.lang, p.w, s.loss_ppm
-                 FROM prev p JOIN stats s USING (lang)),
-               agg AS (SELECT sum(w) AS sw, sum(w * loss_ppm) AS swl FROM j),
-               m AS (SELECT swl // sw AS m FROM agg),
-               x AS (SELECT lang, w,
-                   greatest(loss_ppm - (SELECT m FROM m), 0) AS x FROM j),
-               xm AS (SELECT max(x) AS xmax FROM x),
-               w1 AS (SELECT lang,
-                   CASE WHEN (SELECT xmax FROM xm) = 0 THEN w
-                     ELSE w * (1000000 + 10000 * x // (SELECT xmax FROM xm))
-                       // 1000000 END AS w1
-                 FROM x),
-               sw1 AS (SELECT sum(w1) AS s FROM w1),
-               nx AS (SELECT lang,
-                   CASE WHEN (SELECT xmax FROM xm) = 0 THEN w1
-                     ELSE w1 * 1000000000 // (SELECT s FROM sw1) END AS w
-                 FROM w1)
-             SELECT (SELECT it FROM t0) + 1 AS it, lang, w FROM nx
-             WHERE (SELECT it FROM t0) < 50))
-         SELECT s.lang, s.n_docs, s.loss_ppm,
-             CAST(f.w // 1000 AS BIGINT) AS weight_ppm
-         FROM stats s JOIN (SELECT * FROM mw WHERE it = 50) f USING (lang)
-         ORDER BY s.lang""",
+    "sample_domain_mix" -> domainMixOracle,
+
+    // the streaming MV folds the same additive (n_docs, chars, toks)
+    // cells and derives weights on read through the shared batch chain
+    // -- shared oracle
+    "stream_domain_mix" -> domainMixOracle,
 
     "eval_auc" ->
       """WITH v AS (SELECT CAST(ts AS DATE) AS day,

@@ -2349,12 +2349,21 @@ object Queries {
     * are a MODEL PARAMETER, the IVF-centroid discipline: at 100 TB the
     * corpus is scanned once for the loss table and the optimization
     * costs nothing. */
-  def sampleDomainMix(spark: SparkSession, dir: String): DataFrame = {
-    val stats = t(spark, dir, "documents")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text")).cast(LongType)).as("chars"),
-        sum(size(split(col("text"), " ", -1)).cast(LongType)).as("toks"))
+  def sampleDomainMix(spark: SparkSession, dir: String): DataFrame =
+    domainMixFromStats(spark,
+      t(spark, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast(LongType)).as("chars"),
+          sum(size(split(col("text"), " ", -1)).cast(LongType)).as("toks")))
+
+  /** The weight derivation of [[sampleDomainMix]] over any per-domain
+    * (lang, n_docs, chars, toks) additive stats frame — shared verbatim
+    * by the streaming maintained twin, which derives it on read over the
+    * folded per-domain MV (the kanonymityFromSizes pattern). */
+  private[graft] def domainMixFromStats(spark: SparkSession,
+                                        statsDf: DataFrame): DataFrame = {
+    val stats = statsDf
       .select(col("lang"), col("n_docs"),
         expr("chars * 1000000 div toks").as("loss_ppm"))
       .collect()

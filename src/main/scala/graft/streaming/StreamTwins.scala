@@ -2211,6 +2211,75 @@ object StreamTwins {
       ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
   }
 
+  /** STREAMING maintained domain-mixture MV — the ingest-side twin of
+    * `sample_domain_mix`: the per-domain (n_docs, chars, toks) cells are
+    * ADDITIVE, folded through the batchId-versioned seam as document
+    * batches land; the Group-DRO multiplicative-weights iterate — whose
+    * every round depends on ALL domains' totals — derives on read via
+    * the shared [[graft.Queries.domainMixFromStats]], so any batching
+    * hash-matches the batch oracle. State is domain-cardinality rows
+    * forever: the mixture weights for a 100 TB corpus are maintained by
+    * folding a 5-row table per micro-batch. */
+  def streamDomainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_dmix_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_dmix_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_dmix_ck_$tag")
+    val feed = graft.ops.Tables.table(ss, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast(LongType).as("chars"),
+        size(split(col("text"), " ", -1)).cast(LongType).as("toks"))
+    val slices = Seq(0, 1, 2)
+    val complete = slices.forall { i =>
+      java.nio.file.Files.exists(landing.resolve(s"s$i.parquet"))
+    }
+    if (!complete) {
+      slices.foreach { i =>
+        val part = java.nio.file.Paths.get(graft.ops.TempFiles.dir(
+          s"stream_dmix_feed_build_$tag/staging/s$i"))
+        feed.filter(pmod(col("doc_id"), lit(3)) === i)
+          .repartition(1).write.mode("overwrite").parquet(part.toString)
+        val src = java.nio.file.Files.list(part)
+        val f = try src.filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get() finally src.close()
+        java.nio.file.Files.move(f, landing.resolve(s"s$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val feedSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("chars", LongType), StructField("toks", LongType)))
+    val stateSchema = StructType(Seq(
+      StructField("lang", StringType), StructField("n_docs", LongType),
+      StructField("chars", LongType), StructField("toks", LongType)))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        state.unionByName(batch.toDF()
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"),
+              sum(col("toks")).as("toks")))
+          .groupBy(col("lang"))
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("chars")).as("chars"),
+            sum(col("toks")).as("toks"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.Queries.domainMixFromStats(ss,
+      ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
+  }
+
   /** STREAMING maintained serving-feature table — the feature-store
     * write path: the per-category (n, Σ target) cells are ADDITIVE,
     * folded through the batchId-versioned seam as events land; the

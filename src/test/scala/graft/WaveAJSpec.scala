@@ -117,6 +117,15 @@ class WaveAJSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("stream_domain_mix: the incrementally folded per-domain cells " +
+    "yield the batch mixture weights exactly") {
+    val batch = Queries.sampleDomainMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val streamed = streaming.StreamTwins.streamDomainMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("dq_ldiversity: census monotone in l, totals constant, share " +
     "consistent with the row counts") {
     val out = Queries.dqLdiversity(spark, sf).collect()
