@@ -108,14 +108,22 @@ class OracleCostSpec extends AnyFunSuite {
     val recOracles = SparkEntry.oracleSql.filter(_._2.contains("WITH RECURSIVE"))
     assert(recOracles.size >= 20,
       s"expected >= 20 recursive oracles, parser saw ${recOracles.size}")
-    // a known-shape probe: attribution_markov's counts CTE must parse as
-    // MATERIALIZED and be referenced in fp's iteration branch
+    // a known-shape probe: attribution_markov's iteration branch joins
+    // the round-9 pre-aggregated cmat/base tables (counts moved OUT of
+    // the recursion entirely — the #7 shave); both must parse as
+    // MATERIALIZED and actually be the iteration branch's references
     val markov = SparkEntry.oracleSql("attribution_markov")
     val ctes = parseCtes(markov)
-    val counts = ctes.find(_.name == "counts").get
-    assert(counts.materialized, "counts must stay MATERIALIZED")
+    Seq("cmat", "base").foreach { n =>
+      val c = ctes.find(_.name == n).get
+      assert(c.materialized, s"$n must stay MATERIALIZED")
+    }
     val fp = ctes.find(_.name == "fp").get
-    assert(references(iterationBranch(fp.body), "counts"),
-      "probe expectation broken: counts no longer in fp's iteration branch")
+    val iter = iterationBranch(fp.body)
+    assert(references(iter, "cmat") && references(iter, "base"),
+      "probe expectation broken: cmat/base no longer in fp's iteration branch")
+    assert(!references(iter, "counts"),
+      "counts is back in fp's iteration branch — the round-9 " +
+        "pre-aggregation regressed")
   }
 }
