@@ -3695,6 +3695,29 @@ object OracleSql {
     // -- shared oracle
     "stream_domain_mix" -> domainMixOracle,
 
+    // calibration bin census: cents -> ppm confidence by the global max,
+    // decile bins (1.0 edge clamped to bin 9), exact truncating stats
+    "eval_ece" ->
+      """WITH e AS (SELECT
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL),
+         mx AS (SELECT max(cents) AS mx FROM e),
+         c AS (SELECT (cents * 1000000) // (SELECT mx FROM mx) AS conf_ppm,
+             y FROM e),
+         b AS (SELECT least(9, conf_ppm * 10 // 1000000) AS bin,
+             conf_ppm, y FROM c),
+         g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(conf_ppm) AS BIGINT) AS sum_conf
+           FROM b GROUP BY bin)
+         SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+             CAST(n_pos * 1000000 // n AS BIGINT) AS acc_ppm,
+             CAST(sum_conf // n AS BIGINT) AS conf_ppm,
+             CAST(abs(n_pos * 1000000 // n - sum_conf // n) AS BIGINT)
+               AS gap_ppm
+         FROM g ORDER BY bin""",
+
     "eval_auc" ->
       """WITH v AS (SELECT CAST(ts AS DATE) AS day,
              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,

@@ -7818,6 +7818,36 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** X95 — calibration census (the ECE bin table, Guo et al. 2017): a
+    * scorer monitored by AUC (ranking quality) can still be badly
+    * CALIBRATED, so the eval suite also needs per-confidence-bin
+    * (count, accuracy, mean confidence, |gap|). Confidence is the score
+    * normalized to [0, 1e6] ppm by the global max (one broadcast
+    * one-row aggregate — the scalar-join pattern); bins are the 10
+    * equal-width deciles with the 1.0 edge clamped into bin 9. All
+    * EXACT integers: accuracy and mean confidence by truncating
+    * division, gap as their absolute difference — so the table is
+    * hash-checked, and a user folds ECE = Σ n·gap/N with any weighting
+    * they like. ONE row-level pass + ONE 10-group aggregate. */
+  def evalEce(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").filter(col("value").isNotNull)
+      .select((Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val mx = ev.agg(max(col("cents")).as("mx"))
+    ev.crossJoin(broadcast(mx))
+      .select(expr("cents * 1000000 div mx").as("conf_ppm"), col("y"))
+      .withColumn("bin", least(lit(9L), expr("conf_ppm * 10 div 1000000")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("conf_ppm")).as("sum_conf"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("acc_ppm"),
+        expr("sum_conf div n").as("conf_ppm"),
+        abs(expr("n_pos * 1000000 div n") - expr("sum_conf div n"))
+          .as("gap_ppm"))
+      .orderBy(col("bin"))
+  }
+
   /** N9d — readability scoring over documents: Flesch reading ease with
     * the standard vowel-group syllable approximation. The three counts
     * are EXACT integers from codegen'd regex splits (words on

@@ -126,6 +126,25 @@ class WaveAJSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("eval_ece: bins partition the scored rows, stats are the exact " +
+    "truncating ratios, gap is their absolute difference") {
+    val out = Queries.evalEce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty && out.forall(b => b._1 >= 0 && b._1 <= 9))
+    val scored = ops.Tables.table(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull).count()
+    assert(out.map(_._2).sum == scored, "bins must partition scored rows")
+    out.foreach { case (_, n, nPos, acc, _, gap) =>
+      assert(acc == nPos * 1000000L / n)
+      assert(nPos <= n && gap >= 0)
+    }
+    // the fixture's purchase rate is score-independent, so confidence
+    // deciles must NOT be calibrated: some bin carries a visible gap
+    assert(out.map(_._6).max > 100000L,
+      "expected a miscalibrated fixture (gap > 0.1 somewhere)")
+  }
+
   test("dq_ldiversity: census monotone in l, totals constant, share " +
     "consistent with the row counts") {
     val out = Queries.dqLdiversity(spark, sf).collect()
