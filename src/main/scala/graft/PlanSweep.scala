@@ -60,6 +60,9 @@ object PlanSweep {
       // KS: the 5-row type list and the one-row grand total, both
       // broadcast onto the value grid (scalar-subquery shape)
       "dq_ks",
+      // calibration census: the ONE-row global-max-cents normalizer
+      // broadcast onto the event scan (scalar-subquery shape)
+      "eval_ece",
       // hard-negative mining: the ann_cosine_topk brute-force tier (8-row
       // anchor broadcast against the corpus scan) with a rank-band filter
       "sample_hard_negatives",
