@@ -5028,6 +5028,34 @@ object OracleSql {
          FROM m ORDER BY l_returnflag""",
 
     // DuckDB dayofweek is 0-based Sunday; Spark's is 1-based Sunday
+    // Cramér's V effect size: the chi-square contingency in HUGEINT —
+    // per-cell ((obs·n − r·c)²·1e6) // (r·c·n) truncating terms (exceeds
+    // BIGINT past ~60k rows), summed order-free, then v2 = chi2/(n·(k−1))
+    "dq_cramers_v" ->
+      """WITH cells AS (SELECT event_type,
+             CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+             CAST(count(*) AS HUGEINT) AS obs
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, sum(obs) AS r FROM cells GROUP BY 1),
+         c AS (SELECT dow, sum(obs) AS c FROM cells GROUP BY 1),
+         tt AS (SELECT sum(obs) AS n, count(*) AS ncells FROM cells),
+         dims AS (SELECT (SELECT count(*) FROM r) AS n_rows,
+             (SELECT count(*) FROM c) AS n_cols),
+         chi AS (SELECT sum(
+             (x.obs * (SELECT n FROM tt) - r.r * c.c)
+               * (x.obs * (SELECT n FROM tt) - r.r * c.c)
+               * 1000000 // (r.r * c.c * (SELECT n FROM tt))) AS chi2_ppm
+           FROM cells x JOIN r USING (event_type) JOIN c USING (dow))
+         SELECT CAST((SELECT n FROM tt) AS BIGINT) AS n,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(n_cols AS BIGINT) AS n_cols,
+             CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+             CAST((SELECT chi2_ppm FROM chi) AS BIGINT) AS chi2_ppm,
+             CAST((SELECT chi2_ppm FROM chi) //
+               ((SELECT n FROM tt) * (least(n_rows, n_cols) - 1))
+               AS BIGINT) AS v2_ppm
+         FROM dims""",
+
     "dq_chisq" ->
       """WITH cells AS (SELECT event_type,
              CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,

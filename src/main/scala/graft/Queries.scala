@@ -4802,6 +4802,40 @@ object Queries {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** X96 — Cramér's V effect size beside the chi-square audit: a
+    * significant chi² on a big corpus can be practically tiny, so the
+    * audit also needs the strength number V² = χ²/(n·(min(r,c)−1)).
+    * Exact integers end to end: χ²·10⁶ = Σ_cells ⌊(obs·n − r·c)²·10⁶ /
+    * (r·c·n)⌋ — each term one truncating division over exact counts, so
+    * the sum is order-free — and v2_ppm = ⌊chi2_ppm / (n·(k−1))⌋. The
+    * per-cell numerator (obs·n − r·c)² exceeds a long past ~60k rows, so
+    * the fold runs driver-side in BigInt over the DIMENSION-bounded cell
+    * table (≤ |types|·7 rows collected — the model-parameter collect
+    * pattern); the corpus itself is collapsed by the same ONE partial-agg
+    * shuffle [[dqChisq]] uses. Replayed in HUGEINT by the oracle. */
+  def dqCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "events")
+      .select(col("event_type"), dayofweek(col("ts")).cast(LongType).as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("obs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rowTot = cells.groupBy(_._1).map { case (k, v) =>
+      k -> BigInt(v.map(_._3).sum) }
+    val colTot = cells.groupBy(_._2).map { case (k, v) =>
+      k -> BigInt(v.map(_._3).sum) }
+    val n = BigInt(cells.map(_._3).sum)
+    val chi2ppm = cells.map { case (et, dow, obs) =>
+      val (r, c) = (rowTot(et), colTot(dow))
+      val d = BigInt(obs) * n - r * c
+      d * d * BigInt(1000000) / (r * c * n)
+    }.sum
+    val k = BigInt(math.min(rowTot.size, colTot.size))
+    val dof = BigInt(rowTot.size - 1) * BigInt(colTot.size - 1)
+    val v2ppm = chi2ppm / (n * (k - 1))
+    spark.createDataFrame(Seq((n.toLong, rowTot.size.toLong,
+        colTot.size.toLong, dof.toLong, chi2ppm.toLong, v2ppm.toLong)))
+      .toDF("n", "n_rows", "n_cols", "dof", "chi2_ppm", "v2_ppm")
+  }
+
   /** X35 — association rules over per-user event-type baskets (market
     * basket analysis): for every directed type pair x→y, the co-occurrence
     * count and exact-ppm support, confidence, and lift — the

@@ -126,6 +126,32 @@ class WaveAJSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("dq_cramers_v: matches a driver BigInt replay of the chi-square " +
+    "contingency and stays inside the V-squared bounds") {
+    val out = Queries.dqCramersV(spark, sf).collect().head
+    val (n, nr, nc, dof, chi2, v2) = (out.getLong(0), out.getLong(1),
+      out.getLong(2), out.getLong(3), out.getLong(4), out.getLong(5))
+    assert(dof == (nr - 1) * (nc - 1))
+    assert(v2 >= 0 && v2 <= 1000000L, s"V^2 must be a ppm fraction: $v2")
+    assert(v2 == chi2 / (n * (math.min(nr, nc) - 1)))
+    // independent replay from the raw events
+    val cells = ops.Tables.table(spark, sf, "events")
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.dayofweek(
+          org.apache.spark.sql.functions.col("ts")).as("dow"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val rT = cells.groupBy(_._1).map { case (k, v) => k -> BigInt(v.map(_._3).sum) }
+    val cT = cells.groupBy(_._2).map { case (k, v) => k -> BigInt(v.map(_._3).sum) }
+    val nn = BigInt(cells.map(_._3).sum)
+    val expect = cells.map { case (et, dw, obs) =>
+      val d = BigInt(obs) * nn - rT(et) * cT(dw)
+      d * d * BigInt(1000000) / (rT(et) * cT(dw) * nn)
+    }.sum
+    assert(nn.toLong == n && expect.toLong == chi2,
+      s"driver replay chi2 $expect != declared $chi2")
+  }
+
   test("eval_ece: bins partition the scored rows, stats are the exact " +
     "truncating ratios, gap is their absolute difference") {
     val out = Queries.evalEce(spark, sf).collect()
