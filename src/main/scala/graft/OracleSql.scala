@@ -165,9 +165,16 @@ object OracleSql {
          g AS (SELECT y, x FROM range(8) t1(y), range(8) t2(x)),
          samp AS (
            SELECT d.doc_id, CAST(g.y * 8 + g.x AS INTEGER) AS i,
+                  -- L = 0 guard (ADVICE r9 #2): encodeBmp zero-fills the
+                  -- pixels of an empty text, so every sample is 0. The
+                  -- gated corpora are non-empty by OracleCouplingSpec's
+                  -- invariant, but the oracle stays TOTAL either way
+                  -- (DuckDB x % 0 is NULL, which would poison the hash).
+                  CASE WHEN d.L = 0 THEN 0 ELSE
                   ord(substr(d.text, CAST(((g.y*d.h//8)*d.stride + (g.x*d.w//8)*3 + 0) % d.L + 1 AS INTEGER), 1))
                 + ord(substr(d.text, CAST(((g.y*d.h//8)*d.stride + (g.x*d.w//8)*3 + 1) % d.L + 1 AS INTEGER), 1))
-                + ord(substr(d.text, CAST(((g.y*d.h//8)*d.stride + (g.x*d.w//8)*3 + 2) % d.L + 1 AS INTEGER), 1)) AS v
+                + ord(substr(d.text, CAST(((g.y*d.h//8)*d.stride + (g.x*d.w//8)*3 + 2) % d.L + 1 AS INTEGER), 1))
+                  END AS v
            FROM d, g),
          tot AS (SELECT doc_id, i, v,
                         sum(v) OVER (PARTITION BY doc_id) AS total FROM samp),

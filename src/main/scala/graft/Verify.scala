@@ -90,6 +90,10 @@ object Verify {
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)
   // — a tab or CR in builder-authored SQL would otherwise make the
   // driver's json.load fail and silently zero the round's correctness.
+  // private[graft] (round 10, ADVICE r9 #4): PrintOracle --all emits the
+  // same document shape and must share the one escaper, not fork a
+  // weaker copy.
+  private[graft] def jsonStr(s: String): String = q(s)
   private def q(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"

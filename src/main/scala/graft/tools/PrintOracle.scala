@@ -10,10 +10,12 @@ object PrintOracle {
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("--all")) {
       val m = graft.SparkEntry.oracleSql
+      // one escaper for every oracle-JSON emitter (ADVICE r9 #4): the
+      // ad-hoc version here missed \r and other control chars, emitting
+      // JSON the strict round-trip consumers reject
       val body = m.toSeq.sortBy(_._1).map { case (k, v) =>
-        val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", "\\n").replace("\t", "\\t")
-        s""" "$k": "$esc"""" }.mkString("{\n", ",\n", "\n}")
+        s""" ${graft.Verify.jsonStr(k)}: ${graft.Verify.jsonStr(v)}""" }
+        .mkString("{\n", ",\n", "\n}")
       java.nio.file.Files.write(java.nio.file.Paths.get(args(1)),
         body.getBytes("UTF-8"))
       println(s"wrote ${m.size} oracles to ${args(1)}")

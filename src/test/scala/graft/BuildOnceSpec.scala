@@ -96,6 +96,47 @@ class BuildOnceSpec extends AnyFunSuite {
       "stale in-place litter must not survive into the published table")
   }
 
+  test("TOCTOU heal (ADVICE r9 #1): a dir that gained its sentinel after " +
+    "the caller's fast-path check is ADOPTED intact, never deleted") {
+    // simulate the race window directly: healOrAdopt is entered exactly
+    // when the fast-path missed, but by then the winner has published —
+    // the dir is complete WITH sentinel
+    val dst = freshDst("toctou")
+    ops.BuildOnce.dirFixture(dst)(slowBuild("W"))
+    assert(ops.BuildOnce.healOrAdopt(dst),
+      "a sentinel-bearing dir must be reported complete, not torn")
+    assert(assertComplete(dst) == "W",
+      "the published fixture must survive the heal path byte-for-byte")
+    // and a genuinely torn dir (no sentinel) is still swept
+    val torn = freshDst("torn")
+    Files.write(torn.resolve("torn.bin"), Array[Byte](9))
+    assert(!ops.BuildOnce.healOrAdopt(torn))
+    assert(!Files.exists(torn.resolve("torn.bin")))
+  }
+
+  test("stale litter sweep (VERDICT r9 #2): orphan aside/staging dirs " +
+    "older than the wait budget are removed on entry; fresh ones survive") {
+    val dst = freshDst("sweep")
+    val parent = dst.getParent
+    val name = dst.getFileName
+    val oldStale = parent.resolve(s".$name-stale-1")
+    val oldBuild = parent.resolve(s".$name-build-1-1")
+    val freshBuild = parent.resolve(s".$name-build-live-${System.nanoTime()}")
+    Seq(oldStale, oldBuild, freshBuild).foreach { p =>
+      Files.createDirectories(p)
+      Files.write(p.resolve("f.bin"), Array[Byte](1))
+    }
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60L * 60 * 1000)
+    Seq(oldStale, oldBuild).foreach(Files.setLastModifiedTime(_, past))
+    ops.BuildOnce.dirFixture(dst, waitMs = 30L * 60 * 1000)(slowBuild("S"))
+    assert(assertComplete(dst) == "S")
+    assert(!Files.exists(oldStale), "hour-old aside orphan must be swept")
+    assert(!Files.exists(oldBuild), "hour-old staging orphan must be swept")
+    assert(Files.exists(freshBuild),
+      "a live builder's fresh staging dir must NOT be swept")
+  }
+
   test("fast path: a completed fixture is returned without rebuilding") {
     val dst = freshDst("fast")
     ops.BuildOnce.dirFixture(dst)(slowBuild("F1"))

@@ -65,7 +65,9 @@ class GlobalNameSpec extends AnyFunSuite {
     "with a constant name) is created in exactly one source file") {
     // fixed literals only: interpolated names (s"...$tag") are epoch- or
     // key-scoped by construction and excluded by the no-$ character class
-    val create = """CREATE TABLE (?:IF NOT EXISTS )?([A-Za-z_][A-Za-z0-9_]*) """.r
+    // \b not a literal space (ADVICE r9 #3): `name(` / name-at-newline
+    // CTAS forms must not escape the single-owner guard
+    val create = """CREATE TABLE (?:IF NOT EXISTS )?([A-Za-z_][A-Za-z0-9_]*)\b""".r
     val save = """saveAsTable\("([^"$]+)"\)""".r
     val sites = for {
       (file, text) <- mainSources

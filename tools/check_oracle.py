@@ -121,12 +121,22 @@ def main(sf_dir, out_dir, self_json=None, subset=False):
                     prev = json.load(f)
                 verify_s = {**prev.get("verify_seconds", {}), **verify_s}
                 oracle_s = {**prev.get("oracle_seconds", {}), **oracle_s}
+                # merge per-query STATUS the same way (ADVICE r9 #5):
+                # stamping subset-only counts over a full run's artifact
+                # left counts and timing totals describing different runs
+                status = {**prev.get("queries", {}), **status}
             except Exception:
                 pass  # unreadable prior artifact: stamp fresh
+        # counts re-derived from the MERGED status map so every number in
+        # the artifact describes the same evidence set
+        m_ok = sum(1 for v in status.values() if v == "ok")
+        m_bad = sum(1 for v in status.values()
+                    if v.startswith(("fail", "miss")))
+        m_declared = sum(1 for v in status.values() if v != "miss:no_dump")
         with open(self_json, "w") as f:
-            json.dump({"n_ok": n_ok, "n_bad": n_bad,
-                       "n_declared": len(declared),
-                       "subset": bool(subset),
+            json.dump({"n_ok": m_ok, "n_bad": m_bad,
+                       "n_declared": m_declared,
+                       "last_run_subset": bool(subset),
                        "oracle_sql_sha256": sha,
                        "oracle_seconds_total": round(sum(oracle_s.values()), 1),
                        "verify_seconds_total": round(sum(verify_s.values()), 1),
