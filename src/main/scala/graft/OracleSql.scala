@@ -5730,6 +5730,23 @@ object OracleSql {
            (SELECT min(event_id) FROM events GROUP BY event_type)
          ORDER BY event_id""",
 
+    // the bloom lookup through the O(delta)-refreshed v3 index must
+    // answer exactly like a direct scan of the post-COW-delete table —
+    // probe keys re-derived from v3 content (the delete can move a
+    // type's min event_id)
+    "index_incremental" ->
+      """WITH v3 AS (SELECT event_id, event_type,
+             CAST(ts AS TIMESTAMP) AS tsx
+           FROM events
+           WHERE NOT (event_type = 'error' AND
+             CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-22 00:00:00'))
+         SELECT event_id, event_type,
+             CAST(epoch_us(tsx) AS BIGINT) AS us
+         FROM v3
+         WHERE event_id IN
+           (SELECT min(event_id) FROM v3 GROUP BY event_type)
+         ORDER BY event_id""",
+
     "scan_schema_evolution" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) n_events,
              CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) >=
