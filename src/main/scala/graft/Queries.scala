@@ -1899,6 +1899,19 @@ object Queries {
         "vec_id", "embedding", col("id") < 8, 10)
       .orderBy(col("q_id"), col("rn"))
 
+  /** N7p — PQ STRUCTURAL twin (round 10, VERDICT r9 "next" #2): the last
+    * approximate tier whose internals were not oracle-replayed. Runs
+    * per-subspace codebook TRAINING (seeded Lloyd, truncating-division
+    * means) and ADC TABLE SCORING in exact integer arithmetic
+    * ([[sim.Pq.latticePqStruct]]), hash-checked by a recursive-CTE
+    * DuckDB replay — gating the mechanics `ann_pq_topk` and
+    * `ann_ivfpq_topk` rely on; their float tiers keep recall-floor
+    * specs. */
+  def annPqStruct(spark: SparkSession, dir: String): DataFrame =
+    sim.Pq.latticePqStruct(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", col("id") < 8, 10)
+      .orderBy(col("q_id"), col("rn"))
+
   /** Recall@10 of the LSH ANN against the exact brute-force ground truth —
     * THE quality number an approximate index owes its users. Rows-only
     * (recall of an approximate structure isn't ANSI-SQL-expressible);

@@ -250,6 +250,96 @@ object Pq {
       .filter(col("rn") <= k)
   }
 
+  /** PQ STRUCTURAL twin (round 10, VERDICT r9 "next" #2 — the N7k recipe
+    * of [[Ivf.latticeKnnStruct]] applied to the LAST un-twinned
+    * approximate tier): the same machinery [[trainCodebook]] /
+    * [[encode]] / [[adcTopK]] share — per-subspace slice → seeded Lloyd
+    * (assign by squared L2, means, empty cells keep their previous
+    * centroid) → positional code assignment → per-query distance LUT →
+    * ADC sum over the code word → per-query top-k window — run in EXACT
+    * INTEGER arithmetic: micro-lattice coordinates (⌊x·10⁶⌋, the
+    * embed_gram discipline), truncating-division means (Spark `DIV` ==
+    * DuckDB HUGEINT `//`, proven round 8), integer squared-L2 ADC. Seed
+    * = `id mod nCodes` (replayable; production seeds by content hash,
+    * the one piece a SQL twin cannot follow). Every step lands in the
+    * `ann_pq_struct` recursive-CTE oracle, so codebook training AND ADC
+    * scoring are hash-checked end to end; the production float tier
+    * keeps its recall-floor specs ([[adcTopK]] via `ann_pq_recall`).
+    *
+    * Overflow bound: |coord| ≤ 1.2e6 ⇒ per-dim square ≤ 1.5e12, ×8 dims
+    * per subspace ×8 subspaces ≈ 1e14 ≪ 2⁶³ — exact longs throughout. */
+  def latticePqStruct(emb: DataFrame, idCol: String, vecCol: String,
+                      queryPred: Column, k: Int, m: Int = 8,
+                      nCodes: Int = 8, iters: Int = 2): DataFrame = {
+    val lat = transform(col(vecCol), x =>
+      floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val d = dim / m
+    // one narrow explode: (id, sub, sv) — m rows per vector, reused by
+    // training, encoding, and the query LUTs
+    val subs = emb.select(col(idCol).as("id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          mm => slice(lat, mm * d + 1, lit(d)))))
+      .toDF("id", "sub", "sv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // exact per-(sub, cell) integer means — model-parameter sized
+    // (m·nCodes·d longs), the twin's plan-literal codebook
+    def means(assigned: DataFrame): Map[(Int, Int), Seq[Long]] =
+      assigned.select(col("sub"), col("cell"), posexplode(col("sv")))
+        .toDF("sub", "cell", "dim", "x")
+        .groupBy(col("sub"), col("cell"), col("dim"))
+        .agg(expr("sum(x) DIV count(1)").as("mn"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mn"))))
+          .as("dm"))
+        .select(col("sub"), col("cell"),
+          transform(col("dm"), s => s.getField("mn")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toSeq)
+        .toMap
+
+    val seed = means(subs.select(col("sub"),
+      pmod(col("id"), lit(nCodes)).cast("int").as("cell"), col("sv")))
+    val origin = Seq.fill(d)(0L)
+    var cents: Map[(Int, Int), Seq[Long]] =
+      (for (s <- 0 until m; c <- 0 until nCodes)
+        yield (s, c) -> seed.getOrElse((s, c), origin)).toMap
+    // integer d² of this row's subvector against ITS subspace's codebook
+    def d2s: Column = {
+      val lit3 = typedlit((0 until m).map(s =>
+        (0 until nCodes).map(c => cents((s, c)))))
+      transform(element_at(lit3, col("sub") + 1), c =>
+        aggregate(zip_with(col("sv"), c, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+    }
+    def assign: Column = (array_position(d2s, array_min(d2s)) - 1).cast("int")
+    for (_ <- 0 until iters) {
+      val mns = means(subs.select(col("sub"), assign.as("cell"), col("sv")))
+      cents = cents.map { case (key, old) => key -> mns.getOrElse(key, old) }
+    }
+    // codes: each (id, sub)'s nearest final centroid (ties → lowest cell)
+    val codes = subs.select(col("id"), col("sub"), assign.as("cell"))
+    // query LUTs: d² to EVERY cell of every subspace — posexplode position
+    // IS the cell id (the codebook literal is cell-ordered)
+    val qluts = subs.filter(queryPred)
+      .select(col("id").as("q_id"), col("sub"), posexplode(d2s))
+      .toDF("q_id", "sub", "cell", "d2")
+    // ADC: one broadcast equi-join on (sub, cell) — each code word meets
+    // exactly its m LUT entries per query; sum = the ADC distance
+    codes.join(broadcast(qluts), Seq("sub", "cell"))
+      .filter(col("id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("d2")).as("adc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").asc, col("id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        col("adc"), col("rn").cast("long").as("rn"))
+  }
+
   /** IVF-PQ — the composed production index (the faiss IVFPQ shape): the
     * two-level IVF quantizer ([[Ivf.trainTwoLevel]]) BOUNDS the candidate
     * set (only vectors in the query's probed cells are touched at all),

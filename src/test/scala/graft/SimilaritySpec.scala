@@ -253,4 +253,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expect,
       s"lattice IVF knn != driver replay: ${got.size} vs ${expect.size}")
   }
+
+  test("ann_pq_struct equals a driver replay of the per-subspace integer " +
+    "Lloyd + ADC scoring (codebook training AND scoring are value-exact)") {
+    // independent in-JVM replay of sim/Pq.latticePqStruct's contract:
+    // micro-lattice subvectors (8 subspaces × 8 dims), id%8 seed means
+    // per subspace, 2 Lloyd passes with truncating-division means (empty
+    // cells keep their previous centroid), argmin-d2 codes with
+    // lowest-cell ties, ADC = sum over subspaces of the query's
+    // d2-to-centroid LUT at the neighbor's code, top-10 with
+    // lowest-neighbor ties
+    val (m, d, kCodes, iters, topK, nQ) = (8, 8, 8, 2, 10, 8L)
+    val vecs = ops.Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(f => math.floor(f.toDouble * 1000000.0).toLong).toIndexedSeq)
+      .sortBy(_._1)
+    def tdiv(a: Long, b: Long): Long = a / b // Long / truncates toward zero
+    def d2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val subs: Map[(Long, Int), IndexedSeq[Long]] =
+      vecs.flatMap { case (id, v) =>
+        (0 until m).map(s => (id, s) -> v.slice(s * d, (s + 1) * d)) }.toMap
+    def means(assign: Seq[((Int, Int), IndexedSeq[Long])]) =
+      assign.groupBy(_._1).map { case (key, vs) =>
+        key -> vs.head._2.indices
+          .map(dd => tdiv(vs.map(_._2(dd)).sum, vs.size)).toIndexedSeq }
+    val seed = means(subs.toSeq.map { case ((id, s), sv) =>
+      ((s, (id % kCodes).toInt), sv) })
+    var cents: Map[(Int, Int), IndexedSeq[Long]] =
+      (for (s <- 0 until m; c <- 0 until kCodes) yield
+        (s, c) -> seed.getOrElse((s, c), IndexedSeq.fill(d)(0L))).toMap
+    def argmin(s: Int, sv: IndexedSeq[Long]): Int =
+      (0 until kCodes).minBy(c => (d2(sv, cents((s, c))), c))
+    for (_ <- 0 until iters) {
+      val mns = means(subs.toSeq.map { case ((id, s), sv) =>
+        ((s, argmin(s, sv)), sv) })
+      cents = cents.map { case (key, old) => key -> mns.getOrElse(key, old) }
+    }
+    val codes: Map[(Long, Int), Int] = subs.map { case ((id, s), sv) =>
+      (id, s) -> argmin(s, sv) }
+    val ids = vecs.map(_._1)
+    val expect = ids.filter(_ < nQ).flatMap { q =>
+      val lut = (for (s <- 0 until m; c <- 0 until kCodes) yield
+        (s, c) -> d2(subs((q, s)), cents((s, c)))).toMap
+      ids.filter(_ != q)
+        .map(n => ((0 until m).map(s => lut((s, codes((n, s))))).sum, n))
+        .sorted.take(topK).zipWithIndex
+        .map { case ((adc, n), i) => (q, n, adc, (i + 1).toLong) }
+    }.toSeq
+    val got = Queries.annPqStruct(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty && got == expect,
+      s"lattice PQ ADC != driver replay: ${got.size} vs ${expect.size}")
+  }
 }
