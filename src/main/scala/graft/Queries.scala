@@ -4059,13 +4059,8 @@ object Queries {
     * Partition bounds come from one tiny driver aggregate over the seed —
     * the model-parameter pattern, not a data collect. */
   def scanJdbcPartitioned(spark: SparkSession, dir: String): DataFrame = {
-    val url = s"jdbc:derby:memory:graftsrc_${TempFiles.tag(dir)};create=true"
-    val props = new java.util.Properties
-    val seed = t(spark, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"),
-        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
-    SinkDdl.writeJdbc(seed, url, "events_src", props)
+    val url = jdbcSrcUrl(spark, dir)
+    val seed = jdbcSrcSeed(spark, dir)
     val bounds = seed.agg(min(col("event_id")), max(col("event_id"))).head()
     spark.read.format("jdbc")
       .option("url", url).option("dbtable", "events_src")
@@ -4078,6 +4073,103 @@ object Queries {
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
       .orderBy(col("day"))
+  }
+
+  /** The warehouse-extract seed rows (purchases with exact cents). */
+  private def jdbcSrcSeed(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (Cleanse.dec2(col("value")) * 100).cast(LongType).as("cents"))
+
+  /** Build (once, cross-process-safe) the JDBC source fixture as a
+    * JAR-packaged READ-ONLY Derby database and return its URL.
+    *
+    * Round 10: the previous `jdbc:derby:memory:` fixture existed only in
+    * the JVM that seeded it — under the multi-JVM local-cluster gate
+    * each executor's range query booted a fresh EMPTY in-memory db and
+    * failed (found by ClusterVerify, exactly the bug class it exists
+    * for). Embedded Derby forbids multiple JVMs on a writable database;
+    * the one multi-JVM form it EXPLICITLY supports is a read-only
+    * database, and the only read-only marker that works when the
+    * process runs as root (permission bits don't bind root, so
+    * chmod-based detection silently fails — measured: XSDB6) is the
+    * jar-packaged database (`jdbc:derby:jar:(file)db`), which Derby
+    * treats as read-only storage with NO lock files at all. Read-only
+    * is also the honest shape for a warehouse extract. So: the driver
+    * seeds a scratch file db over one plain JDBC connection (fixture
+    * plumbing, bounded by the purchase count — the reference's own
+    * chunked-INSERT ladder shape), shuts it down, zips it into db.jar
+    * (lock files and tmp/ excluded), and every JVM — driver schema
+    * probe and all executor range queries — boots the jar independently.
+    * Identifiers are QUOTED lowercase to match what Spark's JDBC writer
+    * used to create, so the read-side schema is unchanged. */
+  private[graft] def jdbcSrcUrl(spark: SparkSession, dir: String): String = {
+    val root = java.nio.file.Paths.get(
+      TempFiles.dir(s"jdbc_src_${TempFiles.tag(dir)}"))
+    ops.BuildOnce.dirFixture(root) { tmp =>
+      val db = tmp.resolve("db")
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:derby:$db;create=true")
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try st.execute("""CREATE TABLE events_src ("event_id" BIGINT, """ +
+          """"user_id" BIGINT, "ts" TIMESTAMP, "cents" BIGINT)""")
+        finally st.close()
+        val ps = conn.prepareStatement(
+          """INSERT INTO events_src ("event_id", "user_id", "ts", """ +
+            """"cents") VALUES (?, ?, ?, ?)""")
+        try {
+          val it = jdbcSrcSeed(spark, dir).toLocalIterator()
+          var n = 0
+          while (it.hasNext) {
+            val r = it.next()
+            ps.setLong(1, r.getLong(0))
+            if (r.isNullAt(1)) ps.setNull(2, java.sql.Types.BIGINT)
+            else ps.setLong(2, r.getLong(1))
+            if (r.isNullAt(2)) ps.setNull(3, java.sql.Types.TIMESTAMP)
+            else ps.setTimestamp(3, r.getTimestamp(2))
+            if (r.isNullAt(3)) ps.setNull(4, java.sql.Types.BIGINT)
+            else ps.setLong(4, r.getLong(3))
+            ps.addBatch(); n += 1
+            if (n % 1000 == 0) ps.executeBatch()
+          }
+          ps.executeBatch()
+          conn.commit()
+        } finally ps.close()
+      } finally conn.close()
+      // unboot from THIS JVM (a booted db may not be shared), then pack
+      // the frozen files into db.jar — the scratch db dir is deleted so
+      // nothing can accidentally boot the writable copy
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // 08006 IS success
+      val jar = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(tmp.resolve("db.jar")))
+      try {
+        val walk = java.nio.file.Files.walk(db)
+        val files = try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+            .map(p => db.relativize(p).toString).toVector.sorted
+        } finally walk.close()
+        files
+          .filterNot(n => n == "db.lck" || n == "dbex.lck" ||
+            n.startsWith("tmp/"))
+          .foreach { n =>
+            jar.putNextEntry(new java.util.zip.ZipEntry(s"db/$n"))
+            jar.write(java.nio.file.Files.readAllBytes(db.resolve(n)))
+            jar.closeEntry()
+          }
+      } finally jar.close()
+      val rm = java.nio.file.Files.walk(db)
+      try {
+        import scala.jdk.CollectionConverters._
+        rm.iterator().asScala.toVector.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally rm.close()
+    }
+    s"jdbc:derby:jar:(${root.resolve("db.jar")})db"
   }
 
   /** X9f — HOPPING (sliding) window aggregation in batch: per event type,

@@ -45,6 +45,16 @@ object Verify {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    run(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** Dump `only` (or every) declared query to `outDir` on the given
+    * session — the one body [[main]] (single-JVM local) and
+    * [[ClusterVerify]] (multi-JVM local-cluster) share, so the cluster
+    * gate exercises exactly the driver gate's code path. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          only: Option[Set[String]]): Unit = {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val todo = SparkEntry.queries.toSeq
@@ -84,7 +94,6 @@ object Verify {
           Double.box(v))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_timings.json"), tj)
-    spark.stop()
   }
 
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -60,7 +60,9 @@ class SinkDdlSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     val q = Queries.scanJdbcPartitioned(spark, sf)
     // the scan itself (pre-aggregation): re-build to inspect the relation
-    val url = s"jdbc:derby:memory:graftsrc_${ops.TempFiles.tag(sf)};create=true"
+    // (round 10: the fixture is a file-backed READ-ONLY derby db so the
+    // multi-JVM gate's executors can all boot it; memory: dbs are per-JVM)
+    val url = Queries.jdbcSrcUrl(spark, sf)
     val scan = spark.read.format("jdbc")
       .option("url", url).option("dbtable", "events_src")
       .option("partitionColumn", "event_id")
