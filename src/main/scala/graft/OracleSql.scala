@@ -279,6 +279,45 @@ object OracleSql {
          FROM stats s JOIN (SELECT * FROM mw WHERE it = 50) f USING (lang)
          ORDER BY s.lang"""
 
+  /** Shared by `eval_cohen_kappa` and `stream_kappa` — the streaming MV
+    * folds the same additive (ra, rb) contingency grid per batch and
+    * derives through the same [[graft.Queries.kappaFromGrid]], so both
+    * hash-match this one replay. Every statistic is one division over
+    * exact integers (kappa via the n²-scaled identity). */
+  private val kappaOracle: String =
+    """WITH f AS (SELECT
+         CASE WHEN 2 * len(list_distinct(string_split(text,' '))) >=
+                   len(string_split(text,' ')) THEN 1 ELSE 0 END AS ra,
+         CASE WHEN 20 * (len(list_filter(string_split(text,' '), x -> x = 'the'))
+                       + len(list_filter(string_split(text,' '), x -> x = 'a'))) >=
+                   len(string_split(text,' ')) THEN 1 ELSE 0 END AS rb
+       FROM documents),
+     g AS (SELECT
+         count(*) AS n,
+         sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS n11,
+         sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS n10,
+         sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS n01,
+         sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS n00
+       FROM f)
+     SELECT CAST(n AS BIGINT) AS n_docs, CAST(n11 AS BIGINT) AS n11,
+         CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+         CAST(n00 AS BIGINT) AS n00,
+         round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+         round(CAST((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00) AS DOUBLE)
+             / CAST(n*n AS DOUBLE), 6) AS pe,
+         round(CAST(n*(n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE)
+             / CAST(n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE), 6) AS kappa,
+         CASE WHEN n10 + n01 = 0 THEN 0e0 ELSE
+           round(CAST((n10-n01)*(n10-n01) AS DOUBLE) / CAST(n10+n01 AS DOUBLE), 6)
+         END AS mcnemar_chi2
+     FROM g"""
+
+  /** [[graft.Queries.RboWeights]] as a VALUES list — interpolated from
+    * the SAME Scala constants the engine sums, so the twin tiers cannot
+    * drift onto different depth weights. */
+  private def rboWeightsSql: String =
+    graft.Queries.RboWeights.map { case (d, w) => s"($d,$w)" }.mkString(",")
+
   val sql: Map[String, String] = Map(
 
     "agg_group_count" ->
@@ -4248,6 +4287,91 @@ object OracleSql {
          SELECT CAST(query_id AS BIGINT) AS query_id,
              CAST(rnk AS BIGINT) AS rank, doc_id, round(score, 6) AS score
          FROM r WHERE rnk <= 5 ORDER BY query_id, rank""",
+
+    "eval_cohen_kappa" -> kappaOracle,
+    "stream_kappa" -> kappaOracle,
+
+    "graph_label_propagation" ->
+      s"""WITH RECURSIVE ${dupPairsSql},
+         adj AS MATERIALIZED (SELECT x, y FROM (
+             SELECT CAST(a_id AS BIGINT) x, CAST(b_id AS BIGINT) y FROM p
+             UNION ALL
+             SELECT CAST(b_id AS BIGINT), CAST(a_id AS BIGINT) FROM p)
+           GROUP BY 1, 2),
+         lp(r, node, lab) AS (
+           SELECT 0 AS r, x AS node, x AS lab FROM (SELECT DISTINCT x FROM adj)
+           UNION ALL
+           SELECT r, node, lab FROM (
+             WITH prev AS (SELECT * FROM lp),
+               nc AS (SELECT node, lab, count(*) AS c FROM (
+                        SELECT a.x AS node, l.lab AS lab
+                        FROM adj a JOIN prev l ON a.y = l.node
+                        UNION ALL SELECT node, lab FROM prev)
+                      GROUP BY 1, 2),
+               pick AS (SELECT node, lab,
+                   row_number() OVER (PARTITION BY node
+                     ORDER BY c DESC, lab) AS rn
+                 FROM nc)
+             SELECT (SELECT max(r) FROM prev) + 1 AS r, node, lab FROM pick
+             WHERE rn = 1 AND (SELECT max(r) FROM prev) < 4)),
+         fin AS (SELECT node, lab FROM lp WHERE r = 4)
+         SELECT node AS doc_id, lab AS community,
+                count(*) OVER (PARTITION BY lab) AS community_size
+         FROM fin ORDER BY community, doc_id""",
+
+    "eval_rbo" ->
+      s"""WITH q(query_id, term_idx, term) AS (VALUES
+             (1,1,'spark'),(1,2,'join'),(2,1,'hash'),(2,2,'merge'),
+             (2,3,'batch'),(3,1,'vector'),(3,2,'scan')),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1,2),
+         dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+         dfv AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs, sum(len) AS total_len FROM dl),
+         base AS (SELECT qq.query_id, qq.term_idx, f.doc_id,
+             ((22e0 * f.tf * t.total_len) /
+              (10 * f.tf * t.total_len + 3 * t.total_len + 9 * d.len * t.n_docs)) *
+             ((2 * t.n_docs - 2 * v.df + 1) / (2 * v.df + 1)) AS s_bm,
+             CAST(f.tf * (t.n_docs + 1) AS DOUBLE) /
+               CAST(d.len * (v.df + 1) AS DOUBLE) AS s_ti
+           FROM tf f JOIN q qq ON f.tok = qq.term
+           JOIN dl d ON f.doc_id = d.doc_id
+           JOIN dfv v ON f.tok = v.tok CROSS JOIN tot t),
+         bm AS (SELECT query_id, doc_id, rnk AS r_bm25 FROM (
+           SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+           FROM (SELECT query_id, doc_id,
+               coalesce(max(CASE WHEN term_idx=1 THEN s_bm END), 0e0)
+               + coalesce(max(CASE WHEN term_idx=2 THEN s_bm END), 0e0)
+               + coalesce(max(CASE WHEN term_idx=3 THEN s_bm END), 0e0) AS s
+             FROM base GROUP BY 1,2)) WHERE rnk <= 10),
+         ti AS (SELECT query_id, doc_id, rnk AS r_tfidf FROM (
+           SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+           FROM (SELECT query_id, doc_id,
+               coalesce(max(CASE WHEN term_idx=1 THEN s_ti END), 0e0)
+               + coalesce(max(CASE WHEN term_idx=2 THEN s_ti END), 0e0)
+               + coalesce(max(CASE WHEN term_idx=3 THEN s_ti END), 0e0) AS s
+             FROM base GROUP BY 1,2)) WHERE rnk <= 10),
+         w(d, w) AS (VALUES ${rboWeightsSql}),
+         ov AS (SELECT bm.query_id, bm.doc_id,
+               greatest(bm.r_bm25, ti.r_tfidf) AS dmin
+             FROM bm JOIN ti ON bm.query_id = ti.query_id
+               AND bm.doc_id = ti.doc_id),
+         contrib AS (SELECT o.query_id,
+               sum(w.w) AS rbo_num,
+               sum(CASE WHEN w.d = 10 THEN 1 ELSE 0 END) AS a10
+             FROM ov o JOIN w ON w.d >= o.dmin
+             GROUP BY 1)
+         SELECT CAST(q.query_id AS BIGINT) AS query_id,
+             CAST(coalesce(c.a10, 0) AS BIGINT) AS overlap10,
+             CAST(coalesce(c.rbo_num, 0) AS BIGINT) AS rbo_num,
+             round(CAST(coalesce(c.rbo_num, 0) AS DOUBLE) /
+               ${graft.Queries.RboDen}e0, 9) AS rbo
+         FROM (SELECT DISTINCT query_id FROM q) q
+         LEFT JOIN contrib c ON q.query_id = c.query_id
+         ORDER BY query_id""",
 
     "search_hybrid_rrf" ->
       """WITH q(query_id, term_idx, term) AS (VALUES

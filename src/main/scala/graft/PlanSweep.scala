@@ -103,9 +103,10 @@ object PlanSweep {
       "feature_target_encode", "stream_feature_encode", "agg_lorenz",
       // modularity: the one-row edge-count total broadcast per lang row
       "graph_modularity",
-      // hybrid RRF: search_bm25's one-row (n_docs, total_len) totals
-      // broadcast — both base rankers share the scorer frame
-      "search_hybrid_rrf",
+      // hybrid RRF + RBO eval: search_bm25's one-row (n_docs, total_len)
+      // totals broadcast — both base rankers share the scorer frame
+      // (rankerTop10), and eval_rbo compares the same two rankings
+      "search_hybrid_rrf", "eval_rbo",
       // quarantine routing census: the ONE-row valid-count scalar
       // cross-joined onto the one-row quarantine aggregate (1×1)
       "sink_quarantine")

@@ -991,6 +991,28 @@ object Queries {
     ops.KCore.coreProfile(pairs, "a_id", "b_id", Seq(2, 3, 4))
   }
 
+  /** N14o — label-propagation communities over the near-dup graph
+    * ([[ops.LabelProp]]): synchronous self-voting majority vote, 4 fixed
+    * rounds — the clustering that separates template FAMILIES which
+    * connected components ([[dedupComponents]]) over-merge through
+    * threshold-bleed bridges (one spurious pair chains two boilerplate
+    * families into one component; the majority vote holds them apart —
+    * WaveAOSpec pins the bridged-triangles contrast). Emits every paired
+    * doc with its community label and the community size. Hash-checked:
+    * the oracle replays all 4 rounds as ONE recursive CTE over the shared
+    * verified-pair fragment — same self-vote union, same
+    * (count DESC, label ASC) argmax. */
+  def graphLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = text.NearDup.minhashDupPairsCached(
+      t(spark, dir, "documents"), "doc_id", "text",
+      threshold = 0.8, cacheKey = dir)
+    val labels = ops.LabelProp.communities(pairs, "a_id", "b_id", rounds = 4)
+    labels.select(col("node").as("doc_id"), col("lab").as("community"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lab"))).as("community_size"))
+      .orderBy(col("community"), col("doc_id"))
+  }
+
   /** A8 — Pearson correlation with EXACT integer co-moments: built-in
     * `corr()` accumulates doubles, whose summation order makes the result
     * partitioning-dependent and engine-divergent; over integer columns the
@@ -4103,10 +4125,22 @@ object Queries {
     * (lock files and tmp/ excluded), and every JVM — driver schema
     * probe and all executor range queries — boots the jar independently.
     * Identifiers are QUOTED lowercase to match what Spark's JDBC writer
-    * used to create, so the read-side schema is unchanged. */
+    * used to create, so the read-side schema is unchanged.
+    *
+    * The entries are STORED, never DEFLATEd: Derby random-accesses pages
+    * INSIDE the archive, and a compressed entry makes every page miss
+    * cost O(entry-offset) inflation — a quadratic cliff invisible at the
+    * gate scales (0.2 s at sf0.1) that the sf1 bench surfaced as a 46×
+    * regression (measured on the sf1 purchase extract: 99 s to scan the
+    * DEFLATEd jar, 0.76 s the STORED twin; a bigger page cache does not
+    * help a first sequential scan). Stored entries are positionally
+    * addressable, so reads stay O(pages) at any extract size. The
+    * fixture root is re-keyed (jdbc_src2) so jars packed by the old
+    * code rebuild — same input ⇒ same fixture, different CODE ⇒
+    * different fixture, the BuildOnce digest rule. */
   private[graft] def jdbcSrcUrl(spark: SparkSession, dir: String): String = {
     val root = java.nio.file.Paths.get(
-      TempFiles.dir(s"jdbc_src_${TempFiles.tag(dir)}"))
+      TempFiles.dir(s"jdbc_src2_${TempFiles.tag(dir)}"))
     ops.BuildOnce.dirFixture(root) { tmp =>
       val db = tmp.resolve("db")
       val conn = java.sql.DriverManager.getConnection(
@@ -4157,8 +4191,18 @@ object Queries {
           .filterNot(n => n == "db.lck" || n == "dbex.lck" ||
             n.startsWith("tmp/"))
           .foreach { n =>
-            jar.putNextEntry(new java.util.zip.ZipEntry(s"db/$n"))
-            jar.write(java.nio.file.Files.readAllBytes(db.resolve(n)))
+            val bytes = java.nio.file.Files.readAllBytes(db.resolve(n))
+            val e = new java.util.zip.ZipEntry(s"db/$n")
+            // STORED needs size + crc up front (see scaladoc: DEFLATE
+            // makes Derby's in-jar page reads O(entry-offset) each)
+            e.setMethod(java.util.zip.ZipEntry.STORED)
+            e.setSize(bytes.length.toLong)
+            e.setCompressedSize(bytes.length.toLong)
+            val crc = new java.util.zip.CRC32()
+            crc.update(bytes)
+            e.setCrc(crc.getValue)
+            jar.putNextEntry(e)
+            jar.write(bytes)
             jar.closeEntry()
           }
       } finally jar.close()
@@ -7367,6 +7411,110 @@ object Queries {
       .orderBy(col("lang"), col("predicted_lang"))
   }
 
+  /** X97 — Cohen's kappa inter-rater agreement between two heuristic
+    * quality filters, plus McNemar's disagreement-asymmetry statistic —
+    * the annotation-QA census a labeling pipeline runs before trusting
+    * any single filter: kappa says how much the raters agree BEYOND
+    * chance; McNemar's (n10−n01)²/(n10+n01) says whether their
+    * disagreements are systematically one-sided (a calibration gap, not
+    * noise). Rater A keeps a doc when its token diversity is high
+    * (2·n_uniq ≥ n_tokens); rater B when its stopword rate is high
+    * (20·(the+a) ≥ n_tokens) — both exact integer predicates over the
+    * same tokenization [[text.TextOps.qualityColumns]] uses. All four
+    * contingency cells are exact longs from ONE narrow scan + single-row
+    * aggregate; po/pe/kappa are each one division over exact integers
+    * (kappa via the n²-scaled identity, so no intermediate float) —
+    * deterministic across engines and partitionings. Scale: zero-shuffle
+    * map + partial-agg collapse to 4 cells. */
+  def evalCohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    val toks = text.TextOps.tokens(col("text"))
+    val n = size(toks)
+    val stop = text.TextOps.markerCount(toks, "the") +
+      text.TextOps.markerCount(toks, "a")
+    val flags = t(spark, dir, "documents").select(
+      when(lit(2) * size(array_distinct(toks)) >= n, lit(1L))
+        .otherwise(lit(0L)).as("ra"),
+      when(lit(20) * stop >= n, lit(1L)).otherwise(lit(0L)).as("rb"))
+    kappaFromGrid(flags.groupBy(col("ra"), col("rb"))
+      .agg(count(lit(1)).as("m")))
+  }
+
+  /** The kappa/McNemar derivation over an additive (ra, rb, m)
+    * contingency grid — shared VERBATIM by [[evalCohenKappa]] (which
+    * builds the grid in one aggregate) and the streaming twin (which
+    * maintains the grid incrementally and derives on read), so both
+    * hash-match one oracle. */
+  private[graft] def kappaFromGrid(grid: DataFrame): DataFrame = {
+    def cell(a: Int, b: Int) = coalesce(sum(
+      when(col("ra") === a && col("rb") === b, col("m"))), lit(0L))
+    val peNum = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))
+    grid.agg(
+        sum(col("m")).as("n"), cell(1, 1).as("n11"), cell(1, 0).as("n10"),
+        cell(0, 1).as("n01"), cell(0, 0).as("n00"))
+      .select(col("n").as("n_docs"), col("n11"), col("n10"), col("n01"),
+        col("n00"),
+        round((col("n11") + col("n00")).cast(DoubleType) /
+          col("n").cast(DoubleType), 6).as("po"),
+        round(peNum.cast(DoubleType) /
+          (col("n") * col("n")).cast(DoubleType), 6).as("pe"),
+        round((col("n") * (col("n11") + col("n00")) - peNum)
+          .cast(DoubleType) /
+          (col("n") * col("n") - peNum).cast(DoubleType), 6).as("kappa"),
+        when(col("n10") + col("n01") === 0, lit(0.0)).otherwise(
+          round(((col("n10") - col("n01")) * (col("n10") - col("n01")))
+            .cast(DoubleType) /
+            (col("n10") + col("n01")).cast(DoubleType), 6))
+          .as("mcnemar_chi2"))
+  }
+
+  /** X98 — rank-biased overlap (Webber et al. 2010) between the
+    * catalog's two retrieval rankers (the BM25 and tf-idf top-10 lists
+    * [[searchHybridRrf]] fuses, through the shared [[rankerTop10]]): the
+    * top-weighted agreement measure a retrieval-eval pipeline tracks when
+    * swapping rankers — unlike NDCG it needs no relevance labels, and
+    * unlike Jaccard@k it discounts depth geometrically (p = 9/10), so
+    * churn at rank 1 matters more than churn at rank 9. Exact-rational
+    * evaluation: every depth-d term p^{d−1}·A_d/d is scaled onto the
+    * common denominator 2520·10¹⁰ (2520 = lcm 1..10), so the per-query
+    * score accumulates as ONE exact long (≤ 1.7e13 < 2⁵³) and becomes a
+    * double in a single final division — bit-identical across engines
+    * and partitionings; the oracle's weight table is interpolated from
+    * the SAME [[RboWeights]] constants this sum uses, so the twin tiers
+    * cannot drift. Scale: both rankers end in per-query WindowGroupLimit
+    * top-10s; the overlap join and depth explode are 10-row-per-query
+    * bounded. */
+  def evalRbo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (bm, ti) = rankerTop10(spark, dir)
+    val w = RboWeights.toDF("d", "w")
+    val overlaps = bm.join(ti, Seq("query_id", "doc_id"))
+      .select(col("query_id"),
+        explode(sequence(greatest(col("r_bm25"), col("r_tfidf")),
+          lit(10))).as("d"))
+      .join(broadcast(w), "d")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("d") === 10, lit(1L)).otherwise(lit(0L)))
+          .as("overlap10"),
+        sum(col("w")).as("rbo_num"))
+    Seq(1L, 2L, 3L).toDF("query_id")
+      .join(overlaps, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("overlap10"), lit(0L)).as("overlap10"),
+        coalesce(col("rbo_num"), lit(0L)).as("rbo_num"),
+        round(coalesce(col("rbo_num"), lit(0L)).cast(DoubleType) /
+          lit(RboDen.toDouble), 9).as("rbo"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Depth weights for [[evalRbo]]: w_d = 9^{d−1} · 10^{10−d} · (2520/d),
+    * the exact-integer image of (1−p)·p^{d−1}/d on the 2520·10¹⁰ grid
+    * (both powers are ≤ 9⁹, 10⁹ — double-exact, so .toLong is safe). */
+  private[graft] val RboWeights: Seq[(Int, Long)] =
+    (1 to 10).map(d => d ->
+      math.pow(9, d - 1).toLong * math.pow(10, 10 - d).toLong * (2520L / d))
+  private[graft] val RboDen: Long = 2520L * 10000000000L
+
   /** N24b — HYBRID retrieval via reciprocal rank fusion (Cormack et al.
     * 2009): the two lexical rankers ([[searchBm25]]'s Robertson scorer
     * and the tf-idf scorer) each produce a per-query top-10, and RRF
@@ -7382,8 +7530,36 @@ object Queries {
     * ride broadcasts; per-query top-10s are WindowGroupLimit-capped
     * below the exchange, so the fusion join sees only 20 rows/query. */
   def searchHybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val L = 142813628717760L // lcm(61..70)
+    val (bm, ti) = rankerTop10(spark, dir)
+    bm.join(ti, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"${L}L div (60 + r_bm25)"), lit(0L)) +
+          coalesce(expr(s"${L}L div (60 + r_tfidf)"), lit(0L)))
+          .as("rrf_num"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("rrf_num").desc, col("doc_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("doc_id"), col("rrf_num"),
+        round(col("rrf_num").cast(DoubleType) / lit(L.toDouble), 9)
+          .as("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The two per-query top-10 rank lists (BM25 and tf-idf) that
+    * [[searchHybridRrf]] fuses and [[evalRbo]] compares — ONE shared
+    * builder, so the eval tier measures exactly the rankings the fusion
+    * tier ships (the [[bm25Score]]/[[confusionShares]] sharing rule).
+    * Returns (bm, ti): (query_id, doc_id, r_bm25 | r_tfidf), rank ≤ 10.
+    * Both rankings order by deterministic doubles over exact integers
+    * with doc_id tie-breaks; per-query top-10s are WindowGroupLimit-
+    * capped below the exchange. */
+  private[graft] def rankerTop10(spark: SparkSession,
+                                 dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val qt = Seq((1L, 1, "spark"), (1L, 2, "join"),
         (2L, 1, "hash"), (2L, 2, "merge"), (2L, 3, "batch"),
         (3L, 1, "vector"), (3L, 2, "scan"))
@@ -7427,21 +7603,7 @@ object Queries {
       (col("len") * (col("df") + lit(1))).cast(DoubleType)
     val ti = topk(base.groupBy(col("query_id"), col("doc_id"))
       .agg(pivotSum(sTi).as("s")), "r_tfidf")
-    bm.join(ti, Seq("query_id", "doc_id"), "full_outer")
-      .select(col("query_id"), col("doc_id"),
-        (coalesce(expr(s"${L}L div (60 + r_bm25)"), lit(0L)) +
-          coalesce(expr(s"${L}L div (60 + r_tfidf)"), lit(0L)))
-          .as("rrf_num"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("rrf_num").desc, col("doc_id"))))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-        col("doc_id"), col("rrf_num"),
-        round(col("rrf_num").cast(DoubleType) / lit(L.toDouble), 9)
-          .as("rrf"))
-      .orderBy(col("query_id"), col("rank"))
+    (bm, ti)
   }
 
   /** X75 — Ljung–Box white-noise test over the per-type daily series:

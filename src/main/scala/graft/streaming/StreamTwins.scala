@@ -2467,6 +2467,82 @@ object StreamTwins {
       ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
   }
 
+  /** Streaming maintained inter-rater-agreement MV (§2.9, round 10): the
+    * [[graft.Queries.evalCohenKappa]] contingency grid maintained
+    * incrementally — per batch ONE additive delta aggregate of the four
+    * (ra, rb) cells, folded into batchId-versioned state through the
+    * exactly-once seam; kappa/po/pe/McNemar are DERIVED ON READ through
+    * the shared [[graft.Queries.kappaFromGrid]], never stored — the
+    * mergeable-sketch discipline every maintained MV here follows. State
+    * is at most 4 rows regardless of corpus size; the final output
+    * hash-matches the batch query's oracle because fold order cannot
+    * change an additive grid. */
+  def streamKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tag = graft.ops.TempFiles.tag(sfDir)
+    val landing = java.nio.file.Paths.get(
+      graft.ops.TempFiles.dir(s"stream_kappa_feed_$tag"))
+    val stateRoot = graft.ops.TempFiles.dir(s"stream_kappa_state_$tag")
+    val ckDir = graft.ops.TempFiles.dir(s"stream_kappa_ck_$tag")
+    val slices = Seq(0, 1, 2)
+    val complete = slices.forall(i =>
+      java.nio.file.Files.exists(landing.resolve(s"s$i.parquet")))
+    if (!complete) {
+      val docs = graft.ops.Tables.table(ss, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      slices.foreach { i =>
+        val part = java.nio.file.Paths.get(graft.ops.TempFiles.dir(
+          s"stream_kappa_feed_build_$tag/staging/s$i"))
+        docs.filter(col("doc_id") % 3 === i)
+          .repartition(1).write.mode("overwrite").parquet(part.toString)
+        val one = java.nio.file.Files.list(part)
+        val src = try {
+          import scala.jdk.CollectionConverters._
+          one.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        } finally one.close()
+        java.nio.file.Files.createDirectories(landing)
+        java.nio.file.Files.move(src, landing.resolve(s"s$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val feedSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stateSchema = StructType(Seq(
+      StructField("ra", LongType), StructField("rb", LongType),
+      StructField("m", LongType)))
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = listStateVersions(stateRoot).filter(_ < batchId)
+        val state =
+          if (prev.isEmpty) batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          else batch.sparkSession.read.parquet(s"$stateRoot/v${prev.max}")
+        val toks = graft.text.TextOps.tokens(col("text"))
+        val n = size(toks)
+        val stop = graft.text.TextOps.markerCount(toks, "the") +
+          graft.text.TextOps.markerCount(toks, "a")
+        val delta = batch.toDF()
+          .select(
+            when(lit(2) * size(array_distinct(toks)) >= n, lit(1L))
+              .otherwise(lit(0L)).as("ra"),
+            when(lit(20) * stop >= n, lit(1L)).otherwise(lit(0L)).as("rb"))
+          .groupBy(col("ra"), col("rb"))
+          .agg(count(lit(1)).as("m"))
+        state.unionByName(delta)
+          .groupBy(col("ra"), col("rb"))
+          .agg(sum(col("m")).as("m"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.Queries.kappaFromGrid(
+      ss.read.parquet(s"$stateRoot/v${listStateVersions(stateRoot).max}"))
+  }
+
   def streamDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     val tag = graft.ops.TempFiles.tag(sfDir)
