@@ -28,9 +28,11 @@ object ClusterFaultProbe {
   private def job(spark: SparkSession): Seq[String] = {
     // stage 0: 64 tasks of CPU-bound hashing; stage 1: shuffle to 997
     // keys; stage 2: second shuffle folding to 16 buckets — exact longs
+    // h is 8 hex digits (< 2^32): 6M-row ANSI sums stay far below
+    // Long.Max (2^32 · 6e6 ≈ 2.6e16 ≪ 9.2e18)
     val df = spark.range(0L, 6_000_000L, 1L, 64)
       .select(col("id"), pmod(col("id"), lit(997L)).as("k"),
-        conv(substring(sha2(conv(col("id"), 10, 16), 256), 1, 12), 16, 10)
+        conv(substring(sha2(conv(col("id"), 10, 16), 256), 1, 8), 16, 10)
           .cast("long").as("h"))
       .groupBy(col("k"))
       .agg(sum(col("h")).as("sh"), count(lit(1)).as("n"))
@@ -65,39 +67,53 @@ object ClusterFaultProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val t0 = System.nanoTime()
+    // cold run pays JIT/codegen; the WARM run is the honest duration to
+    // time the kill against (the first probe version scheduled the kill
+    // at 40% of the COLD duration and the 4x-faster warm faulted run
+    // finished before the kill ever fired - vacuous evidence)
     val clean = job(spark)
-    val cleanSec = (System.nanoTime() - t0) / 1e9
+    val t0 = System.nanoTime()
+    val warm = job(spark)
+    val warmSec = (System.nanoTime() - t0) / 1e9
+    require(warm == clean, "two clean runs disagree - job is nondeterministic")
     val before = executorPids()
     require(before.size == 2, s"expected 2 executor JVMs, saw ${before.size}")
 
     // faulted run: kill one executor once the job is genuinely mid-stage
+    @volatile var killNanos = 0L
     val killer = new Thread(() => {
-      Thread.sleep(math.max(300L, (cleanSec * 0.4 * 1000).toLong))
+      Thread.sleep(math.max(200L, (warmSec * 0.35 * 1000).toLong))
       val victim = executorPids().headOption
         .getOrElse(sys.error("no executor process to kill"))
       System.err.println(s"[probe] killing executor pid=${victim.pid()}")
       victim.destroyForcibly()
+      killNanos = System.nanoTime()
     })
     val t1 = System.nanoTime()
     killer.start()
     val faulted = job(spark)
-    val faultedSec = (System.nanoTime() - t1) / 1e9
+    val endNanos = System.nanoTime()
+    val faultedSec = (endNanos - t1) / 1e9
     killer.join()
 
     val survivors = executorPids().map(_.pid()).toSet
     val killedGone = before.map(_.pid()).toSet.diff(survivors)
     require(killedGone.nonEmpty,
       "the kill must have removed one of the original executor JVMs")
+    require(killNanos != 0L && killNanos < endNanos,
+      "the kill must land BEFORE the faulted job finishes - raise the " +
+        "job size or lower the delay fraction")
     require(faulted == clean,
       s"executor loss changed the result: ${faulted.size} vs ${clean.size} " +
         s"rows; first diff = ${faulted.zip(clean).find(p => p._1 != p._2)}")
     val evidence =
       s"""{"master": "$master", "rows": ${clean.size},
-         | "clean_sec": ${f"$cleanSec%.2f"},
+         | "warm_clean_sec": ${f"$warmSec%.2f"},
          | "faulted_sec": ${f"$faultedSec%.2f"},
+         | "kill_at_sec": ${f"${(killNanos - t1) / 1e9}%.2f"},
          | "killed_pids": [${killedGone.mkString(",")}],
          | "executor_jvms_after": ${survivors.size},
+         | "kill_landed_mid_job": true,
          | "result_identical": true}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), evidence)
     println(s"[probe] OK $evidence")
