@@ -33,6 +33,16 @@ object Bench {
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // The generated-code compile cache defaults to 100 entries — sized
+      // for a handful of hot queries, not a 367-query catalog. Under the
+      // default, every measured run re-Janino-compiles most stages (the
+      // warmup pass's compilations are long evicted by the time the
+      // clock starts), which both inflates and DESTABILIZES medians
+      // (round-10 baseline: queries swung 0.5 s ↔ 2.6 s run-over-run
+      // with no code change, tracking cache-pressure shifts as the
+      // catalog grew). Any real multi-query service sizes this cache to
+      // its workload; catalog-sized here, independent of core count.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
