@@ -3722,18 +3722,40 @@ object Queries {
         datediff(col("mx_date"), col("last_order")).cast(LongType)
           .as("recency_days"),
         col("frequency"), col("monetary"))
-      .withColumn("neg_f", -col("frequency"))
-      .withColumn("neg_m", -col("monetary"))
-    val scored = Seq(
-      (Seq("recency_days", "custkey"), "r_score"),
-      (Seq("neg_f", "custkey"), "f_score"),
-      (Seq("neg_m", "custkey"), "m_score"))
-      .foldLeft(rfm) { case (df, (order, out)) =>
-        PrefixSum.ntileGlobal(df, order, 5, out)
-      }
-    scored
+    // ONE two-pass scan for all three quintiles, not three chained
+    // [[PrefixSum.ntileGlobal]] passes: the three rank orders stack as a
+    // (metric, sort value) melt — 3 narrow rows per customer — so one
+    // grouped cumSum ranks R, F and M together (each metric's order and
+    // custkey tie-break unchanged: recency asc, −frequency asc,
+    // −monetary asc — all exact in double at these magnitudes), and one
+    // keyed re-group pivots the scores back to a row per customer.
+    // Was: 3× (range exchange + checkpoint + offsets + broadcast join);
+    // now 1× plus one custkey hash agg — fewer passes over the stats
+    // frame at any scale (guide §1.2 step 1). NTILE(5) itself is the
+    // same closed form over (rank, n).
+    val stacked = rfm.select(col("custkey"), col("recency_days"),
+        col("frequency"), col("monetary"),
+        explode(array(
+          struct(lit(1L).as("metric"),
+            col("recency_days").cast(DoubleType).as("v")),
+          struct(lit(2L).as("metric"),
+            (-col("frequency")).cast(DoubleType).as("v")),
+          struct(lit(3L).as("metric"), (-col("monetary")).as("v"))))
+          .as("me"))
       .select(col("custkey"), col("recency_days"), col("frequency"),
-        col("monetary"), col("r_score"), col("f_score"), col("m_score"))
+        col("monetary"), col("me.metric").as("metric"), col("me.v").as("v"))
+    val ranked = PrefixSum.cumSum(stacked, Seq("metric"),
+      Seq("v", "custkey"), lit(1L), "rnk")
+    val n = broadcast(rfm.agg(count(lit(1)).as("n")))
+    val score = PrefixSum.ntileFromRank(col("rnk"), col("n"), 5)
+    ranked.crossJoin(n)
+      .groupBy(col("custkey"))
+      .agg(max(col("recency_days")).as("recency_days"),
+        max(col("frequency")).as("frequency"),
+        max(col("monetary")).as("monetary"),
+        max(when(col("metric") === 1, score)).as("r_score"),
+        max(when(col("metric") === 2, score)).as("f_score"),
+        max(when(col("metric") === 3, score)).as("m_score"))
       .orderBy(col("custkey"))
   }
 
@@ -4000,9 +4022,14 @@ object Queries {
       .unionByName(s.select(col("session_end").as("ts"), lit(-1L).as("d")))
       .withColumn("o", -col("d"))
     val cum = PrefixSum.cumSum(deltas, Nil, Seq("ts", "o"), col("d"), "cum")
-    cum.crossJoin(broadcast(cum.agg(max(col("cum")).as("mx"))))
-      .filter(col("cum") === col("mx"))
-      .agg(max(col("mx")).as("max_concurrent"), min(col("ts")).as("at_ts"))
+    // argmax in ONE aggregate: lexicographic min over (−cum, ts) finds
+    // the peak concurrency and, among peak ties, the EARLIEST session
+    // boundary — identical to the old crossJoin(max) + re-filter + agg,
+    // which recomputed the scan's window+join subtree twice and paid a
+    // broadcast round-trip for a single scalar (guide §1.2 step 1).
+    cum.agg(min(struct((-col("cum")).as("negcum"), col("ts"))).as("pk"))
+      .select((-col("pk.negcum")).as("max_concurrent"),
+        col("pk.ts").as("at_ts"))
   }
 
   /** N26 — feature hashing (the hashing-trick featurizer): every token
@@ -4583,9 +4610,14 @@ object Queries {
     val cumT = ops.PrefixSum.cumSum(grid.select(col("cents"),
         col("event_type"), col("cnt")),
       Seq("event_type"), Seq("cents"), col("cnt"), "cT")
-    val cumAll = ops.PrefixSum.cumSum(perV, Nil, Seq("cents"),
-        col("cntAll"), "cAll")
-      .select(col("cents"), col("cAll"))
+    // The grid is COMPLETE (every type appears at every distinct value),
+    // so the pooled CDF is just the per-type CDFs summed per value:
+    // cAll(c) = Σ_t cT(t, c) — exact Long sums, order-free. Deriving it
+    // from cumT drops the second two-pass scan (range exchange +
+    // checkpoint + offset broadcast) the old form spent on it; what
+    // remains is one value-level hash aggregate over the already-
+    // materialized cumT (guide §1.2 step 1: fewer passes).
+    val cumAll = cumT.groupBy(col("cents")).agg(sum(col("cT")).as("cAll"))
     val dec = DecimalType(38, 0)
     cumT.join(cumAll, "cents")
       .join(broadcast(types), "event_type")
@@ -4852,10 +4884,22 @@ object Queries {
         nm.substr(i + lit(1), length(nm) - i)))
     val keyed = names.select(col("id"), col("name"),
       explode(array_distinct(concat(array(nm), deletions))).as("k"))
-    val a = keyed.select(col("k"), col("id").as("a_id"), col("name").as("a_name"))
-    val b = keyed.select(col("k"), col("id").as("b_id"), col("name").as("b_name"))
-    a.join(b, Seq("k")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"))
+    // SELF-join with byte-identical sides: aliasing AFTER the join (not
+    // projecting two differently-named copies first) keeps both join
+    // children canonically equal, and forcing the SHUFFLE join (the
+    // planner would otherwise broadcast one side off a bad post-explode
+    // size estimate) makes both sides the SAME exchange — so the
+    // deletion-neighborhood explode, the O(L²)-per-row expensive part,
+    // is computed and shuffled ONCE and the second side reads the
+    // reused exchange (ReuseExchange/AQE stage reuse; guide §2.4).
+    // Broadcasting a side of a self-join of the exploded neighborhood
+    // is also the wrong call at scale — both sides grow with the
+    // corpus; the keyed shuffle join is the honest shape.
+    keyed.as("L")
+      .join(keyed.as("R").hint("shuffle_hash"), col("L.k") === col("R.k"))
+      .filter(col("L.id") < col("R.id"))
+      .select(col("L.id").as("a_id"), col("R.id").as("b_id"),
+        col("L.name").as("a_name"), col("R.name").as("b_name"))
       .dropDuplicates("a_id", "b_id")
       // banded DP: the threshold form computes an O(L·k) diagonal band
       // with early exit (yielding -1 past the bound) instead of the full

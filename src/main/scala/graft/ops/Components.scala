@@ -38,9 +38,17 @@ object Components {
     * materialize their derived output and then `unpersist()` it. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
+    // Materialized hash-partitioned on the per-round join key (dst):
+    // each round's label join then moves only the vertex-sized label
+    // table (itself leaving each round hash-partitioned on id, which
+    // co-partitions with dst after the rename) as a zero-exchange
+    // shuffled-hash join — the edge list never re-shuffles after this
+    // one-time exchange (guide §2.4; the previous persist() kept the
+    // edges resident but re-exchanged them by dst every round).
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("dst"))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -57,7 +65,8 @@ object Components {
     var converged = false
     while (!converged && iter < maxIter) {
       // each vertex adopts the smallest label among itself and its neighbors
-      val viaNeighbors = edges.join(labels.toDF("dst", "comp"), "dst")
+      val viaNeighbors = edges
+        .join(labels.toDF("dst", "comp").hint("shuffle_hash"), "dst")
         .select(col("src").as("id"), col("comp"))
       // localCheckpoint truncates lineage: an iterative plan that references
       // the previous round's frame multiple times otherwise grows

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Synchronous label propagation (community detection) over an undirected
   * edge list — the modularity-free clustering step corpus curation uses to
@@ -45,13 +44,23 @@ object LabelProp {
   def communities(pairs: DataFrame, aCol: String, bCol: String,
                   rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // The adjacency is materialized hash-partitioned on the join key
+    // (nbr) ONCE; each round's vote join then moves only the
+    // vertex-sized label table (whose own exit partitioning — the argmax
+    // window's hash on node — co-partitions with nbr after the rename),
+    // planning as a zero-exchange shuffled-hash join with the label
+    // table as build side. The previous form re-shuffled the EDGE list
+    // by nbr every round (guide §2.4: establish the partitioning once).
     val adj = pairs.select(col(aCol).as("node"), col(bCol).as("nbr"))
       .union(pairs.select(col(bCol).as("node"), col(aCol).as("nbr")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("nbr"))
+      .localCheckpoint(true)
     var labels = adj.select(col("node")).distinct()
       .select(col("node"), col("node").as("lab"))
     for (_ <- 1 to rounds) {
-      val votes = adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+      val votes = adj
+        .join(labels.withColumnRenamed("node", "nbr").hint("shuffle_hash"),
+          "nbr")
         .select(col("node"), col("lab"))
         .union(labels) // the self-vote
       labels = votes.groupBy(col("node"), col("lab"))
@@ -63,7 +72,6 @@ object LabelProp {
         .select(col("node"), col("lab"))
         .localCheckpoint(true)
     }
-    adj.unpersist()
     labels
   }
 }

@@ -52,22 +52,30 @@ object PageRank {
     val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+    // Degree is joined into the edge list ONCE, up front: the previous
+    // form re-joined deg inside the loop, paying an extra join (and its
+    // broadcast build or exchange) on the EDGE list every round. With
+    // deg folded in, each round is exactly one rank join + the one
+    // contribution shuffle that is fundamental to the power iteration
+    // (guide §2.4: don't recompute a join-invariant every pass). The
+    // rank-side join strategy is left to the planner: node-sized vs
+    // edge-sized relations pick broadcast or sort-merge correctly at
+    // either scale.
+    val dirM = dir.localCheckpoint(true)
+    val deg = dirM.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val dirDeg = dirM.join(deg.hint("shuffle_hash"), "src")
       .localCheckpoint(true)
-    val nodes = dir.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
-    val n = nodes.count()
+    val n = deg.count()
     require(n > 0, "PageRank over an empty graph")
     val teleport = 3L * Scale / (20L * n)
-    var r = nodes.withColumn("r", lit(Scale / n))
+    var r = deg.select(col("src").as("node")).withColumn("r", lit(Scale / n))
     for (_ <- 0 until iters) {
       // the symmetrized edge list gives every node an incoming edge, so
       // the contribution aggregate already covers the full node set —
       // no nodes-side outer join needed (one join per round, not two)
-      r = dir
+      r = dirDeg
         .join(r.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy(col("node")).agg(
           (lit(teleport) + expr("(17 * sum(c)) div 20")).as("r"))

@@ -13,7 +13,7 @@ import scala.collection.mutable.ArrayBuffer
   */
 object ProfileOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val sfDir = args(1)
     val iters = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,8 +23,15 @@ object ProfileOne {
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    names.foreach(profile(spark, sfDir, _, iters))
+    spark.stop()
+  }
+
+  private def profile(spark: SparkSession, sfDir: String, name: String,
+                      iters: Int): Unit = {
     val fn = graft.SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'"))
 
@@ -69,6 +76,5 @@ object ProfileOne {
         f"shufR=${sr / 1024}%7d KB shufW=${sw / 1024}%7d KB " +
         f"in=${in / 1024}%7d KB  $n%s")
     }
-    spark.stop()
   }
 }
