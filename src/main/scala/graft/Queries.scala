@@ -1748,7 +1748,14 @@ object Queries {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = t(spark, dir, "documents").filter(col("doc_id") < 500)
       .select(col("doc_id"), text.NearDup.shingles(col("text")).as("sh"))
-    sh.toDF("a_id", "a_sh").join(sh.toDF("b_id", "b_sh"),
+    // the non-equi pair join plans as a broadcast nested loop whose
+    // parallelism is the STREAM side's partition count — one file scan
+    // partition here, so all O(n²) Jaccard kernels ran on ~1 core
+    // (measured ~1 s single-threaded). Spreading the bounded subset
+    // across the engine's parallelism is free (500 narrow rows) and
+    // row-independent — same pairs, same values.
+    sh.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .toDF("a_id", "a_sh").join(sh.toDF("b_id", "b_sh"),
         col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(text.NearDup.jaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"))
@@ -5060,11 +5067,20 @@ object Queries {
     val itemN = li.groupBy(col("pk")).agg(count(lit(1)).as("ni"))
     val cos = round(col("nco").cast(DoubleType) /
       sqrt((col("na") * col("nb")).cast(DoubleType)), 6)
-    li.select(col("ok"), col("pk").as("a"))
-      .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
-      .filter(col("a") =!= col("b"))
+    // Co-occurrence is symmetric: count each unordered pair ONCE
+    // (a < b) and mirror AFTER the aggregation + support cut, when the
+    // pair table has collapsed from per-order occurrences to the few
+    // qualifying item pairs — this halves the bytes through the
+    // heaviest exchange of the query, the (a,b) count shuffle (44 MB →
+    // 22 MB per run at sf0.1; guide §2.3 "shuffle fewer bytes"). The
+    // self-join sides stay byte-identical (alias join over one `li`
+    // subtree), so the distinct's exchange is built once and reused.
+    val co = li.as("A").join(li.as("B"),
+        col("A.ok") === col("B.ok") && col("A.pk") < col("B.pk"))
+      .select(col("A.pk").as("a"), col("B.pk").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nco"))
       .filter(col("nco") >= 2)
+    co.unionAll(co.select(col("b").as("a"), col("a").as("b"), col("nco")))
       .join(itemN.select(col("pk").as("a"), col("ni").as("na")), "a")
       .join(itemN.select(col("pk").as("b"), col("ni").as("nb")), "b")
       .withColumn("cos_sim", cos)
@@ -8455,8 +8471,14 @@ object Queries {
     * not a byte cursor. The spec additionally replays the chunker
     * driver-side over every payload. */
   def mmChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once: the chunk table feeds BOTH the digest census
+    // and the join-back below, and without the checkpoint each side
+    // re-runs the whole encode+chunk codec pass (the query's expensive
+    // part) from scratch — the standard two-consumer seam, same as
+    // PrefixSum's ranged frame
     val chunks = mm.Multimodal.chunked(
-      mm.Multimodal.asMedia(t(spark, dir, "documents")))
+        mm.Multimodal.asMedia(t(spark, dir, "documents")))
+      .localCheckpoint(true)
     val census = chunks.groupBy(col("chunk_digest"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     chunks.join(census, "chunk_digest")

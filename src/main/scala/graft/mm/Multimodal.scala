@@ -102,8 +102,15 @@ object Multimodal {
   def asMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Hash-repartition to the engine's parallelism before the encode: a
+    // small corpus scans as ONE file partition, and the typed BMP-encode
+    // map below would run single-core for every mm_* consumer (row-wise
+    // encode — layout changes nothing downstream). Keyed, so no
+    // sort-before-repartition cost; count follows the cluster, not a
+    // constant.
     docs.select(col("doc_id"), col("text"),
         col("n_chars").cast(IntegerType).as("n_chars"), col("lang"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .as[(Long, String, Int, String)]
       .map { case (id, text, nChars, lang) =>
         (id, encodeBmp(text.getBytes("UTF-8"), nChars), "image/bmp",

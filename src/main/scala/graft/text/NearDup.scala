@@ -65,7 +65,19 @@ object NearDup {
     * join sides; callers that materialize downstream results should
     * `unpersist()` it afterwards — the pair builders below do). */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // Hash-repartitioned on id to the cluster's parallelism BEFORE the
+    // persist: a small corpus arrives as one file → one partition, and
+    // every CPU-heavy consumer of this cache (the exact-Jaccard verify
+    // joins, PPJoin prefix pipeline, containment probes) would inherit
+    // that single partition and serialize on one core (measured: the
+    // dedup_ngram_jaccard verify ran as 1-3 tasks on a 32-core box —
+    // ~1 s of single-threaded array intersection). Keyed by id (no
+    // sort-before-repartition cost, deterministic, and downstream
+    // id-joins can reuse the layout); the count is the engine's
+    // parallelism, not a constant, so it sizes itself on any cluster.
     docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** id → exploded (band, bandHash) table, persisted (read once for the
