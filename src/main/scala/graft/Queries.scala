@@ -8439,11 +8439,13 @@ object Queries {
     var state = emb.withColumn("mind", lit(Long.MaxValue))
     var r = 1
     while (r < k) {
-      val cq = typedLit(cur)
+      // single-pass kernel distance (identical exact-long math to the
+      // former zip_with/aggregate tree, minus its interpreted per-dim
+      // lambda steps — guide step 4)
+      val cq = typedLit(Seq(cur))
       state = state.withColumn("mind",
-        least(col("mind"), aggregate(
-          zip_with(col("q"), cq, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)))
+        least(col("mind"), element_at(
+          call_function("graft_lattice_d2s", col("q"), cq), 1)))
         .localCheckpoint(true)
       val top = state.orderBy(col("mind").desc, col("vec_id")).limit(1)
         .collect()(0)

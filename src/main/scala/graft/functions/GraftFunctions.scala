@@ -89,6 +89,9 @@ object GraftFunctions {
         foldableInt("graft_nearest_cells", "p", es(4))
         NearestCellsScored(es.head, es(1), es(2), es(3), es(4))
       }),
+    ("graft_lattice_d2s",
+      "integer squared-L2 distances of array<long> vs array<array<long>>",
+      es => LatticeD2s(es.head, es(1))),
     ("graft_winnow", "winnowing rolling-hash fingerprints",
       es => Winnow(es.head,
         foldableInt("graft_winnow", "k", es(1)),
@@ -258,6 +261,50 @@ case class NearestCentroids(vec: Expression, cents: Expression, p: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression) =
     copy(vec = f, cents = s, p = t)
+}
+
+/** Integer squared-L2 distances of an array<long> vector against a list of
+  * array<long> centroids, returned in CENTROID ORDER — the single-pass
+  * kernel form of `transform(cents, c -> aggregate(zip_with(v, c, (a,b) ->
+  * (a-b)*(a-b)), 0L, (acc,x) -> acc+x))`, whose interpreted higher-order
+  * lambda steps (cells × dims per row, per pass) dominated the lattice
+  * ANN twins' wall time (round 11, guide step 4: no non-codegen expression
+  * trees in the hot path — this module's standing discipline). Arithmetic
+  * is IDENTICAL exact-long math, so every hash-checked consumer
+  * (`ann_ivf_struct`, `ann_pq_struct`, `sample_kcenter`) is bit-for-bit
+  * unchanged. The centroid argument is evaluated per row (it may be an
+  * `element_at` of a literal, as the PQ per-subspace codebook is), which
+  * is a pointer walk over the already-materialized literal. */
+case class LatticeD2s(vec: Expression, cents: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = vec
+  override def right: Expression = cents
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any, c: Any): Any = {
+    val va = v.asInstanceOf[ArrayData]
+    val ca = c.asInstanceOf[ArrayData]
+    val dim = va.numElements()
+    val nC = ca.numElements()
+    val out = new Array[Long](nC)
+    var i = 0
+    while (i < nC) {
+      val ct = ca.getArray(i)
+      val n = math.min(dim, ct.numElements())
+      var s = 0L
+      var d = 0
+      while (d < n) {
+        val df = va.getLong(d) - ct.getLong(d)
+        s += df * df
+        d += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(vec = l, cents = r)
 }
 
 /** Top-`p` `(cell, score)` pairs of an array<double> vector against a

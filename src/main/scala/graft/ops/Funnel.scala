@@ -58,25 +58,33 @@ object Funnel {
     // CREATE TABLE with LOCATION_ALREADY_EXISTS — remove stale dirs first
     // through the ONE shared drop helper (round-7 review: this block was a
     // divergent inline copy of SinkDdl.dropManagedTable)
-    Seq("customers", "invitations", "applications", "accounts", "card")
+    // drop card→customers (FK leaf first); the script below re-creates in
+    // FK order. The old per-statement DROP IF EXISTS duplicates of these
+    // were removed — each was a second catalog round-trip for a table
+    // this helper had already dropped.
+    Seq("card", "accounts", "applications", "invitations", "customers")
       .foreach(t => SinkDdl.dropManagedTable(spark, s"${prefix}_$t"))
     Tables.table(spark, sfDir, "events").createOrReplaceTempView("silver_events")
     Tables.table(spark, sfDir, "customer").createOrReplaceTempView("silver_customers")
-    val script =
-      """DROP TABLE IF EXISTS {p}_card;
-         DROP TABLE IF EXISTS {p}_accounts;
-         DROP TABLE IF EXISTS {p}_applications;
-         DROP TABLE IF EXISTS {p}_invitations;
-         DROP TABLE IF EXISTS {p}_customers;
-         CREATE TABLE {p}_customers USING parquet AS
+    // {p}_customers depends only on the silver layer, while the FK chain
+    // invitations → applications → accounts → card is strictly
+    // sequential (each CTAS reads its predecessor). Build the two
+    // independent branches as CONCURRENT jobs on the one session (guide
+    // §2.6 — actions are only sequential because the driver calls them
+    // sequentially): the customers aggregate back-fills executor slots
+    // the chain's single-task write stages leave idle. Same tables, same
+    // rows; only the wall-clock schedule changes.
+    val customersScript =
+      """CREATE TABLE {p}_customers USING parquet AS
          SELECT c.c_custkey AS customer_id, c.c_name AS name,
                 c.c_mktsegment AS segment,
                 CAST(max(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END) AS BOOLEAN) AS opened_flag,
                 CAST(max(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS BOOLEAN) AS clicked_flag,
                 min(e.ts) AS first_seen, max(e.ts) AS last_seen
          FROM silver_customers c LEFT JOIN silver_events e ON e.user_id = c.c_custkey
-         GROUP BY c.c_custkey, c.c_name, c.c_mktsegment;
-         CREATE TABLE {p}_invitations USING parquet AS
+         GROUP BY c.c_custkey, c.c_name, c.c_mktsegment;"""
+    val chainScript =
+      """CREATE TABLE {p}_invitations USING parquet AS
          SELECT event_id AS invitation_id, user_id AS customer_id, ts AS sent_at
          FROM silver_events WHERE event_type = 'signup';
          CREATE TABLE {p}_applications USING parquet AS
@@ -112,7 +120,14 @@ object Funnel {
              AND e.ts > acc.first_activation_date
          WHERE acc.first_activation_flag
          GROUP BY acc.account_id, acc.customer_id, acc.first_activation_date;"""
-    SinkDdl.runSqlScript(spark, script, Map("p" -> prefix))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val customersF = Future {
+      SinkDdl.runSqlScript(spark, customersScript, Map("p" -> prefix))
+    }
+    SinkDdl.runSqlScript(spark, chainScript, Map("p" -> prefix))
+    Await.result(customersF, Duration.Inf)
     Seq(s"${prefix}_customers", s"${prefix}_invitations",
       s"${prefix}_applications", s"${prefix}_accounts", s"${prefix}_card")
   }

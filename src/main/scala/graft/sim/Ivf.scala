@@ -335,25 +335,33 @@ object Ivf {
 
   /** Integer squared-L2 distances to each literal centroid: exact longs
     * (|coord| ≤ 1.2e6 ⇒ per-dim square ≤ 1.5e12, ×64 dims ≪ 2⁶³ — ANSI
-    * overflow is impossible by construction). */
+    * overflow is impossible by construction). Computed by the
+    * single-pass `graft_lattice_d2s` kernel — identical exact-long math
+    * to the former transform/zip_with/aggregate tree, minus its
+    * interpreted cells×dims lambda steps per row (guide step 4). */
   private def latticeD2s(cents: Seq[Seq[Long]]): Column =
-    transform(typedlit(cents), c =>
-      aggregate(zip_with(col("v"), c, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
+    call_function("graft_lattice_d2s", col("v"), typedlit(cents))
 
   /** Exact per-cell integer means: sum DIV count per dimension
     * (truncating division, the FixedPoint discipline — DuckDB HUGEINT
     * `//` truncates toward zero identically, verified in round 8).
-    * Returns cell → ordered coords; cells with no members drop out. */
-  private def latticeMeans(assigned: DataFrame): Map[Int, Seq[Long]] =
-    assigned.select(col("cell"), posexplode(col("v")))
-      .toDF("cell", "dim", "x")
-      .groupBy(col("cell"), col("dim"))
-      .agg(expr("sum(x) DIV count(1)").as("m"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toMap
+    * Returns cell → ordered coords; cells with no members drop out.
+    *
+    * Shape (round 11, guide §2.3/§1.2): ONE codegen'd hash aggregate of
+    * `dim` per-dimension long sums keyed by cell — the previous form
+    * posexploded every vector (×dim row blowup through the exchange),
+    * aggregated on (cell, dim), re-grouped through a collect_list sort,
+    * and only then collected. Same exact integers (Σ over the exploded
+    * dim-i rows ≡ Σ element_at(v, i)), one shuffle instead of two, no
+    * array re-assembly. */
+  private def latticeMeans(assigned: DataFrame, dim: Int): Map[Int, Seq[Long]] = {
+    val aggs = (0 until dim).map(i =>
+      expr(s"sum(element_at(v, ${i + 1})) DIV count(1)").as(s"m$i"))
+    assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> (0 until dim).map(i => r.getLong(i + 1)).toSeq)
+      .toMap
+  }
 
   /** The twin's kNN search, structurally identical to [[knnGraph]] /
     * [[ivfTopK]]: seed cells by `id mod nCells` (replayable — the
@@ -368,11 +376,15 @@ object Ivf {
   def latticeKnnStruct(emb: DataFrame, idCol: String, vecCol: String,
                        queryPred: Column, k: Int, nCells: Int = 16,
                        iters: Int = 2, probes: Int = 4): DataFrame = {
+    // dim probed from one source row (limit-1 scan) BEFORE the cache is
+    // built — the per-dimension means aggregate below needs it statically
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val v = emb.select(col(idCol).as("id"), latticeVec(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed: exact means of the id-mod partition (never empty for n ≥ k)
     val seed = latticeMeans(
-      v.select(pmod(col("id"), lit(nCells)).cast("int").as("cell"), col("v")))
+      v.select(pmod(col("id"), lit(nCells)).cast("int").as("cell"), col("v")),
+      dim)
     val origin = seed.values.headOption
       .map(c => Seq.fill(c.size)(0L)).getOrElse(Seq.empty)
     var cents: Seq[Seq[Long]] =
@@ -382,7 +394,7 @@ object Ivf {
       (array_position(d, array_min(d)) - 1).cast("int")
     }
     for (_ <- 0 until iters) {
-      val means = latticeMeans(v.select(assign.as("cell"), col("v")))
+      val means = latticeMeans(v.select(assign.as("cell"), col("v")), dim)
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
     }
     // index side: primary cell only; probe side: top-`probes` cells by
@@ -396,8 +408,8 @@ object Ivf {
       .select(col("q_id"), col("qv"), col("pc").getField("cell").as("cell"))
     idx.join(prb, Seq("cell"))
       .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("d2", aggregate(zip_with(col("qv"), col("nv"),
-        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .withColumn("d2", element_at(
+        call_function("graft_lattice_d2s", col("qv"), array(col("nv"))), 1))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("d2").asc, col("neighbor_id"))))

@@ -285,20 +285,20 @@ object Pq {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exact per-(sub, cell) integer means — model-parameter sized
-    // (m·nCodes·d longs), the twin's plan-literal codebook
-    def means(assigned: DataFrame): Map[(Int, Int), Seq[Long]] =
-      assigned.select(col("sub"), col("cell"), posexplode(col("sv")))
-        .toDF("sub", "cell", "dim", "x")
-        .groupBy(col("sub"), col("cell"), col("dim"))
-        .agg(expr("sum(x) DIV count(1)").as("mn"))
-        .groupBy(col("sub"), col("cell"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("mn"))))
-          .as("dm"))
-        .select(col("sub"), col("cell"),
-          transform(col("dm"), s => s.getField("mn")).as("c"))
+    // (m·nCodes·d longs), the twin's plan-literal codebook. ONE
+    // codegen'd hash aggregate of d per-dimension long sums keyed by
+    // (sub, cell) — the previous posexplode → (sub, cell, dim) agg →
+    // collect_list regroup shape shuffled d× the rows through two
+    // exchanges for the same exact integers (round 11, guide §2.3).
+    def means(assigned: DataFrame): Map[(Int, Int), Seq[Long]] = {
+      val aggs = (0 until d).map(i =>
+        expr(s"sum(element_at(sv, ${i + 1})) DIV count(1)").as(s"m$i"))
+      assigned.groupBy(col("sub"), col("cell")).agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toSeq)
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (0 until d).map(i => r.getLong(i + 2)).toSeq)
         .toMap
+    }
 
     val seed = means(subs.select(col("sub"),
       pmod(col("id"), lit(nCodes)).cast("int").as("cell"), col("sv")))
@@ -306,13 +306,14 @@ object Pq {
     var cents: Map[(Int, Int), Seq[Long]] =
       (for (s <- 0 until m; c <- 0 until nCodes)
         yield (s, c) -> seed.getOrElse((s, c), origin)).toMap
-    // integer d² of this row's subvector against ITS subspace's codebook
+    // integer d² of this row's subvector against ITS subspace's codebook —
+    // the single-pass kernel form (identical exact-long math to the former
+    // transform/zip_with/aggregate tree, guide step 4)
     def d2s: Column = {
       val lit3 = typedlit((0 until m).map(s =>
         (0 until nCodes).map(c => cents((s, c)))))
-      transform(element_at(lit3, col("sub") + 1), c =>
-        aggregate(zip_with(col("sv"), c, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
+      call_function("graft_lattice_d2s", col("sv"),
+        element_at(lit3, col("sub") + 1))
     }
     def assign: Column = (array_position(d2s, array_min(d2s)) - 1).cast("int")
     for (_ <- 0 until iters) {

@@ -37,6 +37,14 @@ object StreamTwins {
     StructType(eventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
 
+  /** events.ts physical type per sf dir, probed once per JVM: the footer
+    * probe is a driver-side job (~60-80 ms) that EVERY events-backed
+    * stream query used to re-run on each call — schema is a property of
+    * the (immutable) lake files, so one probe per path serves every
+    * caller (guide §1.2: don't re-compute what can't have changed). */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
+
   /** File-source stream over the events table (ns timestamps normalized to
     * µs exactly like the batch path in [[graft.ops.Tables]]). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -54,7 +62,8 @@ object StreamTwins {
     // actual schema once (file sources need a declared schema up front)
     // and normalize either form to session-zone TIMESTAMP, exactly like
     // the batch path in [[graft.ops.Tables]]
-    val physical = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val physical = tsTypeCache.computeIfAbsent(s"$sfDir/events.parquet",
+      p => spark.read.parquet(p).schema("ts").dataType)
     if (physical == LongType)
       spark.readStream.schema(eventsSchema).parquet(dir.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -114,11 +123,12 @@ object StreamTwins {
     * §2.1): the reference's topics arrive as Kafka-envelope NDJSON; on a
     * live cluster this is `readStream.format("kafka")` + the SAME
     * `from_json` envelope parse — here the envelope stream is driven
-    * through a file-backed landing (one file per Kafka partition,
-    * `maxFilesPerTrigger=1` → four real micro-batches) because no broker
-    * exists in the harness, which exercises everything downstream of the
-    * source identically: schema-declared envelope decode, payload
-    * projection, per-partition consumption stats under `complete` output.
+    * through a file-backed landing (one file per Kafka partition, all
+    * partitions drained in one AvailableNow batch exactly as the real
+    * connector does) because no broker exists in the harness, which
+    * exercises everything downstream of the source identically:
+    * schema-declared envelope decode, payload projection, per-partition
+    * consumption stats under `complete` output.
     * Shares `scan_kafka_envelope`'s oracle verbatim — the batch and
     * streaming reads of the same topic dump must agree. */
   /** The EXACT row schema `readStream.format("kafka")` produces
@@ -159,8 +169,16 @@ object StreamTwins {
 
   /** The file-backed Kafka stand-in stream, shaped to
     * [[KafkaSourceSchema]] — one NDJSON landing file per Kafka partition,
-    * `maxFilesPerTrigger=1` → four real micro-batches. On a cluster the
-    * body of this method is replaced by
+    * all four consumed in ONE AvailableNow micro-batch, the way the real
+    * connector drains a backlog: topic partitions are PARALLEL within a
+    * batch, not sequential batches (the previous `maxFilesPerTrigger=1`
+    * serialized one partition per micro-batch — 4× the per-batch
+    * planning/state-commit fixed cost for a shape no Kafka consumer has;
+    * complete-mode aggregation output is batching-independent, so the
+    * result is byte-identical — guide §1.2/§2: cut passes that buy
+    * nothing). Multi-batch incremental pickup stays exercised by the
+    * date-sliced MV feeds below. On a cluster the body of this method is
+    * replaced by
     * `spark.readStream.format("kafka").option("subscribe", …).load()`. */
   def kafkaShapedStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
@@ -169,7 +187,7 @@ object StreamTwins {
       StructField("topic", StringType), StructField("partition", LongType),
       StructField("offset", LongType), StructField("key", StringType),
       StructField("value", KafkaPayloadSchema)))
-    ss.readStream.option("maxFilesPerTrigger", "1")
+    ss.readStream
       .text(landing.toString)
       .select(from_json(col("value"), envelope).as("m"))
       .select(col("m.key").cast(BinaryType).as("key"),
