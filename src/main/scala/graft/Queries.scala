@@ -2589,7 +2589,10 @@ object Queries {
     val delta = docs.filter(col("doc_id") % 10 === 0)
     val key = s"$dir#base"
     val idx = text.NearDup.bucketedBandIndexCached(corpus, "doc_id", "text", key)
-    val sh = text.NearDup.shingleTableCached(corpus, "doc_id", "text", key)
+    // the verify side reads the shingle sets from a managed table bucketed
+    // on id, so the exact-Jaccard join back shuffles only the candidate
+    // pairs — the corpus array column never re-exchanges per batch
+    val sh = text.NearDup.bucketedShingleIndexCached(corpus, "doc_id", "text", key)
     streaming.StreamTwins.incrementalDedupJoin(delta, idx, sh)
       .orderBy(col("new_id"), col("base_id"))
   }

@@ -82,7 +82,8 @@ object Components {
       prevSum = nextSum
       iter += 1
     }
-    edges.unpersist()
+    // (edges is localCheckpoint'd, not persist'd — its blocks release when
+    // the RDD is GC'd; an unpersist() here was a no-op, ADVICE r10 #1)
     if (!converged) {
       labels.unpersist()
       throw new IllegalStateException(
@@ -154,14 +155,12 @@ object Components {
       // would QUADRUPLE per round without per-round checkpoint truncation
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = sig(next)
-      edges.unpersist()
       edges = next
       converged = nextSig == prevSig
       prevSig = nextSig
       iter += 1
     }
     if (!converged) {
-      edges.unpersist()
       throw new IllegalStateException(
         s"star rewriting did not converge in $maxIter rounds " +
           "(needs ~log2(longest path); raise maxIter)")
@@ -171,7 +170,6 @@ object Components {
       .groupBy("id").agg(min("comp").as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     labels.count()
-    edges.unpersist()
     labels
   }
 

@@ -100,6 +100,29 @@ object StreamTwins {
       ss
     })
 
+  private val noIdleSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  /** [[streamSession]] with NO-DATA micro-batches disabled — for stream
+    * queries whose OUTPUT a no-data batch can never change: inner
+    * stream-stream joins (emission is arrival-driven; the trailing batch
+    * only evicts state) and first-arrival dedup (rows emit in the batch
+    * they arrive). For those shapes the trailing empty batch re-plans the
+    * query, reloads and re-commits every state store, and emits nothing —
+    * measured 1.0-1.4 s of the stream-stream inner join's 3.3 s at sf0.1
+    * (StreamProbe: batch 1, rows=0, addBatch ≈ 950 ms). Queries whose
+    * emission is WATERMARK-driven (outer joins, append-mode window aggs,
+    * event-time timeouts) must stay on [[streamSession]] — their no-data
+    * batch is what flushes expired state. */
+  def streamSessionNoIdle(spark: SparkSession): SparkSession =
+    noIdleSessions.computeIfAbsent(spark, root => {
+      val ss = root.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      graft.ops.Tables.pinSession(ss)
+      ss
+    })
+
   /** Run a streaming transform to completion against the data available now
     * and return the materialized result (memory sink). The caller builds
     * `df` on [[streamSession]]; the memory-sink temp view registers there,
@@ -327,7 +350,9 @@ object StreamTwins {
     * contract; this is the incremental twin. */
   def streamDedupKeys(spark: SparkSession, sfDir: String): DataFrame =
     runToMemory(
-      eventsStream(streamSession(spark), sfDir)
+      // no-idle session: first-arrival dedup emits rows in the batch they
+      // arrive; the trailing no-data batch only evicts state
+      eventsStream(streamSessionNoIdle(spark), sfDir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type"),
       s"stream_dedup_sink_${graft.ops.TempFiles.tag(sfDir).replace(".", "_")}", "append")
@@ -342,7 +367,9 @@ object StreamTwins {
     * emission is batching-independent, so the result is deterministic and
     * oracle-checked against the equivalent batch SQL self-join. */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = streamSession(spark)
+    // no-idle session: inner-join emission is arrival-driven, so the
+    // trailing no-data batch (state eviction only) cannot change the output
+    val ss = streamSessionNoIdle(spark)
     val purchases = eventsStream(ss, sfDir)
       .filter(col("event_type") === "purchase")
       .withWatermark("ts", "1 hour")
@@ -529,11 +556,19 @@ object StreamTwins {
     // a bucketed index still joins with only the delta-side shuffle, and
     // no O(#buckets) filter table ever broadcasts (it would be
     // corpus-sized at scale).
-    val bw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bh"))
-    val cappedBase = bandedBase.toDF("base_id", "band", "bh")
-      .withColumn("__bsz", count(lit(1)).over(bw))
-      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    // indexes built by [[graft.text.NearDup.bucketedBandIndexCached]]
+    // carry the bucket size as a stored column — filter on it directly
+    // instead of re-running a corpus-sized count window per batch; a raw
+    // (id, band, bh) frame still pays the window here
+    val sized =
+      if (bandedBase.columns.contains("bucket_n"))
+        bandedBase.withColumnRenamed("id", "base_id")
+          .withColumnRenamed("bucket_n", "__bsz")
+      else bandedBase.toDF("base_id", "band", "bh")
+        .withColumn("__bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bh"))))
+    val cappedBase = sized.filter(col("__bsz") <= maxBucket).drop("__bsz")
     val cand = banded
       .join(cappedBase.hint("shuffle_hash"), Seq("band", "bh"))
       .dropDuplicates("new_id", "base_id")
@@ -564,8 +599,12 @@ object StreamTwins {
     // with the root session's — each session kind builds its corpus
     // tables once; the key only needs uniqueness within THIS session
     val key = s"$sfDir#stream_base"
-    val shBase = NearDup.shingleTableCached(corpus, "doc_id", "text", key)
-    val bandedBase = NearDup.bandedTableCached(corpus, "doc_id", "text", key)
+    // probe the same DEPLOYED index shape as the batch twin: managed
+    // tables bucketed on the join keys ((band,bh) / id) with the spam-cap
+    // bucket size stored at build — per batch only the delta shuffles,
+    // and no corpus-sized window or array exchange re-runs (guide §2.4)
+    val shBase = NearDup.bucketedShingleIndexCached(corpus, "doc_id", "text", key)
+    val bandedBase = NearDup.bucketedBandIndexCached(corpus, "doc_id", "text", key)
 
     val landing = java.nio.file.Paths.get(graft.ops.TempFiles.dir(
       s"stream_docs_delta_${graft.ops.TempFiles.tag(sfDir)}"))
@@ -602,8 +641,17 @@ object StreamTwins {
     val tag = graft.ops.TempFiles.tag(sfDir)
     val media = graft.mm.Multimodal.asMedia(
       graft.ops.Tables.table(ss, sfDir, "documents"))
-    val basePh = graft.mm.Multimodal.phashFeatures(ss, media)
-      .filter(col("phash").isNotNull)
+    // the base index is the BUCKETED managed signature table the batch
+    // twin (`mm_phash_incremental`) probes: built once per session (the
+    // one-time build pays the corpus decode+pHash), read pre-partitioned
+    // on k with the spam-cap bucket size stored — per batch only the
+    // delta is decoded, hashed and shuffled (guide §2.4). Previously the
+    // stream probe re-decoded and re-pHashed the WHOLE base corpus and
+    // re-counted its buckets inside every micro-batch.
+    val baseIdx = graft.text.NearDup.bucketedHammingIndexCached(
+      graft.mm.Multimodal.phashFeatures(ss, media)
+        .filter(col("phash").isNotNull),
+      "doc_id", "phash", cacheKey = s"$sfDir#stream_base")
     val landing = java.nio.file.Paths.get(
       graft.ops.TempFiles.dir(s"stream_phash_delta_$tag"))
     val hasFiles = {
@@ -618,8 +666,8 @@ object StreamTwins {
     val deltaPh = graft.mm.Multimodal.phashFeatures(ss,
         ss.readStream.schema(mediaSchema).parquet(landing.toString))
       .filter(col("phash").isNotNull)
-    val verified = graft.text.NearDup.hammingDupPairsIncremental(
-      basePh, deltaPh, "doc_id", "phash", maxHamming = 4)
+    val verified = graft.text.NearDup.hammingDupPairsIncrementalBucketed(
+      baseIdx, deltaPh, "doc_id", "phash", maxHamming = 4)
     runToMemory(verified,
       s"stream_phash_sink_${tag.replace(".", "_")}", "append")
       .orderBy(col("new_id"), col("base_id"))

@@ -425,8 +425,38 @@ object NearDup {
         val tbl = managedIndexName("graft_band_index",
           s"${cacheKey}|$idCol|$textCol")
         graft.ops.SinkDdl.dropManagedTable(spark, tbl)
-        banded.write.bucketBy(16, "band", "bh").format("parquet")
+        // The spam-bucket size is a property of the INDEX, not of the
+        // arriving batch — store it as a column at build time (one window
+        // over the one-time bucketed write) so every probe filters on a
+        // stored value instead of re-running a corpus-sized count window
+        // per batch (guide §1.2: don't recompute the invariant; a real
+        // ingest pipeline maintains these counts as it ingests).
+        banded
+          .withColumn("bucket_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("bh"))))
+          .write.bucketBy(16, "band", "bh").format("parquet")
           .saveAsTable(tbl)
+        spark.table(tbl)
+      })
+
+  /** Session-cached MANAGED shingle-index table, bucketed on the doc id —
+    * the verify-join sibling of [[bucketedBandIndexCached]]: the exact
+    * per-batch Jaccard verify joins the candidate pairs back to corpus
+    * shingle sets BY ID, and with the shingle store persisted unbucketed
+    * that join re-exchanged the corpus-sized array column on every
+    * arriving batch. Bucketed on id, the verify shuffles only the (tiny)
+    * candidate set (guide §2.4). */
+  def bucketedShingleIndexCached(corpus: DataFrame, idCol: String,
+                                 textCol: String, cacheKey: String): DataFrame =
+    onceCache(corpus.sparkSession).getOrElseUpdate(
+      s"shidx|$cacheKey|$idCol|$textCol", {
+        val spark = corpus.sparkSession
+        val sh = shingleTableCached(corpus, idCol, textCol, cacheKey)
+        val tbl = managedIndexName("graft_shingle_index",
+          s"${cacheKey}|$idCol|$textCol")
+        graft.ops.SinkDdl.dropManagedTable(spark, tbl)
+        sh.write.bucketBy(16, "id").format("parquet").saveAsTable(tbl)
         spark.table(tbl)
       })
 
@@ -596,7 +626,13 @@ object NearDup {
         val tbl = managedIndexName("graft_hamming_index",
           s"${cacheKey}|$idCol|$hashCol")
         graft.ops.SinkDdl.dropManagedTable(spark, tbl)
-        exact.write.bucketBy(16, "k").format("parquet").saveAsTable(tbl)
+        // store the block-bucket size at build time (same argument as
+        // [[bucketedBandIndexCached]]): the spam cap is index maintenance,
+        // not per-batch work
+        exact
+          .withColumn("bucket_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("k"))))
+          .write.bucketBy(16, "k").format("parquet").saveAsTable(tbl)
         spark.table(tbl)
       })
 
@@ -613,9 +649,14 @@ object NearDup {
     import org.apache.spark.sql.expressions.Window
     val radius = hammingRadius(maxHamming)
     val deltaSim = delta.select(col(idCol).as("id"), col(hashCol).as("sim"))
-    val base = baseIdx
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("k")))
-      .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    // indexes built by [[bucketedHammingIndexCached]] carry the block
+    // bucket size as a stored column — filter on it directly; a raw
+    // (id, sim, k) frame still pays the count window here
+    val sized =
+      if (baseIdx.columns.contains("bucket_n")) baseIdx
+      else baseIdx.withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("k")))
+    val base = sized.filter(col("bucket_n") <= maxBucket).drop("bucket_n")
     ballKeyed(deltaSim, radius).as("a")
       .join(base.as("b"),
         col("a.k") === col("b.k") &&
