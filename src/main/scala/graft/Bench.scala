@@ -103,7 +103,14 @@ object Bench {
     // summary fields REPEATED at the end of the line: the driver's tail
     // capture keeps the line's suffix, so total/count/load must sit
     // after the (long) queries map to survive truncation
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters,"warmup_passes":$warmup,"n_queries":${results.size},"total_sec":$total,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"full":"BENCH_full.json"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters,"warmup_passes":$warmup,"n_queries":${results.size},"total_sec":$total,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"full":"BENCH_full.json"}"""
+    // the SAME line also lands in a file: the round driver's stdout tail
+    // capture truncates from the front, which cost round 10 its whole
+    // per-query round-over-round comparison (PERF_r10 n_common=0) — a
+    // file copy makes the per-query map robust to any tail length
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_line.json"), line)
+    println(line)
     spark.stop()
     // a broken query must fail the bench run, not silently inflate it
     if (errors.nonEmpty) sys.exit(1)

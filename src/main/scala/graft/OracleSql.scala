@@ -3007,6 +3007,18 @@ object OracleSql {
              CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS n_members
          FROM comp ORDER BY doc_id""",
 
+    "dedup_components_cold" ->
+      s"""WITH RECURSIVE ${dupPairsSql},
+           e AS MATERIALIZED (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),
+           reach(id, r) AS (
+             SELECT u, u FROM e
+             UNION
+             SELECT e2.u, reach.r FROM e e2 JOIN reach ON reach.id = e2.v),
+           comp AS (SELECT id, min(r) c FROM reach GROUP BY id)
+         SELECT CAST(id AS BIGINT) AS doc_id, CAST(c AS BIGINT) AS component,
+             CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS n_members
+         FROM comp ORDER BY doc_id""",
+
     "dedup_components_star" ->
       s"""WITH RECURSIVE ${dupPairsSql},
            e AS MATERIALIZED (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),

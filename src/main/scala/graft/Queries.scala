@@ -2177,6 +2177,26 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** UNCACHED twin of [[dedupComponents]]: runs the min-label propagation
+    * itself on every call instead of reading the session-memoised label
+    * table — so the bench keeps one timing in which the propagation COST
+    * is visible round-over-round (VERDICT r10 #10: the cached family's
+    * timed iterations measure a persisted-label read, never the loop).
+    * Same pair list, same output, same oracle as `dedup_components`. */
+  def dedupComponentsCold(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = text.NearDup.minhashDupPairsCached(
+      t(spark, dir, "documents"), "doc_id", "text", 0.8, dir)
+    val comp = Components.connectedComponents(pairs, "a_id", "b_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    val out = comp
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+    out.cache().count()
+    comp.unpersist()
+    out
+  }
+
   /** Same clustering through the O(log n)-round alternating large-star /
     * small-star edge rewriting ([[ops.Components.connectedComponentsStar]])
     * — the declared proof that the scale-path algorithm exists and agrees:
