@@ -9182,12 +9182,30 @@ object Queries {
       "decile")
     val dec = tiled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("c")).as("decile_cents"))
-    val tot = dec.agg(sum(col("decile_cents")).as("tt"))
-    val cum = PrefixSum.cumSum(dec, Nil, Seq("decile"),
-      col("decile_cents"), "cum_cents")
-    cum.crossJoin(broadcast(tot))
-      .select(col("decile"), col("n_customers"), col("decile_cents"),
-        expr("cum_cents * 1000000 div tt").as("cum_share_ppm"))
+    // The decile table is EXACTLY k = 10 rows by construction at any
+    // corpus size, so the running share needs no second distributed
+    // two-pass scan (the previous cumSum + broadcast-total crossJoin ran
+    // ~10 more driver jobs per call — measured 23 jobs/iter total): fold
+    // the 10 structs in-plan, the same bounded collect_list + aggregate
+    // shape PrefixSum.exclusiveOffsets itself uses. Exact Long sums in
+    // decile order (struct sort = decile, unique), so cum_share_ppm is
+    // bit-identical to the two-pass form.
+    val arr = sort_array(collect_list(struct(
+      col("decile"), col("n_customers"), col("decile_cents"))))
+    dec.agg(arr.as("__lz"))
+      .select(explode(transform(col("__lz"), (x, i) => struct(
+        x.getField("decile").as("decile"),
+        x.getField("n_customers").as("n_customers"),
+        x.getField("decile_cents").as("decile_cents"),
+        aggregate(slice(col("__lz"), lit(1), i + lit(1)), lit(0L),
+          (acc, y) => acc + y.getField("decile_cents")).as("cum_cents"),
+        aggregate(col("__lz"), lit(0L),
+          (acc, y) => acc + y.getField("decile_cents")).as("tt"))))
+        .as("s"))
+      .select(col("s.decile").as("decile"),
+        col("s.n_customers").as("n_customers"),
+        col("s.decile_cents").as("decile_cents"),
+        expr("s.cum_cents * 1000000 div s.tt").as("cum_share_ppm"))
       .orderBy(col("decile"))
   }
 
