@@ -89,10 +89,19 @@ object StreamTwins {
   private val streamSessions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, SparkSession]())
 
+  /** Marker conf identifying a session THIS object created: streamSession
+    * must be idempotent — helpers like [[kafkaShapedStream]] take the
+    * stream session as their `spark` and re-resolve it, which used to
+    * nest a session-of-a-session (an extra catalog/conf copy that probe
+    * listeners never saw). */
+  private val SessionMarker = "spark.graft.stream.session"
+
   def streamSession(spark: SparkSession): SparkSession =
-    streamSessions.computeIfAbsent(spark, root => {
+    if (spark.conf.getOption(SessionMarker).contains("idle")) spark
+    else streamSessions.computeIfAbsent(spark, root => {
       val ss = root.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      ss.conf.set(SessionMarker, "idle")
       // newSession resets runtime confs: re-establish the engine's
       // session invariants (nanos reads AND the UTC pin — the batch and
       // stream twins must agree on timestamp semantics)
@@ -115,10 +124,12 @@ object StreamTwins {
     * event-time timeouts) must stay on [[streamSession]] — their no-data
     * batch is what flushes expired state. */
   def streamSessionNoIdle(spark: SparkSession): SparkSession =
-    noIdleSessions.computeIfAbsent(spark, root => {
+    if (spark.conf.getOption(SessionMarker).contains("noidle")) spark
+    else noIdleSessions.computeIfAbsent(spark, root => {
       val ss = root.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
       ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      ss.conf.set(SessionMarker, "noidle")
       graft.ops.Tables.pinSession(ss)
       ss
     })

@@ -46,9 +46,14 @@ object StreamProbe {
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         synchronized { events += f"terminated +${(System.nanoTime() - startedAt) / 1e6}%.0fms" }
     }
-    // the declared stream queries run on the dedicated stream session
+    // the declared stream queries run on one of the TWO dedicated stream
+    // sessions (watermark-driven shapes on streamSession, arrival-driven
+    // ones on streamSessionNoIdle) — listen on both or the no-idle
+    // queries report no batches
     val ss = graft.streaming.StreamTwins.streamSession(spark)
+    val ssNi = graft.streaming.StreamTwins.streamSessionNoIdle(spark)
     ss.streams.addListener(listener)
+    ssNi.streams.addListener(listener)
 
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
@@ -70,6 +75,7 @@ object StreamProbe {
       }
     }
     ss.streams.removeListener(listener)
+    ssNi.streams.removeListener(listener)
     spark.stop()
   }
 }
