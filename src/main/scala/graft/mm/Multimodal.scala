@@ -147,7 +147,14 @@ object Multimodal {
               java.nio.file.Paths.get(dir, f"$id%08d.bmp"), b)
           }
         }
-    spark.read.format("binaryFile").load(s"$dir/*.bmp")
+    // read the DIRECTORY with a glob filter, not a "$dir/*.bmp" glob
+    // path: the glob expands driver-side to one path PER FILE, and past
+    // the parallel-discovery threshold (32) that schedules a distributed
+    // listing job with one task per file — 500 tasks, ~0.6 s/iter at
+    // sf0.1, and at a billion objects a full cluster stage just to stat
+    // files (guide §6: listing cost). One directory path lists once.
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.bmp")
+      .load(dir)
       .select(
         // the optional sign matters: f"$id%08d" renders -5 as
         // "-0000005.bmp", and a digits-only extract would silently remap
