@@ -81,6 +81,14 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.length == 1024 && got.forall(_._2 == 1L))
   }
 
+  test("dedup_components_cold (uncached propagation) equals the cached " +
+    "dedup_components row-for-row") {
+    val sf = "/root/testdata/sf0.001"
+    val cold = Queries.dedupComponentsCold(spark, sf).collect().toSeq
+    val cached = Queries.dedupComponents(spark, sf).collect().toSeq
+    assert(cold == cached)
+  }
+
   test("star rewriting closes a 64-node chain (log-round regime)") {
     // worst case for propagation (diameter rounds); star rewriting halves
     // path lengths each round, so 20 iterations is ample headroom
