@@ -71,10 +71,13 @@ object Components {
       // localCheckpoint truncates lineage: an iterative plan that references
       // the previous round's frame multiple times otherwise grows
       // geometrically and chokes the analyzer long before the data is big
-      // (at cluster scale this is a reliable checkpoint to storage)
+      // (at cluster scale this is a reliable checkpoint to storage).
+      // LAZY (eager=false): the plan truncates immediately either way;
+      // materialization rides the labelSum convergence aggregate below —
+      // one job per round instead of checkpoint-then-aggregate's two
       val next = labels.union(viaNeighbors)
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -146,14 +149,15 @@ object Components {
     }
 
     var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // sig() below materializes it
     var prevSig = sig(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // each star op references the previous edge frame 2×, so lineage
-      // would QUADRUPLE per round without per-round checkpoint truncation
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // would QUADRUPLE per round without per-round checkpoint truncation.
+      // Lazy: the sig() aggregate right below materializes it in one job
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = sig(next)
       edges = next
       converged = nextSig == prevSig

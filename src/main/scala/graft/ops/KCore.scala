@@ -27,7 +27,9 @@ object KCore {
         greatest(col(aCol), col(bCol)).as("y"))
       .filter(col("x") =!= col("y"))
       .dropDuplicates("x", "y")
-      .localCheckpoint()
+      // lazy: both callers count() the canonical frame right away, which
+      // materializes the checkpoint in that same job
+      .localCheckpoint(false)
 
   /** Peel `edges` (already canonical/checkpointed) to the k-core. Each
     * round counts ONLY the freshly-pruned frame — the incoming count is
@@ -42,11 +44,16 @@ object KCore {
         .unionAll(edges.select(col("y").as("n")))
       val keep = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("n"))
+      // LAZY checkpoint: the plan is truncated immediately (LogicalRDD
+      // leaf) but materialization happens inside the count that follows —
+      // one job per round where eager-checkpoint-then-count paid two
+      // (guide §1.2: don't run a pass whose only output the next pass
+      // recomputes for free)
       val pruned = edges
         .join(keep.withColumnRenamed("n", "x"), Seq("x"), "left_semi")
         .join(keep.withColumnRenamed("n", "y"), Seq("y"), "left_semi")
         .select(col("x"), col("y"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val after = pruned.count()
       edges = pruned
       done = after == before

@@ -51,10 +51,15 @@ object LabelProp {
     // planning as a zero-exchange shuffled-hash join with the label
     // table as build side. The previous form re-shuffled the EDGE list
     // by nbr every round (guide §2.4: establish the partitioning once).
+    // lazy checkpoints throughout (plan truncation is immediate either
+    // way): nothing in this loop needs a per-round action, so the
+    // caller's one materializing job computes all R rounds, each round's
+    // frame persisting as it is first computed — the eager form paid a
+    // blocking driver job per round plus one for the adjacency
     val adj = pairs.select(col(aCol).as("node"), col(bCol).as("nbr"))
       .union(pairs.select(col(bCol).as("node"), col(aCol).as("nbr")))
       .repartition(col("nbr"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = adj.select(col("node")).distinct()
       .select(col("node"), col("node").as("lab"))
     for (_ <- 1 to rounds) {
@@ -70,7 +75,7 @@ object LabelProp {
             .orderBy(col("c").desc, col("lab"))))
         .filter(col("rn") === 1)
         .select(col("node"), col("lab"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     labels
   }

@@ -61,11 +61,16 @@ object PageRank {
     // rank-side join strategy is left to the planner: node-sized vs
     // edge-sized relations pick broadcast or sort-merge correctly at
     // either scale.
-    val dirM = dir.localCheckpoint(true)
+    // All three setup checkpoints are LAZY: the plan truncates to a
+    // LogicalRDD leaf either way, and the deg.count() below (the n the
+    // teleport term needs anyway) materializes deg + dirM in one job;
+    // dirDeg materializes inside round 1. Eager form paid three blocking
+    // driver jobs for the same blocks (guide §1.2).
+    val dirM = dir.localCheckpoint(false)
     val deg = dirM.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val dirDeg = dirM.join(deg.hint("shuffle_hash"), "src")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = deg.count()
     require(n > 0, "PageRank over an empty graph")
     val teleport = 3L * Scale / (20L * n)
@@ -88,7 +93,9 @@ object PageRank {
       // work (measured 60 jobs/iter at sf0.1) — pure fixed cost. Values
       // are unchanged: checkpointing has no arithmetic effect and the
       // integer iterate is partitioning-independent by construction.
-      if (i % 3 == 0 && i < iters) r = r.localCheckpoint(true)
+      // lazy: the next cadence point (or the caller's action) materializes
+      // it — the eager form paid a blocking driver job per cadence point
+      if (i % 3 == 0 && i < iters) r = r.localCheckpoint(false)
     }
     r
   }
