@@ -7182,7 +7182,8 @@ object Queries {
       var dist = edges.select(col("src").as("id")).distinct()
         .filter(col("id") % 10 === 0)
         .select(col("id"), lit(0L).as("dist"))
-        .localCheckpoint(true)
+        // lazy: round 1's isEmpty/union materializes it in the same job
+        .localCheckpoint(false)
       var frontier = dist
       var d = 1L
       var done = false
@@ -7193,7 +7194,7 @@ object Queries {
           .select(col("id"), lit(d).as("dist"))
           .localCheckpoint(true)
         if (next.isEmpty) done = true
-        else { dist = dist.union(next).localCheckpoint(true)
+        else { dist = dist.union(next).localCheckpoint(false)
                frontier = next; d += 1 }
       }
       dist.select(col("id").as("doc_id"), col("dist")).orderBy(col("doc_id"))

@@ -48,7 +48,7 @@ object Components {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .repartition(col("dst"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // the seed labelSum below materializes it
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
